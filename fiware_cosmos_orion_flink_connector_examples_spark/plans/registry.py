@@ -1,0 +1,117 @@
+"""Query registry — the single source of truth behind __spark_entry__.py.
+
+Every implemented operator from SURVEY.md §2 gets a named QuerySpec:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) a DuckDB oracle string over the same parquet tables.
+Column names/aliases MUST match between the two — the driver sorts
+columns by name and hashes values.
+
+Conventions for cross-engine hash stability:
+  * timestamps → epoch-second BIGINT (or ISO strings), never raw ts
+  * sum/avg of doubles → ROUND(x, 4) on both sides (float summation
+    order differs between engines; min/max/count stay exact)
+  * every computed column explicitly aliased on both sides
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.operators.windows import (
+    sliding_window_agg,
+)
+from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One declared query: Spark impl + optional DuckDB oracle SQL."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2.1) on the events table —
+# events is the batch twin of the NGSI stream (FIXTURES.md §B):
+# user_id ≙ entity id, value ≙ temperature, ts ≙ notification time.
+# ---------------------------------------------------------------------------
+
+# DuckDB replica of Spark's epoch-aligned sliding window expansion
+# (size 5 s, slide 2 s ⇒ each row in ceil(5/2)=3 windows), in exact
+# integer microsecond arithmetic: for k in 0..2,
+#   ws_us = floor(epoch_us/2e6)*2e6 - k*2e6, keep if ws_us + 5e6 > epoch_us.
+_WINDOW_EXPANSION = """
+    SELECT ((epoch_us(ts) // 2000000) * 2000000 - s.k * 2000000) AS ws_us, e.*
+    FROM events e CROSS JOIN (VALUES (0), (1), (2)) s(k)
+    WHERE ((epoch_us(ts) // 2000000) * 2000000 - s.k * 2000000) + 5000000 > epoch_us(ts)
+"""
+
+
+@register(
+    "ngsi_window_min",
+    oracle=f"""
+    SELECT (ws_us // 1000000) AS window_start, user_id, min(value) AS min_value
+    FROM ({_WINDOW_EXPANSION})
+    GROUP BY 1, 2
+    """,
+    doc="Example1 semantics: keyed 5s/2s sliding-window min "
+    "(Example1.scala:26-28) mapped onto events(user_id, ts, value).",
+    tags=("reference", "window", "O4", "O5", "O6"),
+)
+def ngsi_window_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev, "ts", ["user_id"], [F.min("value").alias("min_value")]
+    )
+
+
+@register(
+    "ngsi_window_avg",
+    oracle=f"""
+    SELECT (ws_us // 1000000) AS window_start, user_id,
+           round(avg(value), 4) AS avg_value, count(*) AS n_events
+    FROM ({_WINDOW_EXPANSION})
+    GROUP BY 1, 2
+    """,
+    doc="Example4 semantics: the custom incremental AverageAggregate "
+    "(accumulator=(sum,count), add/merge/getResult, Example4.scala:39-49) "
+    "is exactly Spark's partial+final avg; built-in F.avg.",
+    tags=("reference", "window", "O7"),
+)
+def ngsi_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev,
+        "ts",
+        ["user_id"],
+        [
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    )

@@ -1,0 +1,53 @@
+"""SparkSession builder tuned for this engine.
+
+The reference runs a Flink mini-cluster (1 jobmanager + 1 taskmanager,
+docker-compose.yml:13-34); our analog is local[N] with AQE on.  All
+settings here also make sense on a real multi-executor cluster: AQE
+handles skew/partition coalescing at 100 TB, and the broadcast
+threshold keeps dimension-table joins shuffle-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fiware-cosmos-orion-flink-connector-examples-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    cpus defaults to $SPARK_GRAFT_CPUS (driver contract) else all cores.
+    """
+    cpus_s = str(cpus) if cpus else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus_s}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata ships nanosecond parquet timestamps (events.ts)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs this engine depends on to a session
+    we did not build (the driver passes its own SparkSession to
+    ``entry``/``queries``).  Only touches runtime-safe SQL confs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
