@@ -21,6 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fiware_cosmos_orion_flink_connector_examples_spark.operators import ngsi
 from fiware_cosmos_orion_flink_connector_examples_spark.operators.windows import (
     sliding_window_agg,
 )
@@ -114,4 +115,86 @@ def ngsi_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         ],
+    )
+
+
+@register(
+    "ngsi_parse_project",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS id, count(*) AS n_obs,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+    doc="O1-O3 parse path: synthesize each event as a full NGSI-v2 "
+    "notification payload, run parse_notifications → flatten_entities → "
+    "attr_value cast-on-read (Example1.scala:21-25), aggregate per entity. "
+    "The oracle computes directly on events — parse must be a faithful "
+    "roundtrip (identity) for the hashes to match.",
+    tags=("reference", "ngsi", "O1", "O2", "O3"),
+)
+def ngsi_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"data":[{"id":"'),
+        F.col("user_id").cast("string"),
+        F.lit('","type":"Node","temperature":{"type":"Float","value":'),
+        F.col("value").cast("string"),
+        F.lit(',"metadata":{}}}],"subscriptionId":"sub1"}'),
+    )
+    raw = ev.select(payload.alias("payload"))
+    nodes = ngsi.project_temp_nodes(
+        ngsi.flatten_entities(ngsi.parse_notifications(raw, ts_col=None))
+    )
+    return nodes.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min("temperature").alias("min_value"),
+        F.max("temperature").alias("max_value"),
+    )
+
+
+@register(
+    "ngsi_json_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="O13 nested/JSON navigation (Example5.scala:21-24) on the "
+    "events.props dynamic column: get_json_object cast-on-read, then agg.",
+    tags=("reference", "json", "O13"),
+)
+def ngsi_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "ngsi_sink_envelope",
+    oracle="""
+    WITH mins AS (
+      SELECT user_id, min(value) AS min_value FROM events GROUP BY 1
+    )
+    SELECT '{"value_min": { "value":' || CAST(min_value AS VARCHAR) || ', "type": "Float"}}' AS content,
+           'http://localhost:1026/v2/entities/' || CAST(user_id AS VARCHAR) || '/attrs' AS url
+    FROM mins
+    """,
+    doc="O8+O9 sink serialization: per-key min → hand-built NGSI update "
+    "JSON (byte-compatible with Example2.scala:49-51) + per-record URL "
+    "(Example2.scala:35-38).",
+    tags=("reference", "sink", "O8", "O9"),
+)
+def ngsi_sink_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mins = ev.groupBy("user_id").agg(F.min("value").alias("min_value"))
+    return mins.select(
+        ngsi.to_ngsi_update_json(F.col("min_value"), "value_min", "Float").alias("content"),
+        ngsi.entity_update_url(
+            "http://localhost:1026/v2/entities/", F.col("user_id").cast("string")
+        ).alias("url"),
     )
