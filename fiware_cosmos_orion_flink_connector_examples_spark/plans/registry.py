@@ -57,6 +57,20 @@ def oracle_sql_map() -> dict[str, str]:
     return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
 
 
+# Plan modules that register queries on import; loaded at the bottom of
+# this module (circular-import safe: by then `register` is defined).
+_PLAN_MODULES = ("relational",)
+
+
+def _load_plan_modules() -> None:
+    import importlib
+
+    for mod in _PLAN_MODULES:
+        importlib.import_module(
+            f"fiware_cosmos_orion_flink_connector_examples_spark.plans.{mod}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Reference-surface queries (SURVEY.md §2.1) on the events table —
 # events is the batch twin of the NGSI stream (FIXTURES.md §B):
@@ -198,3 +212,6 @@ def ngsi_sink_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "http://localhost:1026/v2/entities/", F.col("user_id").cast("string")
         ).alias("url"),
     )
+
+
+_load_plan_modules()
