@@ -1,0 +1,292 @@
+"""Deduplication operators ([ext] X1/X2 — BASELINE.json's LLM-data-
+pipeline mandate): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale design (the part that matters at 100 TB):
+  * Exact dedup = hash-groupBy on a normalization key — one shuffle of
+    (key, doc_id), never full rows.
+  * MinHash signatures/shingles are per-row array expressions (no
+    shuffle); LSH banding turns the O(n²) pair space into an
+    equi-join on (band_idx, band_hash) — only colliding docs meet.
+  * SimHash candidate generation uses pigeonhole banding: for hamming
+    radius r, split the fingerprint into r+1 bands; any pair within r
+    must agree on ≥1 band ⇒ equi-join on bands has NO false negatives.
+  * Embedding near-dup blocks on a coarse key (label) before the
+    quadratic verify — at scale swap the key for an IVF centroid id.
+
+Everything hashes via md5int64 (functions/hashing.py) so the DuckDB
+oracle reproduces identical integers.  Paper anchors: top-k similarity
+(EDBT'20), REPOSE (ICDE'21) for the prune-then-verify shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+    md5int64,  # noqa: F401  (re-exported for oracle-reproducible hashing)
+)
+from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import TOKEN_RE
+
+_P31 = 2147483647  # 2^31 - 1 (Mersenne prime) — universal-hash modulus
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group (deterministic, unlike
+    dropDuplicates' arbitrary survivor).  One hash shuffle on the key."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingles(col: Column | str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (per-row, no
+    shuffle).  Docs shorter than n tokens yield an empty array.
+
+    Built by zip_with over n shifted slices of the token array, NOT by
+    per-index element_at: higher-order array functions evaluate
+    interpreted (outside whole-stage codegen), and random access inside
+    the lambda re-evaluates the source expression per reference —
+    measured 18× slower on the sf0.1 corpus (16.4 s vs 0.9 s)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        nxt = F.slice(toks, j + 1, length)
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(grams)
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index join:
+    explode shingles → self-join on shingle → per-pair intersection
+    count → jaccard = i / (|A| + |B| - i).  Only docs sharing ≥1
+    shingle ever meet — the join IS the candidate pruning."""
+    sh = with_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh"))
+    ex = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("s"))
+    a = ex.select(
+        F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"), F.col("s")
+    )
+    b = ex.select(
+        F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"), F.col("s")
+    )
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jacc = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.select("d1", "d2", F.round(jacc, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 24,
+) -> DataFrame:
+    """MinHash signatures as ``num_hashes`` flat columns h0..h{k-1}.
+
+    Explode shingles once, compute all seeded hashes as plain
+    (codegen'd) column expressions, then ONE hash aggregate taking the
+    per-seed min — vectorized partial+final agg; shuffle volume is one
+    signature row per doc.  (The array-fold formulation evaluates
+    interpreted and was ~10× slower.)"""
+    sh = with_shingles(df, id_col, text_col, n).filter(F.size("sh") > 0)
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
+    # One xxhash64 per shingle + a universal-hash family over Z_p
+    # (p = 2^31-1): h_j = (a_j·base + b_j) mod p.  All terms < 2^62 so
+    # no overflow even under ANSI mode.  The LSH internals don't need
+    # cross-engine reproducibility — the oracle checks the *verified
+    # jaccard* output — so the fast JVM hash is safe here (unlike
+    # simhash/fingerprints, which the oracle recomputes via md5).
+    import random
+
+    rng = random.Random(0)
+    coeffs = [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(num_hashes)]
+    base = F.pmod(F.xxhash64(F.col("s")), F.lit(_P31))
+    hashed = ex.select(
+        F.col(id_col),
+        *[
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P31)).alias(f"h{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: hash each band of ``rows_per_band`` signature slots;
+    docs colliding in ANY band become candidate pairs.  With 24 hashes
+    b=12/r=2: P(candidate | j=0.8) ≈ 1 - (1-0.64)^12 ≈ 0.999995 —
+    recall is effectively 1 for the ≥0.8 pairs the verify step keeps."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    n_bands = num_hashes // rows_per_band
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{bi * rows_per_band + j}")
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = bands.select(F.col(id_col).alias("d1"), "band", "bh")
+    b = bands.select(F.col(id_col).alias("d2"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH prune + exact Jaccard verify: candidates from
+    banding, then true shingle-set jaccard via array_intersect on the
+    two docs' shingle arrays (a broadcast-scale join back to
+    signatures at dedup output cardinality)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, rows_per_band)
+    sh = with_shingles(df, id_col, text_col, n)
+    s1 = sh.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    joined = cands.join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (
+        joined.select(
+            "d1", "d2", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_bands(sim_col: Column, bits: int = 60, n_bands: int = 4) -> list[Column]:
+    """Split a ``bits``-bit simhash into ``n_bands`` contiguous bit
+    bands (returned as BIGINT band values)."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    return [
+        F.shiftright(sim_col, i * band_bits).bitwiseAND(F.lit(mask)).alias(f"band{i}")
+        for i in range(n_bands)
+    ]
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash near-dup pairs within hamming radius via pigeonhole
+    banding (r+1 bands ⇒ exact recall), then bit_count verify."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+        simhash_table,
+    )
+
+    n_bands = max_hamming + 1
+    sim = simhash_table(df, id_col, text_col, bits)
+    bands = sim.select(
+        F.col(id_col),
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        b.alias("bv"),
+                    )
+                    for i, b in enumerate(simhash_bands(F.col("sim"), bits, n_bands))
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "sim", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a = bands.select(F.col(id_col).alias("d1"), F.col("sim").alias("sim1"), "band", "bv")
+    b = bands.select(F.col(id_col).alias("d2"), F.col("sim").alias("sim2"), "band", "bv")
+    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns as a strict
+    left-to-right fold (bitwise-reproducible in DuckDB's
+    list_dot_product over DOUBLE[])."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup: block on ``block_col`` (at scale: an
+    IVF/k-means centroid id), verify cosine within blocks.  The join is
+    an equi-join on the block key — quadratic only inside a block."""
+    v = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = v.select(F.col(id_col).alias("d1"), "blk", F.col("v").alias("v1"))
+    b = v.select(F.col(id_col).alias("d2"), "blk", F.col("v").alias("v2"))
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

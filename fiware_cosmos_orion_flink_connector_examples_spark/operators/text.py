@@ -1,0 +1,186 @@
+"""Text-analysis operators over the documents table ([ext] X4 +
+BASELINE.json's training-data-pipeline mandate).
+
+Everything is built from JVM-side column expressions (regexp counts,
+array transforms, md5 hashing) — no Python UDFs anywhere in this
+module, so the whole pipeline stays inside whole-stage codegen and
+scales linearly with input splits.  Every formula is chosen to be
+reproducible in ANSI SQL so the DuckDB oracle can verify it.
+
+Paper anchor: Twitter sentiment on Spark (EDBT'16) for the
+tokenize→explode→count pattern (PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import md5int64
+
+TOKEN_RE = r"\S+"
+# BPE-ish subword split: runs of letters, runs of digits, or single
+# punctuation — approximates byte-pair pre-tokenization.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def token_count(col: Column | str = "text") -> Column:
+    """Whitespace token count via regexp_count — identical semantics in
+    Spark and DuckDB (number of \\S+ runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_RE))
+
+
+def bpe_token_count(col: Column | str = "text") -> Column:
+    """BPE-ish subword count (letter runs + digit runs + punct chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_RE))
+
+
+def stopword_count(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return F.regexp_count(c, F.lit(pat))
+
+
+def quality_score(col: Column | str = "text") -> Column:
+    """Heuristic quality ∈ [0,1]: rewards mid-length docs and a sane
+    stopword ratio, penalizes very short docs.  Deterministic rational
+    arithmetic only (SQL-reproducible)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    stop_ratio = stopword_count(c).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    avg_word = n_chars / F.greatest(n_tok, F.lit(1.0))
+    word_score = F.when((avg_word >= 3.0) & (avg_word <= 9.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.when(stop_ratio > 0.02, F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round(0.5 * len_score + 0.25 * word_score + 0.25 * stop_score, 4)
+
+
+# Marker words per language for the n-gram/keyword language-ID
+# heuristic.  The corpus is synthetic word salad, so markers are drawn
+# from its own vocabulary — the POINT is the deterministic scoring
+# machinery, not linguistic accuracy.
+LANG_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "db": ("table", "scan", "join", "query", "hash"),
+    "st": ("stream", "window", "batch", "row"),
+}
+
+
+def lang_scores(col: Column | str = "text") -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        out[lang] = F.regexp_count(c, F.lit(pat))
+    return out
+
+
+def predicted_lang(col: Column | str = "text") -> Column:
+    """argmax over marker-count scores, deterministic tie-break by
+    lexicographic language code (greatest-score-first CASE chain)."""
+    s = lang_scores(col)
+    # tie-break: en > db > st by >= ordering in this chain
+    return (
+        F.when((s["en"] >= s["db"]) & (s["en"] >= s["st"]), F.lit("en"))
+        .when(s["db"] >= s["st"], F.lit("db"))
+        .otherwise(F.lit("st"))
+    )
+
+
+def doc_fingerprint(col: Column | str = "text") -> Column:
+    """Position-sensitive 60-bit document fingerprint: XOR-fold of
+    md5int64(position:token) over all tokens.  Pure array fold inside
+    one projection — no explode, no shuffle (the rolling-hash
+    capability from BASELINE.json, engineered commutative-overflow-free
+    so DuckDB's unnest+bit_xor reproduces it exactly)."""
+    toks = tokens(col)
+    indexed = F.transform(toks, lambda t, i: F.concat(i.cast("string"), F.lit(":"), t))
+    hashed = F.transform(indexed, md5int64)
+    return F.aggregate(hashed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
+
+
+def simhash64(col: Column | str = "text", bits: int = 60) -> Column:
+    """SimHash over whitespace tokens: for each of ``bits`` bit
+    positions, sum +1/-1 votes of each distinct token's md5int64 bit;
+    bit set iff vote > 0.  Expressed as one nested array fold —
+    per-row, shuffle-free, codegen'd.
+
+    60 bits (not 64) so the result stays a positive BIGINT in both
+    engines (md5int64 yields 60-bit hashes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
+    hashed = F.transform(toks, md5int64)
+    # column-valued shift amounts need the SQL shiftleft/shiftright
+    # (the Python wrappers only take int shifts)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """DataFrame-level simhash: (id, sim).  Same values as
+    ``simhash64`` but computed by explode → codegen'd hash column →
+    one hash-aggregate with ``bits`` sum(CASE) votes → bit assembly.
+    The array-fold form (simhash64) evaluates interpreted and costs
+    ~10× more; this form also gets map-side partial aggregation, so
+    shuffle volume is one row per doc at any scale."""
+    toks = F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tk"))
+    hv = ex.select(F.col(id_col), md5int64(F.col("tk")).alias("hv"))
+    votes = hv.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("hv", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return votes.select(F.col(id_col), sim.alias("sim"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats projection used by the registry queries."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        stopword_count(text_col).alias("n_stopwords"),
+        quality_score(text_col).alias("quality"),
+        predicted_lang(text_col).alias("pred_lang"),
+    )

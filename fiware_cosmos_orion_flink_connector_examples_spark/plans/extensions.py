@@ -1,0 +1,426 @@
+"""[ext] query pack (SURVEY.md §2.3, BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal — each wired to a
+DuckDB oracle that re-implements the same deterministic algorithm in
+ANSI SQL (md5-based hashing makes the integers engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from fiware_cosmos_orion_flink_connector_examples_spark.operators.windows import (
+    tumbling_window_agg,
+)
+from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import register
+from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import load_table
+
+# --- shared DuckDB SQL fragments -------------------------------------------
+
+_D_MD5INT = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# distinct 3-gram shingles per doc
+_D_SHINGLES = """
+  toks AS (
+    SELECT doc_id,
+           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in range(1, len(t) - 1)]) AS sh
+    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents)
+  )
+"""
+
+_D_JACCARD_PAIRS = f"""
+  WITH {_D_SHINGLES},
+  ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+  inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT d1, d2,
+         round(i / (len(ta.sh) + len(tb.sh) - i), 6) AS jaccard
+  FROM inter JOIN toks ta ON ta.doc_id = d1
+             JOIN toks tb ON tb.doc_id = d2
+  WHERE round(i / (len(ta.sh) + len(tb.sh) - i), 6) >= 0.8
+"""
+
+_D_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="X1 exact dedup: hash-groupBy on the text key, deterministic "
+    "lowest-id survivor (vs dropDuplicates' arbitrary one).  Shuffle "
+    "carries (key, id) only.",
+    tags=("ext", "dedup", "X1"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select("keep_id", "n_copies")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_D_JACCARD_PAIRS,
+    doc="X1/X2 exact n-gram Jaccard near-dup pairs (threshold 0.8) via "
+    "inverted-index self-join on 3-gram shingles — the join is the "
+    "candidate pruning; no O(n²) pair space.",
+    tags=("ext", "dedup", "X2"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_D_JACCARD_PAIRS,
+    doc="X2 MinHash(24)+LSH(12 bands × 2 rows) candidates, exact-Jaccard "
+    "verified at ≥0.8.  Oracle is the brute-force pair set: banding "
+    "recall at j≥0.8 is 1-(1-0.64)^12 ≈ 0.999995, so the verified "
+    "output equals the exact answer.  At production scale swap md5 for "
+    "xxhash64 (functions/hashing.fast_hash64).",
+    tags=("ext", "dedup", "X2", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {_D_MD5INT.format(x='tk')} AS hv
+      FROM (SELECT doc_id, unnest(t) AS tk FROM toks)
+    ),
+    votes AS (
+      SELECT doc_id, b.bit AS bit,
+             sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sim
+      FROM votes GROUP BY 1
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """,
+    doc="X2 SimHash(60-bit) near-dup pairs, hamming ≤ 3, via pigeonhole "
+    "banding (4 bands ⇒ exact recall at radius 3) + bit_count verify; "
+    "oracle recomputes simhash + brute-force hamming in SQL.",
+    tags=("ext", "dedup", "X2", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_dedup_pairs(docs, "doc_id", max_hamming=3)
+    return out.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           {_D_COS.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')} AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_D_COS.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')} >= 0.4
+    """,
+    doc="X2 embedding-cosine near-dup: block on label (at scale: IVF "
+    "centroid id), verify cosine ≥ 0.4 inside blocks.  Scores fold "
+    "left-to-right in double — bit-identical to DuckDB list_dot_product.",
+    tags=("ext", "dedup", "X2", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.4)
+
+
+# --- similarity search ------------------------------------------------------
+
+_D_ANN_SCORED = f"""
+  q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+  n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+  scored AS (
+    SELECT q_id, n_id, {_D_COS.format(a='qv', b='nv')} AS cos
+    FROM q CROSS JOIN n WHERE q_id != n_id
+  )
+"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH {_D_ANN_SCORED}
+    SELECT q_id, n_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="X3 exact top-k cosine (k=5, query set vec_id<8): broadcast "
+    "queries × streamed scan, per-query window rank — the brute-force "
+    "baseline every ANN variant is verified against.",
+    tags=("ext", "similarity", "X3"),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_cosine_bruteforce(emb, qs, k=5)
+
+
+@register(
+    "ann_topk_signbucket",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST((SELECT sum(CASE WHEN embedding[i+1] >= 0
+                                   THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                   FROM range(8) t(i)) AS INTEGER) AS bkt
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             {_D_COS.format(a='q.v', b='n.v')} AS cos
+      FROM b q JOIN b n ON q.bkt = n.bkt AND q.vec_id != n.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT q_id, n_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="X3 approximate top-k via sign-pattern coarse buckets (8-bit "
+    "IVF-style code, zero training): probes 1/256 of the space on "
+    "average.  Deterministic quantizer ⇒ fully oracle-checkable.",
+    tags=("ext", "similarity", "X3", "ivf"),
+)
+def ann_topk_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_cosine_signbucket(emb, qs, k=5)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@register(
+    "text_stats_by_lang",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)), 4) AS avg_tokens,
+           round(avg(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)), 4) AS avg_bpe_tokens,
+           round(avg(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)), 4) AS avg_stopwords,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="X4 token statistics per language: whitespace tokens, BPE-ish "
+    "subword tokens, stopword counts — all regexp_count JVM expressions.",
+    tags=("ext", "text", "X4"),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(text.token_count("text").cast("double")), 4).alias("avg_tokens"),
+        F.round(F.avg(text.bpe_token_count("text").cast("double")), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg(text.stopword_count("text").cast("double")), 4).alias("avg_stopwords"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_quality_topk",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.5 * least(n_tok / 50.0, 1.0)
+               + 0.25 * (CASE WHEN n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 9.0
+                              THEN 1.0 ELSE 0.5 END)
+               + 0.25 * (CASE WHEN n_stop / greatest(n_tok, 1.0) > 0.02
+                              THEN 1.0 ELSE 0.6 END), 4) AS quality
+    FROM q
+    ORDER BY quality DESC, doc_id
+    LIMIT 50
+    """,
+    doc="X4 heuristic quality scoring (length/word-shape/stopword-ratio "
+    "mix), top-50 docs; deterministic rational arithmetic on both engines.",
+    tags=("ext", "text", "X4"),
+)
+def text_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.quality_score("text").alias("quality"))
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=r"""
+    SELECT pred_lang, lang, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN en >= db AND en >= st THEN 'en'
+                  WHEN db >= st THEN 'db'
+                  ELSE 'st' END AS pred_lang
+      FROM (
+        SELECT lang,
+               len(regexp_extract_all(text, '\b(the|a|fast|slow)\b')) AS en,
+               len(regexp_extract_all(text, '\b(table|scan|join|query|hash)\b')) AS db,
+               len(regexp_extract_all(text, '\b(stream|window|batch|row)\b')) AS st
+        FROM documents))
+    GROUP BY 1, 2
+    """,
+    doc="X4 language-ID heuristic (marker n-gram argmax with "
+    "deterministic tie-break) × the labeled lang column — a confusion "
+    "matrix.  Corpus is synthetic, so the machinery (not linguistics) "
+    "is what's verified.",
+    tags=("ext", "text", "X4", "langid"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.predicted_lang("text").alias("pred_lang"))
+        .groupBy("pred_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    pt AS (
+      SELECT doc_id, CAST(i AS VARCHAR) || ':' || tk AS ptok
+      FROM (SELECT doc_id, unnest(t) AS tk, unnest(range(len(t))) AS i FROM toks)
+    )
+    SELECT doc_id,
+           CAST(bit_xor({_D_MD5INT.format(x='ptok')}) AS BIGINT) AS fingerprint
+    FROM pt GROUP BY 1
+    """,
+    doc="X4 position-sensitive document fingerprint: XOR-fold of "
+    "md5int64(position:token) — computed as a per-row array fold (no "
+    "explode/shuffle on the Spark side; oracle uses unnest+bit_xor, "
+    "equal because XOR is commutative).",
+    tags=("ext", "text", "X4", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.doc_fingerprint("text").alias("fingerprint"))
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@register(
+    "multimodal_media_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    doc="X5 multimodal metadata path: opaque binary payload column + "
+    "JVM-side typed metadata (byte length, sha256) — no Python, no "
+    "decode.  documents.text stands in for the media bytes.",
+    tags=("ext", "multimodal", "X5"),
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "doc_id", "payload", "image"
+    )
+    return media.select("media_id", "kind", "n_bytes", "sha256")
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) // 64) % 64 + 1 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+    FROM documents
+    """,
+    doc="X5 decode/feature-extract plumbing through mapInPandas (Arrow "
+    "batches): the decode itself is a deterministic stub (codecs absent "
+    "from this container — see operators/multimodal.decode_image_real), "
+    "but the full Python-worker round trip is real and oracle-checked.",
+    tags=("ext", "multimodal", "X5", "pandas_udf"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "doc_id", "payload", "image"
+    )
+    return multimodal.extract_features(media)
+
+
+# --- time-series rollup -----------------------------------------------------
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT ((epoch_us(ts) // 3600000000) * 3600) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hypertable-style tumbling rollup (1h buckets per event_type) — "
+    "the degenerate sliding window; at scale this is the pre-aggregation "
+    "layer continuous aggregates are built from.",
+    tags=("ext", "window", "rollup"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        ],
+        size="1 hour",
+    )

@@ -59,7 +59,7 @@ def oracle_sql_map() -> dict[str, str]:
 
 # Plan modules that register queries on import; loaded at the bottom of
 # this module (circular-import safe: by then `register` is defined).
-_PLAN_MODULES = ("relational",)
+_PLAN_MODULES = ("relational", "extensions")
 
 
 def _load_plan_modules() -> None:
