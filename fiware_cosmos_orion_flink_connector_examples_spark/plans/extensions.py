@@ -396,6 +396,58 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 86400000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) // 1000000 AS session_start,
+           max(epoch_us(ts)) // 1000000 AS session_end,
+           CAST(count(*) AS INTEGER) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Session windows (24h inactivity gap) — batch twin of the "
+    "applyInPandasWithState streaming sessionizer (streaming/jobs.py; "
+    "stream-vs-batch equivalence pytest-verified), built from lag + "
+    "running-sum window functions in exact integer microseconds.",
+    tags=("ext", "session", "stateful"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(us - F.lag(us).over(w) > 86400 * 1_000_000, 1).otherwise(0).alias("new_s"),
+    )
+    sess = gapped.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        (F.min(F.unix_micros(F.col("ts"))) / 1_000_000).cast("long").alias("session_start"),
+        (F.max(F.unix_micros(F.col("ts"))) / 1_000_000).cast("long").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).drop("sid")
+
+
+@register(
     "events_hourly_rollup",
     oracle="""
     SELECT ((epoch_us(ts) // 3600000000) * 3600) AS window_start,

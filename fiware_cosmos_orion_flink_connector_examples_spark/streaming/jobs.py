@@ -1,0 +1,187 @@
+"""Streaming lifts of the reference pipelines + streaming-only
+operators (watermarks, dedup-in-time, custom stateful sessionization).
+
+Semantics mapping (SURVEY.md §7 'hard parts' #1): Flink 1.9
+processing-time sliding windows emit every pane close; Structured
+Streaming's closest analog is ingest-timestamp event time + ``update``
+output mode, which re-emits a (window, key) row whenever a micro-batch
+changes it.  ``append`` mode + watermark emits once per closed window
+— both are exposed; update is the default to mirror the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.operators.ngsi import (
+    flatten_entities,
+    parse_notifications,
+    project_temp_nodes,
+)
+
+
+def streaming_window_min(
+    notifications: DataFrame,
+    size: str = "5 seconds",
+    slide: str = "2 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Example1 as a stream: watermarked keyed sliding-window min.
+    State: one row per (id, window) in the state store, dropped once
+    the watermark passes window end — bounded by key-cardinality ×
+    (size/slide) live windows regardless of input rate."""
+    nodes = project_temp_nodes(flatten_entities(parse_notifications(notifications)))
+    return (
+        nodes.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"), "id")
+        .agg(F.min("temperature").alias("temperature_min"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "id",
+            "temperature_min",
+        )
+    )
+
+
+def streaming_window_avg(
+    notifications: DataFrame,
+    size: str = "5 seconds",
+    slide: str = "2 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Example4 as a stream (incremental avg: the state store keeps the
+    (sum, count) accumulator exactly like AverageAggregate,
+    Example4.scala:39-49)."""
+    nodes = project_temp_nodes(flatten_entities(parse_notifications(notifications)))
+    return (
+        nodes.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"), "id")
+        .agg(F.avg("temperature").alias("temperature_avg"))
+        .select(F.col("w.start").alias("window_start"), "id", "temperature_avg")
+    )
+
+
+def streaming_dedup(
+    notifications: DataFrame,
+    keys: list[str],
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """X1 streaming exact dedup: dropDuplicatesWithinWatermark — state
+    holds one fingerprint per key within the watermark horizon (the
+    broker-side '≥5 s throttling per subscription' P2 is the degenerate
+    form: dedup key = subscription, horizon = 5 s)."""
+    return notifications.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+SESSION_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp, n_events int, sum_value double"
+SESSION_STATE_SCHEMA = "start double, end double, n int, total double"
+
+
+def sessionize(
+    events: DataFrame,
+    gap_secs: float = 30.0,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: session
+    windows per user_id with a ``gap_secs`` inactivity gap — the
+    'custom stateful op' capability the reference's AggregateFunction
+    hints at but Flink 1.9 windows never needed (SURVEY.md §2.2).
+
+    Emits a session row when the event-time timeout fires (watermark
+    passed last-event + gap).  State per key: (start, end, n, total) —
+    constant size, no event buffering."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(end, unit="s")],
+                    "n_events": [n],
+                    "sum_value": [total],
+                }
+            )
+            return
+        start, end, n, total = state.get if state.exists else (None, None, 0, 0.0)
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t = ts.timestamp()
+                if start is None:
+                    start = end = t
+                    n, total = 1, float(value)
+                elif t - end > gap_secs:
+                    closed.append((start, end, n, total))
+                    start = end = t
+                    n, total = 1, float(value)
+                else:
+                    end = max(end, t)
+                    n += 1
+                    total += float(value)
+        if start is not None:
+            state.update((start, end, n, total))
+            state.setTimeoutTimestamp(int(end * 1000) + int(gap_secs * 1000))
+        if closed:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in closed],
+                    "n_events": [c for _, _, c, _ in closed],
+                    "sum_value": [v for _, _, _, v in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_secs: float = 30.0) -> DataFrame:
+    """Batch twin of ``sessionize`` built from window functions (lag +
+    cumulative sum of gap breaks) — same output contract, used as the
+    correctness oracle for the stateful streaming path."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            > gap_secs,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = gaps.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    ).drop("session_id")

@@ -1,0 +1,290 @@
+"""Streaming tests: spool source → watermarked window aggs →
+memory/HTTP sinks, the custom orion_http DataSource end-to-end, and
+the stateful sessionizer vs its batch twin.
+
+Processing-time nondeterminism is removed by fixture timestamps
+(SURVEY.md §5) and availableNow/processAllAvailable triggers.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.sources.ngsi_http import (
+    NgsiHttpReceiver,
+    register_orion_source,
+    spool_stream_df,
+)
+from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs, pipelines
+from fiware_cosmos_orion_flink_connector_examples_spark.streaming.sinks import (
+    http_sink_batch,
+)
+from tests.fixtures import flat_sequence
+
+
+def _write_spool(tmp_path, rows):
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    with open(spool / "000.jsonl", "w") as f:
+        for ts, payload, *_ in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "payload": payload,
+                        "service": "demo",
+                        "servicePath": "/test",
+                        "ts": ts.replace(tzinfo=__import__("datetime").timezone.utc).timestamp(),
+                    }
+                )
+                + "\n"
+            )
+    return str(spool)
+
+
+def test_spool_stream_matches_batch(spark, tmp_path):
+    """The SAME pipeline function runs on the stream and on a batch DF;
+    results must agree (Structured Streaming unification)."""
+    rows = flat_sequence(20)
+    spool = _write_spool(tmp_path, rows)
+    stream = spool_stream_df(spark, spool)
+    out = jobs.streaming_window_min(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_spool_min")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.window_start, r.id): r.temperature_min
+        for r in spark.sql("select * from t_spool_min").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(ts, p) for ts, p, _ in rows], "ts timestamp, payload string"
+    )
+    exp = {
+        (r.window_start, r.id): r.temperature_min
+        for r in pipelines.example1(batch_df)
+        .withColumn("window_start", F.timestamp_seconds("window_start"))
+        .collect()
+    }
+    # append mode emits exactly the windows the final watermark closed:
+    # window_end (= start + 5s) ≤ max_event_ts - 10s watermark delay
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+    import datetime as dt
+
+    max_ts = max(ts for ts, _, _ in rows).replace(tzinfo=None)
+    closed = {
+        k
+        for k in exp
+        if k[0] + dt.timedelta(seconds=5) <= max_ts - dt.timedelta(seconds=10)
+    }
+    assert set(got) == closed
+
+
+def test_orion_http_source_end_to_end(spark, tmp_path):
+    """Full O1 path: HTTP POST → receiver spool → custom Python
+    DataSource → windowed min → memory sink."""
+    import urllib.request
+
+    spool = str(tmp_path / "http_spool")
+    receiver = NgsiHttpReceiver(spool, port=0).start()
+    try:
+        for _, payload, _ in flat_sequence(10):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{receiver.port}/notify",
+                data=payload.encode(),
+                headers={
+                    "Content-Type": "application/json",
+                    "Fiware-Service": "demo",
+                    "Fiware-ServicePath": "/test",
+                },
+            )
+            urllib.request.urlopen(req, timeout=5)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if os.path.isdir(spool) and any(f.endswith(".jsonl") for f in os.listdir(spool)):
+                time.sleep(0.2)
+                break
+        register_orion_source(spark)
+        stream = spark.readStream.format("orion_http").option("spool_dir", spool).load()
+        out = jobs.streaming_window_min(stream, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_http_min")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql("select * from t_http_min").collect()
+        assert rows, "HTTP-notified records should reach the sink"
+        assert all(r.id == "R1" for r in rows)
+        # service headers rode along into the spool
+        with open(os.path.join(spool, sorted(os.listdir(spool))[0])) as f:
+            rec = json.loads(f.readline())
+        assert rec["service"] == "demo" and rec["servicePath"] == "/test"
+    finally:
+        receiver.stop()
+
+
+def test_orion_source_subscription_pushdown(spark, tmp_path):
+    """P1: attrs projection + condition filter applied in the reader."""
+    rows = flat_sequence(6)
+    spool = _write_spool(tmp_path, rows)
+    register_orion_source(spark)
+    stream = (
+        spark.readStream.format("orion_http")
+        .option("spool_dir", spool)
+        .option("attrs", "pressure")
+        .option("condition", "pressure")
+        .load()
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ngsi
+
+    ents = ngsi.flatten_entities(ngsi.parse_notifications(stream))
+    proj = ents.select(
+        ngsi.attr_value("entity", "pressure").alias("pressure"),
+        ngsi.attr_value("entity", "temperature").alias("temperature"),
+    )
+    q = (
+        proj.writeStream.format("memory")
+        .queryName("t_pushdown")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from t_pushdown").collect()
+    assert len(out) == 6
+    assert all(r.pressure is not None for r in out)
+    assert all(r.temperature is None for r in out)  # projected away at ingest
+
+
+class _CapturingHandler(http.server.BaseHTTPRequestHandler):
+    captured: list = []
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        type(self).captured.append((self.path, self.rfile.read(n).decode()))
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_sink_round_trip(spark, tmp_path):
+    """O10: sink envelopes are POSTed to their per-record URLs
+    (Example2's OrionSink write-back)."""
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CapturingHandler)
+    port = server.server_port
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rows = flat_sequence(10)
+        batch_df = spark.createDataFrame(
+            [(ts, p) for ts, p, _ in rows], "ts timestamp, payload string"
+        )
+        env = pipelines.example2(batch_df, url_cb=f"http://127.0.0.1:{port}/v2/entities/")
+        http_sink_batch(env, 0)
+        assert _CapturingHandler.captured
+        path, body = _CapturingHandler.captured[0]
+        assert path == "/v2/entities/R1/attrs"
+        doc = json.loads(body)
+        assert doc["temperature_min"]["type"] == "Float"
+    finally:
+        server.shutdown()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    rows = flat_sequence(5)
+    # duplicate every payload
+    dup = rows + rows
+    spool = _write_spool(tmp_path, dup)
+    stream = spool_stream_df(spark, spool)
+    out = jobs.streaming_dedup(stream, ["payload"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("select count(*) n from t_dedup").first().n == 5
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful op (applyInPandasWithState) vs its batch twin."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    evs = []
+    eid = 0
+    for user in (1, 2):
+        for burst in range(3):
+            base = t0 + dt.timedelta(minutes=10 * burst)
+            for i in range(4):
+                evs.append((eid, base + dt.timedelta(seconds=5 * i), user, float(10 * user + i)))
+                eid += 1
+    # sentinel far in the future pushes the watermark past every session
+    evs.append((eid, t0 + dt.timedelta(hours=2), 99, 0.0))
+    spool = tmp_path / "evspool"
+    spool.mkdir()
+    with open(spool / "a.jsonl", "w") as f:
+        for e, ts, u, v in evs:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": e,
+                        "ts": ts.replace(tzinfo=dt.timezone.utc).timestamp(),
+                        "user_id": u,
+                        "value": v,
+                    }
+                )
+                + "\n"
+            )
+    stream = (
+        spark.readStream.schema("event_id long, ts double, user_id long, value double")
+        .json(str(spool))
+        .selectExpr("user_id", "timestamp_seconds(ts) AS ts", "value")
+    )
+    out = jobs.sessionize(stream, gap_secs=30.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("select * from t_sessions").collect()
+    }
+    batch_events = spark.createDataFrame(
+        [(u, ts, v) for _, ts, u, v in evs], "user_id long, ts timestamp, value double"
+    )
+    exp_all = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in jobs.sessionize_batch(batch_events, gap_secs=30.0).collect()
+    }
+    # streaming emits sessions whose timeout fired; the sentinel's own
+    # session (and any session the final watermark didn't pass) may be open
+    exp_closed = {s for s in exp_all if s[0] in (1, 2)}
+    assert got == exp_closed
