@@ -392,6 +392,33 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+@register(
+    "custom_udaf_geomean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 4) AS geo_mean
+    FROM events WHERE value > 0
+    GROUP BY 1
+    """,
+    doc="O7's general capability — a custom aggregate Spark lacks, as a "
+    "GROUPED_AGG pandas UDF (geometric mean; accumulator contract ≙ "
+    "AverageAggregate's add/merge/getResult, Example4.scala:39-49).  "
+    "Oracle uses the algebraic identity exp(avg(ln x)).",
+    tags=("ext", "udaf", "O7", "pandas_udf"),
+)
+def custom_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.udaf import (
+        geometric_mean,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # NOTE: a GROUPED_AGG pandas UDF cannot share an .agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — keep it sole occupant
+    return ev.groupBy("event_type").agg(
+        F.round(geometric_mean("value"), 4).alias("geo_mean")
+    )
+
+
 # --- time-series rollup -----------------------------------------------------
 
 

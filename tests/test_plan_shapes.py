@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the properties that matter at
+100 TB must survive refactors — filters/projections pushed into parquet
+scans, dimension joins broadcast, top-k never a global sort, text
+operators free of Python UDFs."""
+
+from __future__ import annotations
+
+import pytest
+
+from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_pushdown(spark):
+    plan = plan_of(spark, "filter_projection_pushdown")
+    assert "PushedFilters: [IsNotNull(l_returnflag)" in plan or "EqualTo(l_returnflag,R)" in plan
+    # column pruning: only the 6 needed columns reach the scan (4
+    # projected + 2 filter-only), never all 11
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") <= 8 and "l_shipdate" not in read
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "tpch_q5_region_revenue")
+    # nation+region+customer+supplier all broadcast; no SortMergeJoin
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort operator
+
+
+def test_window_agg_is_partial_final(spark):
+    plan = plan_of(spark, "ngsi_window_min")
+    # two HashAggregates around one Exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_no_python_udf_in_text_queries(spark):
+    """Everything in the text/dedup pack must stay JVM-side; the ONLY
+    sanctioned Python stages are the pandas UDAF + multimodal decode."""
+    for name in (
+        "text_stats_by_lang",
+        "doc_fingerprints",
+        "dedup_simhash",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "text_quality_topk",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_pandas_paths_are_arrow(spark):
+    """The sanctioned Python stages use Arrow batching, never
+    row-pickling BatchEvalPython."""
+    for name in ("custom_udaf_geomean", "multimodal_decode_features"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_exact_dedup_shuffles_narrow_rows(spark):
+    plan = plan_of(spark, "dedup_exact")
+    assert plan.count("HashAggregate") >= 2  # partial+final on the text key
