@@ -279,7 +279,7 @@ def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returnflag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+           CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INTEGER) AS gid,
            round(sum(l_quantity), 2) AS sum_qty,
            count(*) AS n
     FROM lineitem
@@ -292,7 +292,9 @@ def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("gid"),
+        (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -326,6 +328,56 @@ def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="Explicit skew mitigation: salted two-phase aggregation "
+    "(operators/skew.py) — partial agg on (key, salt) spreads hot keys "
+    "over 16 reducers, final agg combines ≤16 rows/key.  Result is "
+    "identical to the direct groupBy (oracle proves it); the plan adds "
+    "one bounded exchange in return for skew immunity.",
+    tags=("relational", "agg", "skew"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.skew import (
+        salted_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        [F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")],
+        [F.round(F.sum("s"), 4).alias("sum_value"), F.sum("c").alias("n")],
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    doc="Correlated-free scalar subquery through the engine's SQL "
+    "surface (spark.sql): orders above 2× the global average price.  "
+    "Catalyst plans the subquery as a broadcast scalar.",
+    tags=("relational", "subquery", "sql"),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_orders
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM v_orders)
+        """
     )
 
 

@@ -72,6 +72,30 @@ def write_http(
     return w.start()
 
 
+def write_http_and_console(
+    df: DataFrame, checkpoint_dir: str, output_mode: str = "update"
+):
+    """Example2's multi-consumer DAG (the same stream feeds OrionSink
+    AND print, Example2.scala:42,45): one foreachBatch persists the
+    micro-batch, then both consumers read the cached result — one
+    source scan, two sinks, exactly the reference's fan-out."""
+
+    def both(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.select("content").show(truncate=False)  # O12 projection
+            batch_df.foreachPartition(post_partition)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(both)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def write_console(df: DataFrame, output_mode: str = "update", serialize: bool = True):
     """O11: console sink.  ``serialize=True`` ≙ the reference's
     ``.print().setParallelism(1)`` — coalesce to one writer so output

@@ -288,3 +288,32 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     # session (and any session the final watermark didn't pass) may be open
     exp_closed = {s for s in exp_all if s[0] in (1, 2)}
     assert got == exp_closed
+
+
+def test_dual_sink_multi_consumer(spark, tmp_path, capfd):
+    """Example2's multi-consumer DAG: one stream feeds the HTTP sink AND
+    the console print (Example2.scala:42,45)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming.sinks import (
+        write_http_and_console,
+    )
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CapturingHandler)
+    _CapturingHandler.captured = []
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rows = flat_sequence(6)
+        spool = _write_spool(tmp_path, rows)
+        stream = spool_stream_df(spark, spool)
+        env = pipelines.example2(
+            stream, url_cb=f"http://127.0.0.1:{server.server_port}/v2/entities/"
+        )
+        q = write_http_and_console(env, str(tmp_path / "ckpt_dual"))
+        deadline = time.time() + 30
+        while time.time() < deadline and not _CapturingHandler.captured:
+            time.sleep(0.5)
+        q.stop()
+        assert _CapturingHandler.captured, "HTTP consumer must receive updates"
+        out = capfd.readouterr().out
+        assert "temperature_min" in out, "console consumer must print content"
+    finally:
+        server.shutdown()
