@@ -145,6 +145,21 @@ def simhash64(col: Column | str = "text", bits: int = 60) -> Column:
     )
 
 
+POSITIVE_WORDS = ("fast", "small", "good", "best")
+NEGATIVE_WORDS = ("slow", "bad", "worst", "error")
+
+
+def sentiment_score(col: Column | str = "text") -> Column:
+    """Naive lexicon sentiment ∈ [-1, 1]: (pos - neg) / tokens — the
+    tokenize→count pattern of the EDBT'16 Twitter-sentiment-on-Spark
+    paper (PAPERS.md), as pure regexp_count arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    pos = F.regexp_count(c, F.lit(r"\b(" + "|".join(POSITIVE_WORDS) + r")\b"))
+    neg = F.regexp_count(c, F.lit(r"\b(" + "|".join(NEGATIVE_WORDS) + r")\b"))
+    n = F.greatest(token_count(c), F.lit(1)).cast("double")
+    return F.round((pos - neg) / n, 6)
+
+
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60
 ) -> DataFrame:

@@ -393,6 +393,106 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_sentiment_by_source",
+    oracle=r"""
+    SELECT source,
+           round(avg(round((len(regexp_extract_all(text, '\b(fast|small|good|best)\b'))
+                  - len(regexp_extract_all(text, '\b(slow|bad|worst|error)\b')))
+                 / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6)), 6) AS avg_sentiment,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    doc="X4 naive lexicon sentiment (EDBT'16 Twitter-sentiment pattern, "
+    "PAPERS.md): (pos - neg) / tokens per doc, averaged per source — "
+    "regexp_count arithmetic, zero Python.",
+    tags=("ext", "text", "X4", "sentiment"),
+)
+def text_sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.avg(text.sentiment_score("text")), 6).alias("avg_sentiment"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "percentiles_by_event_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile ≙ "
+    "DuckDB quantile_cont, SQL-standard linear interpolation).  At "
+    "100 TB swap to approx_percentile(t-digest) — same query shape, "
+    "documented accuracy tradeoff.",
+    tags=("ext", "agg", "percentile"),
+)
+def percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "deterministic_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_D_MD5INT.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 5
+    """,
+    doc="Deterministic 5% hash sample (md5 of the key, mod 100) — the "
+    "reproducible train/eval split primitive; unlike TABLESAMPLE the "
+    "selection is stable across runs, partitionings, and engines.",
+    tags=("ext", "sample"),
+)
+def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.pmod(md5int64(F.col("doc_id").cast("string")), F.lit(100)) < 5
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents
+    """,
+    doc="Dataset profiling / QA summary (the pre-training data-quality "
+    "pass): null/empty counts, cardinalities, ranges — one scan, one "
+    "row out.",
+    tags=("ext", "profile"),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).alias("n_empty_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+@register(
     "custom_udaf_geomean",
     oracle="""
     SELECT event_type,
