@@ -226,6 +226,25 @@ def ann_topk_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_cosine_signbucket(emb, qs, k=5)
 
 
+@register(
+    "ann_topk_ivf_kmeans",
+    oracle=None,  # k-means internals aren't ANSI-SQL-expressible; rows-only
+    # check here — recall vs the oracle-checked brute force is verified in
+    # tests/test_ext_operators.py::test_ivf_recall_vs_bruteforce
+    doc="X3 scale path: IVF with a TRAINED coarse quantizer — "
+    "deterministic Lloyd's k-means on a bounded hash-sample (FAISS-style "
+    "training; 16 centroids, 10 iters), then nprobe=4 probing.  Corpus "
+    "assignment is an Arrow-vectorized numpy matmul; probing is a "
+    "broadcast equi-join on bucket id.",
+    tags=("ext", "similarity", "X3", "ivf", "kmeans"),
+)
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit_sample(emb, k=16, iters=10)
+    qs = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_cosine_ivf(emb, qs, cents, k=5, nprobe=4)
+
+
 # --- text analysis ----------------------------------------------------------
 
 

@@ -98,3 +98,19 @@ def test_multimodal_stub_contract(spark):
     # resize stub: payload passthrough, schema preserved
     out = multimodal.resize_stub(media, 32, 32)
     assert out.schema == media.schema and out.count() == 2
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF(k-means, nprobe=4) recall@5 vs the oracle-checked brute
+    force — deterministic given the fixed corpus."""
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    cents = similarity.kmeans_fit_sample(emb, k=16, iters=10)
+    ivf = similarity.topk_cosine_ivf(emb, qs, cents, k=5, nprobe=4)
+    brute = similarity.topk_cosine_bruteforce(emb, qs, k=5)
+    got = {(r.q_id, r.n_id) for r in ivf.collect()}
+    exp = {(r.q_id, r.n_id) for r in brute.collect()}
+    recall = len(got & exp) / len(exp)
+    assert recall >= 0.5, f"recall@5 {recall} too low for nprobe=4/16"
+    # determinism: same centroids on refit
+    assert similarity.kmeans_fit_sample(emb, k=16, iters=10) == cents
