@@ -30,8 +30,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # warm the JVM/codegen once on the flagship before timing
+    # warm the JVM codegen AND the Python/Arrow worker pool before timing
     QUERIES["ngsi_window_min"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    QUERIES["custom_udaf_geomean"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()

@@ -382,6 +382,112 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY 1
+    """,
+    doc="Pivot (long→wide): order counts per priority × status via "
+    "df.groupBy().pivot() with explicit value list — one pass, no "
+    "per-value scans.",
+    tags=("relational", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Date-function surface: year/month extraction + monthly rollup "
+    "(the reference has no date functions at all, SURVEY §2.2).",
+    tags=("relational", "datetime"),
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT upper(substr(p_name, 1, 3)) AS prefix,
+           count(*) AS n,
+           CAST(max(length(p_name)) AS INTEGER) AS max_len,
+           CAST(sum(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_a
+    FROM part
+    WHERE p_type LIKE '%BRASS%' OR p_size >= 10
+    GROUP BY 1
+    """,
+    doc="String-function surface: upper/substr/length/LIKE over part — "
+    "all JVM codegen expressions.",
+    tags=("relational", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type").like("%BRASS%")) | (F.col("p_size") >= 10)
+    )
+    return p.groupBy(
+        F.upper(F.substring("p_name", 1, 3)).alias("prefix")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.length("p_name")).cast("int").alias("max_len"),
+        F.sum(F.when(F.col("p_name").like("%a%"), 1).otherwise(0)).alias("n_with_a"),
+    )
+
+
+@register(
+    "approx_sketches",
+    oracle=None,  # approximate by design (HLL++ / t-digest internals are
+    # engine-specific); accuracy vs exact answers is pytest-verified in
+    # tests/test_ext_operators.py::test_sketch_accuracy
+    doc="Sketch aggregates for 100TB interactive profiling: "
+    "approx_count_distinct (HyperLogLog++) + approx_percentile "
+    "(t-digest-style) — constant memory vs exact distinct/percentile's "
+    "linear state.",
+    tags=("ext", "sketch", "approx"),
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "union_prices",
     oracle="""
     SELECT 'order' AS kind, round(avg(o_totalprice), 4) AS avg_price,

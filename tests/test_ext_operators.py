@@ -114,3 +114,24 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"recall@5 {recall} too low for nprobe=4/16"
     # determinism: same centroids on refit
     assert similarity.kmeans_fit_sample(emb, k=16, iters=10) == cents
+
+
+def test_sketch_accuracy(spark):
+    """approx sketches land within tolerance of the exact answers."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import QUERIES
+
+    approx = {r.l_returnflag: r for r in QUERIES["approx_sketches"].fn(spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("d"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_orders - e.d) / e.d < 0.05
+        assert abs(a.approx_median_price - e.p50) / e.p50 < 0.05

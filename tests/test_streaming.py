@@ -317,3 +317,43 @@ def test_dual_sink_multi_consumer(spark, tmp_path, capfd):
         assert "temperature_min" in out, "console consumer must print content"
     finally:
         server.shutdown()
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream inner join: NGSI temperature stream ⋈
+    pressure stream on (entity, window-aligned time)."""
+    import datetime as dt
+
+    rows = flat_sequence(10)
+    spool = _write_spool(tmp_path, rows)
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ngsi
+
+    def side(attr):
+        s = spool_stream_df(spark, spool)
+        ents = ngsi.flatten_entities(ngsi.parse_notifications(s))
+        return ents.select(
+            ngsi.entity_id("entity").alias(f"id_{attr}"),
+            F.col("ts").alias(f"ts_{attr}"),
+            ngsi.attr_value("entity", attr).alias(attr),
+        ).withWatermark(f"ts_{attr}", "10 seconds")
+
+    t, p = side("temperature"), side("pressure")
+    joined = t.join(
+        p,
+        (F.col("id_temperature") == F.col("id_pressure"))
+        & (F.col("ts_temperature") == F.col("ts_pressure")),
+    ).select("id_temperature", "ts_temperature", "temperature", "pressure")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from t_ssjoin").collect()
+    assert len(out) == 10  # every notification carries both attrs at same ts
+    exp = {(ts.replace(tzinfo=None), temp) for ts, _, temp in rows}
+    assert {(r.ts_temperature, r.temperature) for r in out} == exp
+    assert all(r.pressure is not None for r in out)
