@@ -43,6 +43,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def enable_rocksdb_state_store(spark: SparkSession) -> SparkSession:
+    """Switch Structured Streaming state to the RocksDB provider —
+    state spills to local disk instead of living on the JVM heap, the
+    difference between O(heap) and O(disk) live keys for high-
+    cardinality windowed/sessionized streams.  Runtime-settable; takes
+    effect for newly started queries."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true"
+    )
+    return spark
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs this engine depends on to a session
     we did not build (the driver passes its own SparkSession to

@@ -143,14 +143,21 @@ class _SpoolPartition(InputPartition):
 
 class OrionHttpStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
+        # Spark lower-cases DataSource option keys before delivery
+        options = {k.lower(): v for k, v in options.items()}
         self.spool_dir = options.get("spool_dir") or options.get("path")
         if not self.spool_dir:
             raise ValueError("orion_http source requires option spool_dir (or path)")
         self.attrs = [a for a in (options.get("attrs") or "").split(",") if a]
         self.condition = [c for c in (options.get("condition") or "").split(",") if c]
+        # backpressure: cap records admitted per micro-batch (the
+        # maxFilesPerTrigger / maxOffsetsPerTrigger analog) — keeps
+        # batch latency bounded under notification bursts
+        self.max_batch_rows = int(options.get("maxbatchrows", 0)) or None
 
     def initialOffset(self) -> dict:
-        return _SpoolOffset("", 0).to_dict()
+        self._last_start = _SpoolOffset("", 0)
+        return self._last_start.to_dict()
 
     def _spool_files(self) -> list[str]:
         try:
@@ -159,16 +166,47 @@ class OrionHttpStreamReader(DataSourceStreamReader):
             return []
 
     def latestOffset(self) -> dict:
+        # The Python DataSource API has no latestOffset(start, limit)
+        # form, so maxBatchRows is applied by walking forward from the
+        # last planned position (updated by every partitions() call; the
+        # runner may call latestOffset before initialOffset, so None ⇒
+        # walk from zero).  On checkpoint restart the first bounded
+        # offsets can trail the committed start — Spark then plans a few
+        # empty batches until the walk passes it; no loss, no dupes.
         files = self._spool_files()
         if not files:
             return _SpoolOffset("", 0).to_dict()
+        if self.max_batch_rows is not None:
+            start = self._last_start or _SpoolOffset("", 0)
+            end = self._bounded_offset(start, files)
+            self._last_start = end
+            return end.to_dict()
         last = files[-1]
         with open(os.path.join(self.spool_dir, last), "rb") as f:
             n_lines = sum(1 for _ in f)
         return _SpoolOffset(last, n_lines).to_dict()
 
+    _last_start: _SpoolOffset | None = None
+
+    def _bounded_offset(self, start: "_SpoolOffset", files: list[str]) -> "_SpoolOffset":
+        budget = self.max_batch_rows
+        end = start
+        for fname in files:
+            if start.fname and fname < start.fname:
+                continue
+            skip = start.line if fname == start.fname else 0
+            with open(os.path.join(self.spool_dir, fname), "rb") as f:
+                n_lines = sum(1 for _ in f)
+            take = min(max(n_lines - skip, 0), budget)
+            end = _SpoolOffset(fname, skip + take)
+            budget -= take
+            if budget <= 0:
+                break
+        return end
+
     def partitions(self, start: dict, end: dict):
         s, e = _SpoolOffset.from_dict(start), _SpoolOffset.from_dict(end)
+        self._last_start = e  # next latestOffset() walks forward from here
         work: list[tuple[str, int, int]] = []
         for fname in self._spool_files():
             if fname < s.fname or fname > e.fname or (not e.fname):
