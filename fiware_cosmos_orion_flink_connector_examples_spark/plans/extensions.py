@@ -538,6 +538,45 @@ def custom_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_enriched_topk",
+    oracle="""
+    WITH enriched AS (
+      SELECT e.user_id, e.value, c.c_mktsegment, n.n_name
+      FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT * FROM (
+      SELECT n_name, c_mktsegment,
+             count(*) AS n_events,
+             round(sum(value), 4) AS sum_value,
+             row_number() OVER (ORDER BY round(sum(value), 4) DESC, n_name, c_mktsegment) AS rnk
+      FROM enriched GROUP BY 1, 2)
+    WHERE rnk <= 10
+    """,
+    doc="Stream-enrichment shape: events joined to broadcast customer + "
+    "nation dims (the classic streaming enrichment — fact stream never "
+    "shuffles for dimension joins), then top-10 segments by volume.",
+    tags=("ext", "join", "enrichment"),
+)
+def events_enriched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    enriched = ev.join(
+        F.broadcast(c), F.col("c_custkey") == F.col("user_id")
+    ).join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    agg = enriched.groupBy("n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    w = Window.orderBy(F.desc("sum_value"), F.asc("n_name"), F.asc("c_mktsegment"))
+    return agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
 # --- time-series rollup -----------------------------------------------------
 
 
