@@ -78,8 +78,12 @@ def ngram_jaccard_pairs(
     b = ex.select(
         F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"), F.col("s")
     )
+    # shuffle-hash, not broadcast: the exploded posting table is big on
+    # both sides (never broadcastable at corpus scale), and building a
+    # multi-million-row broadcast hashmap measured 3× slower locally
     inter = (
-        a.join(b, ["s"])
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), ["s"])
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
