@@ -110,6 +110,43 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: split each payload
+    into ``frame_size``-byte pseudo-frames (a real impl would parse
+    container frame boundaries — that's the stubbed step) and keep
+    every ``every_n``-th.  One mapInPandas pass; output is a frame-level
+    table (media_id, frame_idx, frame_bytes) ready for per-frame
+    feature extraction.  Row explosion happens executor-side inside the
+    Arrow batch — no driver involvement, no shuffle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max((len(b) + frame_size - 1) // frame_size, 1)
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes payloads through the pandas path and
     restamps metadata.  The actual pixel resample is the stubbed step."""

@@ -135,3 +135,16 @@ def test_sketch_accuracy(spark):
         a = approx[flag]
         assert abs(a.approx_orders - e.d) / e.d < 0.05
         assert abs(a.approx_median_price - e.p50) / e.p50 < 0.05
+
+
+def test_frame_sampling(spark):
+    """X5 frame-sample plumbing: every 2nd 4-byte pseudo-frame."""
+    media = multimodal.to_media_table(
+        spark.createDataFrame([(1, bytearray(b"0123456789"))], ["i", "p"]), "i", "p", "video"
+    )
+    frames = {
+        r.frame_idx: bytes(r.frame_bytes)
+        for r in multimodal.sample_frames(media, frame_size=4, every_n=2).collect()
+    }
+    # 10 bytes -> frames [0123][4567][89]; keep idx 0 and 2
+    assert frames == {0: b"0123", 2: b"89"}
