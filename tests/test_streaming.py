@@ -454,3 +454,30 @@ def test_sessionizer_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_notification_stream_factory(spark, tmp_path):
+    """One pipeline, three transports: the factory yields the same
+    schema for orion_http and spool; unknown transports error clearly."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.factory import (
+        notification_stream,
+    )
+
+    rows = flat_sequence(3)
+    spool = _write_spool(tmp_path, rows)
+    a = notification_stream(spark, "orion_http", spool_dir=spool)
+    b = notification_stream(spark, "spool", spool_dir=spool)
+    assert a.schema == b.schema
+    out = jobs.streaming_window_min(b, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_factory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fac"))
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("select count(*) n from t_factory").first().n > 0
+    with pytest.raises(ValueError, match="unknown transport"):
+        notification_stream(spark, "pigeon")
