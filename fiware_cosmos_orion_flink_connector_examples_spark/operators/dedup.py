@@ -273,6 +273,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def l2_normalize(v: Column) -> Column:
+    """x / |x| as one per-row pass.  Pair scorers normalize each vector
+    ONCE before the join and then use the plain dot product — cosine()
+    inside the pair loop recomputes both norms per PAIR (3× the fold
+    work; quadratic in pair count).  DuckDB twin:
+    ``list_transform(v, x -> x / sqrt(list_dot_product(v, v)))``."""
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    # zero vector → zero vector (dot 0, below any threshold) instead of
+    # ANSI DIVIDE_BY_ZERO; CASE short-circuits so the division branch
+    # never evaluates when norm == 0
+    return F.transform(
+        v, lambda x: F.when(norm == 0.0, F.lit(0.0)).otherwise(x / norm)
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right dot-product fold (≙ DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -284,13 +308,15 @@ def embedding_dup_pairs(
     IVF/k-means centroid id), verify cosine within blocks.  The join is
     an equi-join on the block key — quadratic only inside a block."""
     v = df.select(
-        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
     )
     a = v.select(F.col(id_col).alias("d1"), "blk", F.col("v").alias("v1"))
     b = v.select(F.col(id_col).alias("d2"), "blk", F.col("v").alias("v2"))
     return (
         a.join(b, ["blk"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        .select("d1", "d2", F.round(dot(F.col("v1"), F.col("v2")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -24,7 +24,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import cosine
+from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+    dot,
+    l2_normalize,
+)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -46,16 +49,18 @@ def topk_cosine_bruteforce(
     """Exact top-k cosine neighbors for each query vector (self-match
     excluded).  ``queries`` must have the same id/vec columns."""
     base = df.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("nv")
+        F.col(id_col).alias("n_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
     )
     qs = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        F.col(id_col).alias("q_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
     )
     scored = (
         base.join(F.broadcast(qs))
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
-            "q_id", "n_id", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos")
+            "q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos")
         )
     )
     return _rank_topk(scored, k).select("q_id", "n_id", "cos", "rank")
@@ -203,24 +208,27 @@ def topk_cosine_ivf(
     its ``nprobe`` nearest buckets only — candidate set shrinks by
     ~k_centroids/nprobe.  Join is an equi-join on bucket id with the
     query side broadcast; the corpus never shuffles."""
+    raw = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col).alias("n_id"),
-        F.col(vec_col).cast("array<double>").alias("nv"),
-    ).withColumn("bkt", _assign_udf(centroids)(F.col("nv")))
+        l2_normalize(raw).alias("nv"),
+        _assign_udf(centroids)(raw).alias("bkt"),
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        raw.alias("qv_raw"),
+        l2_normalize(raw).alias("qv"),
     )
     # nprobe nearest centroids per query, exploded to (q, bkt) probe rows
     probes = q.select(
         "q_id",
         "qv",
-        F.explode(_probe_udf(centroids, nprobe)(F.col("qv"))).alias("bkt"),
+        F.explode(_probe_udf(centroids, nprobe)(F.col("qv_raw"))).alias("bkt"),
     )
     scored = (
         base.join(F.broadcast(probes), ["bkt"])
         .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"))
+        .select("q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos"))
     )
     return _rank_topk(scored, k).select("q_id", "n_id", "cos", "rank")
 
@@ -271,19 +279,19 @@ def topk_cosine_signbucket(
     shuffles."""
     base = df.select(
         F.col(id_col).alias("n_id"),
-        F.col(vec_col).cast("array<double>").alias("nv"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
         sign_bucket(F.col(vec_col).cast("array<double>"), code_bits).alias("bkt"),
     )
     qs = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
         sign_bucket(F.col(vec_col).cast("array<double>"), code_bits).alias("bkt"),
     )
     scored = (
         base.join(F.broadcast(qs), ["bkt"])
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
-            "q_id", "n_id", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos")
+            "q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos")
         )
     )
     return _rank_topk(scored, k).select("q_id", "n_id", "cos", "rank")

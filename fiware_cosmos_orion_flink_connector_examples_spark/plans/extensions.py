@@ -50,10 +50,10 @@ _D_JACCARD_PAIRS = f"""
   WHERE round(i / (len(ta.sh) + len(tb.sh) - i), 6) >= 0.8
 """
 
-_D_COS = (
-    "round(list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-)
+# normalize-once formulation (matches operators/dedup.l2_normalize + dot:
+# identical per-element division then identical left-to-right fold)
+_D_NORM = "list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))"
+_D_COS_N = "round(list_dot_product({a}, {b}), 6)"
 
 
 # --- dedup ------------------------------------------------------------------
@@ -144,11 +144,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             {_D_NORM.format(v='embedding::DOUBLE[]')} AS nv
+      FROM embeddings
+    )
     SELECT a.vec_id AS d1, b.vec_id AS d2,
-           {_D_COS.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')} AS cos
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_D_COS.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')} >= 0.4
+           {_D_COS_N.format(a='a.nv', b='b.nv')} AS cos
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_D_COS_N.format(a='a.nv', b='b.nv')} >= 0.4
     """,
     doc="X2 embedding-cosine near-dup: block on label (at scale: IVF "
     "centroid id), verify cosine ≥ 0.4 inside blocks.  Scores fold "
@@ -163,10 +167,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity search ------------------------------------------------------
 
 _D_ANN_SCORED = f"""
-  q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
-  n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+  q AS (SELECT vec_id AS q_id, {_D_NORM.format(v='embedding::DOUBLE[]')} AS qv
+        FROM embeddings WHERE vec_id < 8),
+  n AS (SELECT vec_id AS n_id, {_D_NORM.format(v='embedding::DOUBLE[]')} AS nv
+        FROM embeddings),
   scored AS (
-    SELECT q_id, n_id, {_D_COS.format(a='qv', b='nv')} AS cos
+    SELECT q_id, n_id, {_D_COS_N.format(a='qv', b='nv')} AS cos
     FROM q CROSS JOIN n WHERE q_id != n_id
   )
 """
@@ -197,7 +203,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_signbucket",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
+      SELECT vec_id, {_D_NORM.format(v='embedding::DOUBLE[]')} AS v,
              CAST((SELECT sum(CASE WHEN embedding[i+1] >= 0
                                    THEN CAST(1 AS BIGINT) << i ELSE 0 END)
                    FROM range(8) t(i)) AS INTEGER) AS bkt
@@ -205,7 +211,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-             {_D_COS.format(a='q.v', b='n.v')} AS cos
+             {_D_COS_N.format(a='q.v', b='n.v')} AS cos
       FROM b q JOIN b n ON q.bkt = n.bkt AND q.vec_id != n.vec_id
       WHERE q.vec_id < 8
     )
