@@ -148,3 +148,17 @@ def test_frame_sampling(spark):
     }
     # 10 bytes -> frames [0123][4567][89]; keep idx 0 and 2
     assert frames == {0: b"0123", 2: b"89"}
+
+
+def test_dot_vectorized_bit_identical(spark):
+    """The Arrow pair-dot must reproduce the sequential JVM fold
+    bit-for-bit (column-loop accumulation preserves fold order)."""
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").cast("array<double>").alias("vb"))
+    pairs = a.join(b, F.col("i") < F.col("j"))
+    jvm = pairs.select("i", "j", dedup.dot(F.col("va"), F.col("vb")).alias("d")).collect()
+    arrow = pairs.select("i", "j", dedup.dot_vectorized()(F.col("va"), F.col("vb")).alias("d")).collect()
+    jm = {(r.i, r.j): r.d for r in jvm}
+    am = {(r.i, r.j): r.d for r in arrow}
+    assert jm == am  # exact equality, not approx
