@@ -481,3 +481,87 @@ def test_notification_stream_factory(spark, tmp_path):
     assert spark.sql("select count(*) n from t_factory").first().n > 0
     with pytest.raises(ValueError, match="unknown transport"):
         notification_stream(spark, "pigeon")
+
+
+def test_orion_source_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop → append new data → restart from the same checkpoint: every
+    record delivered exactly once (the spool-offset replay contract)."""
+    import datetime as dt
+
+    spool = tmp_path / "restart_spool"
+    spool.mkdir()
+
+    def write_batch(fname, payloads):
+        with open(spool / fname, "w") as f:
+            for i, p in enumerate(payloads):
+                f.write(
+                    json.dumps(
+                        {"payload": p, "service": "", "servicePath": "",
+                         "ts": dt.datetime(2024, 1, 1).timestamp() + i}
+                    ) + "\n"
+                )
+
+    out_dir = str(tmp_path / "restart_out")
+
+    def run_once():
+        register_orion_source(spark)
+        stream = spark.readStream.format("orion_http").option("spool_dir", str(spool)).load()
+        q = (
+            stream.select("payload")
+            .writeStream.format("parquet")  # memory sink can't recover checkpoints
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt_restart"))
+            .start()
+        )
+        q.awaitTermination(60)
+
+    write_batch("000.jsonl", [f"first-{i}" for i in range(5)])
+    run_once()
+    first = [r.payload for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(first) == [f"first-{i}" for i in range(5)]
+    # new data arrives while the query is down
+    write_batch("001.jsonl", [f"second-{i}" for i in range(4)])
+    run_once()
+    allrows = [r.payload for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(allrows) == sorted(
+        [f"first-{i}" for i in range(5)] + [f"second-{i}" for i in range(4)]
+    ), "restart must deliver new records exactly once and old ones never again"
+
+
+def test_http_sink_retries_transient_failure(spark):
+    """O10 at-least-once: a 500 on the first attempt is retried."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming.sinks import (
+        post_partition,
+    )
+
+    class FlakyHandler(http.server.BaseHTTPRequestHandler):
+        seen: dict = {}
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            k = type(self).seen
+            k[body] = k.get(body, 0) + 1
+            if k[body] == 1:  # fail every first attempt
+                self.send_response(500)
+            else:
+                self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), FlakyHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rows = [
+            {"content": f"c{i}", "url": f"http://127.0.0.1:{server.server_port}/x",
+             "content_type": "text/plain", "method": "POST"}
+            for i in range(3)
+        ]
+        post_partition(iter(rows))
+        assert all(n == 2 for n in FlakyHandler.seen.values()), FlakyHandler.seen
+    finally:
+        server.shutdown()
