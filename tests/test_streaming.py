@@ -26,7 +26,7 @@ from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs, p
 from fiware_cosmos_orion_flink_connector_examples_spark.streaming.sinks import (
     http_sink_batch,
 )
-from tests.fixtures import flat_sequence
+from tests.fixtures import flat_payload, flat_sequence
 
 
 def _write_spool(tmp_path, rows):
@@ -565,3 +565,64 @@ def test_http_sink_retries_transient_failure(spark):
         assert all(n == 2 for n in FlakyHandler.seen.values()), FlakyHandler.seen
     finally:
         server.shutdown()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark horizon
+    arriving in a later batch is excluded from (already-emitted) append
+    results — the watermark contract the reference never had to define
+    (Flink 1.9 processing-time windows, SURVEY §2.2)."""
+    import datetime as dt
+
+    spool = tmp_path / "late_spool"
+    spool.mkdir()
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def write(fname, recs):
+        with open(spool / fname, "w") as f:
+            for off, temp in recs:
+                f.write(
+                    json.dumps(
+                        {
+                            "payload": flat_payload(temp, 1.0),
+                            "service": "",
+                            "servicePath": "",
+                            "ts": (t0 + dt.timedelta(seconds=off)).timestamp(),
+                        }
+                    )
+                    + "\n"
+                )
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once():
+        stream = spool_stream_df(spark, str(spool))
+        res = jobs.streaming_window_min(stream, watermark="5 seconds")
+        q = (
+            res.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .start()
+        )
+        q.awaitTermination(60)
+
+    # batch 1: events at t+0..t+2 (min 20) then t+30 pushes the
+    # watermark to t+25, closing and emitting the early windows
+    write("000.jsonl", [(0, 20.0), (1, 25.0), (2, 30.0), (30, 99.0)])
+    run_once()
+    first = {
+        (r.window_start, r.temperature_min)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert any(v == 20.0 for _, v in first), "early windows should have emitted min=20"
+    # batch 2: a LATE event at t+1 with temp 5 — behind the watermark,
+    # must NOT re-open or change the already-emitted windows
+    write("001.jsonl", [(1, 5.0)])
+    run_once()
+    after = {
+        (r.window_start, r.temperature_min)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert after == first, "late event behind the watermark must be dropped"
