@@ -114,8 +114,10 @@ def attr_value(entity: Column | str, name: str, dtype: str = "double") -> Column
     (Example1.scala:22-25).  Missing attribute or non-numeric value
     yields NULL (SQL semantics) — the reference throws
     NoSuchElementException instead (SURVEY.md §5); null-and-filter is
-    our documented policy."""
-    return F.get_json_object(attr_raw(entity, name), "$.value").cast(dtype)
+    our documented policy.  try_cast, not cast: under ANSI mode
+    (Spark 4 default) a plain cast THROWS on non-numeric values,
+    killing the stream on one bad payload."""
+    return F.get_json_object(attr_raw(entity, name), "$.value").try_cast(dtype)
 
 
 def attr_value_struct(entity: Column | str, name: str, schema: StructType) -> Column:

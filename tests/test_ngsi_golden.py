@@ -117,3 +117,46 @@ def test_example5_schedule_arrays(spark, bus_df):
     buses = ngsi.explode_buses(ngsi.flatten_entities(ngsi.parse_notifications(bus_df)))
     r = buses.filter(F.col("name") == "BusCompany1").select("schedule.morning").first()
     assert r.morning == [7, 9, 11]
+
+
+def test_parse_fuzz_roundtrip(spark):
+    """Hypothesis-style fuzz (fixed seed): arbitrary attribute values —
+    unicode strings, nested objects, numbers, nulls, arrays — survive
+    the parse layer; numeric values cast-on-read exactly, non-numerics
+    null out (the documented policy)."""
+    import random
+
+    rng = random.Random(99)
+    payloads, expected = [], []
+    for i in range(60):
+        kind = rng.choice(["num", "str", "obj", "arr", "null"])
+        if kind == "num":
+            v = round(rng.uniform(-1e4, 1e4), 3)
+            expected.append(v)
+        elif kind == "str":
+            v = rng.choice(["héllo wörld", "日本語", "", "'; DROP TABLE--", "\\\" quo\\\"te"])
+            expected.append(None)
+        elif kind == "obj":
+            v = {"nested": {"deep": [1, 2, {"k": "v"}]}}
+            expected.append(None)
+        elif kind == "arr":
+            v = [rng.random() for _ in range(3)]
+            expected.append(None)
+        else:
+            v = None
+            expected.append(None)
+        entity = {"id": f"E{i}", "type": "Node", "attr": {"type": "Any", "value": v, "metadata": {}}}
+        payloads.append(json.dumps({"data": [entity], "subscriptionId": "s"}, ensure_ascii=False))
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    ents = ngsi.flatten_entities(ngsi.parse_notifications(df, ts_col=None))
+    rows = ents.select(
+        ngsi.entity_id("entity").alias("id"),
+        ngsi.attr_value("entity", "attr").alias("v"),
+    ).collect()
+    assert len(rows) == 60
+    got = {r.id: r.v for r in rows}
+    for i, exp in enumerate(expected):
+        if exp is None:
+            assert got[f"E{i}"] is None, (i, got[f"E{i}"])
+        else:
+            assert abs(got[f"E{i}"] - exp) < 1e-9, (i, got[f"E{i}"], exp)

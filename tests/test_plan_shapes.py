@@ -74,3 +74,23 @@ def test_pandas_paths_are_arrow(spark):
 def test_exact_dedup_shuffles_narrow_rows(spark):
     plan = plan_of(spark, "dedup_exact")
     assert plan.count("HashAggregate") >= 2  # partial+final on the text key
+
+
+def test_results_invariant_under_partitioning(spark):
+    """Results must not depend on spark.sql.shuffle.partitions — the
+    property that makes local[32] results transfer to 1000 executors."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(name):
+        df = QUERIES[name].fn(spark, SF)
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+    try:
+        for name in ("ngsi_window_min", "tpch_q5_region_revenue", "dedup_minhash_lsh",
+                     "window_rank_orders_per_customer"):
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            low = run(name)
+            spark.conf.set("spark.sql.shuffle.partitions", "128")
+            high = run(name)
+            assert low == high, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
