@@ -181,7 +181,9 @@ def ngsi_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+            # try_cast: malformed props must null out, not throw (ANSI)
+            F.get_json_object("props", "$.k").try_cast("int").alias("k"),
+            "value",
         )
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
