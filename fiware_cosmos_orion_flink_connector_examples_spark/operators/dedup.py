@@ -263,6 +263,53 @@ def simhash_dedup_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair graph via min-label propagation — cluster_id = the
+    smallest doc id reachable from each doc.  The LLM-pipeline capstone
+    step: after pair detection, keep ONE representative per component.
+
+    Driver-controlled loop over distributed joins (iterations bounded
+    by component diameter — near-dup clusters are tiny, typically 2-3
+    docs, so this converges in 1-2 rounds; early-exits on fixpoint).
+    ``pairs`` needs columns d1, d2.  Returns (doc_id, cluster_id) for
+    every doc appearing in a pair."""
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns as a strict
     left-to-right fold (bitwise-reproducible in DuckDB's

@@ -164,6 +164,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(emb, threshold=0.4)
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_D_JACCARD_PAIRS}),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="X1/X2 capstone: duplicate-cluster assignment — connected "
+    "components over the ≥0.8-jaccard pair graph by min-label "
+    "propagation (keep one representative per cluster).  Oracle is a "
+    "recursive CTE computing min-reachable-id.",
+    tags=("ext", "dedup", "cluster", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    return dedup.connected_components(pairs)
+
+
 # --- similarity search ------------------------------------------------------
 
 _D_ANN_SCORED = f"""

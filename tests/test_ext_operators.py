@@ -162,3 +162,14 @@ def test_dot_vectorized_bit_identical(spark):
     jm = {(r.i, r.j): r.d for r in jvm}
     am = {(r.i, r.j): r.d for r in arrow}
     assert jm == am  # exact equality, not approx
+
+
+def test_connected_components_transitive(spark):
+    """Chained pairs (a-b, b-c) must land in ONE cluster even though
+    a-c was never a direct pair (transitivity — the reason clustering
+    exists at all)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], ["d1", "d2"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
