@@ -59,11 +59,45 @@ def enable_rocksdb_state_store(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Workers spawn with PYTHONPATH from the environment, NOT the
+    driver's runtime sys.path — a driver launched outside the repo can
+    import the package (after sys.path.insert) while its pandas-UDF
+    closures die on workers with ModuleNotFoundError (observed live).
+    Shipping a zip via addPyFile is the standard fix and covers every
+    Arrow/pandas stage."""
+    if getattr(spark, "_engine_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"spark_ngsi_engine_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._engine_pkg_shipped = True
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs this engine depends on to a session
     we did not build (the driver passes its own SparkSession to
-    ``entry``/``queries``).  Only touches runtime-safe SQL confs.
+    ``entry``/``queries``).  Only touches runtime-safe SQL confs, plus
+    ships the package zip to executor Python workers.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ship_package(spark)
     return spark
