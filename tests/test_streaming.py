@@ -626,3 +626,60 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert after == first, "late event behind the watermark must be dropped"
+
+
+def test_windowed_state_recovers_across_restart(spark, tmp_path):
+    """Stateful recovery: a (key, window) whose events span TWO runs of
+    the query must aggregate across both — the state store, not just
+    offsets, survives the restart."""
+    import datetime as dt
+
+    spool = tmp_path / "state_spool"
+    spool.mkdir()
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def write(fname, recs):
+        with open(spool / fname, "w") as f:
+            for off, temp in recs:
+                f.write(
+                    json.dumps(
+                        {
+                            "payload": flat_payload(temp, 1.0),
+                            "service": "",
+                            "servicePath": "",
+                            "ts": (t0 + dt.timedelta(seconds=off)).timestamp(),
+                        }
+                    )
+                    + "\n"
+                )
+
+    out_dir = str(tmp_path / "state_out")
+
+    def run_once():
+        stream = spool_stream_df(spark, str(spool))
+        res = jobs.streaming_window_min(stream, watermark="5 seconds")
+        q = (
+            res.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+            .start()
+        )
+        q.awaitTermination(60)
+
+    # run 1: two events in the window starting t0 (temps 30, 25); the
+    # watermark stays below the window end, so nothing emits yet
+    write("000.jsonl", [(0, 30.0), (1, 25.0)])
+    run_once()
+    # run 2 (fresh query, same checkpoint): a lower temp in the SAME
+    # window + a late-clock event that closes it
+    write("001.jsonl", [(2, 20.0), (30, 99.0)])
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    by_window = {r.window_start: r.temperature_min for r in rows}
+    target = t0.replace(tzinfo=None)  # epoch-aligned window at t0
+    assert by_window.get(target) == 20.0, (
+        "window spanning the restart must see events from BOTH runs "
+        f"(got {by_window})"
+    )
