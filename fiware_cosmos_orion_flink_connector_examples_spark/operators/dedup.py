@@ -103,6 +103,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 24,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` flat columns h0..h{k-1}.
 
@@ -110,7 +111,13 @@ def minhash_signatures(
     (codegen'd) column expressions, then ONE hash aggregate taking the
     per-seed min — vectorized partial+final agg; shuffle volume is one
     signature row per doc.  (The array-fold formulation evaluates
-    interpreted and was ~10× slower.)"""
+    interpreted and was ~10× slower.)
+
+    ``keep_shingles=True`` additionally reassembles the distinct
+    shingle set as an ``sh`` column via collect_set in the SAME
+    aggregate — one pass over the corpus feeds both LSH banding and
+    the exact-Jaccard verify, instead of re-scanning + re-shingling
+    the documents for the verify join (the round-1 double-compute)."""
     sh = with_shingles(df, id_col, text_col, n).filter(F.size("sh") > 0)
     ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
     # One xxhash64 per shingle + a universal-hash family over Z_p
@@ -126,31 +133,26 @@ def minhash_signatures(
     base = F.pmod(F.xxhash64(F.col("s")), F.lit(_P31))
     hashed = ex.select(
         F.col(id_col),
+        *([F.col("s")] if keep_shingles else []),
         *[
             F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P31)).alias(f"h{j}")
             for j, (a, b) in enumerate(coeffs)
         ],
     )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
-    )
+    aggs = [F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    if keep_shingles:
+        # set semantics — shingles are already distinct per doc, and the
+        # verify step only uses size + array_intersect (order-invariant)
+        aggs.append(F.collect_set("s").alias("sh"))
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 24,
-    rows_per_band: int = 2,
+def _minhash_bands(
+    sig: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: hash each band of ``rows_per_band`` signature slots;
-    docs colliding in ANY band become candidate pairs.  With 24 hashes
-    b=12/r=2: P(candidate | j=0.8) ≈ 1 - (1-0.64)^12 ≈ 0.999995 —
-    recall is effectively 1 for the ≥0.8 pairs the verify step keeps."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    """Explode a signature table into (id, band, band-hash) rows."""
     n_bands = num_hashes // rows_per_band
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -172,6 +174,22 @@ def minhash_lsh_candidates(
             )
         ).alias("b"),
     ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: hash each band of ``rows_per_band`` signature slots;
+    docs colliding in ANY band become candidate pairs.  With 24 hashes
+    b=12/r=2: P(candidate | j=0.8) ≈ 1 - (1-0.64)^12 ≈ 0.999995 —
+    recall is effectively 1 for the ≥0.8 pairs the verify step keeps."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = _minhash_bands(sig, id_col, num_hashes, rows_per_band)
     a = bands.select(F.col(id_col).alias("d1"), "band", "bh")
     b = bands.select(F.col(id_col).alias("d2"), "band", "bh")
     return (
@@ -193,12 +211,33 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH prune + exact Jaccard verify: candidates from
     banding, then true shingle-set jaccard via array_intersect on the
-    two docs' shingle arrays (a broadcast-scale join back to
-    signatures at dedup output cardinality)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, rows_per_band)
-    sh = with_shingles(df, id_col, text_col, n)
-    s1 = sh.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    two docs' shingle arrays.
+
+    The corpus is scanned and shingled exactly ONCE: the signature
+    aggregate carries the shingle set along (``keep_shingles=True``)
+    and the table is persisted, so banding, the d1 side, and the d2
+    side of the verify all reuse one materialization instead of three
+    separate scan+shingle plans (the round-1 shape)."""
+    from pyspark import StorageLevel
+
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, keep_shingles=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = (
+        _minhash_bands(sig, id_col, num_hashes, rows_per_band)
+        .alias("a")
+        .join(
+            _minhash_bands(sig, id_col, num_hashes, rows_per_band).alias("b"),
+            ["band", "bh"],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sig.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
     joined = cands.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -269,26 +308,49 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     smallest doc id reachable from each doc.  The LLM-pipeline capstone
     step: after pair detection, keep ONE representative per component.
 
-    Driver-controlled loop over distributed joins (iterations bounded
-    by component diameter — near-dup clusters are tiny, typically 2-3
-    docs, so this converges in 1-2 rounds; early-exits on fixpoint).
+    Iteration cost discipline (the 100 TB part):
+      * ``edges`` is persisted before the loop — the (possibly very
+        expensive) upstream pair-detection plan executes exactly ONCE,
+        not once per iteration.
+      * ``labels`` is ``localCheckpoint``-ed (materialized, lineage
+        truncated) every iteration — without this the plan deepens each
+        round and iteration k re-executes all k-1 predecessors
+        (O(k²) total work, the round-1 scale-killer).
+        localCheckpoint is executor-local; on a real cluster with
+        preemption use ``spark.sparkContext.setCheckpointDir`` +
+        ``.checkpoint()`` for the reliable variant — same shape.
+      * Fixpoint detection is a plain ``sum(label)`` aggregate:
+        min-label propagation only ever lowers labels, so the sum is
+        strictly monotone decreasing and "sum unchanged ⟺ converged"
+        — one cheap scan of materialized data, no self-join diff.
+
+    Iterations are bounded by component diameter — near-dup clusters
+    are tiny (typically 2-3 docs), so this converges in 1-2 rounds.
+    For adversarial long-chain graphs switch to large-star/small-star
+    (O(log n) rounds); not needed for near-dup workloads.
     ``pairs`` needs columns d1, d2.  Returns (doc_id, cluster_id) for
     every doc appearing in a pair."""
-    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
-        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["b"] == labels["doc_id"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
             .select(
                 "doc_id",
@@ -296,17 +358,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
