@@ -164,6 +164,70 @@ def test_dot_vectorized_bit_identical(spark):
     assert jm == am  # exact equality, not approx
 
 
+def test_shingle_df_cap_identical_at_sane_threshold(spark):
+    """With the cap above the corpus max shingle df, the capped
+    prune+verify path must return EXACTLY the uncapped pair set
+    (same pairs, same exact jaccard scores)."""
+    docs = load_table(spark, SF, "documents")
+    base = {
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8).collect()
+    }
+    capped = {
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.8, max_shingle_df=64
+        ).collect()
+    }
+    assert base, "fixture should contain planted near-duplicates"
+    assert capped == base
+
+
+def test_shingle_df_cap_prunes_hot_postings(spark):
+    """A cap of 1 removes every shared shingle from the candidate
+    index, so no candidates (and no pairs) survive — the knob really
+    does gate the posting lists."""
+    docs = load_table(spark, SF, "documents")
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.8, max_shingle_df=1
+    ).collect()
+    assert out == []
+
+
+def test_embedding_ivf_recall(spark):
+    """IVF-centroid blocking must recover most of the true ≥0.4-cosine
+    pair set (computed brute-force), and at least match the quality
+    story of the label-blocked variant it replaces at scale."""
+    emb = load_table(spark, SF, "embeddings")
+    nv = emb.select(
+        F.col("vec_id"),
+        dedup.l2_normalize(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    a = nv.select(F.col("vec_id").alias("d1"), F.col("v").alias("v1"))
+    b = nv.select(F.col("vec_id").alias("d2"), F.col("v").alias("v2"))
+    truth = {
+        (r.d1, r.d2)
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.round(dedup.dot(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    cents = similarity.kmeans_fit_sample(emb, k=8, iters=10)
+    ivf = {
+        (r.d1, r.d2)
+        for r in dedup.embedding_dup_pairs_ivf(emb, cents, threshold=0.4).collect()
+    }
+    label = {
+        (r.d1, r.d2) for r in dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert truth, "fixture should contain high-cosine pairs"
+    assert ivf <= truth  # blocking only prunes, never invents pairs
+    ivf_recall = len(ivf & truth) / len(truth)
+    label_recall = len(label & truth) / len(truth)
+    assert ivf_recall >= 0.6, f"IVF recall {ivf_recall} too low"
+    assert ivf_recall >= label_recall - 0.2, (ivf_recall, label_recall)
+
+
 def test_connected_components_transitive(spark):
     """Chained pairs (a-b, b-c) must land in ONE cluster even though
     a-c was never a direct pair (transitivity — the reason clustering
