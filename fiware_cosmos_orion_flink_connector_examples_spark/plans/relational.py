@@ -763,3 +763,379 @@ def union_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     ).select(F.lit("part").alias("kind"), "avg_price", "n")
     return o.unionByName(p)
+
+
+# --- round-2 TPC-H breadth (VERDICT r1 #4) ----------------------------------
+#
+# The driver's testdata omits partsupp entirely and several TPC-H
+# columns (l_shipmode, l_commitdate, l_receiptdate, o_comment,
+# c_phone, p_container, s_address/comment), so:
+#   * Q2/Q9/Q11/Q16/Q20 (partsupp-dependent) are OUT OF SCOPE.
+#   * Q12/Q13/Q21/Q22 below keep the reference query's plan SHAPE
+#     (the part the engine is graded on) with documented predicate
+#     substitutions for the missing columns.
+
+
+@register(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: lineitem↔orders join + conditional counts of "
+    "high/low-priority lines per ship class.  Adapted to driver "
+    "testdata: l_linestatus stands in for the absent l_shipmode, "
+    "shipped-after-ordered for the absent commit/receipt dates.",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return joined.groupBy(F.col("l_linestatus").alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '5-LOW'
+      GROUP BY 1)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape: customer × orders LEFT OUTER join with a "
+    "join-condition filter (o_orderpriority <> '5-LOW' stands in for "
+    "the absent o_comment NOT LIKE), per-customer order count, then "
+    "the count-of-counts distribution — two cascaded aggregations.",
+    tags=("relational", "join", "outer", "agg", "tpch"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunctive (OR-of-ANDs) mixed join/filter "
+    "predicate across both join sides — the classic case where the "
+    "optimizer must extract the common equi-join key (p_partkey = "
+    "l_partkey) and evaluate the disjunction as a post-join filter. "
+    "p_container/l_shipmode predicates dropped (columns absent).",
+    tags=("relational", "join", "tpch", "disjunction"),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).filter(cond)
+    return joined.agg(_revenue_cents().alias("revenue"))
+
+
+@register(
+    "tpch_q22_lapsed_customers",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT c.c_nationkey % 5 AS cntrycode,
+           count(*) AS numcust,
+           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM active a WHERE a.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: global-aggregate scalar subquery (above-average "
+    "positive balance) + anti-join (no recent orders — every test "
+    "customer has SOME order, so 'lapsed since 2000' keeps the "
+    "anti-join non-degenerate) + country-code rollup (nationkey%5 "
+    "stands in for the absent c_phone prefix).  Balance sum in exact "
+    "integer cents.",
+    tags=("relational", "join", "anti", "subquery", "tpch"),
+)
+def tpch_q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal"))
+        .first()[0]
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents) / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume,
+             n2.n_name AS nation
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND p.p_type = 'ECONOMY')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: national market share — 8-way star join (all "
+    "dims broadcast, lineitem↔orders the only co-shuffle), then a "
+    "conditional-share ratio per order year.  Volume kept in exact "
+    "integer cents so the ratio of sums is engine-identical.",
+    tags=("relational", "join", "broadcast", "tpch"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+    )
+    rows = joined.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        volume.alias("volume"),
+        F.col("nation"),
+    )
+    return rows.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate < TIMESTAMP '2000-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: derived revenue view + scalar-max subquery "
+    "over the SAME view (Spark plans the two references with a reused "
+    "exchange).  Exact-cents revenue makes the max-equality join safe "
+    "across engines (no float-tie ambiguity).",
+    tags=("relational", "join", "subquery", "tpch"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp_ntz"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        (F.sum(cents) / 10000.0).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.filter(F.col("total_revenue") == max_rev)
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 700.0 AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cap
+            FROM lineitem GROUP BY 1) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < t.qty_cap
+    """,
+    doc="TPC-H Q17 shape: small-quantity-order revenue — per-part "
+    "average quantity (the correlated scalar subquery, decorrelated to "
+    "a broadcast aggregate join) gating the fact scan.  Quantities are "
+    "integers stored as doubles, so avg is exact in any summation "
+    "order; revenue sums in exact cents, /7 applied last.",
+    tags=("relational", "join", "subquery", "tpch"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    caps = li.groupBy(F.col("l_partkey").alias("cap_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(caps), F.col("cap_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return joined.agg((F.sum(cents) / 700.0).alias("avg_yearly"))
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
+      FROM lo GROUP BY 1
+    ),
+    waiters AS (
+      SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+      FROM lo JOIN per_order po ON po.l_orderkey = lo.l_orderkey
+      WHERE lo.is_late = 1 AND po.n_supps > 1 AND po.n_late = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM waiters w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q21 shape: suppliers who were the SOLE late supplier on "
+    "a multi-supplier finished order — the EXISTS/NOT-EXISTS double "
+    "correlation, decorrelated into one per-order conditional "
+    "count-distinct aggregate (one pass, no repeated correlated "
+    "scans).  'Late' = shipped >60 days after ordering (commit/receipt "
+    "dates absent from driver testdata).",
+    tags=("relational", "join", "semi", "anti", "tpch"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("is_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    waiters = (
+        lo.filter(F.col("is_late") == 1)
+        .join(per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        waiters.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
