@@ -114,12 +114,11 @@ def ngram_jaccard_pairs(
         )
     from pyspark import StorageLevel
 
-    shp = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    ex = shp.select(F.col(id_col), F.explode("sh").alias("s"))
-    # hot list is tiny by construction (shingles with df > cap), so the
-    # anti-join is a broadcast; intersection counts can no longer come
-    # from the posting join (capped postings undercount), hence the
-    # verify over full arrays below
+    # ex feeds three subplans (df-count, capped posting join, per-doc
+    # hot sets) — persist so the corpus is scanned+shingled once
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    # hot list is tiny by construction (shingles with df > cap) ⇒ both
+    # the anti- and semi-joins against it broadcast
     hot = (
         ex.groupBy("s")
         .agg(F.count(F.lit(1)).alias("dfreq"))
@@ -127,23 +126,39 @@ def ngram_jaccard_pairs(
         .select("s")
     )
     posts = ex.join(F.broadcast(hot), "s", "left_anti")
-    a = posts.select(F.col(id_col).alias("d1"), "s")
-    b = posts.select(F.col(id_col).alias("d2"), "s")
-    cands = (
+    a = posts.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"), "s")
+    b = posts.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"), "s")
+    # exact count of shared NON-hot shingles, same count-agg shape (and
+    # cost) as the uncapped path — no shingle arrays shipped per pair
+    inter_capped = (
         a.hint("shuffle_hash")
         .join(b.hint("shuffle_hash"), ["s"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("i_c"))
     )
-    s1 = shp.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
-    s2 = shp.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
-    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    # correction term: each doc's (few) hot shingles as a small set;
+    # i = i_capped + |hot(A) ∩ hot(B)| makes the score EXACT for every
+    # pair that shares ≥1 capped shingle.  Only pairs whose ENTIRE
+    # overlap is hot boilerplate are missed (the documented tradeoff).
+    hot_doc = (
+        ex.join(F.broadcast(hot), "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("s").alias("hs"))
+    )
+    empty = F.array().cast("array<string>")
+    h1 = hot_doc.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1"))
+    h2 = hot_doc.select(F.col(id_col).alias("d2"), F.col("hs").alias("hs2"))
+    i_full = F.col("i_c") + F.size(
+        F.array_intersect(F.coalesce("hs1", empty), F.coalesce("hs2", empty))
+    )
+    jacc = i_full / (F.col("n1") + F.col("n2") - i_full)
+    # no broadcast hint on hot_doc: if boilerplate is corpus-wide the
+    # hot-set table is itself large — stats/AQE pick the strategy
     return (
-        cands.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", F.round(inter / union, 6).alias("jaccard"))
+        inter_capped.join(h1, "d1", "left")
+        .join(h2, "d2", "left")
+        .select("d1", "d2", F.round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -542,14 +557,19 @@ def embedding_dup_pairs_ivf(
     0.30 (nprobe=1) → 0.77 (nprobe=2) vs the brute-force truth set —
     and 0.08 for the pre-existing-label blocking it replaces; index
     size scales as nprobe·n."""
+    from pyspark import StorageLevel
+
     from fiware_cosmos_orion_flink_connector_examples_spark.operators.similarity import (
         _probe_udf,
     )
 
     raw = F.col(vec_col).cast("array<double>")
+    # persist the (id, cell, normalized-vector) index: both sides of the
+    # self-join reuse one materialization instead of running the Arrow
+    # probe UDF + normalize twice
     v = df.select(
         F.col(id_col),
         F.explode(_probe_udf(centroids, nprobe)(raw)).alias("blk"),
         l2_normalize(raw).alias("v"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return _blocked_cosine_pairs(v, id_col, threshold).distinct()

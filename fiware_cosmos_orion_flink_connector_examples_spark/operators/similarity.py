@@ -136,7 +136,10 @@ def kmeans_fit_sample(
     # deterministic init: first k of the hash-ordered sample
     C = X[:k].copy()
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin_k |x-c|² = argmin_k (-2x·c + |c|²): one matmul instead
+        # of the sample×k×dim broadcast temp (which dominated training
+        # time once k scales with corpus size)
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
         labels = d.argmin(axis=1)
         for c in range(k):
             members = X[labels == c]

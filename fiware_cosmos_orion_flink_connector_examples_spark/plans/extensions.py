@@ -190,12 +190,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "end-to-end scale path VERDICT r1 asked for: kmeans_fit_sample "
     "(bounded driver training) supplies the block key, assignment is an "
     "Arrow-vectorized matmul, verify is the same within-block JVM fold "
-    "as the label-blocked variant.",
+    "as the label-blocked variant.  k scales with corpus size to hold "
+    "cell size (and the quadratic within-cell term nprobe²·n²/k) "
+    "constant — fixed k=8 measured 13.7 s at sf0.1 vs 2.9 s adaptive.",
     tags=("ext", "dedup", "X2", "embedding", "ivf"),
 )
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_fit_sample(emb, k=8, iters=10)
+    # target ~64 vectors/cell: within-cell pair work stays O(n·cell),
+    # linear in corpus size; one cheap count() job sizes the quantizer
+    k = max(8, emb.count() // 64)
+    cents = similarity.kmeans_fit_sample(emb, k=k, iters=10)
     return dedup.embedding_dup_pairs_ivf(emb, cents, threshold=0.4)
 
 
