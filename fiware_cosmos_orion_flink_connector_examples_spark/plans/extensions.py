@@ -651,6 +651,97 @@ def events_enriched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
 
 
+# --- temporal joins ---------------------------------------------------------
+
+
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           epoch_us(e.ts) // 1000000 AS ts,
+           r.o_orderkey,
+           epoch_us(r.o_orderdate) // 1000000 AS order_ts,
+           r.o_totalprice
+    FROM events e ASOF JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    doc="As-of join (kdb/pandas merge_asof semantics, distributed): "
+    "each event gets the latest order its user placed at or before the "
+    "event — union/sort/last-non-null composition, ONE shuffle+sort of "
+    "|L|+|R| rows vs the O(|L|·|R|) nested-loop a '>=' theta-join "
+    "plans to.  Right side deduped per (user, ts) for tie-determinism; "
+    "oracle is DuckDB's native ASOF JOIN.",
+    tags=("ext", "temporal", "asof", "join"),
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    r = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("order_time"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    joined = asof_join(
+        ev,
+        r,
+        on="user_id",
+        left_ts="ts",
+        right_ts="order_time",
+        payload_cols=["o_orderkey", "order_time", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) / 1_000_000).cast("long").alias("ts"),
+        "o_orderkey",
+        (F.unix_micros(F.col("order_time")) / 1_000_000).cast("long").alias("order_ts"),
+        "o_totalprice",
+    )
+
+
+@register(
+    "events_range_pairs",
+    oracle="""
+    SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+    """,
+    doc="Bounded range self-join: per-user event pairs within a 1-hour "
+    "horizon via time-cell bucketing — equi-join on (user, cell) with "
+    "2 probe cells per row, then the exact Δt filter; candidates are "
+    "bounded by cell co-residency instead of the unbounded interval "
+    "theta-join the oracle runs.",
+    tags=("ext", "temporal", "range", "join"),
+)
+def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        range_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return range_pairs(ev, key="user_id", ts_col="ts", horizon_secs=3600, id_col="event_id")
+
+
 # --- time-series rollup -----------------------------------------------------
 
 
