@@ -339,32 +339,43 @@ def simhash_dedup_pairs(
         simhash_table,
     )
 
+    from pyspark import StorageLevel
+
     n_bands = max_hamming + 1
     sim = simhash_table(df, id_col, text_col, bits)
-    bands = sim.select(
-        F.col(id_col),
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        b.alias("bv"),
-                    )
-                    for i, b in enumerate(simhash_bands(F.col("sim"), bits, n_bands))
-                ]
-            )
-        ).alias("b"),
-    ).select(F.col(id_col), "sim", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    # persist: the md5-based signature aggregate is the expensive part
+    # and both self-join sides read it
+    bands = (
+        sim.select(
+            F.col(id_col),
+            "sim",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            b.alias("bv"),
+                        )
+                        for i, b in enumerate(simhash_bands(F.col("sim"), bits, n_bands))
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select(F.col(id_col), "sim", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = bands.select(F.col(id_col).alias("d1"), F.col("sim").alias("sim1"), "band", "bv")
     b = bands.select(F.col(id_col).alias("d2"), F.col("sim").alias("sim2"), "band", "bv")
     ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
+    # hamming filter BEFORE the distinct: a pair colliding in k of the
+    # r+1 bands appears k times — dropping non-qualifying pairs first
+    # shrinks the dedup shuffle to qualifying pairs only
     return (
         a.join(b, ["band", "bv"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", ham.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
