@@ -462,16 +462,21 @@ def l2_normalize(v: Column) -> Column:
     ONCE before the join and then use the plain dot product — cosine()
     inside the pair loop recomputes both norms per PAIR (3× the fold
     work; quadratic in pair count).  DuckDB twin:
-    ``list_transform(v, x -> x / sqrt(list_dot_product(v, v)))``."""
+    ``list_transform(v, x -> x / sqrt(list_dot_product(v, v)))``.
+
+    The norm must NOT be referenced inside the transform lambda: any
+    outer expression used in a lambda body is inlined and re-evaluated
+    per element (the measured element_at trap, SCALING.md) — the old
+    form evaluated the 64-element norm aggregate 128× per row.  Binding
+    it through array_repeat evaluates it per ROW, then zip_with divides
+    element-wise; values are bit-identical (same x / norm divisions).
+    Zero vector → divisor 1 → stays the zero vector (below any
+    threshold), avoiding ANSI DIVIDE_BY_ZERO."""
     norm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    # zero vector → zero vector (dot 0, below any threshold) instead of
-    # ANSI DIVIDE_BY_ZERO; CASE short-circuits so the division branch
-    # never evaluates when norm == 0
-    return F.transform(
-        v, lambda x: F.when(norm == 0.0, F.lit(0.0)).otherwise(x / norm)
-    )
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return F.zip_with(v, F.array_repeat(safe, F.size(v)), lambda x, nr: x / nr)
 
 
 def dot(a: Column, b: Column) -> Column:
