@@ -199,3 +199,40 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         predicted_lang(text_col).alias("pred_lang"),
     )
+
+
+def chunk_documents(
+    df, id_col: str = "doc_id", text_col: str = "text", size: int = 32, stride: int = 24
+):
+    """Split documents into overlapping token-window chunks — the LLM
+    training-data chunking op (context-window packing's precursor).
+    Chunk starts at token offsets 0, stride, 2·stride, …; the last
+    window may be shorter; docs shorter than one window yield one
+    chunk.  Pure column expressions: sequence → posexplode → slice —
+    per-row work, no Python, chunk rows shuffle-free until whatever
+    the caller aggregates.
+
+    Returns (id, chunk_idx INT, chunk_text, n_tokens INT).
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # number of stride steps: 1 + max(0, ceil((n - size) / stride));
+    # integer form works for n <= size too (single chunk)
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.lit(1) + F.ceil((n - F.lit(size)).cast("double") / F.lit(stride))).cast("int"),
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_step"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_step") * stride + 1, size)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("int").alias("n_tokens"),
+    )

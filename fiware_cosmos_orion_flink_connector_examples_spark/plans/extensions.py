@@ -232,6 +232,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "doc_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(1, 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER)) AS n_chunks
+      FROM t
+    ),
+    e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS step FROM c)
+    SELECT doc_id,
+           CAST(step AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(toks, step * 24 + 1, step * 24 + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, step * 24 + 1, step * 24 + 32)) AS INTEGER) AS n_tokens
+    FROM e
+    """,
+    doc="X4 document chunking: overlapping token windows (size 32, "
+    "stride 24 — the training-data chunking op).  sequence → posexplode "
+    "→ slice, pure per-row column expressions; short docs yield one "
+    "(possibly short) chunk.",
+    tags=("ext", "text", "X4", "chunking"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", size=32, stride=24)
+
+
+@register(
+    "corpus_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_D_JACCARD_PAIRS}),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM labels l
+                      WHERE l.doc_id = d.doc_id AND l.cluster_id <> l.doc_id)
+    """,
+    doc="The LLM-pipeline capstone END TO END: near-dup pairs (exact "
+    "n-gram Jaccard ≥0.8) → connected components → drop every non-"
+    "representative cluster member → the surviving corpus, via one "
+    "anti-join.  Composes the verified building blocks into the actual "
+    "production flow (what you run before tokenizing 100 TB).",
+    tags=("ext", "dedup", "pipeline", "capstone"),
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    clusters = dedup.connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
 # --- similarity search ------------------------------------------------------
 
 _D_ANN_SCORED = f"""

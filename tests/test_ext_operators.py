@@ -228,6 +228,32 @@ def test_embedding_ivf_recall(spark):
     assert ivf_recall >= label_recall - 0.2, (ivf_recall, label_recall)
 
 
+def test_chunk_documents_boundaries(spark):
+    """Chunk windows: full overlap coverage, short tail, short-doc and
+    empty-doc single-chunk behavior."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(57))),  # 3 chunks: 32, 32, 9
+            (2, "a b c"),  # shorter than one window -> 1 chunk
+            (3, ""),  # empty -> 1 empty chunk
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_documents(docs, size=32, stride=24).collect()
+    }
+    assert {k for k in rows} == {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)}
+    assert rows[(1, 0)].n_tokens == 32 and rows[(1, 0)].chunk_text.startswith("t0 ")
+    assert rows[(1, 1)].chunk_text.startswith("t24 ")  # stride overlap
+    assert rows[(1, 2)].n_tokens == 9 and rows[(1, 2)].chunk_text.endswith("t56")
+    assert rows[(2, 0)].n_tokens == 3 and rows[(3, 0)].n_tokens == 0
+
+
 def test_connected_components_transitive(spark):
     """Chained pairs (a-b, b-c) must land in ONE cluster even though
     a-c was never a direct pair (transitivity — the reason clustering
