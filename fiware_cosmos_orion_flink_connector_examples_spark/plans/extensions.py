@@ -228,6 +228,9 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # uncapped candidate path: measured faster here (no hot shingles in
+    # this corpus, so the df-cap's correction joins are pure overhead);
+    # pass max_shingle_df on skewed corpora where posting lists blow up
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
     return dedup.connected_components(pairs)
 
