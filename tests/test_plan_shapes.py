@@ -94,3 +94,40 @@ def test_results_invariant_under_partitioning(spark):
             assert low == high, name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_asof_join_is_single_sort_no_nested_loop(spark):
+    """The as-of join must compile to union + window sort — NEVER the
+    O(|L|·|R|) BroadcastNestedLoopJoin a '>=' theta-join would plan."""
+    plan = plan_of(spark, "events_asof_latest_order")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_pairs_is_equi_join(spark):
+    """The bounded range join must be an equi-join on (key, cell) —
+    the interval predicate is a post-join filter, not the join itself."""
+    plan = plan_of(spark, "events_range_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_tpch_q8_star_dims_broadcast(spark):
+    """Q8's seven dimension joins broadcast; lineitem↔orders is the
+    only co-shuffle candidate."""
+    plan = plan_of(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_chunker_no_python_no_shuffle_before_explode(spark):
+    """Chunking is per-row column work: no Python eval, no Exchange
+    upstream of the posexplode Generate."""
+    plan = plan_of(spark, "doc_chunks")
+    assert "EvalPython" not in plan
+    assert "Generate" in plan
+    assert "Exchange" not in plan
