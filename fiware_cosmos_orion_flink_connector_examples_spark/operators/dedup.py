@@ -88,8 +88,15 @@ def ngram_jaccard_pairs(
     which at threshold ≥0.8 means near-identical docs made of
     corpus-wide boilerplate (measured: cap=64 changes nothing on the
     sf0.01/sf0.1 corpora, where max df is 7/25)."""
+    from pyspark import StorageLevel
+
     sh = with_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh"))
-    ex = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("s"))
+    # both sides of the posting self-join read ex; the two exchanges
+    # differ in aliases so Catalyst cannot reuse them — persist so the
+    # corpus is scanned+shingled once
+    ex = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_shingle_df is None:
         a = ex.select(
             F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"), F.col("s")
@@ -112,13 +119,9 @@ def ngram_jaccard_pairs(
             inter.select("d1", "d2", F.round(jacc, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    from pyspark import StorageLevel
-
-    # ex feeds three subplans (df-count, capped posting join, per-doc
-    # hot sets) — persist so the corpus is scanned+shingled once
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
-    # hot list is tiny by construction (shingles with df > cap) ⇒ both
-    # the anti- and semi-joins against it broadcast
+    # ex (persisted above) feeds three subplans here: df-count, capped
+    # posting join, per-doc hot sets.  hot list is tiny by construction
+    # (shingles with df > cap) ⇒ both the anti- and semi-joins broadcast
     hot = (
         ex.groupBy("s")
         .agg(F.count(F.lit(1)).alias("dfreq"))
