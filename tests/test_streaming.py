@@ -683,3 +683,34 @@ def test_windowed_state_recovers_across_restart(spark, tmp_path):
         "window spanning the restart must see events from BOTH runs "
         f"(got {by_window})"
     )
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static enrichment (the streaming form of
+    events_enriched_topk's claim): each micro-batch joins the fact
+    stream to a static dimension table — broadcast per batch, the
+    stream side never shuffles for the dimension join."""
+    rows = flat_sequence(8)
+    spool = _write_spool(tmp_path, rows)
+    stream = spool_stream_df(spark, spool)
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ngsi
+
+    nodes = ngsi.project_temp_nodes(
+        ngsi.flatten_entities(ngsi.parse_notifications(stream))
+    )
+    dim = spark.createDataFrame(
+        [("R1", "lab", 2), ("R9", "attic", 5)], ["id", "room_kind", "floor"]
+    )
+    enriched = nodes.join(F.broadcast(dim), "id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_stream_static")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from t_stream_static").collect()
+    assert len(out) == 8
+    assert all(r.room_kind == "lab" and r.floor == 2 for r in out)  # R1 matched
