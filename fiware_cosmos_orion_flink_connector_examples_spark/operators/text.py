@@ -120,11 +120,16 @@ def simhash64(col: Column | str = "text", bits: int = 60) -> Column:
     toks = F.array_distinct(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
     hashed = F.transform(toks, md5int64)
     # column-valued shift amounts need the SQL shiftleft/shiftright
-    # (the Python wrappers only take int shifts)
-    bit_votes = F.transform(
+    # (the Python wrappers only take int shifts).  ``hashed`` must be
+    # bound through array_repeat, NOT captured in the per-bit lambda —
+    # a captured outer expression is inlined per element, re-running
+    # every md5 ``bits`` times per row (the l2_normalize lesson,
+    # SCALING.md).
+    bit_votes = F.zip_with(
         F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            hashed,
+        F.array_repeat(hashed, bits),
+        lambda b, hs: F.aggregate(
+            hs,
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(
