@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_csv_json_roundtrip(spark, tmp_path):
     nation = load_table(spark, SF, "nation")
-    for fmt in ("csv", "json", "parquet"):
+    for fmt in ("csv", "json", "parquet", "orc"):
         path = str(tmp_path / f"nation_{fmt}")
         write_table(nation, path, fmt=fmt)
         back = read_any(spark, path, fmt=fmt, schema=nation.schema)
