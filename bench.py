@@ -42,6 +42,10 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # operators that persist intermediates leave orphaned cache
+        # entries behind once their plan object is dropped — clear so 68
+        # queries × N repeats don't accumulate dead cached partitions
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
