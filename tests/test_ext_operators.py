@@ -263,3 +263,14 @@ def test_connected_components_transitive(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph has diameter 199 — plain min-label
+    propagation would need 199 rounds and silently return unconverged
+    labels under the 20-round cap; pointer jumping must converge it
+    in O(log n) rounds."""
+    n = 200
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["d1", "d2"])
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
