@@ -894,3 +894,145 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         size="1 hour",
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH ex AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+    tf AS (SELECT lang, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT lang, term, round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT lang, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="X4 TF-IDF keyword extraction: top-5 terms per language by "
+    "corpus-level tf·idf.  All aggregation is integer (term counts, "
+    "document frequencies) — the single double multiply tf·ln(N/df) "
+    "happens once per (lang, term), so the score is summation-order- "
+    "independent and engine-exact.  Two shuffles (both keyed on term), "
+    "map-side partial counts; the N scalar rides a 1-row broadcast "
+    "cross join.  The pre-training vocabulary/keyword primitive.",
+    tags=("ext", "text", "X4", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", "lang", F.explode(text.tokens("text")).alias("term"))
+    tf = ex.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "tfidf")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    a AS (SELECT vec_id, label, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+    s AS (SELECT vec_id, label, v,
+                 CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale FROM a),
+    r AS (SELECT vec_id, label, v, scale,
+                 list_transform(v, x -> x - round(x / scale) * scale) AS err,
+                 CAST(list_max(list_transform(v, x -> abs(round(x / scale)))) AS INTEGER)
+                   AS qmax
+          FROM s)
+    SELECT vec_id, label, CAST(len(v) AS INTEGER) AS n_dims, qmax,
+           round(list_aggregate(list_transform(err, x -> x * x), 'sum') / len(v), 9)
+             AS mse
+    FROM r
+    """,
+    doc="Int8 symmetric quantization of the embedding column (the "
+    "storage/serving compression step): per-vector scale = max|x|/127, "
+    "q = round(x/scale), reported as per-vector reconstruction MSE and "
+    "max |q| (must be 127).  Pure per-row array expressions — no "
+    "shuffle, no Python; embarrassingly parallel at any scale.  The "
+    "scale scalar is bound per ROW via array_repeat + zip_with (never "
+    "captured in a lambda body, where it would re-evaluate the max "
+    "fold per element — see SCALING.md's lambda-capture rule).",
+    tags=("ext", "embedding", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    base = emb.select(
+        "vec_id", "label", v.alias("v"), F.array_repeat(scale, F.size(v)).alias("srep")
+    )
+    err = F.zip_with(
+        F.col("v"), F.col("srep"), lambda x, s: x - F.round(x / s) * s
+    )
+    qabs = F.zip_with(F.col("v"), F.col("srep"), lambda x, s: F.abs(F.round(x / s)))
+    sq = F.transform(err, lambda x: x * x)
+    return base.select(
+        "vec_id",
+        "label",
+        F.size("v").cast("int").alias("n_dims"),
+        F.array_max(qabs).cast("int").alias("qmax"),
+        F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size("v"), 9
+        ).alias("mse"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+    f AS (SELECT media_id, text, n,
+            unnest(range(0, greatest(CAST(ceil(n / 256.0) AS BIGINT), 1), 2)) AS frame_idx
+          FROM m)
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(least(n - frame_idx * 256, 256) AS BIGINT) AS frame_len,
+           sha256(substr(text, frame_idx * 256 + 1, 256)) AS frame_sha
+    FROM f
+    """,
+    doc="X5 video-frame sampling plumbing: every 2nd 256-byte "
+    "pseudo-frame of each payload via one mapInPandas pass (real "
+    "container demuxing is the stubbed step — codecs absent).  The "
+    "frame explosion happens executor-side inside Arrow batches (no "
+    "driver, no shuffle); per-frame byte length and sha256 are "
+    "oracle-checked, proving the sliced bytes are exact.  The corpus "
+    "is ASCII so the oracle can slice VARCHAR; the engine slices "
+    "BINARY.",
+    tags=("ext", "multimodal", "X5", "pandas_udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "doc_id", "payload", "video"
+    )
+    frames = multimodal.sample_frames(media, frame_size=256, every_n=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.sha2("frame_bytes", 256).alias("frame_sha"),
+    )

@@ -1184,3 +1184,187 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum(cents) / 100.0).alias("total_price"),
     )
+
+
+@register(
+    "window_lag_order_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE)
+               - CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey) AS DATE)
+               AS gap
+      FROM orders)
+    SELECT o_custkey,
+           count(*) AS n_gaps,
+           round(avg(gap), 4) AS avg_gap_days,
+           CAST(max(gap) AS BIGINT) AS max_gap_days
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+    doc="Analytic lag(): day gaps between a customer's consecutive "
+    "orders, aggregated per customer.  One hash shuffle on o_custkey "
+    "serves BOTH the window sort and the final groupBy (Catalyst reuses "
+    "the partitioning) — the inter-arrival-time primitive for behavioral "
+    "features.  Ties broken by o_orderkey so the lag sequence is "
+    "deterministic on any engine.",
+    tags=("relational", "window_function", "datetime"),
+)
+def window_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap"),
+    )
+    return (
+        gaps.filter(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+        )
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_revenue
+    FROM orders
+    """,
+    doc="Running total per customer (ROWS UNBOUNDED PRECEDING frame): "
+    "the cumulative-metric window shape.  Accumulates exact integer "
+    "cents inside the frame so the running sum is summation-order-exact "
+    "on any engine (the _revenue_cents discipline applied to window "
+    "frames); unique (o_orderdate, o_orderkey) sort keys make every "
+    "prefix deterministic.  Partitioned window — parallel across "
+    "customers, no global sort.",
+    tags=("relational", "window_function"),
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / 100.0).alias("cum_revenue"),
+    )
+
+
+@register(
+    "window_ntile_balance",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile,
+             c_acctbal
+      FROM customer)
+    SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM q GROUP BY 1, 2
+    """,
+    doc="ntile(4) quartile bucketing of customer balances within each "
+    "market segment — the distribution-binning window function.  "
+    "Partitioned by segment so the required sort runs per-partition in "
+    "parallel (a GLOBAL ntile would force a single-partition total "
+    "order: the documented anti-pattern; bin globally via "
+    "approx percentile cutpoints instead).",
+    tags=("relational", "window_function"),
+)
+def window_ntile_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    q = c.select(
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        "c_acctbal",
+    )
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS INTEGER) AS gid,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit heterogeneous GROUPING SETS (two one-column sets + "
+    "grand total — NOT a cube) through the SQL surface; Spark plans one "
+    "Expand over a single scan, grouping() markers disambiguate the "
+    "aggregate NULLs, totals in exact integer cents.",
+    tags=("relational", "agg", "grouping_sets", "sql"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "stratified_sample_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE CAST(concat('0x', substr(md5(concat('strat:', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+          % 1000
+          < CASE o_orderstatus WHEN 'F' THEN 50 WHEN 'O' THEN 50 ELSE 500 END
+    """,
+    doc="Stratified deterministic sampling: per-stratum rates (5% for "
+    "the two majority statuses, 50% for rare 'P') via the seeded md5 "
+    "bucket of the key — reproducible across runs, partitionings, and "
+    "engines, and balanced-class downsampling is exactly how training "
+    "mixtures are drawn.  Pure scan+filter: no shuffle, predicate "
+    "evaluates per row at the scan.",
+    tags=("relational", "sample"),
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(md5int64_seeded(F.col("o_orderkey").cast("string"), "strat"), F.lit(1000))
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", 50)
+        .when(F.col("o_orderstatus") == "O", 50)
+        .otherwise(500)
+    )
+    return o.filter(bucket < rate).select("o_orderkey", "o_orderstatus", "o_totalprice")
