@@ -714,3 +714,86 @@ def test_stream_static_dimension_join(spark, tmp_path):
     out = spark.sql("select * from t_stream_static").collect()
     assert len(out) == 8
     assert all(r.room_kind == "lab" and r.floor == 2 for r in out)  # R1 matched
+
+
+def test_stream_asof_enrichment_matches_batch(spark, tmp_path):
+    """Streaming as-of enrichment: window functions are unsupported on
+    streaming DataFrames, so the idiomatic lift of
+    operators/temporal.asof_join is per-micro-batch application inside
+    foreachBatch (each batch is a plain DataFrame; the static right
+    side broadcasts).  Result over all batches must equal the batch
+    as-of join over the same rows — including NULL payloads for left
+    rows with no right state yet (how='left')."""
+    import json as _json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        asof_join,
+    )
+
+    events = [(i, f"2024-01-01T00:00:{i:02d}", i % 3) for i in range(12)]
+    spool = tmp_path / "ev"
+    spool.mkdir()
+    half = len(events) // 2
+    for fi, chunk in enumerate([events[:half], events[half:]]):
+        with open(spool / f"{fi}.jsonl", "w") as f:
+            for eid, ts, uid in chunk:
+                f.write(_json.dumps({"event_id": eid, "ts": ts, "user_id": uid}) + "\n")
+
+    schema = "event_id BIGINT, ts STRING, user_id BIGINT"
+    right = spark.createDataFrame(
+        [
+            (0, "2024-01-01T00:00:00", "bronze"),
+            (0, "2024-01-01T00:00:06", "silver"),
+            (1, "2024-01-01T00:00:04", "gold"),
+            (2, "2024-01-01T00:00:30", "late"),
+        ],
+        ["user_id", "rts", "tier"],
+    ).withColumn("rts", F.to_timestamp("rts"))
+
+    out_dir = str(tmp_path / "enriched")
+
+    def enrich(batch_df, _batch_id):
+        asof_join(
+            batch_df,
+            right,
+            on="user_id",
+            left_ts="ts",
+            right_ts="rts",
+            payload_cols=["tier"],
+            how="left",
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(spool))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .start()
+    )
+    q.awaitTermination(60)
+
+    got = {
+        (r.event_id, r.tier) for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = (
+        spark.read.schema(schema)
+        .json(str(spool))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    want = {
+        (r.event_id, r.tier)
+        for r in asof_join(
+            batch, right, on="user_id", left_ts="ts", right_ts="rts",
+            payload_cols=["tier"], how="left",
+        ).collect()
+    }
+    assert got == want
+    # spot semantics: user 0 flips bronze→silver at :06; user 2 never matches
+    by_id = dict(got)
+    assert by_id[0] == "bronze" and by_id[6] == "silver"
+    assert by_id[2] is None and by_id[5] is None and by_id[8] is None
