@@ -608,3 +608,40 @@ def embedding_dup_pairs_ivf(
         l2_normalize(raw).alias("v"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return _blocked_cosine_pairs(v, id_col, threshold).distinct()
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train→eval contamination check: eval docs sharing at least one
+    word ``n``-gram with ANY train doc, with the count of distinct
+    shared grams.  The benchmark-decontamination primitive (the usual
+    n is 8–13 whole-word grams).
+
+    Shape: both sides shingle per-row (no shuffle), the train side
+    collapses to a DISTINCT gram set (one shuffle keyed on gram — at
+    100 TB this is the big intermediate, ~|train tokens| rows before
+    the map-side partial distinct), and the eval side equi-joins it on
+    gram — existence via the join itself, never a quadratic doc×doc
+    comparison.  At cluster scale the train gram set is the natural
+    candidate for a bloom-filter broadcast (build once, reuse across
+    eval shards); the exact join here IS the verify step.
+
+    Returns (id_col, n_shared_grams), contaminated eval docs only.
+    """
+    tr = (
+        with_shingles(train, id_col, text_col, n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    ev = with_shingles(eval_df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh").alias("gram")
+    )
+    # per-doc shingles are already distinct → count(*) = distinct shared
+    return ev.join(tr, "gram").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
+    )

@@ -1036,3 +1036,87 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("long").alias("frame_len"),
         F.sha2("frame_bytes", 256).alias("frame_sha"),
     )
+
+
+@register(
+    "decontaminate_eval_8gram",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+7], ' ')
+                                for i in range(1, len(t) - 6)]) AS grams
+          FROM toks),
+    split AS (SELECT doc_id, grams,
+                     CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 20 = 0 AS is_eval
+              FROM g),
+    tr AS (SELECT DISTINCT unnest(grams) AS gram FROM split WHERE NOT is_eval),
+    ev AS (SELECT doc_id, unnest(grams) AS gram FROM split WHERE is_eval)
+    SELECT ev.doc_id, count(*) AS n_shared_grams
+    FROM ev JOIN tr USING (gram) GROUP BY 1
+    """,
+    doc="Benchmark decontamination: 5% of docs become the eval split "
+    "(seeded md5 hash — the same reproducible split primitive as "
+    "deterministic_hash_sample), and any eval doc sharing a whole-word "
+    "8-gram with any train doc is flagged with its distinct-shared-gram "
+    "count.  Existence is the gram equi-join itself (inverted index), "
+    "never doc×doc; at 100 TB the train gram set becomes a broadcast "
+    "bloom filter and this exact join is the verify pass (see "
+    "operators/dedup.ngram_contamination).",
+    tags=("ext", "dedup", "decontamination"),
+)
+def decontaminate_eval_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
+    tagged = docs.withColumn("_is_eval", is_eval)
+    return dedup.ngram_contamination(
+        tagged.filter(~F.col("_is_eval")),
+        tagged.filter(F.col("_is_eval")),
+        "doc_id",
+        n=8,
+    )
+
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_event_id,
+           arg_max(event_type,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_event_type,
+           round(arg_max(value,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6) AS last_value,
+           CAST(max(epoch_us(ts)) // 1000000 AS BIGINT) AS last_ts_epoch,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="CDC-style compaction / latest-record resolution: one row per "
+    "key via max_by (arg-max aggregate) — the upsert-view primitive of "
+    "a changelog table, as ONE partial+final aggregation (shuffle "
+    "carries a single candidate row per key per partition), not a "
+    "row_number window sort.  The ordering key is (ts, event_id) "
+    "zero-padded into a string so ties are deterministic on any "
+    "engine at any scale.",
+    tags=("ext", "compaction", "agg"),
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ord_key).alias("last_event_id"),
+        F.max_by("event_type", ord_key).alias("last_event_type"),
+        F.round(F.max_by("value", ord_key), 6).alias("last_value"),
+        (F.max(F.unix_micros(F.col("ts"))) / 1_000_000).cast("long").alias("last_ts_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -274,3 +274,25 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["d1", "d2"])
     got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_ngram_contamination_semantics(spark):
+    """Eval docs are flagged iff they share a whole n-gram with ANY
+    train doc; the count is distinct shared grams, and clean eval docs
+    don't appear."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "q a b c r"),      # shares 'a b c' (one 3-gram)
+            (11, "a b c d q e"),    # shares 'a b c' and 'b c d' (two)
+            (12, "p q r s t"),      # clean
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_shared_grams
+        for r in dedup.ngram_contamination(train, ev, "doc_id", n=3).collect()
+    }
+    assert got == {10: 1, 11: 2}
