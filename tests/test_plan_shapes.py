@@ -131,3 +131,43 @@ def test_chunker_no_python_no_shuffle_before_explode(spark):
     assert "EvalPython" not in plan
     assert "Generate" in plan
     assert "Exchange" not in plan
+
+
+def test_new_window_queries_single_exchange(spark):
+    """lag+groupBy (same key) and the running-sum window must each
+    plan exactly ONE hash exchange — Catalyst reuses the window's
+    partitioning for the downstream agg; a second shuffle would double
+    the network cost at scale."""
+    for name in ("window_lag_order_gaps", "window_running_revenue"):
+        plan = plan_of(spark, name)
+        # formatted mode lists each node in tree + details → /2
+        assert plan.count("Exchange") <= 2, name
+        assert "Window" in plan, name
+
+
+def test_rowwise_queries_have_no_shuffle_or_python(spark):
+    """Per-row array math (int8 quantize) and hash-predicate sampling
+    are scan-level operators: zero exchanges, zero Python stages —
+    embarrassingly parallel at any scale."""
+    for name in ("embedding_quantize_int8", "stratified_sample_orders"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_latest_per_user_is_partial_final_agg(spark):
+    """max_by compaction must stay one partial+final aggregation
+    (shuffle carries one candidate row per key per partition), never a
+    window sort over the full table."""
+    plan = plan_of(spark, "events_latest_per_user")
+    assert plan.count("Exchange") <= 2
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+
+
+def test_text_pipeline_queries_stay_jvm_side(spark):
+    """TF-IDF and decontamination are exploded-token pipelines — they
+    must never fall into row-at-a-time Python."""
+    for name in ("tfidf_top_terms", "decontaminate_eval_8gram"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, name
