@@ -241,3 +241,72 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("int").alias("n_tokens"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    order_cols: list[str],
+    n_tokens_col: str = "n_tokens",
+    budget: int = 256,
+    shards: int = 64,
+):
+    """Greedy sequence packing (context-window packing): assign chunks
+    to packs so each pack's token sum stays ≤ ``budget``; a chunk
+    larger than the budget gets a pack of its own.  The step LLM
+    training pipelines run right before batch assembly.
+
+    Greedy fill-with-reset is inherently sequential, so it cannot be a
+    window function; the distributed form shards chunks by a
+    deterministic hash of the first order column into ``shards``
+    independent groups, and each group packs sequentially (ordered by
+    ``order_cols``) inside ONE Arrow-batched applyInPandas pass.
+    Packing quality is per-shard (waste stays < one chunk per pack on
+    average); global pack ids are (shard, local) composites, so no
+    coordination between shards is ever needed — at 100 TB raise
+    ``shards`` to keep groups executor-sized and the operator stays a
+    single shuffle.
+
+    Returns the input columns + ``pack_id`` (BIGINT, globally unique),
+    ``pack_offset`` (INT position within the pack).  Deterministic for
+    any input partitioning: shard hash, order, and fill are all
+    data-defined.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64,
+    )
+
+    out_schema = StructType(
+        chunks.schema.fields
+        + [
+            StructField("pack_id", LongType()),
+            StructField("pack_offset", IntegerType()),
+        ]
+    )
+    order_idx = [f.name for f in chunks.schema.fields]
+
+    def pack_one(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        shard = int(pdf["_shard"].iloc[0])
+        pack_local, used, ids, offs = 0, 0, [], []
+        first = True
+        for n in pdf[n_tokens_col]:
+            n = int(n)
+            if not first and used + n > budget:
+                pack_local += 1
+                used = 0
+            ids.append(shard * 1_000_000_000 + pack_local)
+            offs.append(int(used))
+            used += n
+            first = False
+        out = pdf[order_idx].copy()
+        out["pack_id"] = ids
+        out["pack_offset"] = offs
+        return out
+
+    sharded = chunks.withColumn(
+        "_shard",
+        F.pmod(md5int64(F.col(order_cols[0]).cast("string")), F.lit(shards)),
+    )
+    return sharded.groupBy("_shard").applyInPandas(pack_one, schema=out_schema)

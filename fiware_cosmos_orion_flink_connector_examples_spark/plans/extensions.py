@@ -1120,3 +1120,28 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(F.unix_micros(F.col("ts"))) / 1_000_000).cast("long").alias("last_ts_epoch"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "doc_pack_greedy",
+    oracle=None,
+    doc="Context-window packing: documents table chunks (32-token "
+    "windows, stride 24) greedily packed into 256-token packs via "
+    "sharded applyInPandas (operators/text.pack_chunks) — greedy "
+    "fill-with-reset is sequential, so it shards by doc hash into "
+    "independent groups, one Arrow pass each; global pack ids are "
+    "(shard, local) composites needing zero coordination.  Rows-only "
+    "by nature (the assignment is procedural, not relational); "
+    "invariants (budget respected, offsets cumulative, partitioning- "
+    "invariant) are pytest-checked.  Reports per-pack fill stats.",
+    tags=("ext", "packing", "pandas_udf"),
+)
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, size=32, stride=24)
+    packed = text.pack_chunks(chunks, ["doc_id", "chunk_idx"], budget=256, shards=64)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        (F.sum("n_tokens") / 256.0).alias("fill_ratio"),
+    )

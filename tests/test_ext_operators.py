@@ -296,3 +296,59 @@ def test_ngram_contamination_semantics(spark):
         for r in dedup.ngram_contamination(train, ev, "doc_id", n=3).collect()
     }
     assert got == {10: 1, 11: 2}
+
+
+def test_pack_chunks_invariants(spark):
+    """Greedy packing: every chunk assigned once, no pack over budget
+    (except single oversize chunks), offsets are cumulative, and the
+    assignment is invariant to input partitioning."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(5 + (i * 7) % 40))) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_documents(docs, size=16, stride=12)
+    packed = pack_chunks(chunks, ["doc_id", "chunk_idx"], budget=48, shards=4)
+    rows = packed.collect()
+    assert len(rows) == chunks.count()  # every chunk exactly once
+
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        members.sort(key=lambda r: r.pack_offset)
+        total = sum(r.n_tokens for r in members)
+        assert total <= 48 or len(members) == 1, (pid, total)
+        # offsets are the running token sum
+        run = 0
+        for r in members:
+            assert r.pack_offset == run
+            run += r.n_tokens
+
+    repart = pack_chunks(
+        chunks.repartition(13), ["doc_id", "chunk_idx"], budget=48, shards=4
+    )
+    a = {(r.doc_id, r.chunk_idx, r.pack_id, r.pack_offset) for r in rows}
+    b = {(r.doc_id, r.chunk_idx, r.pack_id, r.pack_offset) for r in repart.collect()}
+    assert a == b
+
+
+def test_pack_chunks_oversize_chunk_gets_own_pack(spark):
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+        pack_chunks,
+    )
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 99), (1, 2, 10)], ["doc_id", "chunk_idx", "n_tokens"]
+    )
+    rows = sorted(
+        pack_chunks(chunks, ["doc_id", "chunk_idx"], budget=32, shards=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert rows[0].pack_id != rows[1].pack_id  # 99 can't join pack 0
+    assert rows[1].pack_id != rows[2].pack_id  # and closes its own pack
+    assert rows[1].pack_offset == 0
