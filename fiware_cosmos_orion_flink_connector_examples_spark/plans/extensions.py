@@ -1145,3 +1145,38 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("pack_tokens"),
         (F.sum("n_tokens") / 256.0).alias("fill_ratio"),
     )
+
+
+@register(
+    "udtf_token_counts",
+    oracle=r"""
+    WITH ex AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+      FROM documents WHERE doc_id < 40)
+    SELECT doc_id, token, CAST(count(*) AS INTEGER) AS n
+    FROM ex GROUP BY 1, 2
+    """,
+    doc="Python UDTF surface (the reference's flatMap analog, "
+    "Example1.scala:21): per-doc token histogram via a LATERAL "
+    "table-function call registered in the SQL namespace "
+    "(functions/udtf.TokenCountsUDTF).  Row-at-a-time Python = slow "
+    "path, so the demo runs on a pruned doc_id<40 slice and the "
+    "docstring points at the JVM explode+groupBy form for scale; "
+    "Python's whitespace split equals the \\S+ tokenizer, which is "
+    "what the oracle checks.",
+    tags=("ext", "udtf", "python"),
+)
+def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.udtf import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    docs.select("doc_id", "text").createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.n
+        FROM v_docs_udtf d, LATERAL token_counts(d.text) t
+        """
+    )
