@@ -43,9 +43,10 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def shingles(col: Column | str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (per-row, no
-    shuffle).  Docs shorter than n tokens yield an empty array.
+def shingles(col: Column | str = "text", n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles as an array column (per-row, no shuffle);
+    ``distinct=True`` (default) dedups per doc.  Docs shorter than n
+    tokens yield an empty array.
 
     Built by zip_with over n shifted slices of the token array, NOT by
     per-index element_at: higher-order array functions evaluate
@@ -59,7 +60,7 @@ def shingles(col: Column | str = "text", n: int = 3) -> Column:
     for j in range(1, n):
         nxt = F.slice(toks, j + 1, length)
         grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:

@@ -1180,3 +1180,78 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_docs_udtf d, LATERAL token_counts(d.text) t
         """
     )
+
+
+@register(
+    "text_repetition_topk",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    g AS (SELECT doc_id,
+                 [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  for i in range(1, len(t) - 1)] AS grams
+          FROM toks)
+    SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+             AS rep_ratio
+    FROM g WHERE len(grams) > 0
+    ORDER BY rep_ratio DESC, doc_id LIMIT 50
+    """,
+    doc="X4 intra-document repetition (a Gopher-rules quality signal): "
+    "1 − distinct/total 3-grams per doc, top-50 most repetitive.  Pure "
+    "per-row array expressions + TakeOrderedAndProject — no shuffle "
+    "except the k-row ordered collect; the duplicate-line/paragraph "
+    "filter every pretraining cleanup pass runs.",
+    tags=("ext", "text", "X4", "quality"),
+)
+def text_repetition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dedup.shingles("text", 3, distinct=False)
+    base = docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
+        ).alias("rep_ratio"),
+    )
+    return (
+        base.filter(F.col("n_grams") > 0)
+        .orderBy(F.desc("rep_ratio"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_micros,
+           count(*) AS n
+    FROM e GROUP BY 1, 2
+    """,
+    doc="Per-label centroid accumulation (the clustering-eval / "
+    "class-prototype primitive): posexplode the embedding column and "
+    "hash-aggregate per (label, dim) in exact integer micro-units — "
+    "float summation is order-dependent across engines, integers are "
+    "not (the _revenue_cents discipline applied to vectors).  Map-side "
+    "partial agg means the shuffle carries labels × dims rows, not the "
+    "corpus; consumers divide sum_micros/n/1e6 for the centroid.",
+    tags=("ext", "embedding", "agg"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * 1_000_000).cast("long")).alias(
+                "sum_micros"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
