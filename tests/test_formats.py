@@ -44,3 +44,26 @@ def test_read_any_rejects_unknown_format(spark):
         raise AssertionError("should have raised")
     except ValueError as e:
         assert "unsupported format" in str(e)
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Lake reality: files written months apart carry different
+    schemas.  mergeSchema must unify old (3-col) and new (4-col)
+    parquet into one DataFrame with NULLs for the missing column —
+    the append-only evolution path a 100 TB table lives by."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    old = spark.createDataFrame([(1, "a", 10.0)], ["id", "name", "score"])
+    old.write.parquet(base + "/batch=1")
+    new = spark.createDataFrame(
+        [(2, "b", 20.0, "en")], ["id", "name", "score", "lang"]
+    )
+    new.write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "lang", "batch"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].lang is None and rows[2].lang == "en"
+    # filters on the evolved column still push down / evaluate
+    assert merged.filter(F.col("lang") == "en").count() == 1
