@@ -1255,3 +1255,67 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "stats_exact_moments",
+    oracle="""
+    WITH m AS (SELECT event_type,
+                      CAST(round(value * 1000000) AS BIGINT) AS x,
+                      user_id AS y
+               FROM events),
+    s AS (SELECT event_type,
+                 count(*) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                 CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                 CAST(sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+          FROM m GROUP BY 1)
+    SELECT event_type, n,
+           round(CAST(sx AS DOUBLE) / n / 1000000.0, 6) AS mean_value,
+           round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+                 / 1000000.0, 6) AS stddev_pop,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                    * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+                 6) AS corr_value_user
+    FROM s
+    """,
+    doc="Statistical moments (mean / population stddev / Pearson corr) "
+    "computed DETERMINISTICALLY across engines: built-in stddev/corr "
+    "accumulate floats in partition order, so their low digits differ "
+    "run to run and engine to engine — instead the exact integer "
+    "micro-unit sums (n, Σx, Σx², Σy, Σy², Σxy) accumulate as "
+    "DECIMAL(38,0) (summation-order-free), and each moment is ONE "
+    "closed-form float expression at the end.  Same partial+final agg "
+    "shape and shuffle cost as the float version; the moment-sum trick "
+    "is also how you'd merge per-shard stats at 100 TB.",
+    tags=("ext", "stats", "agg"),
+)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 1_000_000).cast("long").cast("decimal(38,0)")
+    y = F.col("user_id").cast("decimal(38,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("sx"),
+        F.sum(x * x).cast("decimal(38,0)").alias("sxx"),
+        F.sum(y).cast("decimal(38,0)").alias("sy"),
+        F.sum(y * y).cast("decimal(38,0)").alias("syy"),
+        F.sum(x * y).cast("decimal(38,0)").alias("sxy"),
+    )
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy, n = F.col("sxy").cast("double"), F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(sx / n / 1_000_000.0, 6).alias("mean_value"),
+        F.round(F.sqrt((sxx - sx * sx / n) / n) / 1_000_000.0, 6).alias("stddev_pop"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_value_user"),
+    )
