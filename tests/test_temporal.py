@@ -72,3 +72,62 @@ def test_range_pairs_equal_timestamps_tiebreak(spark):
     )
     got = [(r.id1, r.id2) for r in range_pairs(df, "user_id", "ts", 60, "event_id").collect()]
     assert got == [(1, 2)]  # once, lower id first
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key = st.integers(min_value=0, max_value=3)
+_sec = st.integers(min_value=0, max_value=50)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_key, _sec), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_key, _sec), min_size=1, max_size=25, unique=True),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Distributed as-of == pandas.merge_asof (backward, inclusive,
+    by-key) on arbitrary generated data — the independent reference
+    implementation, not our own oracle SQL."""
+    import pandas as pd
+
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)], ["k", "lid", "lts"]
+    )
+    # right must be unique per (key, ts) — the operator's documented contract
+    rseen, rrows = set(), []
+    for k, s in right:
+        if (k, s) not in rseen:
+            rseen.add((k, s))
+            rrows.append((k, s * 1000 + k, _ts(s)))
+    rdf = spark.createDataFrame(rrows, ["k", "payload", "rts"])
+
+    got = {
+        (r.lid, r.payload)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            payload_cols=["payload"], how="left",
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
+        columns=["k", "lid", "lts"],
+    ).sort_values("lts", kind="mergesort")
+    rp = pd.DataFrame(rrows, columns=["k", "payload", "rts"]).sort_values(
+        "rts", kind="mergesort"
+    )
+    merged = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k", direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        (int(r.lid), None if pd.isna(r.payload) else int(r.payload))
+        for r in merged.itertuples()
+    }
+    assert got == want
