@@ -797,3 +797,56 @@ def test_stream_asof_enrichment_matches_batch(spark, tmp_path):
     by_id = dict(got)
     assert by_id[0] == "bronze" and by_id[6] == "silver"
     assert by_id[2] is None and by_id[5] is None and by_id[8] is None
+
+
+def test_incremental_hourly_rollup_matches_batch(spark, tmp_path):
+    """maintain_hourly_rollup across micro-batches (overlapping hours,
+    late rows included) must equal the one-shot batch rollup, and a
+    second batch touching hour A must not disturb hour B's partition
+    (dynamic partition overwrite)."""
+    import json as _json
+
+    rows = [
+        # hour 10 then hour 11, second file revisits hour 10 (late data)
+        {"event_id": 1, "ts": "2024-03-01T10:05:00", "event_type": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-03-01T10:15:00", "event_type": "b", "value": 2.0},
+        {"event_id": 3, "ts": "2024-03-01T11:01:00", "event_type": "a", "value": 4.0},
+    ], [
+        {"event_id": 4, "ts": "2024-03-01T10:59:00", "event_type": "a", "value": 8.0},
+        {"event_id": 5, "ts": "2024-03-01T12:00:00", "event_type": "b", "value": 16.0},
+    ]
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    for i, chunk in enumerate(rows):
+        (src / f"{i}.jsonl").write_text("\n".join(_json.dumps(r) for r in chunk))
+
+    schema = "event_id BIGINT, ts STRING, event_type STRING, value DOUBLE"
+    table = str(tmp_path / "rollup_table")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(jobs.maintain_hourly_rollup(stream, table))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_roll"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(table).collect()
+    }
+    batch = (
+        spark.read.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    want = {(r.hour, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == want
+    assert len(got) == 4  # (10,a) (10,b) (11,a) (12,b)
