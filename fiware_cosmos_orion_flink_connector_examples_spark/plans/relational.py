@@ -1368,3 +1368,40 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(500)
     )
     return o.filter(bucket < rate).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "window_trailing_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) / 100.0
+             AS trailing_7d_revenue
+    FROM orders
+    """,
+    doc="Value-based window frame (RANGE BETWEEN): trailing-7-day "
+    "revenue per customer — the moving-time-window analytic that ROWS "
+    "frames cannot express (peers at the same date must all join the "
+    "frame, which RANGE semantics give identically on any engine, no "
+    "tie-break needed).  Ordered by epoch seconds, accumulated in "
+    "exact integer cents; partitioned by customer so the required "
+    "sort is per-partition.",
+    tags=("relational", "window_function", "datetime"),
+)
+def window_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / 100.0).alias("trailing_7d_revenue"),
+    )
