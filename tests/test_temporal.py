@@ -131,3 +131,31 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(st.tuples(_key, _sec), min_size=1, max_size=30))
+def test_range_pairs_matches_bruteforce(spark, rows):
+    """Cell-bucketed range join == O(n²) reference on generated data:
+    every same-key pair within the horizon appears exactly once,
+    earlier id first, none outside the horizon."""
+    horizon = 7
+    data = [(k, i, _ts(s)) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "id", "ts"])
+    got = {
+        (r.k, r.id1, r.id2, r.gap_us)
+        for r in range_pairs(df, "k", "ts", horizon_secs=horizon, id_col="id").collect()
+    }
+    want = set()
+    for k1, i1, t1 in data:
+        for k2, i2, t2 in data:
+            if k1 != k2 or i1 == i2:
+                continue
+            d = (t2 - t1).total_seconds()
+            if 0 <= d <= horizon and (d > 0 or i1 < i2):
+                want.add((k1, i1, i2, int(d * 1_000_000)))
+    assert got == want
