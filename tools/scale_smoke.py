@@ -1,0 +1,68 @@
+"""Scale smoke: drive representative operators on SYNTHETIC data ~100×
+the sf0.1 row counts (generated via spark.range — no disk, no testdata
+dependency) to show the plan shapes hold well past the bench SF.
+Run: python tools/scale_smoke.py [rows_millions]
+Records wall-clock; numbers land in SCALING.md."""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.session import get_spark
+
+
+def main() -> None:
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    n = m * 1_000_000
+    spark = get_spark(app_name="scale-smoke")
+
+    # synthetic events: n rows, 100k users, 2-day span, skewed type
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(172_800_000_000)))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 10.0).alias("value"),
+    )
+
+    def run(tag, fn):
+        t = time.time()
+        out = fn()
+        el = time.time() - t
+        print(f"{tag:30s} rows={out} {el:.1f}s", flush=True)
+        return el
+
+    run(f"sliding-window min ({m}M)", lambda: ev.groupBy(
+        F.window("ts", "5 seconds", "2 seconds"), "user_id"
+    ).agg(F.min("value")).count())
+
+    run(f"exact dedup ({m}M)", lambda: ev.groupBy("user_id", "value").agg(
+        F.min("event_id").alias("keep")
+    ).count())
+
+    run(f"hourly rollup + moments ({m}M)", lambda: ev.groupBy(
+        F.date_trunc("hour", "ts"), (F.pmod(F.col("event_id"), F.lit(5)))
+    ).agg(
+        F.count(F.lit(1)),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long").cast("decimal(38,0)")),
+    ).count())
+
+    run(f"top-3 per user window ({m}M)", lambda: ev.select(
+        "user_id", "event_id", "value",
+        F.row_number().over(
+            __import__("pyspark").sql.window.Window.partitionBy("user_id")
+            .orderBy(F.desc("value"), F.asc("event_id"))
+        ).alias("rn"),
+    ).filter(F.col("rn") <= 3).count())
+
+
+if __name__ == "__main__":
+    main()
