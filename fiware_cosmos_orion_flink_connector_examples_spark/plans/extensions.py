@@ -1319,3 +1319,58 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_value_user"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH ex AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+    model AS (SELECT map(list(tok), list(c)) AS m, sum(c) AS n FROM freq),
+    scored AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(list_aggregate(
+                   list_transform(t, tok -> ln(CAST(m[tok][1] AS DOUBLE) / n)),
+                   'sum') / len(t), 6) AS avg_logprob
+    FROM scored CROSS JOIN model
+    WHERE len(t) > 0
+    """,
+    doc="X4 unigram language-model scoring (the CCNet/KenLM-style "
+    "perplexity-proxy quality filter): per-doc mean ln p(token) under "
+    "the corpus unigram model.  Two passes: (1) token frequencies "
+    "(one hash-agg; the model is collected driver-side — BOUNDED by "
+    "|vocab|, 31 terms on this corpus, same documented pattern as the "
+    "IVF training sample) and (2) a per-row sequential fold over the "
+    "token array against the literal model map — no second shuffle, "
+    "deterministic summation order on both engines.  At open-vocab "
+    "100 TB scale, swap the literal map for a broadcast join + "
+    "list(lp ORDER BY pos) ordered re-fold; the fold stays sequential "
+    "so results stay engine-exact.",
+    tags=("ext", "text", "X4", "quality", "lm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    freq = ex.groupBy("tok").count().collect()  # bounded by |vocab|
+    n_total = float(sum(r["count"] for r in freq))
+    mapping = F.create_map(
+        *[x for r in freq for x in (F.lit(r["tok"]), F.lit(float(r["count"])))]
+    )
+    base = docs.select("doc_id", text.tokens("text").alias("t")).withColumn(
+        "m", mapping
+    )
+    lp = F.transform(
+        F.col("t"),
+        lambda tok: F.log(F.element_at(F.col("m"), tok) / F.lit(n_total)),
+    )
+    return (
+        base.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(lp, F.lit(0.0), lambda a, x: a + x) / F.size("t"), 6
+            ).alias("avg_logprob"),
+        )
+    )
