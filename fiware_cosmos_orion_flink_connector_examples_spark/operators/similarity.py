@@ -298,3 +298,172 @@ def topk_cosine_signbucket(
         )
     )
     return _rank_topk(scored, k).select("q_id", "n_id", "cos", "rank")
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    max_sample: int = 4096,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (FAISS-style): split the vector into ``m``
+    subspaces and run Lloyd's k-means with ``k`` codewords per
+    subspace on a bounded deterministic sample (same hash-ordered
+    sample + first-k init discipline as ``kmeans_fit_sample``).
+    Returns codebooks[m][k][dim/m].  Training is driver-side numpy on
+    ≤ ``max_sample`` vectors — corpus-size-independent; encoding and
+    search stay distributed."""
+    import numpy as np
+
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sample = (
+        v.orderBy(F.pmod(F.xxhash64(F.col("_id")), F.lit(1_000_003)), F.col("_id"))
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.asarray([list(r.v) for r in sample], dtype="float64")
+    dim = X.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[:k].copy()
+        for _ in range(iters):
+            d = -2.0 * (Xj @ C.T) + (C * C).sum(axis=1)
+            labels = d.argmin(axis=1)
+            for c in range(k):
+                members = Xj[labels == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` uint8 codes (nearest codeword per
+    subspace) in ONE Arrow pass — 64 doubles become 8 bytes, a 64×
+    index-size compression.  Vectorized numpy argmin per batch; ties
+    break to the lowest code (np.argmin), deterministically."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.asarray([list(x) for x in vs], dtype="float64")
+        sub = X.shape[1] // m
+        codes = np.empty((X.shape[0], m), dtype="int64")
+        for j, book in enumerate(codebooks):
+            C = np.asarray(book)
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d = -2.0 * (Xj @ C.T) + (C * C).sum(axis=1)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return df.select(
+        F.col(id_col).alias("n_id"), encode(F.col(vec_col).cast("array<double>")).alias("codes")
+    )
+
+
+def topk_cosine_pq(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: int = 4,
+) -> DataFrame:
+    """Approximate top-k via asymmetric distance computation (ADC) +
+    exact re-rank — the production PQ shape: the corpus is scanned as
+    8-byte PQ codes; each query precomputes a per-subspace lookup
+    table of dots against every codeword (m×k floats, built once per
+    query on the driver) and a corpus vector's approximate dot is m
+    table lookups — no full-precision vector is touched in the scan.
+    The ADC pass shortlists ``rerank``×k candidates per query, and
+    ONLY those (a k-proportional set, not the corpus) are joined back
+    to full vectors for exact scoring — ADC prunes, exact decides,
+    which is how FAISS IndexPQ search is actually deployed.
+    ``rerank=0`` returns raw ADC ranks (for measuring table-only
+    recall).  Normalized inputs ⇒ dot ≈ cosine."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    codes = pq_encode(df.select(F.col(id_col), l2_normalize(F.col(vec_col).cast("array<double>")).alias("_nv")), codebooks, "_nv", id_col)
+
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    ).collect()
+    # per-query ADC tables: tables[q][j][c] = q_sub_j · codeword_{j,c}
+    books = [np.asarray(b) for b in codebooks]
+    tables = {}
+    for r in qrows:
+        q = np.asarray(list(r.qv))
+        sub = q.shape[0] // m
+        tables[r.q_id] = np.stack(
+            [books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+        )  # m × k
+
+    q_ids = sorted(tables)
+
+    @pandas_udf("array<double>")
+    def adc_scores(codes_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        C = np.asarray([list(c) for c in codes_s], dtype="int64")  # n × m
+        out = np.empty((C.shape[0], len(q_ids)))
+        for qi, qid in enumerate(q_ids):
+            T = tables[qid]  # m × k
+            out[:, qi] = T[np.arange(C.shape[1]), C].sum(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    scored_wide = codes.select("n_id", adc_scores(F.col("codes")).alias("s"))
+    pairs = scored_wide.select(
+        "n_id",
+        F.posexplode(F.col("s")).alias("qi", "cos"),
+    ).select(
+        F.element_at(F.lit([int(q) for q in q_ids]), F.col("qi") + 1).alias("q_id"),
+        "n_id",
+        F.round("cos", 6).alias("cos"),
+    ).filter(F.col("q_id") != F.col("n_id"))
+    if rerank <= 0:
+        return _rank_topk(pairs, k).select(
+            "q_id", "n_id", "cos", F.col("rank").cast("int").alias("rank")
+        )
+
+    shortlist = _rank_topk(pairs, rerank * k).select("q_id", "n_id")
+    corpus = df.select(
+        F.col(id_col).alias("n_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("q_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    )
+    exact = (
+        shortlist.join(corpus, "n_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select("q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos"))
+    )
+    return _rank_topk(exact, k).select(
+        "q_id", "n_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
