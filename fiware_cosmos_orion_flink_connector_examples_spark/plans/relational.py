@@ -1405,3 +1405,44 @@ def window_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.sum(cents).over(w) / 100.0).alias("trailing_7d_revenue"),
     )
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+               FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+          FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc="FULL OUTER join shape: nations with customers, suppliers, or "
+    "either — rows surviving from BOTH unmatched sides (the one join "
+    "type that can't broadcast either side; Spark plans a sort-merge "
+    "full outer).  Aggregate-then-join keeps the joined sides at "
+    "nation cardinality, so the unavoidable shuffle carries counts, "
+    "not raw rows.",
+    tags=("relational", "join", "outer"),
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
