@@ -171,3 +171,14 @@ def test_text_pipeline_queries_stay_jvm_side(spark):
     for name in ("tfidf_top_terms", "decontaminate_eval_8gram"):
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, name
+
+
+def test_full_outer_join_is_sort_merge(spark):
+    """FULL OUTER can't broadcast either side (both unmatched sides
+    must survive): the planner must pick a sort-merge full outer, and
+    the aggregate-then-join shape keeps both join inputs at dimension
+    cardinality."""
+    plan = plan_of(spark, "join_full_outer_nation_presence")
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
