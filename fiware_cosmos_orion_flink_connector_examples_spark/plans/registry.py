@@ -49,12 +49,76 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     return deco
 
 
+# The driver's CORRECTNESS artifact checks the FIRST 50 entries of
+# queries() in dict order.  With 87+ registered queries, insertion order
+# alone left 19 queries outside every round's window (VERDICT r2 #1).
+# DRIVER_PRIORITY pins the front of the window: first the queries that
+# have never appeared in a CORRECTNESS artifact (r1+r2), then queries
+# new this round, then the r1-only block so their green rows get
+# re-confirmed.  Everything else follows in registration order — nothing
+# is dropped, only reordered.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked through round 2 (16 with oracles, 3 rows-only) --
+    "events_sessionize",
+    "events_hourly_rollup",
+    "events_asof_latest_order",
+    "events_range_pairs",
+    "events_latest_per_user",
+    "tfidf_top_terms",
+    "text_repetition_topk",
+    "text_unigram_logprob",
+    "embedding_quantize_int8",
+    "embedding_label_centroids",
+    "stats_exact_moments",
+    "udtf_token_counts",
+    "doc_chunks",
+    "doc_pack_greedy",
+    "corpus_dedup_pipeline",
+    "decontaminate_eval_8gram",
+    "multimodal_frame_sample",
+    "dedup_embedding_ivf",
+    "ann_topk_pq",
+    # -- new in round 3 --
+    "events_session_window_batch",
+    # -- r1-green only; re-confirm inside the r3 window --
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "ann_topk_bruteforce",
+    "ann_topk_signbucket",
+    "ann_topk_ivf_kmeans",
+    "text_stats_by_lang",
+    "text_quality_topk",
+    "text_langid_confusion",
+    "doc_fingerprints",
+    "multimodal_media_meta",
+    "multimodal_decode_features",
+    "text_sentiment_by_source",
+    "percentiles_by_event_type",
+    "deterministic_hash_sample",
+    "profile_documents",
+    "custom_udaf_geomean",
+    "events_enriched_topk",
+)
+
+
+def ordered_query_names() -> list[str]:
+    """All registered query names, DRIVER_PRIORITY first."""
+    pri = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    seen = set(pri)
+    return pri + [n for n in QUERIES if n not in seen]
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in ordered_query_names()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in ordered_query_names()
+        if QUERIES[name].oracle is not None
+    }
 
 
 # Plan modules that register queries on import; loaded at the bottom of
