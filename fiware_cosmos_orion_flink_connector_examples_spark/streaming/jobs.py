@@ -220,7 +220,17 @@ def maintain_hourly_rollup(events: DataFrame, table_path: str):
             hours = [r.hour for r in part.select("hour").distinct().collect()]
             if not hours:
                 return
-            try:
+            # Probe table existence explicitly: ONLY a missing table may
+            # fall back to `merged = part`.  A transient read failure
+            # (IO error, corrupt footer, schema drift) must instead fail
+            # the micro-batch so checkpointing retries it — swallowing it
+            # would overwrite touched hour partitions with batch-only
+            # partial counts (silent data loss in the rollup).
+            jvm = spark._jvm
+            jsc = spark._jsc
+            hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            if fs.exists(hpath):
                 existing = (
                     spark.read.parquet(table_path)
                     .filter(F.col("hour").isin(hours))
@@ -234,7 +244,7 @@ def maintain_hourly_rollup(events: DataFrame, table_path: str):
                         F.sum("sum_value").alias("sum_value"),
                     )
                 )
-            except Exception:  # first batch: table does not exist yet
+            else:  # first batch: table does not exist yet
                 merged = part
             # materialize BEFORE overwriting: `merged` reads the same
             # path the write replaces — localCheckpoint severs that
