@@ -33,18 +33,29 @@ BROADCAST_DIMS = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table.  ``events.ts`` is TIMESTAMP(NANOS)
-    parquet which Spark only reads with nanosAsLong (→ LongType ns);
-    we normalize it back to a microsecond TimestampType column so all
-    window/time logic is uniform.  Truncation ns→µs matches DuckDB's
-    read of the same file (it surfaces TIMESTAMP µs), keeping the
-    oracle comparable.
+    """Load one testdata table, normalizing timestamp physical types.
+
+    The driver's parquet has shipped with two different timestamp
+    encodings across rounds: TIMESTAMP(NANOS) (readable only via
+    nanosAsLong → LongType ns) and timezone-naive TIMESTAMP(MICROS)
+    (isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ.
+    Every downstream operator (window(), unix_micros(), unions with
+    cast TIMESTAMP columns) expects session-local TimestampType, so we
+    normalize both shapes here — the single choke point every batch
+    plan loads through.  The session timezone is pinned to UTC first so
+    the NTZ→LTZ cast preserves the wall clock as a UTC instant exactly
+    like DuckDB's epoch() on the same naive parquet values, keeping the
+    oracle hash-comparable.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
