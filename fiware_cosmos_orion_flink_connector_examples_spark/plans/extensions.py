@@ -866,6 +866,57 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window_batch",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) // 1000000 AS session_start,
+           (max(epoch_us(ts)) + 3600000000) // 1000000 AS session_end_gap,
+           CAST(count(*) AS INTEGER) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Built-in F.session_window twin of events_sessionize (1h gap): "
+    "Spark merges events whose inter-arrival gap is <= the timeout "
+    "(boundary probe: events exactly gap apart share a session), so the "
+    "oracle's lag-based session split uses strict '>'.  session_end_gap "
+    "is Spark's window.end = last event + gap.  Unlike the lag+running-"
+    "sum formulation this is a single hash-agg with session merge done "
+    "by the native UpdatingSessionsIterator — no window-function sort "
+    "pass per key at scale.",
+    tags=("ext", "session", "window", "O5"),
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("session_window.start")).alias("session_start"),
+            F.unix_seconds(F.col("session_window.end")).alias("session_end_gap"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "events_hourly_rollup",
     oracle="""
     SELECT ((epoch_us(ts) // 3600000000) * 3600) AS window_start,
