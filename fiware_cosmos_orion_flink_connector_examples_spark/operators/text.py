@@ -206,6 +206,79 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    literal_vocab_max: int = 10_000,
+) -> DataFrame:
+    """Per-doc mean ln p(token) under the corpus unigram model (the
+    CCNet/KenLM-style perplexity-proxy quality filter).
+
+    Two physical strategies, auto-selected by vocabulary size, both
+    producing byte-identical results (same left-to-right summation
+    order over the document's tokens):
+
+    * **literal path** (|vocab| <= ``literal_vocab_max``): the model is
+      collected driver-side and inlined as a ``create_map`` literal;
+      scoring is a sequential ``F.aggregate`` fold over the token
+      array — one job, no second shuffle.
+    * **join path** (open vocab): tokens are posexploded, the
+      token→count model DataFrame is joined (broadcast below Spark's
+      autoBroadcastJoinThreshold, shuffle hash/SMJ above — Catalyst
+      decides, so a million-term vocab is just a bigger join, never a
+      planner-killing literal), and per-doc scores are re-folded in
+      token order via ``sort_array(collect_list(struct(pos, lp)))`` —
+      the explicit ORDER BY pos re-fold keeps float summation order
+      identical to the literal path and to DuckDB's list_aggregate.
+
+    Returns (id, n_tokens BIGINT, avg_logprob DOUBLE).
+    """
+    toks = tokens(text_col)
+    ex = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    # persisted: the probe agg, and then either collect() or the scoring
+    # join, all read it (bench.py clearCache()s between queries)
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    totals = freq.agg(F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")).collect()[0]
+    n_vocab, n_total = totals["v"], float(totals["n"] or 0.0)
+
+    if n_vocab <= literal_vocab_max:
+        rows = freq.collect()  # bounded by literal_vocab_max
+        mapping = F.create_map(
+            *[x for r in rows for x in (F.lit(r["tok"]), F.lit(float(r["c"])))]
+        )
+        lp = F.transform(
+            toks,
+            lambda tok: F.log(F.element_at(mapping, tok) / F.lit(n_total)),
+        )
+        return docs.filter(F.size(toks) > 0).select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(lp, F.lit(0.0), lambda a, x: a + x) / F.size(toks), 6
+            ).alias("avg_logprob"),
+        )
+
+    scored = ex.join(
+        freq.select("tok", (F.log(F.col("c") / F.lit(n_total))).alias("lp")),
+        "tok",
+    )
+    plist = F.sort_array(F.collect_list(F.struct("pos", "lp")))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.transform(plist, lambda s: s["lp"]).alias("lps"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(F.col("lps"), F.lit(0.0), lambda a, x: a + x)
+            / F.col("n_tokens"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
 def chunk_documents(
     df, id_col: str = "doc_id", text_col: str = "text", size: int = 32, stride: int = 24
 ):

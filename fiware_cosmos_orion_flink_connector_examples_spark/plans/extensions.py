@@ -1389,42 +1389,21 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="X4 unigram language-model scoring (the CCNet/KenLM-style "
     "perplexity-proxy quality filter): per-doc mean ln p(token) under "
-    "the corpus unigram model.  Two passes: (1) token frequencies "
-    "(one hash-agg; the model is collected driver-side — BOUNDED by "
-    "|vocab|, 31 terms on this corpus, same documented pattern as the "
-    "IVF training sample) and (2) a per-row sequential fold over the "
-    "token array against the literal model map — no second shuffle, "
-    "deterministic summation order on both engines.  At open-vocab "
-    "100 TB scale, swap the literal map for a broadcast join + "
-    "list(lp ORDER BY pos) ordered re-fold; the fold stays sequential "
-    "so results stay engine-exact.",
+    "the corpus unigram model.  operators/text.unigram_logprob "
+    "auto-selects the physical strategy by |vocab|: a driver-collected "
+    "create_map literal + sequential F.aggregate fold below 10k terms "
+    "(31 on this corpus — one job, no second shuffle), or the open-"
+    "vocab path above it — posexplode → token→logprob model join "
+    "(broadcast or shuffle, Catalyst's call) → sort_array(collect_list("
+    "struct(pos, lp))) ordered re-fold, which preserves the exact "
+    "left-to-right float summation so both paths and the DuckDB "
+    "list_aggregate oracle hash identically (equality pytest-forced "
+    "at threshold 0 plus a 100k-term synthetic vocab run).",
     tags=("ext", "text", "X4", "quality", "lm"),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select(F.explode(text.tokens("text")).alias("tok"))
-    freq = ex.groupBy("tok").count().collect()  # bounded by |vocab|
-    n_total = float(sum(r["count"] for r in freq))
-    mapping = F.create_map(
-        *[x for r in freq for x in (F.lit(r["tok"]), F.lit(float(r["count"])))]
-    )
-    base = docs.select("doc_id", text.tokens("text").alias("t")).withColumn(
-        "m", mapping
-    )
-    lp = F.transform(
-        F.col("t"),
-        lambda tok: F.log(F.element_at(F.col("m"), tok) / F.lit(n_total)),
-    )
-    return (
-        base.filter(F.size("t") > 0)
-        .select(
-            "doc_id",
-            F.size("t").cast("long").alias("n_tokens"),
-            F.round(
-                F.aggregate(lp, F.lit(0.0), lambda a, x: a + x) / F.size("t"), 6
-            ).alias("avg_logprob"),
-        )
-    )
+    return text.unigram_logprob(docs)
 
 
 @register(

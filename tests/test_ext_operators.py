@@ -378,3 +378,53 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
         for r in sim.topk_cosine_bruteforce(emb, queries, k=10).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.85
+
+
+def test_unigram_logprob_join_path_matches_literal(spark):
+    """VERDICT r2 #2: the open-vocab broadcast/shuffle-join path must be
+    byte-identical to the literal create_map path (same left-to-right
+    float summation), so the driver's oracle hash is path-independent."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text as T
+
+    docs = load_table(spark, SF, "documents")
+    lit = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in T.unigram_logprob(docs).collect()
+    }
+    joined = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in T.unigram_logprob(docs, literal_vocab_max=0).collect()
+    }
+    assert joined == lit  # exact equality, not approx — summation order pinned
+
+
+def test_unigram_logprob_open_vocab_100k_terms(spark):
+    """A 100k-term vocabulary that a create_map literal cannot survive
+    (2·100k expression nodes kills analysis) planning+running fine on
+    the join path, with values spot-checked against closed-form math."""
+    import math
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text as T
+
+    n_docs, toks_per_doc = 1000, 100  # 100k distinct tokens, each once
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(toks_per_doc - 1)),
+                    lambda i: F.concat(F.lit("tok"), F.col("id") * toks_per_doc + i),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    out = T.unigram_logprob(docs, literal_vocab_max=10_000)
+    rows = out.collect()
+    assert len(rows) == n_docs
+    # every token appears exactly once in a 100k-token corpus:
+    # avg_logprob = ln(1/100000) for every doc
+    expect = round(math.log(1.0 / (n_docs * toks_per_doc)), 6)
+    assert all(r["n_tokens"] == toks_per_doc for r in rows)
+    assert all(abs(r["avg_logprob"] - expect) < 1e-6 for r in rows)
