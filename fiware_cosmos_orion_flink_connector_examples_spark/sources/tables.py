@@ -61,3 +61,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+# Testdata tables are immutable for the life of a session, so exact
+# rowcounts (used e.g. to size the IVF quantizer) are safe to memoize —
+# one count() job per (app, sf_dir, table) instead of one per query run.
+_ROWCOUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _ROWCOUNT_CACHE:
+        _ROWCOUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _ROWCOUNT_CACHE[key]
