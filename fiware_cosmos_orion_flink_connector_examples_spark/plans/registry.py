@@ -207,8 +207,10 @@ def ngsi_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "notification payload, run parse_notifications → flatten_entities → "
     "attr_value cast-on-read (Example1.scala:21-25), aggregate per entity. "
     "The oracle computes directly on events — parse must be a faithful "
-    "roundtrip (identity) for the hashes to match.",
-    tags=("reference", "ngsi", "O1", "O2", "O3"),
+    "roundtrip (identity) for the hashes to match.  Parses with the P1 "
+    "attrs-projection pushdown (pruned struct schema, not the full attrs "
+    "MAP): 2.37 s → 1.05 s at sf0.1, same hash (VERDICT r2 #5).",
+    tags=("reference", "ngsi", "O1", "O2", "O3", "P1"),
 )
 def ngsi_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -221,7 +223,9 @@ def ngsi_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = ev.select(payload.alias("payload"))
     nodes = ngsi.project_temp_nodes(
-        ngsi.flatten_entities(ngsi.parse_notifications(raw, ts_col=None))
+        ngsi.flatten_entities(
+            ngsi.parse_notifications(raw, ts_col=None, attrs=["temperature"])
+        )
     )
     return nodes.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_obs"),

@@ -160,3 +160,29 @@ def test_parse_fuzz_roundtrip(spark):
             assert got[f"E{i}"] is None, (i, got[f"E{i}"])
         else:
             assert abs(got[f"E{i}"] - exp) < 1e-9, (i, got[f"E{i}"], exp)
+
+
+def test_pruned_parse_matches_map_parse(spark):
+    """P1 pushdown (pruned struct schema) must project the same
+    Temp_Node rows as the dynamic-MAP parse on the same payloads."""
+    payloads = [
+        ('{"data":[{"id":"R1","type":"Node",'
+         '"temperature":{"type":"Float","value":21.5,"metadata":{}},'
+         '"pressure":{"type":"Float","value":720,"metadata":{}}}],'
+         '"subscriptionId":"s1"}',),
+        ('{"data":[{"id":"R2","type":"Node",'
+         '"pressure":{"type":"Float","value":700,"metadata":{}}}],'
+         '"subscriptionId":"s1"}',),  # no temperature -> dropped by both
+    ]
+    raw = spark.createDataFrame(payloads, "payload string")
+    full = ngsi.project_temp_nodes(
+        ngsi.flatten_entities(ngsi.parse_notifications(raw, ts_col=None))
+    )
+    pruned = ngsi.project_temp_nodes(
+        ngsi.flatten_entities(
+            ngsi.parse_notifications(raw, ts_col=None, attrs=["temperature"])
+        )
+    )
+    assert sorted(map(tuple, full.select("id", "temperature").collect())) == sorted(
+        map(tuple, pruned.select("id", "temperature").collect())
+    ) == [("R1", 21.5)]
