@@ -355,10 +355,10 @@ def test_pack_chunks_oversize_chunk_gets_own_pack(spark):
 
 
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
-    """PQ(m=16, k=64) + exact re-rank recall@10 against the
-    oracle-checked brute force — the quality contract of the
-    compressed index (measured 0.95 at sf0.01; assert a stable
-    floor)."""
+    """PQ(m=32, k=256 — the registered query's shape) recall@10 against
+    the oracle-checked brute force: RAW ADC (rerank=0) must carry the
+    recall on its own (VERDICT r2 #6 floor 0.5; measured 0.93 at
+    sf0.01), and the exact re-rank keeps its 0.85+ contract."""
     from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
         similarity as sim,
     )
@@ -368,16 +368,21 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
 
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    books = sim.pq_train(emb, m=16, k=64)
-    approx = {
-        (r.q_id, r.n_id)
-        for r in sim.topk_cosine_pq(emb, queries, books, k=10, rerank=4).collect()
-    }
+    books = sim.pq_train(emb, m=32, k=256)
     exact = {
         (r.q_id, r.n_id)
         for r in sim.topk_cosine_bruteforce(emb, queries, k=10).collect()
     }
-    assert len(approx & exact) / len(exact) >= 0.85
+    raw = {
+        (r.q_id, r.n_id)
+        for r in sim.topk_cosine_pq(emb, queries, books, k=10, rerank=0).collect()
+    }
+    assert len(raw & exact) / len(exact) >= 0.5
+    reranked = {
+        (r.q_id, r.n_id)
+        for r in sim.topk_cosine_pq(emb, queries, books, k=10, rerank=4).collect()
+    }
+    assert len(reranked & exact) / len(exact) >= 0.85
 
 
 def test_unigram_logprob_join_path_matches_literal(spark):
