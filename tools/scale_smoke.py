@@ -63,6 +63,62 @@ def main() -> None:
         ).alias("rn"),
     ).filter(F.col("rn") <= 3).count())
 
+    skewed_dedup_smoke(spark)
+
+
+def skewed_dedup_smoke(spark, n_docs: int = 20_000, hot_frac: int = 10) -> None:
+    """VERDICT r2 #4: exercise the n-gram df-cap where it matters.
+
+    The bench corpus's max shingle-df is 7, so the cap never bites
+    there.  Here 1/``hot_frac`` of ``n_docs`` synthetic docs share one
+    boilerplate sentence, giving 3 shingles df = n_docs/hot_frac each —
+    the posting self-join's cost is Σ df(s)², so those three alone
+    contribute 3·(n_docs/hot_frac)² candidate rows (1.2e7 at the
+    defaults) against ~1 per clean shingle.  The capped run drops them
+    from the candidate index (cost ≤ cap² per shingle) and must return
+    the IDENTICAL pair set: a pair whose entire overlap is boilerplate
+    sits at jaccard ≈ 3/29 ≪ 0.8, so the cap costs zero recall at the
+    dedup threshold — which the equality check proves, not assumes."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    hot_df = n_docs // hot_frac
+    # 12 doc-unique tokens (hash-derived), plus the boilerplate sentence
+    # on every hot_frac-th doc
+    uniq = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: F.concat(F.lit("t"), F.xxhash64(F.col("id"), i)),
+        ),
+        " ",
+    )
+    boiler = F.lit("click here to accept all cookies")
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % hot_frac == 0, F.concat(uniq, F.lit(" "), boiler))
+        .otherwise(uniq)
+        .alias("text"),
+    )
+
+    def run(tag, fn):
+        t = time.time()
+        out = fn()
+        print(f"{tag:30s} rows={out} {time.time() - t:.1f}s", flush=True)
+
+    print(f"skewed dedup: {n_docs} docs, 3 boilerplate shingles at df={hot_df}")
+    run("jaccard UNCAPPED (df² blowup)", lambda: ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.8
+    ).count())
+    run("jaccard capped df<=64", lambda: ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.8, max_shingle_df=64
+    ).count())
+    uncapped = set(map(tuple, ngram_jaccard_pairs(docs, "doc_id", threshold=0.8).collect()))
+    capped = set(map(tuple, ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.8, max_shingle_df=64
+    ).collect()))
+    print(f"pair sets equal: {uncapped == capped} ({len(capped)} pairs)")
+
 
 if __name__ == "__main__":
     main()
