@@ -206,6 +206,22 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): character classes + bounded repetition only,
+# no backreferences or lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]+ \([0-9]{3}\) [0-9]{3}-[0-9]{1,4}"
+
+
+def redact_pii(col: Column | str = "text") -> Column:
+    """Mask emails then phone numbers — the pre-training PII scrub.
+    Pure regexp_replace chain: JVM-side, codegen-fused, linear scan per
+    row; at 100 TB this is a map-only stage with zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
 def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

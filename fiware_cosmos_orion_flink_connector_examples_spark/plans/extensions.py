@@ -641,6 +641,180 @@ def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_redact_pii",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call +1 (555) 010-'
+                       || CAST(doc_id % 10000 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\+[0-9]+ \([0-9]{3}\) [0-9]{3}-[0-9]{1,4}')) AS INTEGER)
+             AS n_phones,
+           right(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+[0-9]+ \([0-9]{3}\) [0-9]{3}-[0-9]{1,4}', '<PHONE>', 'g'), 40)
+             AS tail
+    FROM synth
+    """,
+    doc="X4 PII scrub (the pre-training redaction pass): mask emails "
+    "then phone numbers via a codegen-fused regexp_replace chain — "
+    "map-only, zero shuffle at any scale.  The corpus carries no PII, "
+    "so matches are synthesized deterministically into every 7th doc "
+    "(same construction in the oracle); patterns restricted to the "
+    "Java-regex ∩ RE2 dialect so both engines scrub identical bytes, "
+    "which the 40-char redacted tail pins in the hash.",
+    tags=("ext", "text", "X4", "pii"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call +1 (555) 010-"),
+                (F.col("doc_id") % 10000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return synth.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(text.EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(text.PHONE_RE)).cast("int").alias("n_phones"),
+        F.substring(text.redact_pii("text"), -40, 40).alias("tail"),
+    )
+
+
+@register(
+    "sample_mixture_balanced",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_D_MD5INT.format(x="CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+    doc="Mixture balancing (the training-data language-rebalance op): "
+    "deterministic per-language quota of 50 docs, selected by md5-hash "
+    "rank so the draw is stable across runs, partitionings, and "
+    "engines — per-group reservoir sampling as one window over the "
+    "stratum key.  At 100 TB the window sorts WITHIN each lang "
+    "partition after one hash shuffle; no global sort, no driver "
+    "state.",
+    tags=("ext", "sample", "mixture"),
+)
+def sample_mixture_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5int64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_D_JACCARD_PAIRS}),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.5 * least(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 50.0, 1.0)
+           + 0.25 * (CASE WHEN CAST(length(text) AS DOUBLE)
+                               / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0)
+                               BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)
+           + 0.25 * (CASE WHEN CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE)
+                               / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0)
+                               > 0.02 THEN 1.0 ELSE 0.6 END), 4) AS quality
+      FROM documents
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, quality,
+           n_members
+    FROM (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             CAST(count(*) OVER (PARTITION BY c.cluster_id) AS INTEGER) AS n_members,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    ) WHERE rn = 1
+    """,
+    doc="Canonical-document selection: for each near-dup cluster "
+    "(≥0.8-jaccard connected components), keep the HIGHEST-QUALITY "
+    "member instead of the arbitrary min-id — the policy real corpus "
+    "dedup ships (drop boilerplate copies, keep the cleanest).  "
+    "Composes the audited pieces: pair graph → pointer-jumping "
+    "components → quality-score join → one per-cluster window.  "
+    "Singleton docs never enter the component table, so output is "
+    "exactly the multi-member clusters.",
+    tags=("ext", "dedup", "cluster", "quality"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    comps = dedup.connected_components(pairs)
+    labeled = comps.join(
+        docs.select("doc_id", text.quality_score("text").alias("quality")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        labeled.select(
+            "cluster_id",
+            "doc_id",
+            "quality",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("int").alias("n_members"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.round("quality", 4).alias("quality"),
+            "n_members",
+        )
+    )
+
+
+@register(
     "profile_documents",
     oracle="""
     SELECT count(*) AS n_rows,

@@ -70,6 +70,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ngsi_window_avg",
     # -- (b) new or physically changed in round 4 --
     "events_session_window_batch",  # new: built-in session_window twin
+    "text_redact_pii",  # new: PII scrub
+    "sample_mixture_balanced",  # new: per-lang quota sampling
+    "dedup_keep_best",  # new: quality-based canonical doc per cluster
     "text_unigram_logprob",  # open-vocab auto-select added
     "dedup_embedding_ivf",  # fused Arrow index + cell scorer
     "ann_topk_ivf_kmeans",  # shared adaptive-k quantizer
@@ -106,14 +109,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_revenue",
     "window_ntile_balance",
     "grouping_sets_revenue",
-    "stratified_sample_orders",
-    "window_trailing_revenue",
     "join_full_outer_nation_presence",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
 )
+# Displaced from the 50-window by this round's 3 new queries (each has
+# an in-window twin exercising the same shape + r2-green history):
+# stratified_sample_orders (≙ sample_mixture_balanced),
+# window_trailing_revenue (≙ window_running_revenue),
+# dedup_ngram_jaccard_capped (≙ dedup_ngram_jaccard).
 
 
 def ordered_query_names() -> list[str]:
