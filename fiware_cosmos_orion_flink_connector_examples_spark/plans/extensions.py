@@ -815,6 +815,43 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram_event_values",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(value / 5.0) AS INTEGER) AS bin, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT bin, n,
+           CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS frac
+    FROM b
+    """,
+    doc="Value-distribution histogram + CDF (the data-profiling pass "
+    "before filter-threshold tuning): fixed-width bins via one hash-agg "
+    "(map-side partial), then cumulative counts and mass fractions as "
+    "windows over the ~20-row AGGREGATE — the unpartitioned window sort "
+    "touches bin cardinality, never input rows, so the single-partition "
+    "stage is O(bins) at any corpus size.",
+    tags=("ext", "profile", "histogram"),
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.floor(F.col("value") / 5.0).cast("int").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return b.select(
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).cast("long").alias("n_cum"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_all), 6).alias("frac"),
+    )
+
+
+@register(
     "profile_documents",
     oracle="""
     SELECT count(*) AS n_rows,

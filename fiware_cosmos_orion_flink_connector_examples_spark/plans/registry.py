@@ -73,6 +73,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_redact_pii",  # new: PII scrub
     "sample_mixture_balanced",  # new: per-lang quota sampling
     "dedup_keep_best",  # new: quality-based canonical doc per cluster
+    "histogram_event_values",  # new: binned distribution + CDF
     "text_unigram_logprob",  # open-vocab auto-select added
     "dedup_embedding_ivf",  # fused Arrow index + cell scorer
     "ann_topk_ivf_kmeans",  # shared adaptive-k quantizer
@@ -93,7 +94,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pivot_status_by_priority",
     "orders_by_month",
     "string_functions",
-    "approx_sketches",
     "union_prices",
     "tpch_q12_priority_lines",
     "tpch_q13_customer_distribution",
@@ -114,11 +114,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
 )
-# Displaced from the 50-window by this round's 3 new queries (each has
-# an in-window twin exercising the same shape + r2-green history):
+# Displaced from the 50-window by this round's 4 new queries (each
+# displaced query has an in-window twin exercising the same shape or,
+# for approx_sketches, only a rows-only check to lose + r1/r2 history):
 # stratified_sample_orders (≙ sample_mixture_balanced),
 # window_trailing_revenue (≙ window_running_revenue),
-# dedup_ngram_jaccard_capped (≙ dedup_ngram_jaccard).
+# dedup_ngram_jaccard_capped (≙ dedup_ngram_jaccard),
+# approx_sketches (no_oracle rows-only by design; pytest accuracy
+# coverage keeps grading it).
 
 
 def ordered_query_names() -> list[str]:
