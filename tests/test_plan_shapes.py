@@ -182,3 +182,39 @@ def test_full_outer_join_is_sort_merge(spark):
     assert "FullOuter" in plan
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_redact_pii_is_map_only(spark):
+    """The PII scrub must stay a single codegen stage: no exchange, no
+    Python — a pure map over the scan at any corpus size."""
+    plan = plan_of(spark, "text_redact_pii")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "codegen id" in plan  # fused into a whole-stage-codegen stage
+
+
+def test_mixture_sample_single_shuffle(spark):
+    """Per-stratum quota sampling = ONE hash shuffle on the stratum key
+    feeding the window sort — never a global single-partition sort.
+    Spark 3.5+ additionally pushes the rank limit below the exchange
+    (WindowGroupLimit Partial), so at most 50 rows per (lang, input
+    partition) ever shuffle; pin that too."""
+    plan = plan_of(spark, "sample_mixture_balanced")
+    tree = plan.split("(1) Scan")[0]  # nodes repeat in detail sections
+    assert tree.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_histogram_window_after_aggregate(spark):
+    """The CDF windows may single-partition ONLY the ~bins-row
+    aggregate: partial+final agg first (two HashAggregates around a
+    hash exchange), THEN one SinglePartition exchange for the windows —
+    the serial stage is O(bins), not O(rows)."""
+    plan = plan_of(spark, "histogram_event_values")
+    assert "partial_count" in plan  # map-side partial agg
+    tree = plan.split("(1) Scan")[0]  # nodes repeat in detail sections
+    assert tree.count("Exchange") == 2 and "SinglePartition" in plan
+    # tree section prints root-first: the Windows must sit ABOVE (closer
+    # to root than) the aggregates, i.e. windows consume agg output
+    assert tree.index("Window") < tree.index("HashAggregate")
