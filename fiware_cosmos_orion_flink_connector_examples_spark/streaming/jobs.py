@@ -157,6 +157,37 @@ def sessionize(
     )
 
 
+def streaming_session_window(
+    events: DataFrame, gap_secs: float = 30.0, watermark: str = "1 minute"
+) -> DataFrame:
+    """NATIVE session windows in Structured Streaming: the built-in
+    twin of the applyInPandasWithState ``sessionize`` (and of the batch
+    ``events_session_window_batch`` query).  groupBy(session_window)
+    keeps per-session state in the state store, MERGES sessions whose
+    gap closes under ``gap_secs``, and emits a row once the event-time
+    watermark passes the session end (append mode) — zero custom state
+    code, the state-store session-merge path Spark ships.
+
+    Output: (user_id, session_start, session_end_gap = last event +
+    gap, n_events, sum_value) — same contract as the batch query."""
+    gap = f"{int(gap_secs)} seconds"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_gap"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_secs: float = 30.0) -> DataFrame:
     """Batch twin of ``sessionize`` built from window functions (lag +
     cumulative sum of gap breaks) — same output contract, used as the

@@ -850,3 +850,80 @@ def test_incremental_hourly_rollup_matches_batch(spark, tmp_path):
     want = {(r.hour, r.event_type): (r.n, r.s) for r in batch.collect()}
     assert got == want
     assert len(got) == 4  # (10,a) (10,b) (11,a) (12,b)
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """Built-in session_window + watermark (state-store session merge)
+    vs the same groupBy(session_window) run as a batch query — the
+    zero-custom-state twin of the applyInPandasWithState sessionizer."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    evs = []
+    eid = 0
+    for user in (1, 2):
+        for burst in range(3):
+            base = t0 + dt.timedelta(minutes=10 * burst)
+            for i in range(4):
+                evs.append((eid, base + dt.timedelta(seconds=5 * i), user, float(10 * user + i)))
+                eid += 1
+    evs.append((eid, t0 + dt.timedelta(hours=2), 99, 0.0))  # watermark push
+    spool = tmp_path / "swspool"
+    spool.mkdir()
+    with open(spool / "a.jsonl", "w") as f:
+        for e, ts, u, v in evs:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": e,
+                        "ts": ts.replace(tzinfo=dt.timezone.utc).timestamp(),
+                        "user_id": u,
+                        "value": v,
+                    }
+                )
+                + "\n"
+            )
+    stream = (
+        spark.readStream.schema("event_id long, ts double, user_id long, value double")
+        .json(str(spool))
+        .selectExpr("user_id", "timestamp_seconds(ts) AS ts", "value")
+    )
+    out = jobs.streaming_session_window(stream, gap_secs=30.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_native_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end_gap, r.n_events, r.sum_value)
+        for r in spark.sql("select * from t_native_sessions").collect()
+    }
+    batch_events = spark.createDataFrame(
+        [(u, ts, v) for _, ts, u, v in evs], "user_id long, ts timestamp, value double"
+    )
+    # same groupBy(session_window) as a batch query — watermark is a
+    # no-op on a bounded DataFrame, so this is the full expected set
+    exp_all = {
+        (r.user_id, r.session_start, r.session_end_gap, r.n_events, r.sum_value)
+        for r in batch_events.groupBy(
+            F.session_window("ts", "30 seconds"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_gap"),
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    exp_closed = {s for s in exp_all if s[0] in (1, 2)}
+    assert got == exp_closed
