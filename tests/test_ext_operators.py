@@ -269,11 +269,32 @@ def test_connected_components_long_chain_converges(spark):
     """A 200-node path graph has diameter 199 — plain min-label
     propagation would need 199 rounds and silently return unconverged
     labels under the 20-round cap; pointer jumping must converge it
-    in O(log n) rounds."""
+    in O(log n) rounds.  driver_pair_max=0 forces the DISTRIBUTED loop
+    (the default would solve this driver-side)."""
     n = 200
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["d1", "d2"])
-    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, driver_pair_max=0).collect()
+    }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_paths_agree(spark):
+    """The bounded-driver union-find and the distributed pointer-jump
+    loop must assign IDENTICAL min-reachable-id labels on the same
+    graph — the auto-select must never change results."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, SF, "documents"), "doc_id", threshold=0.8
+    )
+    driver = {
+        (r.doc_id, r.cluster_id) for r in dedup.connected_components(pairs).collect()
+    }
+    loop = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs, driver_pair_max=0).collect()
+    }
+    assert driver == loop and len(driver) > 0
 
 
 def test_ngram_contamination_semantics(spark):
