@@ -815,6 +815,157 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang,
+             CASE WHEN {_D_MD5INT.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                  WHEN {_D_MD5INT.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n FROM b GROUP BY 1, 2
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by md5-hash "
+    "bucket — the split is a pure function of the key, so it is stable "
+    "across runs, engines, partitionings, and INCREMENTAL corpus "
+    "growth (new docs never reshuffle old assignments, unlike "
+    "randomSplit).  Map-only assignment + one count rollup.",
+    tags=("ext", "sample", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(md5int64(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "dup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS ({_D_JACCARD_PAIRS}),
+    dup_docs AS (
+      SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+           round(CAST(count(dd.doc_id) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+    doc="Duplication-rate report per source (the corpus-quality "
+    "dashboard number that decides which crawls get re-filtered): "
+    "docs appearing in any ≥0.8-jaccard pair, as a share of each "
+    "source's docs.  Pair detection reuses the inverted-index join; "
+    "the report side is a broadcast-size semi-structure joined back "
+    "to the corpus.",
+    tags=("ext", "dedup", "profile"),
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    dup_docs = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .union(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").cast("long").alias("n_dup_docs"),
+            F.round(
+                F.count("_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@register(
+    "zipf_token_spectrum",
+    oracle=r"""
+    WITH ex AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1)
+    SELECT CAST(floor(ln(CAST(c AS DOUBLE)) / ln(2.0)) AS INTEGER) AS log2_freq_bucket,
+           count(*) AS n_terms,
+           CAST(sum(c) AS BIGINT) AS total_occurrences
+    FROM freq GROUP BY 1
+    """,
+    doc="Token-frequency spectrum (Zipf profile): bucket every vocab "
+    "term by floor(log2(frequency)) and count terms + mass per bucket "
+    "— the corpus-statistics pass behind vocab-size and min-frequency "
+    "cutoff decisions.  Two hash-aggs, both map-side partial; the "
+    "spectrum output is O(log corpus) rows.",
+    tags=("ext", "text", "profile"),
+)
+def zipf_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        freq.groupBy(
+            F.floor(F.log(F.col("c").cast("double")) / F.log(F.lit(2.0)))
+            .cast("int")
+            .alias("log2_freq_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c").cast("long").alias("total_occurrences"),
+        )
+    )
+
+
+@register(
+    "events_value_zscore_topk",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN s USING (event_type)
+    ORDER BY abs(round((e.value - s.mu) / s.sigma, 4)) DESC, e.event_id
+    LIMIT 25
+    """,
+    doc="Per-type z-score anomaly top-k: population moments per "
+    "event_type (one hash-agg over a handful of groups → broadcast "
+    "back), score every event map-side, TakeOrderedAndProject for the "
+    "top 25 — no global sort ever materializes.  The telemetry outlier "
+    "triage query.",
+    tags=("ext", "agg", "anomaly", "topk"),
+)
+def events_value_zscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("zscore"))
+        .orderBy(F.abs(F.col("zscore")).desc(), F.col("event_id"))
+        .limit(25)
+    )
+
+
+@register(
     "histogram_event_values",
     oracle="""
     WITH b AS (

@@ -74,6 +74,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_mixture_balanced",  # new: per-lang quota sampling
     "dedup_keep_best",  # new: quality-based canonical doc per cluster
     "histogram_event_values",  # new: binned distribution + CDF
+    "split_train_val_test",  # new: deterministic 80/10/10 split
+    "dup_rate_by_source",  # new: duplication-rate report
+    "zipf_token_spectrum",  # new: token-frequency spectrum
+    "events_value_zscore_topk",  # new: z-score anomaly top-k
     "text_unigram_logprob",  # open-vocab auto-select added
     "dedup_embedding_ivf",  # fused Arrow index + cell scorer
     "ann_topk_ivf_kmeans",  # shared adaptive-k quantizer
@@ -97,15 +101,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "union_prices",
     "tpch_q12_priority_lines",
     "tpch_q13_customer_distribution",
-    "tpch_q19_discounted_revenue",
     "tpch_q22_lapsed_customers",
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
-    "set_intersect_nations",
-    "cube_status_priority",
-    "window_lag_order_gaps",
     "window_running_revenue",
     "window_ntile_balance",
     "grouping_sets_revenue",
@@ -114,14 +114,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
 )
-# Displaced from the 50-window by this round's 4 new queries (each
+# Displaced from the 50-window by this round's 8 new queries (each
 # displaced query has an in-window twin exercising the same shape or,
 # for approx_sketches, only a rows-only check to lose + r1/r2 history):
 # stratified_sample_orders (≙ sample_mixture_balanced),
 # window_trailing_revenue (≙ window_running_revenue),
 # dedup_ngram_jaccard_capped (≙ dedup_ngram_jaccard),
 # approx_sketches (no_oracle rows-only by design; pytest accuracy
-# coverage keeps grading it).
+# coverage keeps grading it),
+# set_intersect_nations (≙ set_except_nations),
+# cube_status_priority (≙ rollup_returnflag_status + grouping_sets),
+# tpch_q19_discounted_revenue (≙ q6/q14/q17 predicate shapes),
+# window_lag_order_gaps (≙ rank/running/ntile window family).
 
 
 def ordered_query_names() -> list[str]:
