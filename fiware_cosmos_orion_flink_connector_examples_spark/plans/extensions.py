@@ -352,6 +352,38 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_filtered",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, {_D_NORM.format(v='embedding::DOUBLE[]')} AS qv
+               FROM embeddings WHERE vec_id < 8),
+    n AS (SELECT vec_id AS n_id, {_D_NORM.format(v='embedding::DOUBLE[]')} AS nv
+          FROM embeddings WHERE label = 3),
+    scored AS (
+      SELECT q_id, n_id, {_D_COS_N.format(a='qv', b='nv')} AS cos
+      FROM q CROSS JOIN n WHERE q_id != n_id
+    )
+    SELECT q_id, n_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="X3 FILTERED vector search (the vector-DB staple: top-k under a "
+    "metadata predicate, here label = 3): pre-filtering the corpus "
+    "BEFORE scoring — the predicate reaches the parquet scan "
+    "(PushedFilters), so the scored set shrinks at the source; "
+    "post-filtering top-k-then-filter would under-return.  Same "
+    "broadcast-queries × streamed-scan shape as the brute-force "
+    "baseline, exact and fully oracle-checked.",
+    tags=("ext", "similarity", "X3", "filtered"),
+)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_cosine_bruteforce(emb.filter(F.col("label") == 3), qs, k=5)
+
+
+@register(
     "ann_topk_signbucket",
     oracle=f"""
     WITH b AS (

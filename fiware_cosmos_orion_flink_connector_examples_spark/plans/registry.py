@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dup_rate_by_source",  # new: duplication-rate report
     "zipf_token_spectrum",  # new: token-frequency spectrum
     "events_value_zscore_topk",  # new: z-score anomaly top-k
+    "ann_topk_filtered",  # new: predicate-filtered vector search
     "text_unigram_logprob",  # open-vocab auto-select added
     "dedup_embedding_ivf",  # fused Arrow index + cell scorer
     "ann_topk_ivf_kmeans",  # shared adaptive-k quantizer
@@ -98,7 +99,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pivot_status_by_priority",
     "orders_by_month",
     "string_functions",
-    "union_prices",
     "tpch_q12_priority_lines",
     "tpch_q13_customer_distribution",
     "tpch_q22_lapsed_customers",
@@ -125,7 +125,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # set_intersect_nations (≙ set_except_nations),
 # cube_status_priority (≙ rollup_returnflag_status + grouping_sets),
 # tpch_q19_discounted_revenue (≙ q6/q14/q17 predicate shapes),
-# window_lag_order_gaps (≙ rank/running/ntile window family).
+# window_lag_order_gaps (≙ rank/running/ntile window family),
+# union_prices (≙ set_except_nations set-op family).
 
 
 def ordered_query_names() -> list[str]:
