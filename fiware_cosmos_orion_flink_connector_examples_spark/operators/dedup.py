@@ -331,6 +331,47 @@ def simhash_bands(sim_col: Column, bits: int = 60, n_bands: int = 4) -> list[Col
     ]
 
 
+def ngram_jaccard_pairs_incremental(
+    df_new: DataFrame,
+    df_corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup detection: jaccard pairs between a NEW
+    batch and the full corpus (which may include the batch) — the
+    daily-ingest dedup shape.  The posting join is new-side × corpus-
+    side instead of a corpus self-join, so per-day cost is
+    O(Σ df_new(s)·df_corpus(s)), linear in the batch for stable shingle
+    frequencies — the full corpus is never self-joined again.  Returns
+    (new_id, match_id, jaccard) with new_id ≠ match_id; a new-vs-new
+    duplicate appears once per ordered pair direction where both sides
+    are new — callers wanting unordered pairs filter new_id < match_id.
+    """
+    sh_new = with_shingles(df_new, id_col, text_col, n).withColumn("n_sh", F.size("sh"))
+    sh_all = with_shingles(df_corpus, id_col, text_col, n).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex_new = sh_new.select(
+        F.col(id_col).alias("new_id"), F.col("n_sh").alias("n1"), F.explode("sh").alias("s")
+    )
+    ex_all = sh_all.select(
+        F.col(id_col).alias("match_id"), F.col("n_sh").alias("n2"), F.explode("sh").alias("s")
+    )
+    inter = (
+        ex_new.hint("shuffle_hash")
+        .join(ex_all.hint("shuffle_hash"), ["s"])
+        .filter(F.col("new_id") != F.col("match_id"))
+        .groupBy("new_id", "match_id", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jacc = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return inter.select(
+        "new_id", "match_id", F.round(jacc, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

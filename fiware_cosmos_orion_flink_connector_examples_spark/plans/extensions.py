@@ -221,6 +221,39 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_D_SHINGLES},
+    nw AS (SELECT doc_id, sh FROM toks WHERE doc_id % 10 = 0),
+    ex_new AS (SELECT doc_id AS new_id, len(sh) AS n1, unnest(sh) AS s FROM nw),
+    ex_all AS (SELECT doc_id AS match_id, len(sh) AS n2, unnest(sh) AS s FROM toks),
+    inter AS (
+      SELECT new_id, match_id, any_value(n1) AS n1, any_value(n2) AS n2,
+             count(*) AS i
+      FROM ex_new JOIN ex_all USING (s)
+      WHERE new_id != match_id
+      GROUP BY 1, 2
+    )
+    SELECT new_id, match_id,
+           round(i / (n1 + n2 - i), 6) AS jaccard
+    FROM inter
+    WHERE round(i / (n1 + n2 - i), 6) >= 0.8
+    """,
+    doc="Incremental (daily-ingest) dedup: every 10th doc plays the "
+    "'new batch' and is checked for ≥0.8-jaccard matches against the "
+    "FULL corpus — a batch×corpus posting join, O(Σ df_new·df_corpus) "
+    "per ingest instead of re-self-joining the whole corpus.  The "
+    "production shape: yesterday's index is immutable, only the new "
+    "postings stream against it.",
+    tags=("ext", "dedup", "X2", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.ngram_jaccard_pairs_incremental(new, docs, "doc_id", threshold=0.8)
+
+
+@register(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_D_JACCARD_PAIRS}),

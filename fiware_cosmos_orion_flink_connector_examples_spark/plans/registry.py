@@ -79,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "zipf_token_spectrum",  # new: token-frequency spectrum
     "events_value_zscore_topk",  # new: z-score anomaly top-k
     "ann_topk_filtered",  # new: predicate-filtered vector search
+    "dedup_incremental_batch",  # new: batch-vs-corpus ingest dedup
     "text_unigram_logprob",  # open-vocab auto-select added
     "dedup_embedding_ivf",  # fused Arrow index + cell scorer
     "ann_topk_ivf_kmeans",  # shared adaptive-k quantizer
@@ -97,7 +98,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_salted_agg",
     "scalar_subquery_above_avg",
     "pivot_status_by_priority",
-    "orders_by_month",
     "string_functions",
     "tpch_q12_priority_lines",
     "tpch_q13_customer_distribution",
@@ -126,7 +126,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # cube_status_priority (≙ rollup_returnflag_status + grouping_sets),
 # tpch_q19_discounted_revenue (≙ q6/q14/q17 predicate shapes),
 # window_lag_order_gaps (≙ rank/running/ntile window family),
-# union_prices (≙ set_except_nations set-op family).
+# union_prices (≙ set_except_nations set-op family),
+# orders_by_month (≙ events_hourly_rollup time-bucket agg).
 
 
 def ordered_query_names() -> list[str]:
