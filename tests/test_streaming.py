@@ -927,3 +927,47 @@ def test_native_session_window_stream_matches_batch(spark, tmp_path):
     }
     exp_closed = {s for s in exp_all if s[0] in (1, 2)}
     assert got == exp_closed
+
+
+def test_stream_redact_and_quality_matches_batch(spark, tmp_path):
+    """Batch/stream unification for the round-4 text ops: the same
+    redact_pii + quality_score column exprs run unchanged under
+    readStream and agree with the batch result row-for-row."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text as T
+
+    docs = [
+        (1, "reach me at a@b.co or +1 (555) 010-7 ok"),
+        (2, "plain text with the a and of to in is it words"),
+        (3, "short"),
+    ]
+    spool = tmp_path / "docspool"
+    spool.mkdir()
+    with open(spool / "d.jsonl", "w") as f:
+        for i, t in docs:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    def transform(df):
+        return df.select(
+            "doc_id",
+            T.redact_pii("text").alias("clean"),
+            T.quality_score("text").alias("q"),
+        ).filter(F.col("q") > 0.0)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(spool))
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("t_redact")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_redact"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {tuple(r) for r in spark.sql("select * from t_redact").collect()}
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    exp = {tuple(r) for r in transform(batch).collect()}
+    assert got == exp and len(exp) == 3
+    assert all("<EMAIL>" in c and "<PHONE>" in c for i, c, _ in got if i == 1)
