@@ -1446,3 +1446,98 @@ def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+@register(
+    "users_day_retention",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_user_days,
+           CAST(sum(CASE WHEN nxt = d + 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained_next_day
+    FROM (
+      SELECT user_id, d,
+             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+      FROM days
+    )
+    """,
+    doc="Next-day retention (the DAU/engagement shape): distinct active "
+    "(user, day) grid via one dedup shuffle, then a per-user lead() to "
+    "count day-pairs exactly one day apart.  Day arithmetic in exact "
+    "integer epoch-days on both engines.  One hash shuffle for the "
+    "distinct, one for the window partition — both on user keys, "
+    "skew-safe under AQE.",
+    tags=("relational", "datetime", "window", "retention"),
+)
+def users_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    with_next = days.withColumn("nxt", F.lead("d").over(w))
+    return with_next.agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days"),
+        F.sum(
+            F.when(F.col("nxt") == F.col("d") + 1, 1).otherwise(0)
+        ).cast("long").alias("n_retained_next_day"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey,
+             CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INTEGER) AS r,
+             CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INTEGER) AS f,
+             CAST(ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS INTEGER) AS m
+      FROM rfm
+    )
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation (recency/frequency/monetary "
+    "quartiles): per-customer aggregates in exact integer cents, three "
+    "global ntile(4) ranks tie-broken on the key for engine-stable "
+    "quartile boundaries, then segment counts.  The global ntile "
+    "windows single-partition only the per-CUSTOMER aggregate (orders "
+    "already reduced), and at true scale each ntile swaps for a "
+    "percentile_approx cut over the same aggregate — same output "
+    "contract.",
+    tags=("relational", "window", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).cast("int").alias("r"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).cast("int").alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .cast("int")
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
