@@ -58,15 +58,25 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver's bounded TAIL capture of this line
+    # truncated the HEAD in rounds 2 and 4 (parsed: null) — so the big
+    # per-query map goes first and the headline totals go LAST, where the
+    # tail capture is guaranteed to keep them (VERDICT r4 #1).
     result = {
-        "metric": "total_query_wall_clock",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "unit": "sec",
     }
     if failures:
         result["failed"] = failures
+        result["partial_total"] = total
+    # Headline keys LAST so even a truncated-head capture keeps them.
+    # A partial-suite sum must not be mistaken for a full-suite total
+    # (ADVICE r4): on any failure the headline value is null and
+    # n_failed says why; surviving timings stay in "queries".
+    result["metric"] = "total_query_wall_clock"
+    result["n_failed"] = len(failures)
+    result["value"] = None if failures else total
     # Full artifact to a sidecar file too: the driver's bounded tail
     # capture truncated the single JSON line in round 2 (parsed: null),
     # so a durable on-disk copy guarantees the numbers survive.

@@ -170,7 +170,9 @@ def streaming_session_window(
 
     Output: (user_id, session_start, session_end_gap = last event +
     gap, n_events, sum_value) — same contract as the batch query."""
-    gap = f"{int(gap_secs)} seconds"
+    # millisecond interval so fractional gaps aren't truncated to 0
+    # (gap_secs=0.5 must mean 500ms, matching the sessionize twin)
+    gap = f"{int(round(gap_secs * 1000))} milliseconds"
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), F.col("user_id"))

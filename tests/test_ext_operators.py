@@ -228,6 +228,46 @@ def test_embedding_ivf_recall(spark):
     assert ivf_recall >= label_recall - 0.2, (ivf_recall, label_recall)
 
 
+def test_ivf_hot_cell_cap_bounds_group_size(spark, monkeypatch):
+    """VERDICT r4 #4: one deliberately hot cell (a single centroid puts
+    ALL 500 vectors in it) must be split by ``cell_cap`` into sub-block
+    pair groups no larger than 2·cell_cap — enforced by an assert that
+    runs INSIDE the Arrow kernel, so an oversized group fails the job —
+    while the emitted (d1, d2, cos) set stays exactly equal to the
+    unsplit path's (recall unchanged, scores bit-identical)."""
+    emb = load_table(spark, SF, "embeddings")
+    dim = len(emb.first()["embedding"])
+    cents = [[0.0] * dim]  # every vector lands in cell 0
+    base = {
+        (r.d1, r.d2, r.cos)
+        for r in dedup.embedding_dup_pairs_ivf(
+            emb, cents, threshold=0.4, nprobe=1
+        ).collect()
+    }
+    assert base, "hot cell should contain over-threshold pairs"
+
+    cap = 64
+    orig = dedup._cell_scorer
+
+    def enforcing_scorer(threshold):
+        inner = orig(threshold)
+
+        def check(pdf):
+            assert len(pdf) <= 2 * cap, f"group of {len(pdf)} exceeds 2*cell_cap"
+            return inner(pdf)
+
+        return check
+
+    monkeypatch.setattr(dedup, "_cell_scorer", enforcing_scorer)
+    capped = {
+        (r.d1, r.d2, r.cos)
+        for r in dedup.embedding_dup_pairs_ivf(
+            emb, cents, threshold=0.4, nprobe=1, cell_cap=cap
+        ).collect()
+    }
+    assert capped == base
+
+
 def test_chunk_documents_boundaries(spark):
     """Chunk windows: full overlap coverage, short tail, short-doc and
     empty-doc single-chunk behavior."""
