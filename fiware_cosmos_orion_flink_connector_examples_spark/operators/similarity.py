@@ -434,7 +434,14 @@ def topk_cosine_pq(
     to full vectors for exact scoring — ADC prunes, exact decides,
     which is how FAISS IndexPQ search is actually deployed.
     ``rerank=0`` returns raw ADC ranks (for measuring table-only
-    recall).  Normalized inputs ⇒ dot ≈ cosine."""
+    recall).  Normalized inputs ⇒ dot ≈ cosine.
+
+    SERVING path: the query set is collected and its ADC tables are
+    built on the driver, shipped in the scorer's closure — right for
+    top-k serving with small query batches, wrong for large ones (the
+    tables serialize through the driver).  For batch joins of 10⁴+
+    queries use ``topk_cosine_pq_batch``: same output contract, tables
+    built executor-side (VERDICT r4 #5)."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -484,6 +491,19 @@ def topk_cosine_pq(
         )
 
     shortlist = _rank_topk(pairs, rerank * k).select("q_id", "n_id")
+    return _exact_rerank(df, queries, shortlist, k, vec_col, id_col)
+
+
+def _exact_rerank(
+    df: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Join an ADC shortlist back to full-precision vectors and rank
+    exactly — shared by the serving and batch PQ paths."""
     corpus = df.select(
         F.col(id_col).alias("n_id"),
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
@@ -500,3 +520,123 @@ def topk_cosine_pq(
     return _rank_topk(exact, k).select(
         "q_id", "n_id", "cos", F.col("rank").cast("int").alias("rank")
     )
+
+
+def topk_cosine_pq_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: int = 4,
+    q_blocks: int = 4,
+    c_blocks: int = 4,
+) -> DataFrame:
+    """Batch-join PQ top-k: same output contract as ``topk_cosine_pq``
+    but nothing query-sized ever touches the driver (VERDICT r4 #5).
+
+    Plan: (1) the corpus is PQ-encoded as usual; (2) a ``mapInPandas``
+    over the QUERY DataFrame normalizes each query (the numpy twin of
+    the JVM fold — bit-identical) and builds its m×k ADC table
+    executor-side, with only the tiny codebooks (m·k·dim/m doubles) in
+    the task closure; (3) a block-nested-loop cogroup scores every
+    (query, code) pair: codes replicate over ``q_blocks`` hash blocks
+    of queries, tables over ``c_blocks`` blocks of the corpus, and each
+    grid cell's Arrow kernel emits a per-query cell-local shortlist —
+    all rows within 2e-6 (two 6-dp rounding ulps) of its R-th raw ADC
+    score, a provable superset of every row that can reach the global
+    rounded top-R — so the shuffle out of the grid is R-proportional
+    per (query, cell), never corpus-sized; (4) the global rounded
+    rank + exact re-rank are byte-identical code to the serving path.
+
+    Each pair (q, n) meets in exactly one grid cell, so no distinct is
+    needed.  The kernel loops queries WITHIN a cell but gathers/sums
+    each query against the whole code block with the serving kernel's
+    exact expression — same numpy summation order, so raw ADC scores
+    (and therefore the final rows) match the serving path bit-for-bit.
+    Tune ``q_blocks·c_blocks`` ≈ cluster cores; cell memory is
+    O(|corpus|/c_blocks · m + |queries|/q_blocks · m·k)."""
+    import numpy as np
+
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    id_type = df.schema[id_col].dataType.simpleString()
+    shortl = (rerank if rerank > 0 else 1) * k
+
+    codes = pq_encode(
+        df.select(
+            F.col(id_col), l2_normalize(F.col(vec_col).cast("array<double>")).alias("_nv")
+        ),
+        codebooks,
+        "_nv",
+        id_col,
+    )
+
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+
+    def build_tables(it):
+        from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+            _sequential_normalize,
+        )
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = _sequential_normalize(
+                np.asarray(pdf["_qv"].tolist(), dtype="float64")
+            )
+            sub = Q.shape[1] // m
+            tbls = [
+                np.stack(
+                    [books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+                ).ravel().tolist()
+                for q in Q
+            ]
+            yield pd.DataFrame({"q_id": pdf["q_id"], "tbl": tbls})
+
+    tables = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).mapInPandas(build_tables, f"q_id {id_type}, tbl array<double>")
+
+    codes_g = codes.withColumn(
+        "cblk", F.pmod(F.xxhash64("n_id"), F.lit(c_blocks)).cast("int")
+    ).withColumn("qblk", F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))))
+    tabs_g = tables.withColumn(
+        "qblk", F.pmod(F.xxhash64("q_id"), F.lit(q_blocks)).cast("int")
+    ).withColumn("cblk", F.explode(F.sequence(F.lit(0), F.lit(c_blocks - 1))))
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            empty_id = pd.Series([], dtype="object")
+            return pd.DataFrame(
+                {"q_id": empty_id, "n_id": empty_id, "cos": pd.Series([], dtype="float64")}
+            )
+        C = np.asarray(left["codes"].tolist(), dtype="int64")
+        n_ids = left["n_id"].to_numpy()
+        frames = []
+        for q_id, tbl in zip(right["q_id"], right["tbl"]):
+            T = np.asarray(tbl, dtype="float64").reshape(m, n_codes)
+            # EXACT serving-kernel expression: gather then .sum(axis=1)
+            s = T[np.arange(C.shape[1]), C].sum(axis=1)
+            mask = n_ids != q_id
+            sm, nm = s[mask], n_ids[mask]
+            if len(sm) > shortl:
+                thr = np.partition(sm, -shortl)[-shortl] - 2e-6
+                keep = sm >= thr
+                sm, nm = sm[keep], nm[keep]
+            frames.append(pd.DataFrame({"q_id": q_id, "n_id": nm, "cos": sm}))
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = (
+        codes_g.groupby("qblk", "cblk")
+        .cogroup(tabs_g.groupby("qblk", "cblk"))
+        .applyInPandas(score_cell, f"q_id {id_type}, n_id {id_type}, cos double")
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"))
+    )
+    if rerank <= 0:
+        return _rank_topk(pairs, k).select(
+            "q_id", "n_id", "cos", F.col("rank").cast("int").alias("rank")
+        )
+    shortlist = _rank_topk(pairs, shortl).select("q_id", "n_id")
+    return _exact_rerank(df, queries, shortlist, k, vec_col, id_col)

@@ -209,6 +209,25 @@ def test_http_sink_round_trip(spark, tmp_path):
         server.shutdown()
 
 
+def test_stream_bench_harness_smoke(spark):
+    """VERDICT r4 #3: the throughput harness (tools/stream_bench.py)
+    runs end-to-end — HTTP feed → receiver spool → orion_http source →
+    sliding window → write_http to a no-op collector — and reports
+    non-degenerate numbers.  Short feed; the SCALING.md row comes from
+    the full 25 s run."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from stream_bench import run
+
+    out = run(duration=4.0, feeders=2, trigger_secs=1.0, spark=spark)
+    assert out["rows_processed"] > 0
+    assert out["sink_posts"] > 0
+    assert out["ingest_events_per_sec"] > 0
+    assert out["process_rows_per_sec"] > 0
+    assert out["batch_p50_ms"] is not None
+
+
 def test_streaming_dedup(spark, tmp_path):
     rows = flat_sequence(5)
     # duplicate every payload
