@@ -108,7 +108,12 @@ def run(
     feeders: int = 8,
     trigger_secs: float = 1.0,
     spark=None,
+    shuffle_partitions: int | None = None,
 ) -> dict:
+    """``shuffle_partitions`` tunes the stateful shuffle width for the
+    streaming query only (state partition count binds from the session
+    conf at query start; 32 is right for batch scans but pure overhead
+    for micro-batches of a few thousand rows).  Restored afterwards."""
     from pyspark.sql import functions as F
 
     from fiware_cosmos_orion_flink_connector_examples_spark.operators import ngsi
@@ -132,6 +137,9 @@ def run(
     spool = os.path.join(workdir, "spool")
     receiver = NgsiHttpReceiver(spool, port=0).start()
     sink_srv, sink_count = _noop_collector()
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         stream = (
             spark.readStream.format("orion_http").option("spool_dir", spool).load()
@@ -201,6 +209,7 @@ def run(
             else None,
         }
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         receiver.stop()
         sink_srv.shutdown()
         sink_srv.server_close()
@@ -210,10 +219,12 @@ def run(
 
 
 def main() -> None:
+    shuffle = os.environ.get("STREAM_BENCH_SHUFFLE")
     out = run(
         duration=float(os.environ.get("STREAM_BENCH_SECS", "20")),
         feeders=int(os.environ.get("STREAM_BENCH_FEEDERS", "8")),
         trigger_secs=float(os.environ.get("STREAM_BENCH_TRIGGER_SECS", "1")),
+        shuffle_partitions=int(shuffle) if shuffle else None,
     )
     print(json.dumps(out), flush=True)
 
