@@ -1578,6 +1578,50 @@ def decontaminate_eval_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_bloom_8gram",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+7], ' ')
+                                for i in range(1, len(t) - 6)]) AS grams
+          FROM toks),
+    split AS (SELECT doc_id, grams,
+                     CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 20 = 0 AS is_eval
+              FROM g),
+    tr AS (SELECT DISTINCT unnest(grams) AS gram FROM split WHERE NOT is_eval),
+    ev AS (SELECT doc_id, unnest(grams) AS gram FROM split WHERE is_eval)
+    SELECT ev.doc_id, count(*) AS n_shared_grams
+    FROM ev JOIN tr USING (gram) GROUP BY 1
+    """,
+    doc="The broadcast-bloom decontamination path promised by "
+    "ngram_contamination's 100 TB note, now real: train grams fold into "
+    "a bit_or-aggregated int64 word array (driver holds ≤ bits/64 "
+    "words, never grams), eval grams bloom-test map-side with the SAME "
+    "JVM xxhash64 positions, and only survivors reach the exact "
+    "semi-join verify.  The oracle is the EXACT contamination SQL — "
+    "bloom has no false negatives and the verify removes false "
+    "positives, so the approximate plan must reproduce the exact "
+    "answer bit-for-bit.",
+    tags=("ext", "dedup", "decontamination", "bloom"),
+)
+def decontaminate_bloom_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
+    tagged = docs.withColumn("_is_eval", is_eval)
+    return dedup.ngram_contamination_bloom(
+        tagged.filter(~F.col("_is_eval")),
+        tagged.filter(F.col("_is_eval")),
+        "doc_id",
+        n=8,
+    )
+
+
+@register(
     "events_latest_per_user",
     oracle="""
     SELECT user_id,
