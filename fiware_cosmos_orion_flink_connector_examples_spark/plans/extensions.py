@@ -637,6 +637,67 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_real",
+    oracle="""
+    WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L
+               FROM documents)
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN L % 32 + 1 ELSE 1 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (L // 32) % 32 + 1 ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE L % 512 + 16 END AS INTEGER) AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN L % 256 ELSE L % 1000 + 1 END AS DOUBLE) AS mean_value
+    FROM b
+    """,
+    doc="X5 decode made REAL for codec-less formats (round 5): each doc "
+    "synthesizes a VALID media file whose parameters derive from its "
+    "byte length — even doc_ids a 24bpp BMP (numpy-encoded header + "
+    "pixel rows), odd doc_ids a mono 16-bit PCM WAV (stdlib wave) — and "
+    "extract_features_real PARSES the files back (header fields, pixel "
+    "mean over the actual array, RMS over the actual samples).  The "
+    "oracle recomputes the expected features from octet_length alone, "
+    "so a decoder that misreads headers, padding, or sample widths "
+    "hash-fails.  Compressed formats (JPEG/MP4) remain env-blocked "
+    "behind decode_image_real.",
+    tags=("ext", "multimodal", "X5", "pandas_udf"),
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("L"),
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for kind, length in zip(pdf["kind"], pdf["L"]):
+                n = int(length)
+                if kind == "image":
+                    payloads.append(
+                        multimodal.encode_bmp(n % 32 + 1, (n // 32) % 32 + 1, n % 256)
+                    )
+                else:
+                    payloads.append(multimodal.encode_wav(n % 512 + 16, n % 1000 + 1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                }
+            )
+
+    media = base.mapInPandas(enc, "media_id long, kind string, payload binary")
+    return multimodal.extract_features_real(media)
+
+
+@register(
     "text_sentiment_by_source",
     oracle=r"""
     SELECT source,

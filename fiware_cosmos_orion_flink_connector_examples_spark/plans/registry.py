@@ -83,7 +83,10 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
     # left this outside the r4 window (ADVICE r4 medium) — re-prove now.
     "dedup_embedding_cosine",
 )
-NEW_THIS_ROUND: tuple[str, ...] = ("decontaminate_bloom_8gram",)
+NEW_THIS_ROUND: tuple[str, ...] = (
+    "decontaminate_bloom_8gram",
+    "multimodal_decode_real",
+)
 
 
 def _round_history() -> dict[str, int]:

@@ -228,6 +228,38 @@ def test_embedding_ivf_recall(spark):
     assert ivf_recall >= label_recall - 0.2, (ivf_recall, label_recall)
 
 
+def test_bmp_wav_roundtrip():
+    """Pure-python decoders: encode → decode recovers exact header
+    fields and pixel/sample statistics, across row-padding widths
+    (w%4 ∈ {0,1,2,3}) and both signal polarities."""
+    for w in (1, 2, 3, 4, 31, 32):
+        payload = multimodal.encode_bmp(w, 5, 77)
+        assert multimodal.decode_bmp(payload) == (w, 5, 77.0)
+    for amp in (1, 1000, 32000):
+        payload = multimodal.encode_wav(100, amp, sample_rate=16000)
+        nch, rate, nframes, rms = multimodal.decode_wav(payload)
+        assert (nch, rate, nframes) == (1, 16000, 100)
+        assert rms == float(amp)
+
+
+def test_extract_features_real_mixed_kinds(spark):
+    """The real-decode mapInPandas path handles a mixed image/audio
+    media table and reports parsed (not stubbed) features."""
+    import pandas as pd
+
+    rows = [
+        (1, "image", bytearray(multimodal.encode_bmp(7, 3, 200))),
+        (2, "audio", bytearray(multimodal.encode_wav(64, 123))),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary",
+    )
+    got = {r.media_id: r for r in multimodal.extract_features_real(media).collect()}
+    assert (got[1].width, got[1].height, got[1].mean_value) == (7, 3, 200.0)
+    assert (got[2].n_frames, got[2].sample_rate, got[2].mean_value) == (64, 8000, 123.0)
+
+
 def test_bloom_decontamination_matches_exact(spark):
     """The bloom-pruned path must reproduce the exact contamination
     answer (no false negatives by construction; the verify semi-join
