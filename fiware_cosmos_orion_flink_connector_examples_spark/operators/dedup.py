@@ -1031,16 +1031,42 @@ def ngram_contamination_bloom(
         if full_key is not None:
             _BLOOM_CACHE[full_key] = words
 
-    spark = train.sparkSession
-    nz = np.flatnonzero(words)
-    words_tbl = spark.createDataFrame(
-        [(int(i), int(words[i])) for i in nz], "word long, bits long"
+    candidates = bloom_probe_filter(ev, words, bloom_bits, bloom_hashes)
+    # exact verify: only bloom-surviving grams reach the shuffle
+    return candidates.join(tr_grams, "gram", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
     )
-    candidates = ev
-    for i, p in enumerate(positions(F.col("gram"))):
+
+
+def bloom_probe_filter(
+    df: DataFrame,
+    words,
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 4,
+    gram_col: str = "gram",
+) -> DataFrame:
+    """Apply the broadcast-join bloom membership test to ANY DataFrame
+    with a ``gram_col`` — batch or STREAMING: each probe is a
+    stream-static LEFT broadcast join against the tiny nonzero
+    (word, bits) table plus a codegen'd bit test, both
+    streaming-legal, so the SAME prune runs in a Structured Streaming
+    ingest pipeline (stream/batch unification, pytest-pinned).
+    ``words`` is the int64 word array from the build in
+    ``ngram_contamination_bloom`` (or ``_BLOOM_CACHE``)."""
+    import numpy as np
+
+    W = np.asarray(words, dtype="int64")
+    nz = np.flatnonzero(W)
+    spark = df.sparkSession
+    words_tbl = spark.createDataFrame(
+        [(int(i), int(W[i])) for i in nz], "word long, bits long"
+    )
+    out = df
+    for i in range(bloom_hashes):
+        p = F.pmod(F.xxhash64(F.col(gram_col), F.lit(i)), F.lit(bloom_bits))
         wd = words_tbl.select(F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}"))
-        candidates = (
-            candidates.join(F.broadcast(wd), F.shiftright(p, 6) == F.col(f"_w{i}"), "left")
+        out = (
+            out.join(F.broadcast(wd), F.shiftright(p, 6) == F.col(f"_w{i}"), "left")
             .filter(
                 F.call_function(
                     "shiftright",
@@ -1051,7 +1077,4 @@ def ngram_contamination_bloom(
             )
             .drop(f"_w{i}", f"_b{i}")
         )
-    # exact verify: only bloom-surviving grams reach the shuffle
-    return candidates.join(tr_grams, "gram", "left_semi").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shared_grams")
-    )
+    return out

@@ -74,6 +74,31 @@ def test_bloom_decontamination_probe_is_jvm(spark):
     assert "LeftSemi" in plan
 
 
+def test_pq_batch_is_cogrouped_no_cartesian(spark):
+    """The batch PQ path must scale as a grid COGROUP (FlatMapCoGroups
+    Arrow kernel over query×corpus hash blocks), never a cartesian/
+    nested-loop product of queries × codes, and the exact re-rank joins
+    must broadcast the k-proportional sides."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        similarity as sim,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    books = sim.pq_train(emb, m=8, k=16)
+    df = sim.topk_cosine_pq_batch(
+        emb, emb.filter(F.col("vec_id") < 8), books, k=5, rerank=4
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pandas_paths_are_arrow(spark):
     """The sanctioned Python stages use Arrow batching, never
     row-pickling BatchEvalPython."""

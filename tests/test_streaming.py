@@ -209,6 +209,71 @@ def test_http_sink_round_trip(spark, tmp_path):
         server.shutdown()
 
 
+def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
+    """Stream/batch unification for the bloom decontamination prune:
+    the SAME fitted bloom words drive a Structured Streaming ingest
+    filter (stream-static broadcast-join probes + left-semi verify are
+    all streaming-legal) and must flag exactly the docs the batch
+    operator flags.  The streaming gram generator is the per-row
+    ``shingles()`` array form — the batch ``shingle_rows`` window form
+    is not streaming-legal, but both produce the same distinct gram
+    set per doc (their documented contract)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train_rows = [(i, f"{shared} tr{i}a tr{i}b") for i in range(12)]
+    eval_rows = [(100 + i, f"{shared} ev{i}x ev{i}y") for i in range(4)] + [
+        (200 + i, " ".join(f"clean{i}w{j}" for j in range(12))) for i in range(4)
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev_batch = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+
+    expected = {
+        (r.doc_id, r.n_shared_grams)
+        for r in dedup.ngram_contamination(train, ev_batch, "doc_id", n=8).collect()
+    }
+    assert expected, "shared 8-grams must contaminate the planted eval docs"
+
+    # fit the bloom once (batch), reuse its words on the stream
+    dedup.ngram_contamination_bloom(
+        train, ev_batch, "doc_id", n=8, cache_key=("unif", "t")
+    ).collect()
+    words = dedup._BLOOM_CACHE[("unif", "t", "bloom", 8, 1 << 20, 4, "text", "doc_id")]
+
+    spool = tmp_path / "docspool"
+    spool.mkdir()
+    with open(spool / "docs.jsonl", "w") as f:
+        for doc_id, text in eval_rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(spool))
+    grams = stream.select(
+        "doc_id", F.explode(dedup.shingles("text", n=8, distinct=True)).alias("gram")
+    )
+    cand = dedup.bloom_probe_filter(grams, words)
+    tr_grams = dedup.shingle_rows(train, "doc_id", "text", 8, distinct=False).select(
+        "gram"
+    )
+    flagged = (
+        cand.join(tr_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("t_stream_bloom")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_shared_grams)
+        for r in spark.sql("select * from t_stream_bloom").collect()
+    }
+    assert got == expected
+
+
 def test_stream_bench_harness_smoke(spark):
     """VERDICT r4 #3: the throughput harness (tools/stream_bench.py)
     runs end-to-end — HTTP feed → receiver spool → orion_http source →
