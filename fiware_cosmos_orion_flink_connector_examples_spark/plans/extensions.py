@@ -1988,3 +1988,30 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = emb.filter(F.col("vec_id") < 8)
     return similarity.topk_cosine_pq(emb, qs, books, k=5, rerank=4)
+
+
+@register(
+    "ann_topk_pq_batch",
+    oracle=None,  # PQ internals rows-only, like ann_topk_pq; the strong
+    # check is tests/test_ext_operators.py::test_pq_batch_matches_serving_path
+    # (bit-equality with the serving path for rerank 0 and 4)
+    doc="X3 batch-join PQ search (VERDICT r4 #5): identical contract to "
+    "ann_topk_pq but the ADC tables are built EXECUTOR-side in a "
+    "mapInPandas over the query DataFrame (codebooks ride the task "
+    "closure; nothing query-sized serializes through the driver) and "
+    "scoring is a query×corpus grid cogroup whose cells emit rounded-"
+    "top-R-safe shortlists — the 10⁶-query-batch shape.  Same 64-query "
+    "set as ann_topk_filtered so the two paths' rows can be eyeballed "
+    "against each other in the driver artifact.",
+    tags=("ext", "similarity", "X3", "pq", "batch"),
+)
+def ann_topk_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(
+        emb,
+        m=32,
+        k=256,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, "embeddings"),
+    )
+    qs = emb.filter(F.col("vec_id") < 64)
+    return similarity.topk_cosine_pq_batch(emb, qs, books, k=5, rerank=4)

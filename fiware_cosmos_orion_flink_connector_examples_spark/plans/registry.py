@@ -86,6 +86,7 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 NEW_THIS_ROUND: tuple[str, ...] = (
     "decontaminate_bloom_8gram",
     "multimodal_decode_real",
+    "ann_topk_pq_batch",
 )
 
 
