@@ -4,10 +4,12 @@ the engine's own headline batch pipeline):
 
   documents → in-flight quality metrics (observe) → exact dedup →
   near-dup pairs → connected components → drop cluster losers →
-  train/eval split + 8-gram decontamination → chunk → greedy pack →
-  per-pack stats; embeddings → int8 quantization report.
+  train/eval split + 8-gram decontamination (bloom-pruned at scale,
+  --bloom) → chunk → greedy pack → per-pack stats; embeddings → int8
+  quantization report.
 
 Run: python examples/corpus_pipeline.py [--sf-dir /root/testdata/sf0.01]
+     [--bloom]   # prune the decontamination join with the broadcast bloom
 """
 
 from __future__ import annotations
@@ -26,6 +28,12 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--budget", type=int, default=256, help="pack token budget")
+    ap.add_argument(
+        "--bloom",
+        action="store_true",
+        help="use the broadcast-bloom prune before the exact decontamination "
+        "join (the 100 TB shape; same output, fewer shuffled grams)",
+    )
     args = ap.parse_args()
 
     from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
@@ -64,7 +72,10 @@ def main() -> None:
     # 3. split + decontaminate: eval docs sharing an 8-gram with train
     is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
     tagged = corpus.withColumn("_e", is_eval)
-    contaminated = dedup.ngram_contamination(
+    decontaminate = (
+        dedup.ngram_contamination_bloom if args.bloom else dedup.ngram_contamination
+    )
+    contaminated = decontaminate(
         tagged.filter(~F.col("_e")), tagged.filter(F.col("_e")), "doc_id", n=8
     )
     clean_eval = tagged.filter(F.col("_e")).join(contaminated, "doc_id", "left_anti")

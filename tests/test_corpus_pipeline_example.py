@@ -13,8 +13,11 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_corpus_pipeline_example_runs():
+    # --bloom routes decontamination through the broadcast-bloom prune;
+    # output must be identical to the exact join (pytest-pinned at the
+    # operator level), so the same assertions hold
     proc = subprocess.run(
-        [sys.executable, str(REPO / "examples" / "corpus_pipeline.py")],
+        [sys.executable, str(REPO / "examples" / "corpus_pipeline.py"), "--bloom"],
         capture_output=True,
         text=True,
         timeout=300,

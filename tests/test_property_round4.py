@@ -102,3 +102,61 @@ def test_union_find_matches_bfs(spark, edge_list):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert got == _bfs_components(edge_list)
+
+
+# --- bloom no-false-negatives (round 5) -------------------------------------
+# The exact-oracle equality of decontaminate_bloom_8gram rests on one
+# property: a gram whose bits were set at build time ALWAYS passes the
+# probe.  Pin it on random gram sets and deliberately tiny (saturated)
+# blooms, where any hash/shift/word-index bug would surface as a drop.
+
+_GRAMS = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x2FF),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_GRAMS, st.sampled_from([1 << 8, 1 << 12, 1 << 20]))
+def test_bloom_probe_no_false_negatives(grams, bits):
+    spark = _bloom_spark()
+    df = spark.createDataFrame([(g,) for g in grams], ["gram"])
+    import numpy as np
+
+    words_agg = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("gram"), F.lit(i)), F.lit(bits))
+                        for i in range(4)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .groupBy((F.col("pos") / 64).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                )
+            ).alias("bits")
+        )
+    )
+    words = np.zeros((bits + 63) // 64, dtype="int64")
+    for r in words_agg.collect():
+        words[r["word"]] = r["bits"]
+    kept = {r.gram for r in dedup.bloom_probe_filter(df, words, bloom_bits=bits).collect()}
+    assert kept == set(grams)  # every built gram must survive its own probe
+
+
+def _bloom_spark():
+    from fiware_cosmos_orion_flink_connector_examples_spark.session import get_spark
+
+    return get_spark(app_name="engine-tests", cpus=8, shuffle_partitions=8)
