@@ -945,6 +945,50 @@ def ngram_contamination(
     )
 
 
+def repeated_span_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-span report — the whole-word-gram
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; their
+    ExactSubstr removes any ≥50-token span that occurs verbatim
+    elsewhere in the corpus).  Every positional word ``n``-gram
+    occurrence is a DUPLICATE span iff the same gram occurs in any
+    LOWER-id document — first-occurrence-wins, the same deterministic
+    keep rule as exact_dedup.  Returns per-doc totals
+    ``(id, n_spans, n_dup_spans, dup_frac)`` for every doc with at
+    least one full span (≥ n tokens).
+
+    Shape: positional gram OCCURRENCES via the codegen'd
+    ``shingle_rows`` path (``distinct=False``), one per-gram
+    ``min(id)`` aggregation (associative → map-side partial combine:
+    the shuffle carries one row per distinct gram per map task, not
+    one per occurrence), and one shuffle equi-join gram → first_id.
+    Never doc×doc.  At 100 TB the gram→first_id map is the big state —
+    it partitions by gram hash and AQE splits skewed grams (boilerplate
+    spans ARE the skew); the report stays a narrow three-column row
+    per doc.  For remove-not-report, the same join yields the span
+    positions to cut (shingle_rows keeps ``_pos`` one select away).
+    """
+    g = shingle_rows(df, id_col, text_col, n, distinct=False)
+    firsts = g.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    return (
+        g.join(firsts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_first") < F.col(id_col)).cast("int")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4),
+        )
+    )
+
+
 
 # Bloom word arrays memoized per (session, corpus tag, hyperparams) —
 # same discipline as _QUANTIZER_CACHE: the bloom is a TRAIN-corpus

@@ -64,6 +64,31 @@ def quality_score(col: Column | str = "text") -> Column:
     return F.round(0.5 * len_score + 0.25 * word_score + 0.25 * stop_score, 4)
 
 
+def quality_rules(col: Column | str = "text") -> dict[str, Column]:
+    """The quality filter as individual boolean RULES (the C4/Gopher
+    reporting shape: each rule's pass rate is tracked separately so a
+    threshold change can be simulated from the report without a corpus
+    re-scan).  Same deterministic rational arithmetic as
+    quality_score; one extra rule (distinct-token ratio ≥ 0.3 — the
+    repetition screen) that the blended score does not include.
+    Returns name → BooleanType column; all four are computed from one
+    pass over the text column (no shuffle, codegen-friendly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    safe_tok = F.greatest(n_tok, F.lit(1.0))
+    avg_word = F.length(c).cast("double") / safe_tok
+    stop_ratio = stopword_count(c).cast("double") / safe_tok
+    distinct_ratio = (
+        F.size(F.array_distinct(tokens(c))).cast("double") / safe_tok
+    )
+    return {
+        "pass_len": n_tok >= 30.0,
+        "pass_word": (avg_word >= 3.0) & (avg_word <= 9.0),
+        "pass_stop": stop_ratio > 0.02,
+        "pass_distinct": distinct_ratio >= 0.3,
+    }
+
+
 # Marker words per language for the n-gram/keyword language-ID
 # heuristic.  The corpus is synthetic word salad, so markers are drawn
 # from its own vocabulary — the POINT is the deterministic scoring

@@ -2015,3 +2015,254 @@ def ann_topk_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = emb.filter(F.col("vec_id") < 64)
     return similarity.topk_cosine_pq_batch(emb, qs, books, k=5, rerank=4)
+
+
+@register(
+    "span_dedup_repeated_8gram",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(t[i:i+7], ' ')
+                         for i in range(1, len(t) - 6)]) AS gram
+          FROM toks),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN firsts.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(CAST(sum(CASE WHEN firsts.first_doc < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_frac
+    FROM g JOIN firsts USING (gram)
+    GROUP BY 1
+    """,
+    doc="X2 span-level dedup report — the whole-word-gram approximation "
+    "of ExactSubstr suffix dedup (Lee et al. 2022): every positional "
+    "8-gram occurrence already present in a lower-id doc is a duplicate "
+    "span (first-occurrence-wins).  Per-doc totals + duplicate "
+    "fraction.  One per-gram min(doc_id) agg (map-side partial) + one "
+    "gram equi-join — occurrences, never doc×doc; boilerplate span "
+    "skew lands on the gram hash where AQE splits it.",
+    tags=("ext", "dedup", "X2", "span"),
+)
+def span_dedup_repeated_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_span_report(docs, "doc_id", "text", n=8)
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t1
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND e.ts > s.t0 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1),
+    counts AS (
+      SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s
+      UNION ALL SELECT 2, 'click_after_signup', count(*) FROM c
+      UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p)
+    SELECT stage, step, n_users,
+           round(CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s), 4) AS conv_rate
+    FROM counts
+    """,
+    doc="Sequential funnel over the event stream: users whose first "
+    "signup precedes a click precedes a purchase (strict event-order, "
+    "not mere type presence).  Every stage is a filtered scan (type "
+    "predicate pushed to parquet) keyed on user_id, so the three "
+    "joins and three aggs all share ONE shuffle key — stage frames "
+    "shrink monotonically and AQE turns the later joins into "
+    "broadcasts at any realistic funnel rate; at 100 TB nothing "
+    "re-shuffles after the first user_id exchange.",
+    tags=("ext", "events", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("step"), "n_users"
+        )
+
+    counts = (
+        stage(s, 1, "signup")
+        .unionAll(stage(c, 2, "click_after_signup"))
+        .unionAll(stage(p, 3, "purchase_after_click"))
+    )
+    base = s.agg(F.count(F.lit(1)).alias("_n_base"))
+    # 1-row broadcast scalar join — same pattern as the other
+    # whole-corpus normalizations in this module.
+    return counts.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "step",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("_n_base"), 4).alias(
+            "conv_rate"
+        ),
+    )
+
+
+@register(
+    "outliers_mad_by_type",
+    oracle="""
+    WITH med AS (SELECT event_type, median(value) AS m FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, med.m, abs(e.value - med.m) AS d
+            FROM events e JOIN med USING (event_type)),
+    mad AS (SELECT event_type, median(d) AS mad_v FROM dev GROUP BY 1)
+    SELECT dev.event_type,
+           round(min(dev.m), 4) AS med,
+           round(min(mad.mad_v), 4) AS mad,
+           CAST(sum(CASE WHEN dev.d > 4.4478 * mad.mad_v THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+    doc="Robust per-group outlier detection: median absolute deviation "
+    "with the 3σ-equivalent cutoff 3·1.4826·MAD (written as the single "
+    "literal 4.4478 on BOTH engines so decimal→double conversion is "
+    "identical).  Exact interpolated medians on both engines "
+    "(F.median ≡ DuckDB quantile_cont(0.5)).  Three passes over a "
+    "5-group key: per-type median, per-type MAD of deviations, then "
+    "the count — each a broadcast-joined re-scan; at 100 TB the "
+    "5-row stats frames broadcast and the data never shuffles at all "
+    "(group count is the cardinality of event_type, not of events).",
+    tags=("ext", "stats", "outliers"),
+)
+def outliers_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "m", F.abs(F.col("value") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("d").alias("mad_v"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("m"), 4).alias("med"),
+            F.round(F.min("mad_v"), 4).alias("mad"),
+            F.sum((F.col("d") > F.lit(4.4478) * F.col("mad_v")).cast("int")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT u.dim, u.x FROM (
+        SELECT unnest([{'dim': CAST(i - 1 AS INTEGER),
+                        'x': CAST(embedding[i] AS DOUBLE)}
+                       for i in range(1, len(embedding) + 1)]) AS u
+        FROM embeddings) t)
+    SELECT dim,
+           round(avg(x), 4) AS mean_x,
+           round(stddev_samp(x), 4) AS std_x,
+           round(min(x), 4) AS min_x,
+           round(max(x), 4) AS max_x
+    FROM ex GROUP BY 1
+    """,
+    doc="Embedding-matrix QC: per-dimension mean/std/min/max over the "
+    "whole corpus — the dead/collapsed-dimension screen run before "
+    "trusting an embedding column for dedup or ANN (a dimension whose "
+    "std ≈ 0 carries no signal and silently degrades every cosine).  "
+    "posexplode → 64-key hash agg, all four moments partial+final "
+    "(map-side combine): the shuffle carries dims × map-tasks rows "
+    "regardless of corpus size.",
+    tags=("ext", "similarity", "qc"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("x"), 4).alias("mean_x"),
+        F.round(F.stddev("x"), 4).alias("std_x"),
+        F.round(F.min("x"), 4).alias("min_x"),
+        F.round(F.max("x"), 4).alias("max_x"),
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=r"""
+    WITH q AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS n_uniq
+      FROM documents),
+    r AS (
+      SELECT source,
+             n_tok >= 30.0 AS pass_len,
+             n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 9.0 AS pass_word,
+             n_stop / greatest(n_tok, 1.0) > 0.02 AS pass_stop,
+             n_uniq / greatest(n_tok, 1.0) >= 0.3 AS pass_distinct
+      FROM q)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+           CAST(sum(CASE WHEN pass_word THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_word,
+           CAST(sum(CASE WHEN pass_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop,
+           CAST(sum(CASE WHEN pass_distinct THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_distinct,
+           CAST(sum(CASE WHEN pass_len AND pass_word AND pass_stop AND pass_distinct
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+           round(CAST(sum(CASE WHEN pass_len AND pass_word AND pass_stop AND pass_distinct
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pass_rate
+    FROM r GROUP BY 1
+    """,
+    doc="X4 per-rule quality-filter funnel (the C4/Gopher reporting "
+    "shape): each heuristic rule's pass count per source, plus the "
+    "all-rules pass rate — so a threshold change is simulated from "
+    "the report, not a corpus re-scan.  Rules come from "
+    "operators/text.quality_rules (one codegen pass, no Python); the "
+    "whole query is scan → map → 20-group hash agg with every "
+    "conditional sum partial+final.  The per-source breakdown is what "
+    "drives mixture re-weighting after filtering.",
+    tags=("ext", "text", "X4", "quality"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rules = text.quality_rules("text")
+    flagged = docs.select("source", *(c.alias(n) for n, c in rules.items()))
+    all_pass = F.col("pass_len") & F.col("pass_word") & F.col("pass_stop") & F.col(
+        "pass_distinct"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pass_len").cast("int")).alias("n_pass_len"),
+        F.sum(F.col("pass_word").cast("int")).alias("n_pass_word"),
+        F.sum(F.col("pass_stop").cast("int")).alias("n_pass_stop"),
+        F.sum(F.col("pass_distinct").cast("int")).alias("n_pass_distinct"),
+        F.sum(all_pass.cast("int")).alias("n_pass_all"),
+        F.round(
+            F.sum(all_pass.cast("int")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("pass_rate"),
+    )

@@ -87,6 +87,11 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "decontaminate_bloom_8gram",
     "multimodal_decode_real",
     "ann_topk_pq_batch",
+    "span_dedup_repeated_8gram",
+    "events_funnel_conversion",
+    "outliers_mad_by_type",
+    "embedding_dim_stats",
+    "quality_filter_funnel",
 )
 
 

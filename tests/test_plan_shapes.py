@@ -254,3 +254,51 @@ def test_histogram_window_after_aggregate(spark):
     # tree section prints root-first: the Windows must sit ABOVE (closer
     # to root than) the aggregates, i.e. windows consume agg output
     assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_round5_queries_stay_jvm_side(spark):
+    """The five round-5 queries are pure DataFrame compositions — no
+    Python stage anywhere, every aggregate partial+final."""
+    for name in (
+        "span_dedup_repeated_8gram",
+        "events_funnel_conversion",
+        "outliers_mad_by_type",
+        "embedding_dim_stats",
+        "quality_filter_funnel",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_funnel_stage_scans_push_type_predicate(spark):
+    """Each funnel stage reads only its event type: the equality
+    predicate must reach all three parquet scans."""
+    plan = plan_of(spark, "events_funnel_conversion")
+    for v in ("signup", "click", "purchase"):
+        assert f"EqualTo(event_type,{v})" in plan, v
+
+
+def test_mad_stats_frames_broadcast(spark):
+    """Per-type median/MAD frames are group-cardinality rows: both
+    re-join passes must be broadcasts, never a data-sized shuffle."""
+    plan = plan_of(spark, "outliers_mad_by_type")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_first_doc_agg_is_partial(spark):
+    """gram→min(doc_id) must combine map-side (partial+final pairs) so
+    the shuffle carries distinct grams, not occurrences."""
+    plan = plan_of(spark, "span_dedup_repeated_8gram")
+    assert plan.count("HashAggregate") >= 4  # 2 aggs × (partial+final)
+
+
+def test_quality_funnel_single_exchange(spark):
+    """Scan → map (rules) → 20-group agg: exactly one shuffle."""
+    plan = plan_of(spark, "quality_filter_funnel")
+    import re
+
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, plan
