@@ -963,24 +963,43 @@ def repeated_span_report(
     least one full span (≥ n tokens).
 
     Shape: positional gram OCCURRENCES via the codegen'd
-    ``shingle_rows`` path (``distinct=False``), one per-gram
-    ``min(id)`` aggregation (associative → map-side partial combine:
-    the shuffle carries one row per distinct gram per map task, not
-    one per occurrence), and one shuffle equi-join gram → first_id.
-    Never doc×doc.  At 100 TB the gram→first_id map is the big state —
-    it partitions by gram hash and AQE splits skewed grams (boilerplate
-    spans ARE the skew); the report stays a narrow three-column row
-    per doc.  For remove-not-report, the same join yields the span
-    positions to cut (shingle_rows keeps ``_pos`` one select away).
+    ``shingle_rows`` path (``distinct=False``), collapsed map-side to
+    (gram, id, cnt); ``first_id`` is a frameless window ``min`` over
+    each gram's posting list (never a join back onto raw occurrences —
+    see the inline note), then a per-doc agg.  Never doc×doc; the
+    gram table is computed exactly once.  Each shuffle carries strictly
+    less than the one before (occurrence-pairs → posting rows → docs);
+    boilerplate-gram skew is the posting-list df, bounded the same way
+    as the Jaccard joins (df-cap pre-filter).  For remove-not-report,
+    the same posting rows carry the span positions to cut
+    (shingle_rows keeps ``_pos`` one select away).
     """
+    # Single-pass formulation: an agg-then-join design (per-gram
+    # min(id) map joined back onto the gram rows) consumes the gram
+    # table TWICE — the two exchanges differ (partial-agg rows vs raw
+    # grams) so Catalyst cannot reuse them, and persisting 10⁶-scale
+    # exploded string rows costs more than recomputing them (measured:
+    # join 1.51 s, join+persist 1.6 s, this 0.9 s at sf0.1).  Instead
+    # collapse occurrences to (gram, id, cnt) — map-side partial
+    # combine shrinks the first shuffle to per-map distinct pairs —
+    # then first_id is a frameless window min over the gram posting
+    # list.  Partition size = docs-per-gram (the df of the inverted
+    # index), the same skew exposure as the Jaccard posting joins;
+    # pathological boilerplate grams get the df-cap pre-filter
+    # (ngram_jaccard_pairs_capped) before this operator.
     g = shingle_rows(df, id_col, text_col, n, distinct=False)
-    firsts = g.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    gd = g.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy("gram")
+    gd = gd.withColumn("_first", F.min(id_col).over(w))
     return (
-        g.join(firsts, "gram")
-        .groupBy(id_col)
+        gd.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("_first") < F.col(id_col)).cast("int")).alias("n_dup_spans"),
+            F.sum("_cnt").alias("n_spans"),
+            F.sum(
+                F.when(F.col("_first") < F.col(id_col), F.col("_cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_spans"),
         )
         .withColumn(
             "dup_frac",
