@@ -1,0 +1,87 @@
+"""Property-based checks for round-5 operators: the span-dedup report
+against a brute-force positional-n-gram reference, and quality_rules
+against a plain-Python re-implementation of the same rational
+arithmetic."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup, text
+
+# Tiny vocabulary forces cross-doc gram collisions (the interesting
+# case); doc length straddles the n-gram boundary so empty-span docs
+# are exercised too.
+_VOCAB = ("alpha", "beta", "gamma", "delta")
+_DOC = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=10).map(" ".join)
+
+
+def _brute_force(docs: list[str], n: int) -> dict[int, tuple[int, int]]:
+    """doc_id -> (n_spans, n_dup_spans) by literal first-occurrence-wins."""
+    grams: dict[int, list[str]] = {}
+    for i, d in enumerate(docs):
+        toks = re.findall(r"\S+", d)
+        grams[i] = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+    first: dict[str, int] = {}
+    for i in sorted(grams):
+        for g in grams[i]:
+            first.setdefault(g, min(first.get(g, i), i))
+    return {
+        i: (len(gs), sum(1 for g in gs if first[g] < i))
+        for i, gs in grams.items()
+        if gs
+    }
+
+
+@given(st.lists(_DOC, min_size=1, max_size=8), st.integers(min_value=2, max_value=4))
+@settings(max_examples=15, deadline=None)
+def test_repeated_span_report_matches_brute_force(spark, docs, n):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in dedup.repeated_span_report(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == _brute_force(docs, n)
+
+
+_FUNNEL_DOC = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=0x2FF),
+    max_size=120,
+)
+
+
+def _python_rules(d: str) -> dict[str, bool]:
+    toks = re.findall(r"\S+", d)
+    n_tok = float(len(toks))
+    safe = max(n_tok, 1.0)
+    stop_pat = r"\b(" + "|".join(text.STOPWORDS) + r")\b"
+    n_stop = float(len(re.findall(stop_pat, d)))
+    return {
+        "pass_len": n_tok >= 30.0,
+        "pass_word": 3.0 <= len(d) / safe <= 9.0,
+        "pass_stop": n_stop / safe > 0.02,
+        "pass_distinct": len(set(toks)) / safe >= 0.3,
+    }
+
+
+@given(st.lists(_FUNNEL_DOC, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None)
+def test_quality_rules_match_python(spark, docs):
+    """Java-regex token/stopword counts and the rational rule
+    arithmetic must agree with an independent Python re-implementation
+    (same dialect-intersection argument as the PII property test)."""
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, text string"
+    )
+    rules = text.quality_rules("text")
+    got = {
+        r.i: {k: bool(r[k]) for k in rules}
+        for r in df.select("i", *(c.alias(nm) for nm, c in rules.items())).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _python_rules(d), (i, d)
