@@ -1031,10 +1031,12 @@ def test_stream_redact_and_quality_matches_batch(spark, tmp_path):
             f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
 
     def transform(df):
+        rules = T.quality_rules("text")
         return df.select(
             "doc_id",
             T.redact_pii("text").alias("clean"),
             T.quality_score("text").alias("q"),
+            *(c.alias(nm) for nm, c in rules.items()),
         ).filter(F.col("q") > 0.0)
 
     stream = (
@@ -1054,4 +1056,6 @@ def test_stream_redact_and_quality_matches_batch(spark, tmp_path):
     batch = spark.createDataFrame(docs, "doc_id long, text string")
     exp = {tuple(r) for r in transform(batch).collect()}
     assert got == exp and len(exp) == 3
-    assert all("<EMAIL>" in c and "<PHONE>" in c for i, c, _ in got if i == 1)
+    assert all(r[1].count("<EMAIL>") == 1 and "<PHONE>" in r[1] for r in got if r[0] == 1)
+    # the rule columns (quality_rules, round 5) ride the same map-only
+    # plan: streaming-legal by construction, equal row-for-row above
