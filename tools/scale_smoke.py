@@ -64,6 +64,7 @@ def main() -> None:
     ).filter(F.col("rn") <= 3).count())
 
     skewed_dedup_smoke(spark)
+    span_dedup_smoke(spark)
 
 
 def skewed_dedup_smoke(spark, n_docs: int = 20_000, hot_frac: int = 10) -> None:
@@ -118,6 +119,42 @@ def skewed_dedup_smoke(spark, n_docs: int = 20_000, hot_frac: int = 10) -> None:
         docs, "doc_id", threshold=0.8, max_shingle_df=64
     ).collect()))
     print(f"pair sets equal: {uncapped == capped} ({len(capped)} pairs)")
+
+
+def span_dedup_smoke(spark, n_docs: int = 2_000_000, hot_frac: int = 10) -> None:
+    """Round-5 span dedup at 100× the bench corpus: 2M synthetic docs
+    (~13 tokens each → ~12M positional 4-gram occurrences), with the
+    boilerplate sentence on every ``hot_frac``-th doc so the hot grams'
+    posting lists hold n_docs/hot_frac entries — the window-min
+    partition the operator docstring flags as its skew exposure.  The
+    smoke proves the narrow (gram, id, cnt) rows keep even a 200k-row
+    posting partition cheap; corpora with broader boilerplate use the
+    df-cap pre-filter first."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+        repeated_span_report,
+    )
+
+    uniq = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(8)),
+            lambda i: F.concat(F.lit("t"), F.xxhash64(F.col("id"), i)),
+        ),
+        " ",
+    )
+    boiler = F.lit("click here to accept all cookies")
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % hot_frac == 0, F.concat(uniq, F.lit(" "), boiler))
+        .otherwise(uniq)
+        .alias("text"),
+    )
+    t = time.time()
+    out = repeated_span_report(docs, "doc_id", "text", n=4).count()
+    print(
+        f"span dedup ({n_docs // 1_000_000}M docs, hot df={n_docs // hot_frac})"
+        f" rows={out} {time.time() - t:.1f}s",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
