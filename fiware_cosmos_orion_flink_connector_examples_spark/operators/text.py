@@ -424,3 +424,67 @@ def pack_chunks(
         F.pmod(md5int64(F.col(order_cols[0]).cast("string")), F.lit(shards)),
     )
     return sharded.groupBy("_shard").applyInPandas(pack_one, schema=out_schema)
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group unigram distribution drift: KL(P_group ‖ P_corpus) =
+    Σ_t p_g(t)·ln(p_g(t)/p(t)) over whole-word tokens — the mixture
+    monitor run per source/shard/snapshot to catch a slice whose token
+    distribution is drifting from the corpus before it skews training.
+
+    Shape: one token explode → (group, tok) counts (map-side partial),
+    then the marginals are REUSED from that table (per-tok counts,
+    per-group totals, grand total — three shrinking aggs, never a
+    second corpus scan).  The vocab-sized tok-marginal joins back
+    broadcast-or-shuffle at Catalyst's discretion, the group marginal
+    is group-cardinality (broadcast), the grand total a 1-row
+    broadcast scalar.  The final KL sum folds in explicit token order
+    via ``F.aggregate(F.sort_array(collect_list(struct(tok, term))))``
+    — same left-to-right float determinism contract as
+    ``unigram_logprob``, matched by DuckDB ``list(term ORDER BY tok)``
+    + ``list_aggregate('sum')``.  The ordered fold is the
+    ORACLE-portability path: per-group term arrays are vocab-bounded
+    (fine for word/BPE vocabularies); an unhashable-but-cheaper plain
+    ``F.sum`` drop-in exists for open-ended vocabularies at scale.
+
+    Returns (group_col, n_tokens BIGINT, kl DOUBLE round 6).
+    """
+    ex = docs.select(F.col(group_col), F.explode(tokens(text_col)).alias("tok"))
+    # Four consumers (three marginals + the term join) would each
+    # re-run the corpus-sized explode; st itself is |groups|×|vocab|
+    # rows — bounded and tiny relative to the corpus — so persisting
+    # it is cheap and saves three full scans (1.69 → 1.13 s at sf0.1).
+    st = (
+        ex.groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist()
+    )
+    tot_t = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    tot_g = st.groupBy(group_col).agg(F.sum("c_st").alias("n_g"))
+    n_all = st.agg(F.sum("c_st").alias("n"))
+    p_g = F.col("c_st").cast("double") / F.col("n_g").cast("double")
+    p = F.col("c_t").cast("double") / F.col("n").cast("double")
+    terms = (
+        st.join(tot_t, "tok")
+        .join(F.broadcast(tot_g), group_col)
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            F.col(group_col),
+            F.col("n_g"),
+            F.col("tok"),
+            (p_g * F.log(p_g / p)).alias("term"),
+        )
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("tok", "term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    return terms.groupBy(group_col).agg(
+        F.min("n_g").cast("long").alias("n_tokens"),
+        F.round(folded, 6).alias("kl"),
+    )

@@ -2266,3 +2266,38 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(all_pass.cast("int")).cast("double") / F.count(F.lit(1)), 4
         ).alias("pass_rate"),
     )
+
+
+@register(
+    "source_unigram_kl",
+    oracle=r"""
+    WITH ex AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents),
+    st AS (SELECT source, tok, count(*) AS c_st FROM ex GROUP BY 1, 2),
+    tt AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY 1),
+    tg AS (SELECT source, sum(c_st) AS n_g FROM st GROUP BY 1),
+    n AS (SELECT sum(c_st) AS n FROM st),
+    terms AS (
+      SELECT st.source, tg.n_g, st.tok,
+             (CAST(c_st AS DOUBLE) / CAST(n_g AS DOUBLE))
+               * ln((CAST(c_st AS DOUBLE) / CAST(n_g AS DOUBLE))
+                    / (CAST(c_t AS DOUBLE) / CAST(n.n AS DOUBLE))) AS term
+      FROM st JOIN tt USING (tok) JOIN tg USING (source) CROSS JOIN n)
+    SELECT source,
+           CAST(min(n_g) AS BIGINT) AS n_tokens,
+           round(list_aggregate(list(term ORDER BY tok), 'sum'), 6) AS kl
+    FROM terms GROUP BY 1
+    """,
+    doc="X4 mixture drift monitor: per-source KL(P_source ‖ P_corpus) "
+    "over whole-word unigram distributions — the slice-level screen "
+    "run before re-weighting a training mixture.  One token explode; "
+    "all three marginals re-aggregate the (source, tok) count table "
+    "(never a second corpus scan); the KL sum folds in explicit token "
+    "order (sort_array struct re-fold ≡ DuckDB list(term ORDER BY "
+    "tok)) so both engines sum floats identically — the "
+    "unigram_logprob determinism contract.",
+    tags=("ext", "text", "X4", "drift"),
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_unigram_kl(docs, "source", "text")

@@ -92,6 +92,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "outliers_mad_by_type",
     "embedding_dim_stats",
     "quality_filter_funnel",
+    "source_unigram_kl",
 )
 
 

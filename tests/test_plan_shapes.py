@@ -265,6 +265,7 @@ def test_round5_queries_stay_jvm_side(spark):
         "outliers_mad_by_type",
         "embedding_dim_stats",
         "quality_filter_funnel",
+        "source_unigram_kl",
     ):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
