@@ -2,11 +2,13 @@
 the [ext] operator pack composes into (no reference analog; this is
 the engine's own headline batch pipeline):
 
-  documents → in-flight quality metrics (observe) → exact dedup →
-  near-dup pairs → connected components → drop cluster losers →
+  documents → in-flight quality metrics (observe) → quality-rule
+  funnel report → exact dedup → near-dup pairs → connected
+  components → drop cluster losers → span-dedup report →
   train/eval split + 8-gram decontamination (bloom-pruned at scale,
-  --bloom) → chunk → greedy pack → per-pack stats; embeddings → int8
-  quantization report.
+  --bloom) → per-source KL drift on the train split → chunk →
+  greedy pack → per-pack stats; embeddings → int8 quantization
+  report.
 
 Run: python examples/corpus_pipeline.py [--sf-dir /root/testdata/sf0.01]
      [--bloom]   # prune the decontamination join with the broadcast bloom
@@ -56,6 +58,14 @@ def main() -> None:
         F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("n_empty"),
     )
 
+    # 1b. quality-rule funnel (report only — the thresholds are studied
+    # from the report, the corpus is not re-scanned per candidate value)
+    rules = text.quality_rules("text")
+    funnel = docs.select(*(c.alias(n) for n, c in rules.items())).agg(
+        F.count(F.lit(1)).alias("n"),
+        *(F.sum(F.col(n).cast("int")).alias(n) for n in rules),
+    ).first()
+
     # 2. exact dedup (lowest-id survivor), then near-dup clusters
     survivors = docs.join(
         dedup.exact_dedup(docs, ["text"], "doc_id").select(
@@ -68,6 +78,12 @@ def main() -> None:
     clusters = dedup.connected_components(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     corpus = survivors.join(losers, "doc_id", "left_anti")
+
+    # 2b. span-level duplication report on the cleaned corpus (cross-doc
+    # repeated 8-gram occurrences that whole-doc dedup cannot see)
+    spans = dedup.repeated_span_report(corpus, "doc_id").agg(
+        F.sum("n_spans").alias("n_spans"), F.sum("n_dup_spans").alias("n_dup")
+    ).first()
 
     # 3. split + decontaminate: eval docs sharing an 8-gram with train
     is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
@@ -91,11 +107,25 @@ def main() -> None:
         F.round(F.avg("pack_tokens") / args.budget, 4).alias("avg_fill"),
     )
 
+    # 3b. mixture drift on the train split: which source's token
+    # distribution sits furthest from the corpus mix
+    drift = (
+        text.source_unigram_kl(train, "source")
+        .orderBy(F.desc("kl"), F.asc("source"))
+        .first()
+    )
+
     n_train, n_eval, n_contam = train.count(), clean_eval.count(), contaminated.count()
     stats = pack_stats.first()
     quality = obs.get
     print(f"docs={quality['n_docs']} empty={quality['n_empty']}")
+    print(
+        "quality_funnel "
+        + " ".join(f"{k}={funnel[k]}" for k in ("n", *rules))
+    )
+    print(f"span_report n_spans={spans['n_spans']} n_dup_spans={spans['n_dup']}")
     print(f"train={n_train} clean_eval={n_eval} contaminated_eval_dropped={n_contam}")
+    print(f"max_drift source={drift['source']} kl={drift['kl']}")
     print(f"packs={stats['n_packs']} avg_fill={stats['avg_fill']}")
 
 

@@ -36,3 +36,8 @@ def test_corpus_pipeline_example_runs():
     assert m["packs"] > 0
     fill = float(re.search(r"avg_fill=([\d.]+)", out).group(1))
     assert 0.5 < fill <= 1.0  # greedy packing actually fills packs
+    # round-5 observability steps: quality funnel, span report, drift
+    fun = {k: int(v) for k, v in re.findall(r"(pass_\w+)=(\d+)", out)}
+    assert fun and all(0 <= v <= m["docs"] for v in fun.values())
+    assert int(re.search(r"n_spans=(\d+)", out).group(1)) > 0
+    assert re.search(r"max_drift source=\S+ kl=[\d.]+", out)
