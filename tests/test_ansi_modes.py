@@ -1,0 +1,54 @@
+"""Oracle parity must hold under BOTH ANSI modes: Spark 4 defaults
+`spark.sql.ansi.enabled=true`, but clusters migrating from Spark 3 run
+with it off — the engine's arithmetic/cast choices (try_cast in the
+parse layer, rational quality arithmetic, integer-cents revenue) must
+not depend on the mode.  A representative slice of the registry reruns
+against DuckDB with ANSI off; the full suite runs with the default on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import QUERIES
+from tests.oracle import compare, duckdb_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Mode-sensitive surface: string→number casts (ngsi parse, json props),
+# division/overflow arithmetic (quality, KL, MAD), decimal revenue,
+# and the round-5 queries.
+REPRESENTATIVE = [
+    "ngsi_parse_project",
+    "ngsi_json_props",
+    "tpch_q1_pricing_summary",
+    "text_quality_topk",
+    "span_dedup_repeated_8gram",
+    "events_funnel_conversion",
+    "outliers_mad_by_type",
+    "embedding_dim_stats",
+    "quality_filter_funnel",
+    "source_unigram_kl",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.fixture()
+def ansi_off(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_oracle_parity_ansi_off(ansi_off, con, name):
+    spec = QUERIES[name]
+    problems = compare(spec.fn(ansi_off, SF_DIR), con, spec.oracle)
+    assert not problems, f"{name} (ansi off): " + "; ".join(problems)
