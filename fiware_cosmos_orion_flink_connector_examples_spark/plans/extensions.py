@@ -2301,3 +2301,59 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.source_unigram_kl(docs, "source", "text")
+
+
+@register(
+    "sample_token_budget",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(concat('0x', substr(md5(concat('budget:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM base)
+    SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 1000
+    """,
+    doc="Token-budgeted mixture sampling: each source contributes docs "
+    "in deterministic seeded-md5 rank order until its running token "
+    "total fills a fixed budget (1000 here) — how a training mixture "
+    "is actually assembled when the unit of account is tokens, not "
+    "docs.  The md5 rank makes the selection stable across runs, "
+    "partitionings, and engines (same primitive as "
+    "deterministic_hash_sample).  One shuffle by source + in-partition "
+    "sort; the running sum is a frame-bounded window.  Sources too "
+    "large for one partition's sort take the classic two-pass "
+    "range-partitioned prefix-sum instead — the budget cutoff only "
+    "needs the per-range token totals to locate the boundary range.",
+    tags=("ext", "sample", "mixture"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        md5int64_seeded(F.col("doc_id").cast("string"), "budget").alias("_h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("_h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 1000)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    )

@@ -93,6 +93,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "embedding_dim_stats",
     "quality_filter_funnel",
     "source_unigram_kl",
+    "sample_token_budget",
 )
 
 

@@ -266,6 +266,7 @@ def test_round5_queries_stay_jvm_side(spark):
         "embedding_dim_stats",
         "quality_filter_funnel",
         "source_unigram_kl",
+        "sample_token_budget",
     ):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
