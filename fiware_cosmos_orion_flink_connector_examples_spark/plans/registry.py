@@ -62,27 +62,27 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      only a row count, while their real check (pytest fixture/recall
 #      equality) runs locally every commit — not worth displacing a
 #      stale hash proof.
-#   2. Never driver-checked (registered before this round, no row in
-#      any artifact) — the r4 gap this rotation exists to close.
+#   2. Never driver-checked — no passing row in ANY artifact, whether
+#      registered in a prior round (the r4 gap this rotation exists to
+#      close) or this one: a query ships WITH its driver proof, never a
+#      round behind it (the exact defect VERDICT r4 #1 flagged twice).
 #   3. Ascending last-green round (least-recently-proved first), ties by
 #      registration order.
-#   4. NEW_THIS_ROUND — queries first registered this round sort after
-#      every history-bearing query: with 100 queries and a 50-window,
-#      2 never-checked + 48 stale fill the window exactly, so a brand-new
-#      query (locally parity-proven at sf0.001+sf0.01) would displace a
-#      2-round-stale hash proof; next round it is class 2 and fronted
-#      automatically.
 #
 # Window arithmetic this round: 1 changed (dedup_embedding_cosine,
-# rewritten r4, last proof r3 — also in the stale set, so fronting it
-# displaces nothing) + 2 never-checked (users_day_retention,
-# customer_rfm_segments) + 47 remaining stale = exactly 50; the union
-# of the r4 and r5 windows covers all 100 registered queries.
+# rewritten r4, last proof r3) + 12 never-checked (users_day_retention
+# + customer_rfm_segments from late r4, plus the 10 round-5 queries) +
+# 37 least-recently-green (all 10 r2-proven, then 27 of the 38
+# r3-proven) = exactly 50.  The 11 r3-proven queries that slip out
+# front the r6 window by class 3; everything outside the window holds
+# an r4 proof, so no query's proof is ever more than ~2 rounds old.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
     # r4 rewrote embedding_dup_pairs onto the Arrow cell-scorer path but
     # left this outside the r4 window (ADVICE r4 medium) — re-prove now.
     "dedup_embedding_cosine",
 )
+# Documentation + rotation-test bookkeeping (class 2 membership comes
+# from artifact history, not from this tuple).
 NEW_THIS_ROUND: tuple[str, ...] = (
     "decontaminate_bloom_8gram",
     "multimodal_decode_real",
@@ -143,11 +143,8 @@ def ordered_query_names() -> list[str]:
     hist = _round_history()
     front = [n for n in CHANGED_LAST_ROUND if n in QUERIES]
     in_front = set(front)
-    new = set(NEW_THIS_ROUND)
 
     def key(n: str) -> tuple[int, int, int]:
-        if n in new and n not in hist:
-            return (2, 0, idx[n])  # brand new: after all history (see above)
         if n not in hist:
             return (0, 0, idx[n])  # never driver-checked: first
         return (1, hist[n], idx[n])  # least-recently-green first

@@ -15,37 +15,37 @@ def test_rotation_is_a_permutation():
 
 
 def test_rotation_priority_classes():
-    """changed-last-round first, then never-checked (pre-existing),
-    then ascending last-green round; queries first registered this
-    round sort after every history-bearing query."""
+    """changed-last-round first, then never-checked (whether registered
+    in a prior round or this one — a query ships WITH its driver proof),
+    then ascending last-green round."""
     order = registry.ordered_query_names()
     hist = registry._round_history()
     changed = [n for n in registry.CHANGED_LAST_ROUND if n in registry.QUERIES]
     assert order[: len(changed)] == changed
-    new = set(registry.NEW_THIS_ROUND)
     rest = order[len(changed) :]
-    classes = [
-        2 if (n in new and n not in hist) else (0 if n not in hist else 1)
-        for n in rest
-    ]
+    classes = [0 if n not in hist else 1 for n in rest]
     assert classes == sorted(classes), "class order violated"
-    rounds = [hist[n] for n in rest if n in hist and n not in new]
+    rounds = [hist[n] for n in rest if n in hist]
     assert rounds == sorted(rounds), "least-recently-green order violated"
+
+
+def test_new_queries_inside_window():
+    """Every round-5 query must be in the 50-slot driver window — the
+    VERDICT r4 #1 defect (queries shipped without a driver row) must
+    not recur."""
+    window = set(registry.ordered_query_names()[:50])
+    missing = [n for n in registry.NEW_THIS_ROUND if n not in window]
+    assert missing == []
 
 
 def test_window_plus_history_covers_everything():
     """Every query is either in this round's 50-window or has a prior
-    driver row — i.e. the union of artifacts after this round covers
-    the whole registry except queries first registered this round
-    (which front next round as never-checked)."""
+    driver row — the union of artifacts after this round covers the
+    whole registry."""
     order = registry.ordered_query_names()
     hist = registry._round_history()
     window = set(order[:50])
-    uncovered = [
-        n
-        for n in order
-        if n not in window and n not in hist and n not in registry.NEW_THIS_ROUND
-    ]
+    uncovered = [n for n in order if n not in window and n not in hist]
     assert uncovered == []
 
 
