@@ -85,3 +85,61 @@ def test_quality_rules_match_python(spark, docs):
     }
     for i, d in enumerate(docs):
         assert got[i] == _python_rules(d), (i, d)
+
+
+# --- token-budget sampling invariants ---------------------------------------
+
+
+def test_token_budget_invariants(spark):
+    """Per-source cumulative tokens never exceed the budget, the
+    selection is the md5-rank prefix (no doc after the first over-budget
+    doc), and the result is invariant under input partitioning."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["sample_token_budget"].fn(spark, sf)
+    rows = out.collect()
+    assert rows, "sample must be non-empty at sf0.001"
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert max(x.cum_tokens for x in rs) <= 1000, src
+        # cum_tokens is a prefix sum: sorted order reconstructs exactly
+        rs = sorted(rs, key=lambda x: x.cum_tokens)
+        acc = 0
+        for x in rs:
+            acc += x.n_tokens
+            assert x.cum_tokens == acc, (src, x)
+    # partitioning invariance: same result from a repartitioned scan
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents").repartition(7)
+    base = docs.select(
+        "source",
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        md5int64_seeded(F.col("doc_id").cast("string"), "budget").alias("_h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("_h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    re_rows = (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 1000)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .collect()
+    )
+    assert {tuple(r) for r in re_rows} == {tuple(r) for r in rows}
