@@ -2357,3 +2357,72 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 1000)
         .select("source", "doc_id", "n_tokens", "cum_tokens")
     )
+
+
+@register(
+    "events_type_islands",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_id
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM o),
+    islands AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged)
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id, event_type,
+           count(*) AS n_events,
+           CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS island_start,
+           CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS island_end
+    FROM islands
+    GROUP BY 1, 2, 3
+    """,
+    doc="Gaps-and-islands (the SCD2 interval-build pattern): collapse "
+    "each user's consecutive same-type event runs into one row with "
+    "run extent and size — lag change-flag, running-sum island id, "
+    "group.  All three steps share ONE hashpartitioning(user_id) "
+    "exchange (two frames over the same window spec + the final agg "
+    "re-uses the sort) — the plan Spark produces is exchange, sort, "
+    "two Window nodes, partial/final agg; at 100 TB this is a single "
+    "shuffle of the events table keyed by user.",
+    tags=("ext", "events", "islands", "window"),
+)
+def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return islands.groupBy("user_id", "island_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.min("ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("island_start"),
+        (F.unix_micros(F.max("ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("island_end"),
+    )

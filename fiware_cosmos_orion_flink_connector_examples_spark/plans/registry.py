@@ -94,6 +94,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "quality_filter_funnel",
     "source_unigram_kl",
     "sample_token_budget",
+    "events_type_islands",
 )
 
 

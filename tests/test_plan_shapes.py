@@ -267,6 +267,7 @@ def test_round5_queries_stay_jvm_side(spark):
         "quality_filter_funnel",
         "source_unigram_kl",
         "sample_token_budget",
+        "events_type_islands",
     ):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
@@ -304,3 +305,12 @@ def test_quality_funnel_single_exchange(spark):
 
     n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchange == 1, plan
+
+
+def test_islands_single_exchange(spark):
+    """Gaps-and-islands: lag flag, running-sum island id, and the final
+    agg all share one hashpartitioning(user_id) exchange."""
+    import re
+
+    plan = plan_of(spark, "events_type_islands")
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
