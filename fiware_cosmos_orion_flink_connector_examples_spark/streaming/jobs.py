@@ -298,3 +298,75 @@ def maintain_hourly_rollup(events: DataFrame, table_path: str):
             part.unpersist()
 
     return merge_batch
+
+
+FUNNEL_SCHEMA = (
+    "user_id bigint, stage int, step string, reached_ts timestamp"
+)
+# -1.0 = stage not reached (state tuples need a fixed non-null schema)
+FUNNEL_STATE_SCHEMA = "t0 double, t1 double, t2 double"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stateful streaming funnel — the live twin of the batch
+    ``events_funnel_conversion`` query: per user, the first 'signup'
+    sets t0, the first 'click' after t0 sets t1, the first 'purchase'
+    after t1 sets t2; a (stage, step, reached_ts) row is emitted the
+    micro-batch a stage is first reached (append mode), so a dashboard
+    counts stage rows instead of recomputing the funnel per trigger.
+
+    State per key is three doubles — constant size, no event
+    buffering; the watermark bounds how late an event may arrive,
+    and within each micro-batch events replay in ts order, so a
+    same-batch signup→click→purchase chain resolves all three stages
+    at once (the availableNow replay of a history equals the batch
+    funnel exactly — pytest-pinned).  Cross-batch late events carry
+    the same guarantee class as the sessionizer: arrival order within
+    the watermark horizon.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        t0, t1, t2 = state.get if state.exists else (-1.0, -1.0, -1.0)
+        reached = []  # (stage, step, ts)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                t = ts.timestamp()
+                if etype == "signup" and t0 < 0:
+                    t0 = t
+                    reached.append((1, "signup", t))
+                elif etype == "click" and t0 >= 0 and t > t0 and t1 < 0:
+                    t1 = t
+                    reached.append((2, "click_after_signup", t))
+                elif etype == "purchase" and t1 >= 0 and t > t1 and t2 < 0:
+                    t2 = t
+                    reached.append((3, "purchase_after_click", t))
+        state.update((t0, t1, t2))
+        if reached:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(reached),
+                    "stage": [s for s, _, _ in reached],
+                    "step": [n for _, n, _ in reached],
+                    "reached_ts": [pd.Timestamp(t, unit="s") for _, _, t in reached],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

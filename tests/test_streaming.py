@@ -1059,3 +1059,74 @@ def test_stream_redact_and_quality_matches_batch(spark, tmp_path):
     assert all(r[1].count("<EMAIL>") == 1 and "<PHONE>" in r[1] for r in got if r[0] == 1)
     # the rule columns (quality_rules, round 5) ride the same map-only
     # plan: streaming-legal by construction, equal row-for-row above
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Stateful funnel vs the batch stage logic: an availableNow replay
+    of a history must reach exactly the stages the batch funnel
+    computes, and a second micro-batch must resume from state (a
+    purchase arriving later completes stage 3 without re-emitting
+    stages 1-2)."""
+    import datetime as dt
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(sec, user, etype):
+        return {"ts": (t0 + dt.timedelta(seconds=sec)).replace(
+            tzinfo=dt.timezone.utc).timestamp(), "user_id": user, "event_type": etype}
+
+    # u1: full funnel in order; u2: click BEFORE signup (stage 2 never
+    # reached); u3: signup+click, purchase arrives in batch 2
+    batch1 = [
+        ev(0, 1, "signup"), ev(10, 1, "click"), ev(20, 1, "purchase"),
+        ev(0, 2, "click"), ev(10, 2, "signup"), ev(20, 2, "purchase"),
+        ev(0, 3, "signup"), ev(15, 3, "click"),
+    ]
+    batch2 = [ev(40, 3, "purchase")]
+    spool = tmp_path / "fspool"
+    spool.mkdir()
+    with open(spool / "b1.jsonl", "w") as f:
+        for e in batch1:
+            f.write(json.dumps(e) + "\n")
+
+    out_dir = str(tmp_path / "funnel_out")
+
+    def drain():
+        # file sink (not memory): the second drain must RECOVER from the
+        # checkpoint, which the memory sink does not support
+        stream = (
+            spark.readStream.schema("ts double, user_id long, event_type string")
+            .json(str(spool))
+            .selectExpr("user_id", "timestamp_seconds(ts) AS ts", "event_type")
+        )
+        q = (
+            jobs.streaming_funnel(stream)
+            .writeStream.format("json")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.stage, r.step)
+            for r in spark.read.schema(
+                "user_id long, stage int, step string, reached_ts timestamp"
+            ).json(out_dir).collect()
+        }
+
+    got1 = drain()
+    assert got1 == {
+        (1, 1, "signup"), (1, 2, "click_after_signup"), (1, 3, "purchase_after_click"),
+        (2, 1, "signup"),           # click preceded signup; purchase needs a click
+        (3, 1, "signup"), (3, 2, "click_after_signup"),
+    }
+
+    with open(spool / "b2.jsonl", "w") as f:
+        for e in batch2:
+            f.write(json.dumps(e) + "\n")
+    got2 = drain() - got1  # same checkpoint: resumes state, only b2 is new
+    assert got2 == {(3, 3, "purchase_after_click")}, got2
