@@ -2,16 +2,18 @@
 BINARY columns + typed metadata, processed by Arrow-batched pandas
 transforms.
 
-The container has no image/audio CODEC libraries, so decode of
-compressed formats (JPEG/PNG/MP4) is STUBBED (``decode_image_real``
-raises NotImplementedError; that pipeline runs ``fake_decode_features``
-— a deterministic pure function of the bytes).  Codec-LESS formats are
-decoded for REAL since round 5: BMP via pure numpy header+pixel parse
-and PCM WAV via stdlib ``wave`` (``decode_bmp``/``decode_wav``/
-``extract_features_real``, oracle-checked end-to-end by the
-``multimodal_decode_real`` query).  Everything around the remaining
-stub is real and tested: binary column construction, metadata schema,
-``mapInPandas`` signature, Arrow batch shapes, partition behavior.
+The container has no image/audio CODEC libraries, so decode of formats
+that need one (JPEG/MP4) is STUBBED (``decode_image_real`` raises
+NotImplementedError; that pipeline runs ``fake_decode_features`` — a
+deterministic pure function of the bytes).  No-codec formats are
+decoded for REAL since round 5: BMP via pure numpy header+pixel parse,
+PCM WAV via stdlib ``wave``, and PNG via stdlib ``zlib`` inflate +
+numpy scanline unfiltering (all five spec filter types) —
+``decode_bmp``/``decode_wav``/``decode_png``/``extract_features_real``,
+oracle-checked end-to-end by the ``multimodal_decode_real`` query.
+Everything around the remaining stub is real and tested: binary column
+construction, metadata schema, ``mapInPandas`` signature, Arrow batch
+shapes, partition behavior.
 
 Scale notes: mapInPandas streams Arrow record batches (no per-row
 Python overhead); binary payloads stay columnar end-to-end; the
@@ -75,13 +77,15 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, kind: str) -> D
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decode for COMPRESSED formats (JPEG/PNG/MP4) — requires a
-    codec library, absent from this container; still stubbed.  The
-    codec-LESS formats are no longer stubbed: see ``decode_bmp`` /
-    ``decode_wav`` (pure numpy / stdlib) and ``extract_features_real``."""
+    """Real decode for formats needing a CODEC LIBRARY (JPEG/MP4) —
+    absent from this container; still stubbed.  No-codec formats are
+    real: ``decode_bmp`` (numpy), ``decode_wav`` (stdlib wave), and
+    since late round 5 ``decode_png`` (stdlib zlib inflate + numpy
+    scanline unfiltering — PNG's only compression is DEFLATE, which
+    Python ships)."""
     raise NotImplementedError(
-        "compressed-image codecs unavailable in this environment; "
-        "BMP/WAV decode is real (decode_bmp/decode_wav)"
+        "JPEG/MP4 codecs unavailable in this environment; "
+        "BMP/PNG/WAV decode is real (decode_bmp/decode_png/decode_wav)"
     )
 
 
@@ -128,6 +132,111 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
     arr = np.frombuffer(payload, dtype="uint8", count=row * height, offset=offset)
     pixels = arr.reshape(height, row)[:, : 3 * width]
     return width, height, float(pixels.mean())
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, fill: int) -> bytes:
+    """Minimal 8-bit RGB PNG (color type 2, filter 0 rows) via stdlib
+    ``zlib`` — PNG's only compression is DEFLATE, which Python ships,
+    so no codec library is needed.  Constant ``fill`` byte per channel;
+    a valid file any viewer opens."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = (b"\x00" + bytes([fill] * (3 * width))) * height
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """REAL PNG decode via stdlib ``zlib`` + numpy: parse chunks,
+    inflate the IDAT stream, undo the per-scanline filters (all five
+    spec filter types: none/sub/up/average/paeth), return
+    (width, height, mean pixel value) over the reconstructed array.
+    Supports 8-bit gray (color type 0) and RGB (type 2),
+    non-interlaced — the shapes a pipeline's thumbnail/QC pass sees.
+    The average/paeth unfilter is scanline-sequential by spec (each
+    byte depends on the reconstructed left neighbor); the sub filter
+    is a per-lane cumulative sum.  CRCs are validated per chunk."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = len(PNG_MAGIC), b"", None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} color={ctype} interlace={interlace}"
+        )
+    ch = 3 if ctype == 2 else 1
+    stride = ch * width
+    raw = np.frombuffer(zlib.decompress(idat), dtype="uint8")
+    if raw.size != (stride + 1) * height:
+        raise ValueError("IDAT size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype="uint8")
+    for y in range(height):
+        ftype, line = raw[y, 0], raw[y, 1:].astype("int32")
+        prev = out[y - 1].astype("int32") if y else np.zeros(stride, dtype="int32")
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # sub: per-lane cumulative sum mod 256
+            rec = line.reshape(-1, ch).cumsum(axis=0).reshape(-1)
+        elif ftype == 2:  # up
+            rec = line + prev
+        elif ftype in (3, 4):  # average / paeth: left-sequential by spec
+            rec = np.empty(stride, dtype="int32")
+            for x in range(stride):
+                # predictors read RECONSTRUCTED bytes — mask to 8 bits
+                # as we go, or the left neighbor carries the overflow
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ftype == 3:
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = rec & 0xFF
+    return width, height, float(out.mean())
 
 
 def encode_wav(n_frames: int, amplitude: int, sample_rate: int = 8000) -> bytes:
@@ -201,7 +310,10 @@ def extract_features_real(media: DataFrame) -> DataFrame:
             ):
                 b = bytes(payload)
                 if kind == "image":
-                    w, h, mean = decode_bmp(b)
+                    if b[: len(PNG_MAGIC)] == PNG_MAGIC:
+                        w, h, mean = decode_png(b)
+                    else:
+                        w, h, mean = decode_bmp(b)
                     rows.append((mid, kind, w, h, 1, 0, mean))
                 elif kind == "audio":
                     nch, rate, nframes, rms = decode_wav(b)

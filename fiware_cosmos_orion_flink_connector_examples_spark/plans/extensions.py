@@ -642,23 +642,25 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L
                FROM documents)
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN L % 32 + 1 ELSE 1 END AS INTEGER) AS width,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN (L // 32) % 32 + 1 ELSE 0 END AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE L % 512 + 16 END AS INTEGER) AS n_frames,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS INTEGER) AS sample_rate,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN L % 256 ELSE L % 1000 + 1 END AS DOUBLE) AS mean_value
+           CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS kind,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE L % 32 + 1 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE (L // 32) % 32 + 1 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN L % 512 + 16 ELSE 1 END AS INTEGER) AS n_frames,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 0 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN L % 1000 + 1 ELSE L % 256 END AS DOUBLE) AS mean_value
     FROM b
     """,
-    doc="X5 decode made REAL for codec-less formats (round 5): each doc "
+    doc="X5 decode made REAL for no-codec formats (round 5): each doc "
     "synthesizes a VALID media file whose parameters derive from its "
-    "byte length — even doc_ids a 24bpp BMP (numpy-encoded header + "
-    "pixel rows), odd doc_ids a mono 16-bit PCM WAV (stdlib wave) — and "
-    "extract_features_real PARSES the files back (header fields, pixel "
-    "mean over the actual array, RMS over the actual samples).  The "
-    "oracle recomputes the expected features from octet_length alone, "
-    "so a decoder that misreads headers, padding, or sample widths "
-    "hash-fails.  Compressed formats (JPEG/MP4) remain env-blocked "
+    "byte length — doc_id%3==0 a 24bpp BMP (numpy-encoded header + "
+    "pixel rows), %3==1 a mono 16-bit PCM WAV (stdlib wave), %3==2 an "
+    "8-bit RGB PNG (stdlib zlib DEFLATE; decode re-inflates and "
+    "unfilters scanlines) — and extract_features_real PARSES the files "
+    "back (format sniffed by magic; header fields, pixel mean over the "
+    "actual array, RMS over the actual samples).  The oracle recomputes "
+    "the expected features from octet_length alone, so a decoder that "
+    "misreads headers, padding, filters, or sample widths hash-fails.  "
+    "Formats needing a codec library (JPEG/MP4) remain env-blocked "
     "behind decode_image_real.",
     tags=("ext", "multimodal", "X5", "pandas_udf"),
 )
@@ -666,9 +668,10 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         F.col("doc_id").cast("long").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
-        .otherwise(F.lit("audio"))
+        F.when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("image"))
         .alias("kind"),
+        (F.col("doc_id") % 3).cast("int").alias("fmt"),
         F.length(F.encode("text", "utf-8")).cast("long").alias("L"),
     )
 
@@ -677,14 +680,18 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             payloads = []
-            for kind, length in zip(pdf["kind"], pdf["L"]):
+            for fmt, length in zip(pdf["fmt"], pdf["L"]):
                 n = int(length)
-                if kind == "image":
+                if fmt == 0:
                     payloads.append(
                         multimodal.encode_bmp(n % 32 + 1, (n // 32) % 32 + 1, n % 256)
                     )
-                else:
+                elif fmt == 1:
                     payloads.append(multimodal.encode_wav(n % 512 + 16, n % 1000 + 1))
+                else:
+                    payloads.append(
+                        multimodal.encode_png(n % 32 + 1, (n // 32) % 32 + 1, n % 256)
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -242,14 +242,83 @@ def test_bmp_wav_roundtrip():
         assert rms == float(amp)
 
 
+def test_png_roundtrip_and_unfiltering():
+    """decode_png vs an INDEPENDENT hand-filtered reference: an image
+    whose scanlines cycle through all five PNG filter types
+    (none/sub/up/average/paeth) must reconstruct to the exact pixel
+    array mean; gray (color type 0) and the encoder roundtrip too."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    for w in (1, 3, 7, 32):
+        assert multimodal.decode_png(multimodal.encode_png(w, 5, 129)) == (w, 5, 129.0)
+
+    w, h, ch = 4, 5, 3
+    img = np.random.RandomState(7).randint(0, 256, size=(h, ch * w)).astype("int32")
+    lines = []
+    for y in range(h):
+        prev = img[y - 1] if y else np.zeros(ch * w, dtype="int32")
+        row, f = img[y], y % 5
+        if f == 0:
+            filt = row.copy()
+        elif f == 1:
+            filt = row.copy()
+            filt[ch:] = (row[ch:] - row[:-ch]) % 256
+        elif f == 2:
+            filt = (row - prev) % 256
+        else:
+            filt = np.empty_like(row)
+            for x in range(ch * w):
+                a = row[x - ch] if x >= ch else 0
+                b, c = prev[x], (prev[x - ch] if x >= ch else 0)
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (row[x] - pred) % 256
+        lines.append(bytes([f]) + bytes(filt.astype("uint8")))
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        multimodal.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_png(png) == (w, h, float(img.mean()))
+
+    raw_g = b"".join(bytes([0]) + bytes(range(i, i + 6)) for i in range(3))
+    png_g = (
+        multimodal.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw_g))
+        + chunk(b"IEND", b"")
+    )
+    exp_mean = float(np.mean([list(range(i, i + 6)) for i in range(3)]))
+    assert multimodal.decode_png(png_g) == (6, 3, exp_mean)
+
+
 def test_extract_features_real_mixed_kinds(spark):
     """The real-decode mapInPandas path handles a mixed image/audio
-    media table and reports parsed (not stubbed) features."""
+    media table (BMP + PNG sniffed by magic) and reports parsed (not
+    stubbed) features."""
     import pandas as pd
 
     rows = [
         (1, "image", bytearray(multimodal.encode_bmp(7, 3, 200))),
         (2, "audio", bytearray(multimodal.encode_wav(64, 123))),
+        (3, "image", bytearray(multimodal.encode_png(9, 4, 55))),
     ]
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
@@ -258,6 +327,7 @@ def test_extract_features_real_mixed_kinds(spark):
     got = {r.media_id: r for r in multimodal.extract_features_real(media).collect()}
     assert (got[1].width, got[1].height, got[1].mean_value) == (7, 3, 200.0)
     assert (got[2].n_frames, got[2].sample_rate, got[2].mean_value) == (64, 8000, 123.0)
+    assert (got[3].width, got[3].height, got[3].mean_value) == (9, 4, 55.0)
 
 
 def test_bloom_decontamination_matches_exact(spark):
