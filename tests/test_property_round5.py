@@ -143,3 +143,118 @@ def test_token_budget_invariants(spark):
         .collect()
     )
     assert {tuple(r) for r in re_rows} == {tuple(r) for r in rows}
+
+
+# --- gaps-and-islands vs brute force -----------------------------------------
+
+_TYPES = ("a", "b", "c")
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(_TYPES), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_islands_match_brute_force(spark, evs):
+    """The window-chain islands formulation vs a literal scan: collapse
+    per-user ts-ordered runs of equal type, compare extents and sizes.
+    event_id breaks ts ties exactly like the query's ORDER BY."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(i, u, t, sec) for i, (u, t, sec) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long"
+    ).select(
+        "user_id", "event_type", F.timestamp_seconds("sec").alias("ts"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = df.withColumn(
+        "is_start",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    got = {
+        (r.user_id, r.island_id, r.event_type, r.n, r.lo, r.hi)
+        for r in flagged.withColumn(
+            "island_id",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "island_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_seconds(F.min("ts")).alias("lo"),
+            F.unix_seconds(F.max("ts")).alias("hi"),
+        )
+        .collect()
+    }
+    exp = set()
+    by_user = {}
+    for i, (u, t, sec) in enumerate(evs):
+        by_user.setdefault(u, []).append((sec, i, t))
+    for u, es in by_user.items():
+        es.sort()
+        island, run = 0, []
+        for sec, i, t in es:
+            if not run or run[-1][2] != t:
+                if run:
+                    exp.add((u, island, run[0][2], len(run), run[0][0], run[-1][0]))
+                island += 1
+                run = []
+            run.append((sec, i, t))
+        exp.add((u, island, run[0][2], len(run), run[0][0], max(s for s, _, _ in run)))
+    assert got == exp
+
+
+# --- MAD outliers vs numpy reference -----------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(("x", "y")), st.integers(-10_000, 10_000)),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_mad_outliers_match_numpy(spark, vals):
+    """F.median-based MAD flagging vs numpy.median on the same halves —
+    both exact interpolated medians, so counts must agree exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(t, float(v) / 100.0) for t, v in vals], "event_type string, value double"
+    )
+    med = df.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = df.join(F.broadcast(med), "event_type").select(
+        "event_type", "m", F.abs(F.col("value") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("d").alias("mad_v"))
+    got = {
+        r.event_type: r.n
+        for r in dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("d") > F.lit(4.4478) * F.col("mad_v")).cast("int")
+            ).alias("n")
+        )
+        .collect()
+    }
+    by_t = {}
+    for t, v in vals:
+        by_t.setdefault(t, []).append(float(v) / 100.0)
+    for t, xs in by_t.items():
+        a = np.array(xs)
+        d = np.abs(a - np.median(a))
+        exp = int((d > 4.4478 * np.median(d)).sum())
+        assert got[t] == exp, (t, xs)
