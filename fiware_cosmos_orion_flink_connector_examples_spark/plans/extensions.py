@@ -2433,3 +2433,51 @@ def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("island_end"),
     )
+
+
+@register(
+    "sample_weighted_quality",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             round(0.5 * least(n_tok / 50.0, 1.0)
+                 + 0.25 * (CASE WHEN n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 9.0
+                                THEN 1.0 ELSE 0.5 END)
+                 + 0.25 * (CASE WHEN n_stop / greatest(n_tok, 1.0) > 0.02
+                                THEN 1.0 ELSE 0.6 END), 4) AS quality
+      FROM q)
+    SELECT doc_id, source, quality
+    FROM scored
+    WHERE CAST(concat('0x', substr(md5(concat('wsample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+          % 10000 < CAST(quality * 10000 AS BIGINT)
+    """,
+    doc="Quality-weighted Bernoulli sampling (importance sampling for "
+    "mixture construction): each doc survives with probability equal "
+    "to its quality score, via the deterministic seeded-md5 uniform "
+    "u = H(doc_id) mod 10⁴ < quality·10⁴ — stable across runs, "
+    "partitionings, and engines (same primitive as "
+    "deterministic_hash_sample, so re-running a 100 TB sweep "
+    "reproduces the exact sample).  Scan-level map + filter: zero "
+    "shuffles, zero Python; the score arithmetic is the shared "
+    "quality_score rational form.",
+    tags=("ext", "sample", "quality"),
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", text.quality_score("text").alias("quality")
+    )
+    u = F.pmod(
+        md5int64_seeded(F.col("doc_id").cast("string"), "wsample"), F.lit(10_000)
+    )
+    return scored.filter(u < (F.col("quality") * 10_000).cast("long"))

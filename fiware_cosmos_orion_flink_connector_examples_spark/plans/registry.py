@@ -96,6 +96,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "source_unigram_kl",
     "sample_token_budget",
     "events_type_islands",
+    "sample_weighted_quality",
 )
 
 

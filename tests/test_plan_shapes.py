@@ -307,6 +307,16 @@ def test_quality_funnel_single_exchange(spark):
     assert n_exchange == 1, plan
 
 
+def test_weighted_sample_is_scan_level(spark):
+    """Quality-weighted Bernoulli sampling is a map+filter over the
+    scan: zero exchanges, zero Python."""
+    import re
+
+    plan = plan_of(spark, "sample_weighted_quality")
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
+    assert "EvalPython" not in plan
+
+
 def test_islands_single_exchange(spark):
     """Gaps-and-islands: lag flag, running-sum island id, and the final
     agg all share one hashpartitioning(user_id) exchange."""
