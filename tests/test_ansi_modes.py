@@ -29,6 +29,10 @@ REPRESENTATIVE = [
     "embedding_dim_stats",
     "quality_filter_funnel",
     "source_unigram_kl",
+    "sample_token_budget",
+    "sample_weighted_quality",
+    "events_type_islands",
+    "events_asof_latest_order",
 ]
 
 
