@@ -79,6 +79,16 @@ SESSION_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp
 SESSION_STATE_SCHEMA = "start double, end double, n int, total double"
 
 
+def _ts_us(sec: float):
+    """Epoch float-seconds → µs-exact pandas Timestamp.  Constructing
+    from float seconds lands on ns precision, which Arrow refuses to
+    (unsafely) truncate to Spark's timestamp[us] — surfaced the first
+    time a stateful op ran on real fractional-µs event times."""
+    import pandas as pd
+
+    return pd.Timestamp(int(round(sec * 1_000_000)), unit="us")
+
+
 def sessionize(
     events: DataFrame,
     gap_secs: float = 30.0,
@@ -104,8 +114,10 @@ def sessionize(
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="s")],
-                    "session_end": [pd.Timestamp(end, unit="s")],
+                    # µs-exact (see streaming_funnel): float-seconds
+                    # land on ns precision Arrow won't truncate to us
+                    "session_start": [_ts_us(start)],
+                    "session_end": [_ts_us(end)],
                     "n_events": [n],
                     "sum_value": [total],
                 }
@@ -137,8 +149,8 @@ def sessionize(
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in closed],
+                    "session_start": [_ts_us(s) for s, _, _, _ in closed],
+                    "session_end": [_ts_us(e) for _, e, _, _ in closed],
                     "n_events": [c for _, _, c, _ in closed],
                     "sum_value": [v for _, _, _, v in closed],
                 }
@@ -355,7 +367,7 @@ def streaming_funnel(
                     "user_id": [user_id] * len(reached),
                     "stage": [s for s, _, _ in reached],
                     "step": [n for _, n, _ in reached],
-                    "reached_ts": [pd.Timestamp(t, unit="s") for _, _, t in reached],
+                    "reached_ts": [_ts_us(t) for _, _, t in reached],
                 }
             )
 

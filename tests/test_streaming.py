@@ -1130,3 +1130,41 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
             f.write(json.dumps(e) + "\n")
     got2 = drain() - got1  # same checkpoint: resumes state, only b2 is new
     assert got2 == {(3, 3, "purchase_after_click")}, got2
+
+
+def test_sessionize_fractional_microsecond_timestamps(spark, tmp_path):
+    """Regression: stateful ops must emit µs-exact timestamps — real
+    event times carry fractional µs, and a pandas Timestamp built from
+    float seconds lands on ns precision that Arrow refuses to truncate
+    to Spark's timestamp[us] (the funnel_live example surfaced this)."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    for i in range(4):
+        rows.append({"user_id": 1, "ts": base + i * 2 + 0.778549, "value": 1.0})
+    rows.append({"user_id": 9, "ts": base + 7200, "value": 0.0})  # watermark push
+    spool = tmp_path / "fracspool"
+    spool.mkdir()
+    with open(spool / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts double, value double")
+        .json(str(spool))
+        .selectExpr("user_id", "timestamp_seconds(ts) AS ts", "value")
+    )
+    q = (
+        jobs.sessionize(stream, gap_secs=30.0)
+        .writeStream.format("memory")
+        .queryName("t_frac_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_frac"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from t_frac_sessions").collect()
+    assert len(got) == 1 and got[0].n_events == 4
+    # the fractional microseconds survive the round-trip exactly
+    assert got[0].session_start.microsecond == 778549
