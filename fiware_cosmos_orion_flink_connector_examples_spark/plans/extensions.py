@@ -2481,3 +2481,47 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5int64_seeded(F.col("doc_id").cast("string"), "wsample"), F.lit(10_000)
     )
     return scored.filter(u < (F.col("quality") * 10_000).cast("long"))
+
+
+@register(
+    "set_multiset_ops_events",
+    oracle="""
+    WITH ex AS (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'),
+    ia AS (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'except_all' AS op, user_id, count(*) AS n FROM ex GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all', user_id, count(*) FROM ia GROUP BY 2
+    """,
+    doc="Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL "
+    "preserve multiplicities, unlike the distinct-set trio "
+    "(set_except/intersect/union): per user, click occurrences minus "
+    "purchase occurrences, and min(clicks, purchases).  Spark's "
+    "exceptAll/intersectAll compile to an aggregate of signed counts + "
+    "generate — one shuffle on the row value, no join; the grouped "
+    "output keeps the driver artifact small while hashing the exact "
+    "multiplicities.",
+    tags=("ext", "setop", "multiset"),
+)
+def set_multiset_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ex = (
+        clicks.exceptAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "user_id", "n")
+    )
+    ia = (
+        clicks.intersectAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "n")
+    )
+    return ex.unionAll(ia)

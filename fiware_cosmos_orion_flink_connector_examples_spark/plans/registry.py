@@ -70,10 +70,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      registration order.
 #
 # Window arithmetic this round: 1 changed (dedup_embedding_cosine,
-# rewritten r4, last proof r3) + 14 never-checked (users_day_retention
-# + customer_rfm_segments from late r4, plus the 12 round-5 queries) +
-# 35 least-recently-green (all 10 r2-proven, then 25 of the 38
-# r3-proven) = exactly 50.  The 13 r3-proven queries that slip out
+# rewritten r4, last proof r3) + 15 never-checked (users_day_retention
+# + customer_rfm_segments from late r4, plus the 13 round-5 queries) +
+# 34 least-recently-green (all 10 r2-proven, then 24 of the 38
+# r3-proven) = exactly 50.  The 14 r3-proven queries that slip out
 # front the r6 window by class 3; everything outside the window holds
 # an r3/r4 proof, so no proof ages past ~3 rounds before rotation
 # re-proves it.
@@ -97,6 +97,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "sample_token_budget",
     "events_type_islands",
     "sample_weighted_quality",
+    "set_multiset_ops_events",
 )
 
 
