@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 
 from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import md5int64
 
+# Dialect caveat (hypothesis-found): outside ASCII the regex engines
+# diverge — Java/RE2 class \s is ASCII (NBSP counts as a word char)
+# while Python's is Unicode, and \b next to Latin-Extended letters
+# differs between RE2 and Java.  The oracle contract (Spark↔DuckDB)
+# holds on this corpus because the text is ASCII; non-ASCII corpora
+# should tokenize with explicit character classes instead of \S/\b.
 TOKEN_RE = r"\S+"
 # BPE-ish subword split: runs of letters, runs of digits, or single
 # punctuation — approximates byte-pair pre-tokenization.

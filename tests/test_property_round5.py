@@ -49,8 +49,18 @@ def test_repeated_span_report_matches_brute_force(spark, docs, n):
     assert got == _brute_force(docs, n)
 
 
+# ASCII only: the regex dialects diverge outside it — Java/RE2 class
+# \s is ASCII (NBSP is a "word" char) while Python's is Unicode, and
+# \b boundaries next to Latin-Extended letters differ between RE2 and
+# Java/Python.  The oracle contract (Spark↔DuckDB) holds because the
+# corpus is ASCII; this cross-check against Python inherits the same
+# domain.  Hypothesis found both divergences with a 0x2FF alphabet.
 _FUNNEL_DOC = st.text(
-    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=0x2FF),
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"),
+        whitelist_characters=" ",
+        max_codepoint=0x7F,
+    ),
     max_size=120,
 )
 
