@@ -3,10 +3,14 @@
 with it off — the engine's arithmetic/cast choices (try_cast in the
 parse layer, rational quality arithmetic, integer-cents revenue) must
 not depend on the mode.  A representative slice of the registry reruns
-against DuckDB with ANSI off; the full suite runs with the default on.
+against DuckDB with ANSI off per CI run; set ANSI_FULL=1 to sweep
+EVERY oracle-bearing query (done once per round — last full sweep:
+round 5, all green).  The full suite runs with the default on.
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -33,7 +37,11 @@ REPRESENTATIVE = [
     "sample_weighted_quality",
     "events_type_islands",
     "events_asof_latest_order",
+    "set_multiset_ops_events",
 ]
+
+if os.environ.get("ANSI_FULL") == "1":  # full-registry sweep (slow)
+    REPRESENTATIVE = [n for n, s in QUERIES.items() if s.oracle is not None]
 
 
 @pytest.fixture(scope="module")
