@@ -83,7 +83,12 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
     "dedup_embedding_cosine",
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
-# from artifact history, not from this tuple).
+# from artifact history, not from this tuple).  ROUND HYGIENE: at the
+# START of each round, empty both tuples — the new CORRECTNESS_r*.json
+# artifact turns last round's never-checked/changed entries into
+# history, and stale entries here would front queries that no longer
+# need it.  Repopulate CHANGED_LAST_ROUND only for oracle-bearing
+# queries physically rewritten after their latest driver proof.
 NEW_THIS_ROUND: tuple[str, ...] = (
     "decontaminate_bloom_8gram",
     "multimodal_decode_real",
