@@ -24,7 +24,7 @@ def md5int64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def md5int64_seeded(col: Column, seed: int) -> Column:
+def md5int64_seeded(col: Column, seed: int | str) -> Column:
     """Seeded variant: H_seed(x) = md5int64(seed || ':' || x) — the
     MinHash hash-family construction."""
     return md5int64(F.concat(F.lit(f"{seed}:"), col))
@@ -40,5 +40,5 @@ def duckdb_md5int64(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def duckdb_md5int64_seeded(expr: str, seed: int) -> str:
+def duckdb_md5int64_seeded(expr: str, seed: int | str) -> str:
     return duckdb_md5int64(f"concat('{seed}:', {expr})")

@@ -887,6 +887,7 @@ def shingle_rows(
     text_col: str = "text",
     n: int = 8,
     distinct: bool = True,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Exploded word n-gram table (id, gram) built the codegen way:
     posexplode tokens → ``n-1`` window ``lead``s per doc → one
@@ -901,16 +902,23 @@ def shingle_rows(
     Cost: one shuffle+sort on (id, pos) for the window — at 100 TB the
     token table partitions by doc and sorts within partitions only.
     ``distinct=False`` skips the per-doc dedup shuffle (enough for the
-    build side of a semi-join, where duplicates are harmless)."""
+    build side of a semi-join, where duplicates are harmless).
+    ``keep_pos=True`` retains the gram's 0-based start token position
+    as ``_pos`` (occurrence rows, so it forces ``distinct=False``
+    semantics) — the span-REMOVAL path needs it to know which tokens
+    to cut."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
     ex = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
     w = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]
+    cols = [F.col(id_col)] + ([F.col("_pos")] if keep_pos else [])
     g = ex.select(
-        F.col(id_col),
+        *cols,
         F.concat_ws(" ", *parts).alias("gram"),
         F.lead("_tok", n - 1).over(w).isNotNull().alias("_full"),
     ).filter(F.col("_full")).drop("_full")
+    if keep_pos:
+        return g
     return g.distinct() if distinct else g
 
 
@@ -1005,6 +1013,81 @@ def repeated_span_report(
             "dup_frac",
             F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4),
         )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-span REMOVAL — the cut-the-span half of
+    ExactSubstr dedup (Lee et al. 2022 remove every ≥50-token span
+    that occurs verbatim elsewhere; this is the whole-word n-gram
+    approximation on the same first-occurrence-wins keep rule as
+    ``repeated_span_report``): any token covered by a positional
+    ``n``-gram whose gram also occurs in a LOWER-id document is cut;
+    the surviving tokens are re-joined in position order.  The lowest
+    -id holder of a gram keeps all its occurrences, so every corpus
+    span survives in exactly its first document.
+
+    Output (id, n_tokens, n_removed, text_clean) — one row per input
+    doc, including docs fully covered (empty ``text_clean``) and docs
+    shorter than ``n`` tokens (nothing removable).
+
+    Shape — all equi-joins and aggs, never doc×doc:
+      1. positional gram occurrences (``shingle_rows`` keep_pos path;
+         window over (id, pos) sorts within doc partitions only);
+      2. duplicate occurrences via frameless per-gram ``min(id)``
+         window (posting-list partitions — the inverted-index df, the
+         same skew bound as the Jaccard joins);
+      3. covered token positions: explode each duplicate span into its
+         ``n`` positions + distinct (overlap collapse) — row growth is
+         n× DUPLICATE spans only, not n× corpus;
+      4. surviving tokens by (id, pos) anti-join; per-doc re-assembly
+         via ``sort_array(collect_list(struct(pos, tok)))`` — position
+         order re-join, deterministic across partitionings;
+      5. per-doc totals come from ``size(tokens)`` on the base scan
+         (no explode), so zero-token docs still emit a row.
+    Each shuffle after (2) carries only duplicate-span-scale rows; at
+    100 TB the dominant costs are the two token-scale exchanges
+    ((id, pos) window and anti-join), both partitioned by doc id.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    g = shingle_rows(df, id_col, text_col, n, keep_pos=True)
+    wg = Window.partitionBy("gram")
+    dup = (
+        g.withColumn("_first", F.min(id_col).over(wg))
+        .filter(F.col("_first") < F.col(id_col))
+        .select(id_col, "_pos")
+    )
+    removed = dup.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+        ).alias("_pos"),
+    ).distinct()
+    kept = ex.join(removed, [id_col, "_pos"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    return totals.join(cleaned, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
 
 

@@ -284,7 +284,10 @@ def unigram_logprob(
     toks = tokens(text_col)
     ex = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
     # persisted: the probe agg, and then either collect() or the scoring
-    # join, all read it (bench.py clearCache()s between queries)
+    # join, all read it (bench.py clearCache()s between queries).  The
+    # cache is intentionally session-lived — the returned frame is
+    # lazy, so unpersisting here would defeat it; long-lived sessions
+    # should clearCache() after consumption (ADVICE r5).
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     totals = freq.agg(F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")).collect()[0]
     n_vocab, n_total = totals["v"], float(totals["n"] or 0.0)
@@ -464,6 +467,10 @@ def source_unigram_kl(
     # re-run the corpus-sized explode; st itself is |groups|×|vocab|
     # rows — bounded and tiny relative to the corpus — so persisting
     # it is cheap and saves three full scans (1.69 → 1.13 s at sf0.1).
+    # The cache is intentionally session-lived (ADVICE r5): the
+    # returned frame is lazy, so this function cannot unpersist before
+    # the caller consumes it; bench.py clearCache()s between queries,
+    # and long-lived sessions should clearCache() after consumption.
     st = (
         ex.groupBy(group_col, "tok")
         .agg(F.count(F.lit(1)).alias("c_st"))

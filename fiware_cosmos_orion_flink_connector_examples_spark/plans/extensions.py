@@ -2057,6 +2057,59 @@ def span_dedup_repeated_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup_removed",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    tok AS (SELECT doc_id,
+                   unnest([{'pos': i - 1, 'tok': t[i]}
+                           for i in range(1, len(t) + 1)], recursive := true)
+            FROM toks),
+    g AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+                         for i in range(1, len(t) - 6)], recursive := true)
+          FROM toks),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN firsts USING (gram)
+            WHERE firsts.first_doc < g.doc_id),
+    removed AS (SELECT DISTINCT doc_id, pos + k AS pos
+                FROM dup, range(0, 8) r(k)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN removed USING (doc_id, pos)
+             WHERE removed.pos IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT tot.doc_id, tot.n_tokens,
+           CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN agg USING (doc_id)
+    """,
+    doc="X2 span-level dedup REMOVAL (VERDICT r5 #2 — the actual "
+    "ExactSubstr use case, Lee et al. 2022): cut every token covered "
+    "by a positional 8-gram already present in a lower-id doc and "
+    "re-join the survivors in position order; the span survives in "
+    "exactly its first document.  Registered output hashes the cleaned "
+    "text (md5) alongside exact before/removed token counts, so the "
+    "driver artifact pins the full cleaned string per doc while "
+    "staying small.  Same posting-window dup detection as the report; "
+    "the extra removal stages (span→position explode, anti-join, "
+    "position-ordered re-assembly) shuffle only duplicate-span-scale "
+    "rows + two doc-keyed token-scale exchanges.",
+    tags=("ext", "dedup", "X2", "span"),
+)
+def span_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_repeated_spans(docs, "doc_id", "text", n=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+@register(
     "events_funnel_conversion",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
@@ -2333,35 +2386,75 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is actually assembled when the unit of account is tokens, not "
     "docs.  The md5 rank makes the selection stable across runs, "
     "partitionings, and engines (same primitive as "
-    "deterministic_hash_sample).  One shuffle by source + in-partition "
-    "sort; the running sum is a frame-bounded window.  Sources too "
-    "large for one partition's sort take the classic two-pass "
-    "range-partitioned prefix-sum instead — the budget cutoff only "
-    "needs the per-range token totals to locate the boundary range.",
+    "deterministic_hash_sample).  Two-pass range-partitioned prefix "
+    "sum (VERDICT r5 #3): the 60-bit hash's top bits order-preservingly "
+    "range-partition each source into 64 buckets; pass 1 aggregates "
+    "per-(source, range) token totals and a tiny per-source window "
+    "turns them into exclusive cross-range prefixes (≤64 rows/source, "
+    "broadcast back); pass 2 sorts WITHIN (source, range) only — no "
+    "single task ever sorts a whole source.  Ranges whose exclusive "
+    "prefix already exceeds the budget are pruned BEFORE the sort, so "
+    "at 100 TB the expensive pass touches only the ≲1-range boundary "
+    "slice of each source; prune keeps `prefix <= budget` (not <) so "
+    "zero-token docs landing exactly on the budget boundary survive, "
+    "matching the single-window semantics row-for-row.",
     tags=("ext", "sample", "mixture"),
 )
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _token_budget_two_pass(
+        load_table(spark, sf_dir, "documents"), budget=1000
+    )
+
+
+def _token_budget_two_pass(docs: DataFrame, budget: int, n_ranges_log2: int = 6) -> DataFrame:
+    """Range-partitioned prefix-sum token-budget cut (scale path).
+
+    Row-identical to ``sum(n_tokens) OVER (PARTITION BY source ORDER
+    BY h, doc_id) <= budget``: the range id is the hash's top bits, so
+    (range, h, doc_id) order == (h, doc_id) order, and each row's
+    global running sum is its range's exclusive prefix + its
+    within-range running sum.
+    """
     from pyspark.sql.window import Window
 
     from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        MD5INT_BITS,
         md5int64_seeded,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "source",
         "doc_id",
         text.token_count("text").cast("long").alias("n_tokens"),
         md5int64_seeded(F.col("doc_id").cast("string"), "budget").alias("_h"),
-    )
-    w = (
+    ).withColumn("_rng", F.shiftright("_h", MD5INT_BITS - n_ranges_log2))
+    # Pass 1: per-(source, range) totals -> exclusive cross-range prefix.
+    # The window frame ends at -1 (previous range), so each range gets
+    # the token mass of everything strictly before it in hash order.
+    wr = (
         Window.partitionBy("source")
+        .orderBy("_rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = (
+        base.groupBy("source", "_rng")
+        .agg(F.sum("n_tokens").alias("_rng_tok"))
+        .withColumn("_prefix", F.coalesce(F.sum("_rng_tok").over(wr), F.lit(0)))
+        .select("source", "_rng", "_prefix")
+    )
+    # Pass 2: broadcast the (n_sources × 64)-row prefix table back,
+    # prune ranges that cannot contribute, then sort only within
+    # (source, range).
+    wb = (
+        Window.partitionBy("source", "_rng")
         .orderBy(F.asc("_h"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= 1000)
+        base.join(F.broadcast(prefixes), ["source", "_rng"])
+        .filter(F.col("_prefix") <= budget)
+        .withColumn("cum_tokens", F.col("_prefix") + F.sum("n_tokens").over(wb))
+        .filter(F.col("cum_tokens") <= budget)
         .select("source", "doc_id", "n_tokens", "cum_tokens")
     )
 
@@ -2424,12 +2517,16 @@ def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("long"),
     )
+    # floor(), not cast-truncation, to match the oracle's epoch_us //
+    # 1000000 floor semantics for pre-1970 timestamps too (ADVICE r5);
+    # the intermediate double is exact because epoch-µs magnitudes fit
+    # the 53-bit mantissa.
     return islands.groupBy("user_id", "island_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.min("ts")) / F.lit(1_000_000))
+        F.floor(F.unix_micros(F.min("ts")) / F.lit(1_000_000))
         .cast("long")
         .alias("island_start"),
-        (F.unix_micros(F.max("ts")) / F.lit(1_000_000))
+        F.floor(F.unix_micros(F.max("ts")) / F.lit(1_000_000))
         .cast("long")
         .alias("island_end"),
     )
@@ -2455,7 +2552,7 @@ def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, quality
     FROM scored
     WHERE CAST(concat('0x', substr(md5(concat('wsample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
-          % 10000 < CAST(quality * 10000 AS BIGINT)
+          % 10000 < CAST(floor(quality * 10000) AS BIGINT)
     """,
     doc="Quality-weighted Bernoulli sampling (importance sampling for "
     "mixture construction): each doc survives with probability equal "
@@ -2477,10 +2574,14 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "source", text.quality_score("text").alias("quality")
     )
+    # floor() on BOTH engines pins the boundary rule (ADVICE r5):
+    # Spark's cast('long') truncates toward zero while DuckDB's CAST
+    # rounds to nearest, so a score whose double form lands just below
+    # an integer would otherwise select different docs per engine.
     u = F.pmod(
         md5int64_seeded(F.col("doc_id").cast("string"), "wsample"), F.lit(10_000)
     )
-    return scored.filter(u < (F.col("quality") * 10_000).cast("long"))
+    return scored.filter(u < F.floor(F.col("quality") * 10_000).cast("long"))
 
 
 @register(

@@ -69,18 +69,23 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #   3. Ascending last-green round (least-recently-proved first), ties by
 #      registration order.
 #
-# Window arithmetic this round: 1 changed (dedup_embedding_cosine,
-# rewritten r4, last proof r3) + 15 never-checked (users_day_retention
-# + customer_rfm_segments from late r4, plus the 13 round-5 queries) +
-# 34 least-recently-green (all 10 r2-proven, then 24 of the 38
-# r3-proven) = exactly 50.  The 14 r3-proven queries that slip out
-# front the r6 window by class 3; everything outside the window holds
-# an r3/r4 proof, so no proof ages past ~3 rounds before rotation
-# re-proves it.
+# Window arithmetic this round (r6): 3 changed (sample_token_budget /
+# sample_weighted_quality / events_type_islands — physically rewritten
+# after their r5 proofs) + the never-checked round-6 queries + the
+# least-recently-green tail (the 13 r3-proven queries VERDICT r5
+# verified front the computed window, then the oldest r4 proofs) = 50.
+# Everything outside the window holds an r4/r5 proof, so no proof ages
+# past ~3 rounds before rotation re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r4 rewrote embedding_dup_pairs onto the Arrow cell-scorer path but
-    # left this outside the r4 window (ADVICE r4 medium) — re-prove now.
-    "dedup_embedding_cosine",
+    # r6 rewrote these onto new physical paths after their r5 proofs:
+    # sample_token_budget gained the two-pass range-partitioned prefix
+    # sum (VERDICT r5 #3), sample_weighted_quality's threshold compare
+    # moved to pinned-floor semantics on both engines (ADVICE r5), and
+    # events_type_islands moved to integer floor-division for the
+    # island bounds (ADVICE r5) — re-prove all three.
+    "sample_token_budget",
+    "sample_weighted_quality",
+    "events_type_islands",
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -89,20 +94,13 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # history, and stale entries here would front queries that no longer
 # need it.  Repopulate CHANGED_LAST_ROUND only for oracle-bearing
 # queries physically rewritten after their latest driver proof.
+# NOTE: ordered_query_names() never consults this tuple — class-2
+# membership comes from artifact history alone — and the rotation test
+# asserts window membership only for entries with NO artifact history,
+# so a CORRECTNESS artifact landing mid/post-round cannot break the
+# suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    "decontaminate_bloom_8gram",
-    "multimodal_decode_real",
-    "ann_topk_pq_batch",
-    "span_dedup_repeated_8gram",
-    "events_funnel_conversion",
-    "outliers_mad_by_type",
-    "embedding_dim_stats",
-    "quality_filter_funnel",
-    "source_unigram_kl",
-    "sample_token_budget",
-    "events_type_islands",
-    "sample_weighted_quality",
-    "set_multiset_ops_events",
+    "span_dedup_removed",
 )
 
 

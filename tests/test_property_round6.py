@@ -1,0 +1,194 @@
+"""Round-6 property tests: span-removal semantics (the ExactSubstr
+cut path) and the two-pass range-partitioned token-budget prefix sum.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+
+
+# --- span removal ------------------------------------------------------------
+
+
+def _brute_remove(docs: list[tuple[int, str]], n: int = 8):
+    """Reference implementation: first-occurrence-wins positional
+    n-gram span removal, O(corpus²) Python."""
+    toks = {i: t.split() for i, t in docs}
+    first: dict[str, int] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - n + 1):
+            first.setdefault(" ".join(ts[p : p + n]), i)
+    out = {}
+    for i, ts in toks.items():
+        removed: set[int] = set()
+        for p in range(len(ts) - n + 1):
+            if first[" ".join(ts[p : p + n])] < i:
+                removed.update(range(p, p + n))
+        kept = [t for j, t in enumerate(ts) if j not in removed]
+        out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def _span_fixture(seed: int = 0):
+    """Docs with per-doc-unique filler tokens plus shared spans copied
+    from earlier docs — duplication is guaranteed, while coincidental
+    new-adjacency gram matches are impossible (filler tokens never
+    collide across docs)."""
+    rng = random.Random(seed)
+    shared = [f"s{j}" for j in range(40)]
+    docs = []
+    for i in range(30):
+        words: list[str] = []
+        for b in range(rng.randint(1, 4)):
+            words += [f"d{i}f{b}w{j}" for j in range(rng.randint(0, 12))]
+            if rng.random() < 0.8:
+                start = rng.randint(0, 25)
+                words += shared[start : start + rng.randint(4, 14)]
+        docs.append((i, " ".join(words)))
+    # one doc fully made of a shared span, one empty, one short
+    docs.append((30, " ".join(shared[0:12])))
+    docs.append((31, ""))
+    docs.append((32, "tiny doc"))
+    return docs
+
+
+def test_remove_repeated_spans_matches_bruteforce(spark):
+    docs = _span_fixture()
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in dedup.remove_repeated_spans(df, "doc_id", "text", n=8).collect()
+    }
+    want = _brute_remove(docs)
+    assert set(got) == set(want), "every input doc must emit a row"
+    for i in sorted(want):
+        assert got[i] == want[i], (i, got[i], want[i])
+
+
+def test_removed_docs_hold_no_lower_id_gram(spark):
+    """VERDICT r5 #2's done-bar: after removal, no cleaned doc contains
+    an 8-gram already present in a lower-id ORIGINAL doc (the fixture's
+    per-doc-unique fillers rule out coincidental new-adjacency grams,
+    so the check can run on the cleaned string directly)."""
+    docs = _span_fixture(seed=7)
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    cleaned = {
+        r.doc_id: r.text_clean
+        for r in dedup.remove_repeated_spans(df, "doc_id", "text", n=8).collect()
+    }
+    seen: set[str] = set()
+    for i, original in docs:
+        ts = cleaned[i].split()
+        for p in range(len(ts) - 7):
+            g = " ".join(ts[p : p + 8])
+            assert g not in seen, (i, g)
+        ots = original.split()
+        seen.update(
+            " ".join(ots[p : p + 8]) for p in range(len(ots) - 7)
+        )
+
+
+def test_remove_keeps_first_occurrence_intact(spark):
+    """The lowest-id holder of every duplicated span keeps its text
+    verbatim when it contains no spans from even-lower docs."""
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x1 x2 a b c d e f g h x3"),
+        (3, "y1 a b c d e f g h i j y2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in dedup.remove_repeated_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert got[1] == (0, "a b c d e f g h i j")
+    assert got[2] == (8, "x1 x2 x3")
+    assert got[3] == (10, "y1 y2")
+
+
+# --- two-pass token-budget prefix sum ---------------------------------------
+
+
+def _single_window_reference(df, budget: int):
+    """The original one-window-per-source formulation, as the semantic
+    reference for the two-pass path."""
+    from pyspark.sql.window import Window
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    base = df.select(
+        "source",
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        md5int64_seeded(F.col("doc_id").cast("string"), "budget").alias("_h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("_h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+def _budget_fixture(spark, n_big: int = 4000, seed: int = 3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_big):
+        # zero-token docs included: the boundary-equality prune case
+        k = rng.choice([0, 0, 1, 2, 3, 5, 8, 13])
+        rows.append(("big", i, " ".join(["w"] * k)))
+    for i in range(50):
+        rows.append(("smallA", 100_000 + i, "a b c"))
+        rows.append(("smallB", 200_000 + i, "x y"))
+    return spark.createDataFrame(rows, "source string, doc_id int, text string")
+
+
+def test_token_budget_two_pass_matches_single_window(spark):
+    """One deliberately huge source (VERDICT r5 #3's done-bar): the
+    range-partitioned two-pass result is row-identical to the global
+    single-window formulation, zero-token boundary docs included."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        _token_budget_two_pass,
+    )
+
+    df = _budget_fixture(spark)
+    got = sorted(
+        tuple(r) for r in _token_budget_two_pass(df, budget=200).collect()
+    )
+    want = sorted(tuple(r) for r in _single_window_reference(df, 200).collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_token_budget_plan_has_no_per_source_sort(spark):
+    """The expensive window (the one ordering by the hash) must
+    partition by (source, _rng), never by source alone — no single
+    task ever sorts a whole source."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    df = QUERIES["sample_token_budget"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs, "plan must contain window specs"
+    heavy = [l for l in specs if "_h" in l]
+    assert heavy, "hash-ordered window missing"
+    for l in heavy:
+        assert "_rng" in l, f"hash-ordered window not range-partitioned: {l}"
