@@ -1,7 +1,8 @@
 """Benchmark loop (driver contract): run headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]; print ONE JSON line
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+local[$SPARK_GRAFT_CPUS]; print the full per-query JSON record, then
+a tiny totals-only {"metric": ..., "value": N, "n_failed": ...} record
+LAST (the driver's bounded tail capture parses the final line).
 
 Each query is fully materialized executor-side via the noop sink (no
 driver collect — measures the distributed plan, not row transfer).
@@ -85,6 +86,24 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(result), flush=True)
+    # FINAL line is a tiny totals-only record (VERDICT r5 #2): the
+    # driver's bounded tail capture truncates the HEAD of the big
+    # per-query line, leaving invalid JSON — this record is small
+    # enough to always survive whole, so `parsed` is never null.
+    # Per-query numbers live in the big line + BENCH_local.json.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": result["value"],
+                "unit": "sec",
+                "sf": result["sf"],
+                "n_queries": len(timings),
+                "n_failed": len(failures),
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
 
 

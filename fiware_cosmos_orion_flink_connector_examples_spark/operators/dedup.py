@@ -1021,6 +1021,7 @@ def remove_repeated_spans(
     id_col: str,
     text_col: str = "text",
     n: int = 8,
+    min_run: int | None = None,
 ) -> DataFrame:
     """Cross-document repeated-span REMOVAL — the cut-the-span half of
     ExactSubstr dedup (Lee et al. 2022 remove every ≥50-token span
@@ -1035,6 +1036,16 @@ def remove_repeated_spans(
     Output (id, n_tokens, n_removed, text_clean) — one row per input
     doc, including docs fully covered (empty ``text_clean``) and docs
     shorter than ``n`` tokens (nothing removable).
+
+    ``min_run`` is the ExactSubstr-faithful length gate (Lee et al.
+    cut only spans of ≥50 tokens): when set, a covered token is cut
+    only if it sits in a MAXIMAL consecutive covered run of at least
+    ``min_run`` tokens — short incidental n-gram overlaps (idioms,
+    citations) survive, long verbatim boilerplate goes.  Implemented
+    as the gaps-and-islands trick on the covered-position rows
+    (``pos - row_number()`` constant within a consecutive run, then a
+    frameless per-island count) — one extra doc-keyed window over
+    covered positions only, nothing corpus-scale.
 
     Shape — all equi-joins and aggs, never doc×doc:
       1. positional gram occurrences (``shingle_rows`` keep_pos path;
@@ -1069,6 +1080,22 @@ def remove_repeated_spans(
             F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
         ).alias("_pos"),
     ).distinct()
+    if min_run is not None:
+        # keep only positions inside maximal covered runs >= min_run:
+        # pos - row_number() is constant exactly within a consecutive
+        # run, and the frameless count over (id, run) is its length
+        wrun = Window.partitionBy(id_col).orderBy("_pos")
+        removed = (
+            removed.withColumn(
+                "_grp", F.col("_pos") - F.row_number().over(wrun)
+            )
+            .withColumn(
+                "_run_len",
+                F.count(F.lit(1)).over(Window.partitionBy(id_col, "_grp")),
+            )
+            .filter(F.col("_run_len") >= min_run)
+            .select(id_col, "_pos")
+        )
     kept = ex.join(removed, [id_col, "_pos"], "left_anti")
     cleaned = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n_kept"),

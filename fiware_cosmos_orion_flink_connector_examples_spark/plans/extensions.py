@@ -2110,6 +2110,68 @@ def span_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup_removed_run50",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    tok AS (SELECT doc_id,
+                   unnest([{'pos': i - 1, 'tok': t[i]}
+                           for i in range(1, len(t) + 1)], recursive := true)
+            FROM toks),
+    g AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+                         for i in range(1, len(t) - 6)], recursive := true)
+          FROM toks),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN firsts USING (gram)
+            WHERE firsts.first_doc < g.doc_id),
+    covered AS (SELECT DISTINCT doc_id, pos + k AS pos
+                FROM dup, range(0, 8) r(k)),
+    runs AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS grp
+             FROM covered),
+    removed AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                         count(*) OVER (PARTITION BY doc_id, grp) AS run_len
+                  FROM runs)
+                WHERE run_len >= 50),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN removed USING (doc_id, pos)
+             WHERE removed.pos IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT tot.doc_id, tot.n_tokens,
+           CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN agg USING (doc_id)
+    """,
+    doc="X2 ExactSubstr-faithful span removal: same duplicate-span "
+    "detection as span_dedup_removed, but a covered token is cut only "
+    "inside a MAXIMAL consecutive covered run of ≥50 tokens — Lee et "
+    "al. 2022's actual threshold, so short incidental overlaps "
+    "(idioms, quotes) survive while long verbatim boilerplate goes.  "
+    "The length gate is the gaps-and-islands trick over covered "
+    "positions (pos − row_number constant per run + frameless island "
+    "count) — one extra doc-keyed window over covered rows only.  At "
+    "sf0.01 the corpus holds covered runs of 11–93 tokens, so the "
+    "threshold genuinely splits (11 runs cut, 13 kept) — the oracle "
+    "hash proves both sides of the gate.",
+    tags=("ext", "dedup", "X2", "span"),
+)
+def span_dedup_removed_run50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_repeated_spans(docs, "doc_id", "text", n=8, min_run=50)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+@register(
     "events_funnel_conversion",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
@@ -2140,10 +2202,15 @@ def span_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Persisted (VERDICT r5 #7): s feeds the click join, its own stage
+    # count, AND the denominator — without the cache the group-
+    # cardinality signup agg re-runs three times.  Session-lived like
+    # the other persists here; bench.py clearCache()s between queries.
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
+        .persist()
     )
     c = (
         ev.filter(F.col("event_type") == "click")

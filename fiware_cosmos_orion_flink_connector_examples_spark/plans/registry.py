@@ -101,6 +101,7 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
     "span_dedup_removed",
+    "span_dedup_removed_run50",
 )
 
 

@@ -111,6 +111,73 @@ def test_remove_keeps_first_occurrence_intact(spark):
     assert got[3] == (10, "y1 y2")
 
 
+def _brute_remove_minrun(docs, n: int = 8, min_run: int = 50):
+    """Reference for the length-gated variant: covered positions as in
+    _brute_remove, then only maximal consecutive runs >= min_run cut."""
+    toks = {i: t.split() for i, t in docs}
+    first: dict[str, int] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - n + 1):
+            first.setdefault(" ".join(ts[p : p + n]), i)
+    out = {}
+    for i, ts in toks.items():
+        covered: set[int] = set()
+        for p in range(len(ts) - n + 1):
+            if first[" ".join(ts[p : p + n])] < i:
+                covered.update(range(p, p + n))
+        removed: set[int] = set()
+        run: list[int] = []
+        for j in sorted(covered) + [-2]:
+            if run and j != run[-1] + 1:
+                if len(run) >= min_run:
+                    removed.update(run)
+                run = []
+            run.append(j)
+        kept = [t for j, t in enumerate(ts) if j not in removed]
+        out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_min_run_gate_matches_bruteforce(spark):
+    """min_run cuts only maximal covered runs >= the threshold: a doc
+    with one short (8-token) and one long (20-token) duplicated span
+    loses only the long one at min_run=12; the brute-force reference
+    pins the whole fixture."""
+    shared_long = [f"L{j}" for j in range(20)]
+    shared_short = [f"S{j}" for j in range(8)]
+    docs = [
+        (1, " ".join(shared_long + ["u1"] + shared_short)),
+        (2, " ".join(["a1", "a2"] + shared_short + ["a3"] + shared_long)),
+        (3, " ".join(["b1"] + shared_long[:10] + ["b2"])),  # partial: no full run
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in dedup.remove_repeated_spans(
+            df, "doc_id", "text", n=8, min_run=12
+        ).collect()
+    }
+    want = _brute_remove_minrun(docs, n=8, min_run=12)
+    assert got == want
+    # doc 2: the 20-token run goes, the 8-token short overlap stays
+    assert got[2][1] == 20
+    assert "S0" in got[2][2] and "L0" not in got[2][2]
+
+
+def test_remove_min_run_random_fixture(spark):
+    docs = _span_fixture(seed=11)
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in dedup.remove_repeated_spans(
+            df, "doc_id", "text", n=8, min_run=10
+        ).collect()
+    }
+    want = _brute_remove_minrun(docs, n=8, min_run=10)
+    assert got == want
+
+
 # --- two-pass token-budget prefix sum ---------------------------------------
 
 
