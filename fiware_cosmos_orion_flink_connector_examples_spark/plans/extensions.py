@@ -984,6 +984,59 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_dedup_safe",
+    oracle=f"""
+    WITH g AS (
+      SELECT md5(text) AS h, count(*) AS n
+      FROM documents GROUP BY 1),
+    a AS (
+      SELECT CASE WHEN {_D_MD5INT.format(x="concat('splitsafe:', h)")} % 100 < 80 THEN 'train'
+                  WHEN {_D_MD5INT.format(x="concat('splitsafe:', h)")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             n
+      FROM g)
+    SELECT split, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_groups
+    FROM a GROUP BY 1
+    """,
+    doc="Leakage-guarded train/val/test split: the split key is the "
+    "TEXT hash, not the doc id, so verbatim duplicate documents can "
+    "never straddle the train/eval boundary (the classic eval-"
+    "contamination hole in id-keyed splits — split_train_val_test "
+    "leaks any exact dup whose copies hash to different buckets).  "
+    "Same determinism contract as the id-keyed split (pure function "
+    "of content, stable under corpus growth and re-partitioning).  "
+    "One content-hash groupBy (map-side partial) + a 3-row rollup; "
+    "composition note: for NEAR-dup safety, feed the cluster "
+    "representative id from dedup_clusters through the same "
+    "hash-the-key assignment.",
+    tags=("ext", "sample", "split", "dedup"),
+)
+def split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bucket = F.pmod(md5int64_seeded(F.col("h"), "splitsafe"), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        groups.select(split.alias("split"), "n")
+        .groupBy("split")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )
+
+
+@register(
     "dup_rate_by_source",
     oracle=f"""
     WITH pairs AS ({_D_JACCARD_PAIRS}),

@@ -102,6 +102,7 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 NEW_THIS_ROUND: tuple[str, ...] = (
     "span_dedup_removed",
     "span_dedup_removed_run50",
+    "split_dedup_safe",
 )
 
 

@@ -28,6 +28,8 @@ REPRESENTATIVE = [
     "tpch_q1_pricing_summary",
     "text_quality_topk",
     "span_dedup_repeated_8gram",
+    "span_dedup_removed",
+    "span_dedup_removed_run50",
     "events_funnel_conversion",
     "outliers_mad_by_type",
     "embedding_dim_stats",

@@ -178,6 +178,50 @@ def test_remove_min_run_random_fixture(spark):
     assert got == want
 
 
+# --- dedup-safe split --------------------------------------------------------
+
+
+def test_split_dedup_safe_no_group_straddles_splits(spark):
+    """The leakage guard itself: identical texts always land in one
+    split, while the id-keyed assignment provably leaks on the same
+    fixture (200 duplicated texts × 5 copies with adversarial ids)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64,
+        md5int64_seeded,
+    )
+
+    rows = [
+        (g * 1000 + c, f"duplicated text body number {g}")
+        for g in range(200)
+        for c in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bucket = F.pmod(md5int64_seeded(F.md5("text"), "splitsafe"), F.lit(100))
+    safe = df.select(
+        "text",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    n_leaky_groups = (
+        safe.groupBy("text")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_leaky_groups == 0
+    id_bucket = F.pmod(md5int64(F.col("doc_id").cast("string")), F.lit(100))
+    leaky = df.select(
+        "text",
+        F.when(id_bucket < 80, "train").when(id_bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    n_id_leaks = (
+        leaky.groupBy("text")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_id_leaks > 0, "fixture must demonstrate the id-keyed leak"
+
+
 # --- two-pass token-budget prefix sum ---------------------------------------
 
 
