@@ -1065,8 +1065,6 @@ def remove_repeated_spans(
     100 TB the dominant costs are the two token-scale exchanges
     ((id, pos) window and anti-join), both partitioned by doc id.
     """
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
     g = shingle_rows(df, id_col, text_col, n, keep_pos=True)
     wg = Window.partitionBy("gram")
     dup = (
@@ -1074,6 +1072,59 @@ def remove_repeated_spans(
         .filter(F.col("_first") < F.col(id_col))
         .select(id_col, "_pos")
     )
+    return _cut_covered_tokens(df, id_col, text_col, dup, n, min_run)
+
+
+def remove_contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    min_run: int | None = None,
+) -> DataFrame:
+    """Span-level DECONTAMINATION: cut from each train doc every token
+    covered by a positional ``n``-gram that occurs ANYWHERE in the
+    eval corpus — the surgical alternative to
+    ``ngram_contamination``'s drop-the-whole-doc flagging (a 5 000-
+    token doc quoting one benchmark question keeps its other 4 990
+    tokens).  Same keep rule direction as production decontamination:
+    eval text must never survive into training data, so the cut side
+    is train.
+
+    Shape: train's positional gram occurrences LEFT SEMI join the raw
+    (non-distinct) eval gram rows — the build side never pays a
+    distinct agg, identical to ``ngram_contamination``'s join — then
+    the shared ``_cut_covered_tokens`` tail (explode → optional
+    ``min_run`` islands gate → anti-join → position-ordered
+    re-assembly).  At 100 TB the eval side is benchmark-sized (MBs),
+    so Catalyst broadcasts it and the train side never shuffles for
+    the probe; the bloom-word variant of the build side
+    (``ngram_contamination_bloom``) drops in unchanged if the eval
+    gram set ever outgrows a broadcast.
+
+    Output (id, n_tokens, n_removed, text_clean), one row per train
+    doc."""
+    g = shingle_rows(train, id_col, text_col, n, keep_pos=True)
+    dirty = shingle_rows(eval_df, id_col, text_col, n, distinct=False).select("gram")
+    dup = g.join(dirty, "gram", "left_semi").select(id_col, "_pos")
+    return _cut_covered_tokens(train, id_col, text_col, dup, n, min_run)
+
+
+def _cut_covered_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup: DataFrame,
+    n: int,
+    min_run: int | None,
+) -> DataFrame:
+    """Shared removal tail: ``dup`` holds (id, _pos) start positions of
+    the spans to cut; expand to covered token positions, optionally
+    gate to maximal runs >= min_run, anti-join the token table, and
+    re-assemble surviving tokens in position order."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
     removed = dup.select(
         F.col(id_col),
         F.explode(

@@ -1699,6 +1699,76 @@ def decontaminate_eval_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_spans_8gram",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                         CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                           % 20 = 0 AS is_eval
+                  FROM documents),
+    tok AS (SELECT doc_id,
+                   unnest([{'pos': i - 1, 'tok': t[i]}
+                           for i in range(1, len(t) + 1)], recursive := true)
+            FROM toks WHERE NOT is_eval),
+    g AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+                         for i in range(1, len(t) - 6)], recursive := true)
+          FROM toks WHERE NOT is_eval),
+    evg AS (SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
+                                    for i in range(1, len(t) - 6)]) AS gram
+            FROM toks WHERE is_eval),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN evg USING (gram)),
+    removed AS (SELECT DISTINCT doc_id, pos + k AS pos
+                FROM dup, range(0, 8) r(k)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN removed USING (doc_id, pos)
+             WHERE removed.pos IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+            FROM toks WHERE NOT is_eval)
+    SELECT tot.doc_id, tot.n_tokens,
+           CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN agg USING (doc_id)
+    WHERE tot.n_tokens - coalesce(agg.n_kept, 0) > 0
+    """,
+    doc="Span-level decontamination — the surgical counterpart to "
+    "decontaminate_eval_8gram's drop-the-doc flagging: the same 5% "
+    "seeded-md5 eval split, but train docs sharing an 8-gram with any "
+    "eval doc get exactly the covered tokens CUT (first occurrence "
+    "does NOT win here — eval text must never survive into training "
+    "data, so every contaminated train span goes, no min_run gate).  "
+    "Output is the contaminated train docs with before/removed counts "
+    "and cleaned-text md5.  Probe = positional train grams LEFT SEMI "
+    "the raw eval gram rows (broadcast at real scale — eval sets are "
+    "benchmark-sized; the bloom-word build drops in if not), then the "
+    "shared cut/re-assembly tail.",
+    tags=("ext", "dedup", "decontamination", "span"),
+)
+def decontaminate_spans_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
+    tagged = docs.withColumn("_is_eval", is_eval)
+    out = dedup.remove_contaminated_spans(
+        tagged.filter(~F.col("_is_eval")),
+        tagged.filter(F.col("_is_eval")),
+        "doc_id",
+        n=8,
+    )
+    return out.filter(F.col("n_removed") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+@register(
     "decontaminate_bloom_8gram",
     oracle=r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
@@ -2225,6 +2295,90 @@ def span_dedup_removed_run50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prep_pipeline",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    tok AS (SELECT doc_id,
+                   unnest([{'pos': i - 1, 'tok': t[i]}
+                           for i in range(1, len(t) + 1)], recursive := true)
+            FROM toks),
+    g AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+                         for i in range(1, len(t) - 6)], recursive := true)
+          FROM toks),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN firsts USING (gram)
+            WHERE firsts.first_doc < g.doc_id),
+    covered AS (SELECT DISTINCT doc_id, pos + k AS pos
+                FROM dup, range(0, 8) r(k)),
+    runs AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS grp
+             FROM covered),
+    removed AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                         count(*) OVER (PARTITION BY doc_id, grp) AS run_len
+                  FROM runs)
+                WHERE run_len >= 50),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN removed USING (doc_id, pos)
+             WHERE removed.pos IS NULL),
+    cleanagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean
+                 FROM kept GROUP BY 1),
+    cleaned AS (SELECT d.doc_id, d.source, coalesce(c.clean, '') AS text
+                FROM documents d LEFT JOIN cleanagg c USING (doc_id)),
+    q AS (SELECT doc_id, source, text,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) AS n_stop
+          FROM cleaned),
+    scored AS (SELECT doc_id, source, text,
+                      round(0.5 * least(n_tok / 50.0, 1.0)
+                          + 0.25 * (CASE WHEN n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 9.0
+                                         THEN 1.0 ELSE 0.5 END)
+                          + 0.25 * (CASE WHEN n_stop / greatest(n_tok, 1.0) > 0.02
+                                         THEN 1.0 ELSE 0.6 END), 4) AS quality
+               FROM q),
+    gated AS (SELECT source, doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                     CAST(concat('0x', substr(md5(concat('budget:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+              FROM scored WHERE quality >= 0.8),
+    c AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM gated)
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c WHERE cum <= 1000 GROUP BY 1
+    """,
+    doc="The training-data-prep capstone, composing this round's "
+    "operators END TO END the way a 100 TB corpus is actually "
+    "prepared: (1) ExactSubstr-faithful span removal (≥50-token "
+    "covered runs cut, first occurrence kept), (2) quality gate on "
+    "the CLEANED text (score ≥ 0.8 — boilerplate removal changes "
+    "scores, so gating must follow cutting), (3) per-source "
+    "token-budget sampling over cleaned token counts via the "
+    "two-pass range-partitioned prefix sum.  Output is the per-source "
+    "doc/token contribution of the final mixture.  Every stage is the "
+    "registered operator, not a re-implementation; the oracle chains "
+    "the same three proven SQL blocks.",
+    tags=("ext", "dedup", "sample", "pipeline", "capstone"),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = dedup.remove_repeated_spans(docs, "doc_id", "text", n=8, min_run=50)
+    cd = cleaned.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "doc_id", F.col("text_clean").alias("text")
+    )
+    gated = cd.filter(text.quality_score("text") >= 0.8)
+    sampled = _token_budget_two_pass(gated, budget=1000, persist_base=True)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+@register(
     "events_funnel_conversion",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
@@ -2526,7 +2680,12 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_budget_two_pass(docs: DataFrame, budget: int, n_ranges_log2: int = 6) -> DataFrame:
+def _token_budget_two_pass(
+    docs: DataFrame,
+    budget: int,
+    n_ranges_log2: int = 6,
+    persist_base: bool = False,
+) -> DataFrame:
     """Range-partitioned prefix-sum token-budget cut (scale path).
 
     Row-identical to ``sum(n_tokens) OVER (PARTITION BY source ORDER
@@ -2534,6 +2693,16 @@ def _token_budget_two_pass(docs: DataFrame, budget: int, n_ranges_log2: int = 6)
     (range, h, doc_id) order == (h, doc_id) order, and each row's
     global running sum is its range's exclusive prefix + its
     within-range running sum.
+
+    The two passes consume the tokenized base twice (pass-1 totals +
+    pass-2 join), so Catalyst recomputes ``docs``'s lineage once per
+    pass.  For a raw parquet scan that second scan is cheap; when
+    ``docs`` is an EXPENSIVE derived frame (corpus_prep_pipeline feeds
+    the whole span-removal DAG in), set ``persist_base=True`` — the
+    base is one NARROW row per doc (source, id, token count, hash),
+    so caching it is doc-scale, not token-scale, and halves the
+    pipeline (measured 5.6 → 3.1 s at sf0.1).  Session-lived cache,
+    same discipline as the other persists here.
     """
     from pyspark.sql.window import Window
 
@@ -2548,6 +2717,8 @@ def _token_budget_two_pass(docs: DataFrame, budget: int, n_ranges_log2: int = 6)
         text.token_count("text").cast("long").alias("n_tokens"),
         md5int64_seeded(F.col("doc_id").cast("string"), "budget").alias("_h"),
     ).withColumn("_rng", F.shiftright("_h", MD5INT_BITS - n_ranges_log2))
+    if persist_base:
+        base = base.persist()
     # Pass 1: per-(source, range) totals -> exclusive cross-range prefix.
     # The window frame ends at -1 (previous range), so each range gets
     # the token mass of everything strictly before it in hash order.

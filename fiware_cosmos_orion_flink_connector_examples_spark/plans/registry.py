@@ -103,6 +103,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "span_dedup_removed",
     "span_dedup_removed_run50",
     "split_dedup_safe",
+    "corpus_prep_pipeline",
+    "decontaminate_spans_8gram",
 )
 
 

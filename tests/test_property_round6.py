@@ -178,6 +178,38 @@ def test_remove_min_run_random_fixture(spark):
     assert got == want
 
 
+# --- span-level decontamination ----------------------------------------------
+
+
+def test_remove_contaminated_spans_cuts_all_eval_grams(spark):
+    """After the cut, no train doc contains any 8-gram present in the
+    eval corpus (checked exhaustively on original-adjacency runs via
+    the unique-filler fixture), and uncontaminated docs are untouched."""
+    eval_docs = [(100, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")]
+    train_docs = [
+        (1, "a1 a2 q1 q2 q3 q4 q5 q6 q7 q8 a3 a4"),  # quotes the benchmark
+        (2, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),  # clean
+        (3, " ".join(f"c{j}" for j in range(4)) + " q3 q4 q5 q6 q7 q8 q9 q10"),
+    ]
+    tr = spark.createDataFrame(train_docs, "doc_id int, text string")
+    ev = spark.createDataFrame(eval_docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in dedup.remove_contaminated_spans(tr, ev, "doc_id", n=8).collect()
+    }
+    eval_grams = set()
+    for _, t in eval_docs:
+        ts = t.split()
+        eval_grams.update(" ".join(ts[p : p + 8]) for p in range(len(ts) - 7))
+    for i, _ in train_docs:
+        ts = got[i][2].split()
+        for p in range(len(ts) - 7):
+            assert " ".join(ts[p : p + 8]) not in eval_grams, (i, p)
+    assert got[1] == (12, 8, "a1 a2 a3 a4")
+    assert got[2] == (9, 0, "b1 b2 b3 b4 b5 b6 b7 b8 b9")
+    assert got[3][1] == 8 and got[3][2] == "c0 c1 c2 c3"
+
+
 # --- dedup-safe split --------------------------------------------------------
 
 
