@@ -30,6 +30,9 @@ REPRESENTATIVE = [
     "span_dedup_repeated_8gram",
     "span_dedup_removed",
     "span_dedup_removed_run50",
+    "decontaminate_spans_8gram",
+    "split_dedup_safe",
+    "corpus_prep_pipeline",
     "events_funnel_conversion",
     "outliers_mad_by_type",
     "embedding_dim_stats",

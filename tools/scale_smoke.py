@@ -242,6 +242,8 @@ def round6_smoke(spark, m: int = 25, n_docs: int = 2_000_000) -> None:
         run(f"events_type_islands ({m}M)", "events_type_islands")
         run("sample_token_budget (2M, hot src)", "sample_token_budget")
         run("span_dedup_removed (2M docs)", "span_dedup_removed")
+        run("decontaminate_spans (2M docs)", "decontaminate_spans_8gram")
+        run("corpus_prep_pipeline (2M docs)", "corpus_prep_pipeline")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
