@@ -4,11 +4,12 @@ the engine's own headline batch pipeline):
 
   documents → in-flight quality metrics (observe) → quality-rule
   funnel report → exact dedup → near-dup pairs → connected
-  components → drop cluster losers → span-dedup report →
-  train/eval split + 8-gram decontamination (bloom-pruned at scale,
-  --bloom) → per-source KL drift on the train split → chunk →
-  greedy pack → per-pack stats; embeddings → int8 quantization
-  report.
+  components → drop cluster losers → span-dedup report → span
+  REMOVAL (cut ≥50-token covered runs) → train/eval split + 8-gram
+  decontamination (bloom-pruned at scale, --bloom) + surgical
+  train-side span cut → per-source KL drift on the train split →
+  token-budgeted mixture (two-pass prefix sum) → chunk → greedy
+  pack → per-pack stats; embeddings → int8 quantization report.
 
 Run: python examples/corpus_pipeline.py [--sf-dir /root/testdata/sf0.01]
      [--bloom]   # prune the decontamination join with the broadcast bloom
@@ -85,6 +86,16 @@ def main() -> None:
         F.sum("n_spans").alias("n_spans"), F.sum("n_dup_spans").alias("n_dup")
     ).first()
 
+    # 2c. span REMOVAL (the cut half of 2b's report): maximal covered
+    # runs of >=50 tokens go (the ExactSubstr rule — long verbatim
+    # boilerplate is cut, short idioms survive); downstream stages all
+    # run on the cleaned text
+    cut = dedup.remove_repeated_spans(corpus, "doc_id", min_run=50)
+    span_cut = cut.agg(F.sum("n_removed").alias("t")).first()["t"]
+    corpus = corpus.drop("text").join(
+        cut.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+    )
+
     # 3. split + decontaminate: eval docs sharing an 8-gram with train
     is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
     tagged = corpus.withColumn("_e", is_eval)
@@ -96,6 +107,17 @@ def main() -> None:
     )
     clean_eval = tagged.filter(F.col("_e")).join(contaminated, "doc_id", "left_anti")
     train = tagged.filter(~F.col("_e"))
+
+    # 3a. surgical train-side decontamination: eval-shared spans are CUT
+    # from train docs (a doc quoting one benchmark question keeps its
+    # other tokens; dropping the whole doc would waste them)
+    cut_tr = dedup.remove_contaminated_spans(
+        train, tagged.filter(F.col("_e")), "doc_id", n=8
+    )
+    decon_cut = cut_tr.agg(F.sum("n_removed").alias("t")).first()["t"]
+    train = train.drop("text").join(
+        cut_tr.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+    )
 
     # 4. chunk + greedy pack the train split
     chunks = text.chunk_documents(train, size=32, stride=24)
@@ -115,6 +137,23 @@ def main() -> None:
         .first()
     )
 
+    # 5. token-budgeted mixture: per-source contribution under a fixed
+    # token budget (two-pass range-partitioned prefix sum — the 100 TB
+    # shape with no single-task per-source sort)
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        _token_budget_two_pass,
+    )
+
+    mixture = (
+        _token_budget_two_pass(
+            train.select("source", "doc_id", "text"), budget=1000
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok"))
+        .orderBy(F.desc("tok"))
+        .first()
+    )
+
     n_train, n_eval, n_contam = train.count(), clean_eval.count(), contaminated.count()
     stats = pack_stats.first()
     quality = obs.get
@@ -125,7 +164,9 @@ def main() -> None:
     )
     print(f"span_report n_spans={spans['n_spans']} n_dup_spans={spans['n_dup']}")
     print(f"train={n_train} clean_eval={n_eval} contaminated_eval_dropped={n_contam}")
+    print(f"span_removal tokens_cut={span_cut} decontamination tokens_cut={decon_cut}")
     print(f"max_drift source={drift['source']} kl={drift['kl']}")
+    print(f"mixture_top source={mixture['source']} docs={mixture['n']} tokens={mixture['tok']}")
     print(f"packs={stats['n_packs']} avg_fill={stats['avg_fill']}")
 
 

@@ -1122,7 +1122,20 @@ def _cut_covered_tokens(
     """Shared removal tail: ``dup`` holds (id, _pos) start positions of
     the spans to cut; expand to covered token positions, optionally
     gate to maximal runs >= min_run, anti-join the token table, and
-    re-assemble surviving tokens in position order."""
+    re-assemble surviving tokens in position order.
+
+    Rejected design (measured r6): an array-only tail — per-doc
+    ``collect_set`` of span starts joined onto the doc frame, then
+    ``F.filter(tokens, t_i -> !exists(starts, s -> s<=i<=s+n-1))`` —
+    is bit-identical and 1.4× faster at sf0.1 (1.50 vs 2.09 s: no
+    token re-explode, no anti-join, no re-assembly shuffle).  But its
+    per-doc cost is O(tokens × dup_starts): linear on lightly-
+    contaminated docs, QUADRATIC on fully-duplicated ones — and
+    whole-doc duplicates are precisely what span dedup exists to cut,
+    so the cliff sits on the hot input.  This tail stays linear per
+    token regardless of dup density (explode is n× dup spans, the
+    anti-join and window are per-row), which is the property that
+    survives 100 TB."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
     ex = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
     removed = dup.select(

@@ -1168,3 +1168,65 @@ def test_sessionize_fractional_microsecond_timestamps(spark, tmp_path):
     assert len(got) == 1 and got[0].n_events == 4
     # the fractional microseconds survive the round-trip exactly
     assert got[0].session_start.microsecond == 778549
+
+
+def test_streaming_span_decontamination_matches_batch(spark, tmp_path):
+    """Span-level decontamination is per-doc (the only cross-doc input
+    is the STATIC eval gram set), so an ingest stream cut doc-by-doc in
+    foreachBatch must equal the batch operator regardless of how the
+    corpus splits into micro-batches — pinned here with one file per
+    trigger (3 micro-batches).  This is the streaming-legality story
+    for remove_contaminated_spans: no global window, no cross-batch
+    state; the repeated-span variant (global per-gram min) deliberately
+    has NO streaming form."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+
+    bench = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    eval_df = spark.createDataFrame([(1000, bench)], ["doc_id", "text"])
+    train_rows = [
+        (1, f"a1 a2 {bench} a3"),
+        (2, " ".join(f"b{j}" for j in range(12))),
+        (3, f"{bench} c1 c2"),
+        (4, "q2 q3 q4 q5 q6 q7 q8 q9 d1"),  # overlapping suffix gram
+        (5, "e1 e2 e3"),
+        (6, f"f1 {bench} f2 {bench}"),
+    ]
+    batch_df = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    expected = {
+        tuple(r)
+        for r in dedup.remove_contaminated_spans(
+            batch_df, eval_df, "doc_id", n=8
+        ).collect()
+    }
+    assert any(r[2] > 0 for r in expected), "fixture must contaminate"
+
+    spool = tmp_path / "trainspool"
+    spool.mkdir()
+    for i in range(3):  # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+        with open(spool / f"part{i}.jsonl", "w") as f:
+            for doc_id, text in train_rows[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+    )
+    got: list[tuple] = []
+
+    def cut_batch(batch, _bid):
+        got.extend(
+            tuple(r)
+            for r in dedup.remove_contaminated_spans(
+                batch, eval_df, "doc_id", n=8
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(cut_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_spancut"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(got) == expected
+    assert len(got) == len(train_rows)
