@@ -166,7 +166,7 @@ def main() -> None:
     print(f"train={n_train} clean_eval={n_eval} contaminated_eval_dropped={n_contam}")
     print(f"span_removal tokens_cut={span_cut} decontamination tokens_cut={decon_cut}")
     print(f"max_drift source={drift['source']} kl={drift['kl']}")
-    print(f"mixture_top source={mixture['source']} docs={mixture['n']} tokens={mixture['tok']}")
+    print(f"mixture_top source={mixture['source']} n_docs={mixture['n']} n_tokens={mixture['tok']}")
     print(f"packs={stats['n_packs']} avg_fill={stats['avg_fill']}")
 
 

@@ -1075,6 +1075,41 @@ def remove_repeated_spans(
     return _cut_covered_tokens(df, id_col, text_col, dup, n, min_run)
 
 
+def remove_intra_doc_repeats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    min_run: int | None = None,
+) -> DataFrame:
+    """WITHIN-document repetition removal: cut every token covered by a
+    positional ``n``-gram whose gram already occurred EARLIER IN THE
+    SAME DOCUMENT — the cleaning pass for self-repetitive docs (chat
+    logs, scraped pages with repeated headers/footers, generation
+    loops) that cross-doc span dedup deliberately exempts.  First
+    occurrence within the doc survives; later occurrences go.
+
+    Composes with the cross-doc pass: ``repeated_span_report``'s
+    repetition target is the corpus, this one's is the doc — run this
+    first so boilerplate repeated both within and across docs is
+    counted once per doc by the cross-doc stage.
+
+    Shape: the per-(id, gram) first position is a frameless window min
+    PARTITIONED BY (id, gram) — the shuffle key includes the doc id,
+    so partition width is occurrences-of-one-gram-in-one-doc (bounded
+    by doc length, immune to corpus-wide boilerplate skew — strictly
+    narrower than the cross-doc posting window), then the shared cut
+    tail.  Output (id, n_tokens, n_removed, text_clean)."""
+    g = shingle_rows(df, id_col, text_col, n, keep_pos=True)
+    wg = Window.partitionBy(id_col, "gram")
+    dup = (
+        g.withColumn("_first_pos", F.min("_pos").over(wg))
+        .filter(F.col("_first_pos") < F.col("_pos"))
+        .select(id_col, "_pos")
+    )
+    return _cut_covered_tokens(df, id_col, text_col, dup, n, min_run)
+
+
 def remove_contaminated_spans(
     train: DataFrame,
     eval_df: DataFrame,

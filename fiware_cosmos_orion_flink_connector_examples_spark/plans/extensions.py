@@ -2295,6 +2295,62 @@ def span_dedup_removed_run50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup_intra_doc",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    tok AS (SELECT doc_id,
+                   unnest([{'pos': i - 1, 'tok': t[i]}
+                           for i in range(1, len(t) + 1)], recursive := true)
+            FROM toks),
+    g AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+3], ' ')}
+                         for i in range(1, len(t) - 2)], recursive := true)
+          FROM toks),
+    dup AS (SELECT doc_id, pos FROM (
+              SELECT doc_id, pos,
+                     min(pos) OVER (PARTITION BY doc_id, gram) AS first_pos
+              FROM g)
+            WHERE pos > first_pos),
+    removed AS (SELECT DISTINCT doc_id, pos + k AS pos
+                FROM dup, range(0, 4) r(k)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN removed USING (doc_id, pos)
+             WHERE removed.pos IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT tot.doc_id, tot.n_tokens,
+           CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN agg USING (doc_id)
+    WHERE tot.n_tokens - coalesce(agg.n_kept, 0) > 0
+    """,
+    doc="X2/X4 WITHIN-doc repetition removal: later same-doc "
+    "occurrences of a repeated 8-gram are cut (chat-log / scraped-"
+    "header / generation-loop cleaning — the op text_repetition_topk "
+    "only FLAGS).  Per-(doc, gram) first position is a frameless "
+    "window min whose partition width is bounded by doc length "
+    "(immune to corpus boilerplate skew, strictly narrower than the "
+    "cross-doc posting window), then the shared cut tail.  n=4 here "
+    "(aggressive short-phrase de-looping; the synthetic corpus never "
+    "self-repeats an 8-gram, and a 0-row proof would pin nothing — at "
+    "n=4 both the cut and keep paths carry rows).  Output is the "
+    "self-repetitive docs only, with cleaned-text md5.",
+    tags=("ext", "dedup", "X2", "span", "intra"),
+)
+def span_dedup_intra_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_intra_doc_repeats(docs, "doc_id", "text", n=4)
+    return out.filter(F.col("n_removed") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+@register(
     "corpus_prep_pipeline",
     oracle=r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

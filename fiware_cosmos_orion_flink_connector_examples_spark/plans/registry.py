@@ -105,6 +105,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "decontaminate_spans_8gram",
+    "span_dedup_intra_doc",
 )
 
 

@@ -31,6 +31,7 @@ REPRESENTATIVE = [
     "span_dedup_removed",
     "span_dedup_removed_run50",
     "decontaminate_spans_8gram",
+    "span_dedup_intra_doc",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",

@@ -178,6 +178,63 @@ def test_remove_min_run_random_fixture(spark):
     assert got == want
 
 
+# --- intra-doc repetition removal --------------------------------------------
+
+
+def _brute_intra(docs, n: int = 4):
+    out = {}
+    for i, t in docs:
+        ts = t.split()
+        seen: dict[str, int] = {}
+        removed: set[int] = set()
+        for p in range(len(ts) - n + 1):
+            gram = " ".join(ts[p : p + n])
+            if gram in seen:
+                removed.update(range(p, p + n))
+            else:
+                seen[gram] = p
+        kept = [tok for j, tok in enumerate(ts) if j not in removed]
+        out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_intra_doc_repeats_matches_bruteforce(spark):
+    """Chat-log shape: the same phrase loops within one doc; later
+    occurrences are cut, the first survives, and OTHER docs sharing the
+    phrase are untouched (cross-doc repetition is exempt by design)."""
+    loop = "ha he hi ho"
+    docs = [
+        (1, f"u1 {loop} u2 {loop} u3 {loop}"),
+        (2, f"v1 v2 {loop} v3"),  # cross-doc only: untouched
+        (3, " ".join(f"w{j}" for j in range(10))),
+        (4, f"{loop} {loop}"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in dedup.remove_intra_doc_repeats(df, "doc_id", n=4).collect()
+    }
+    want = _brute_intra(docs, n=4)
+    assert got == want
+    assert got[2] == (7, 0, f"v1 v2 {loop} v3")
+    assert got[1][1] > 0 and got[4] == (8, 4, loop)
+
+
+def test_remove_intra_doc_repeats_random(spark):
+    rng = random.Random(5)
+    docs = []
+    vocab = [f"t{j}" for j in range(12)]  # tiny vocab forces self-repeats
+    for i in range(40):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in dedup.remove_intra_doc_repeats(df, "doc_id", n=4).collect()
+    }
+    assert got == _brute_intra(docs, n=4)
+
+
 # --- span-level decontamination ----------------------------------------------
 
 

@@ -244,6 +244,7 @@ def round6_smoke(spark, m: int = 25, n_docs: int = 2_000_000) -> None:
         run("span_dedup_removed (2M docs)", "span_dedup_removed")
         run("decontaminate_spans (2M docs)", "decontaminate_spans_8gram")
         run("corpus_prep_pipeline (2M docs)", "corpus_prep_pipeline")
+        run("span_dedup_intra_doc (2M docs)", "span_dedup_intra_doc")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
