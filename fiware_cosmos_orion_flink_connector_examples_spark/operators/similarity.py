@@ -640,3 +640,91 @@ def topk_cosine_pq_batch(
         )
     shortlist = _rank_topk(pairs, shortl).select("q_id", "n_id")
     return _exact_rerank(df, queries, shortlist, k, vec_col, id_col)
+
+
+def topk_mmr(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick k of the ``shortlist`` most-cosine-
+    similar candidates, each pick maximizing
+    ``lam * cos(q, d) - (1 - lam) * max_{s in picked} cos(d, s)`` —
+    the diversified re-ranking step RAG retrieval stacks bolt onto
+    plain ANN.  ``lam=1`` degenerates to exact top-k (pinned by a
+    pytest against ``topk_cosine_bruteforce``).
+
+    Shape: stage 1 is the proven broadcast-queries x streamed-scan
+    shortlist (corpus never shuffles; only |Q| x shortlist rows leave
+    the scan).  Stage 2 re-attaches candidate vectors via a broadcast
+    semi-join of the tiny shortlist against the corpus, then runs the
+    greedy selection per query in one applyInPandas group — state is
+    shortlist x dim floats per query, and the exchange is keyed by
+    q_id (|Q| groups).  The greedy loop is inherently sequential per
+    query, so it lives in a numpy kernel, not the driver.
+
+    Relevance uses the shortlist's rounded cosine (engine-stable);
+    ties break on ascending n_id.  Output (q_id, rank, n_id, score).
+    """
+    import numpy as np
+
+    sl = topk_cosine_bruteforce(df, queries, k=shortlist, id_col=id_col,
+                                vec_col=vec_col).select("q_id", "n_id", "cos")
+    base = df.select(
+        F.col(id_col).alias("n_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    )
+    # shortlist is |Q| x shortlist rows — broadcast it onto the corpus
+    # scan so candidate vectors attach without shuffling the corpus
+    cand = base.join(F.broadcast(sl), "n_id")
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cos", "n_id"], ascending=[False, True])
+        pdf = pdf.reset_index(drop=True)
+        V = np.asarray(pdf["nv"].tolist(), dtype="float64")
+        rel = pdf["cos"].to_numpy(dtype="float64")
+        sims = V @ V.T
+        n = len(pdf)
+        picked: list[int] = []
+        remaining = np.ones(n, dtype=bool)
+        while len(picked) < min(k, n):
+            if picked:
+                div = sims[:, picked].max(axis=1)
+                score = lam * rel - (1.0 - lam) * div
+            else:
+                score = lam * rel
+            # deterministic argmax: highest score, then lowest n_id —
+            # row order IS ascending n_id within equal cos, so a stable
+            # argmax over the sorted frame pins ties
+            masked = np.where(remaining, score, -np.inf)
+            best = int(masked.argmax())
+            picked.append(best)
+            remaining[best] = False
+        out = pdf.iloc[picked][["q_id", "n_id"]].copy()
+        out["rank"] = np.arange(1, len(picked) + 1, dtype="int32")
+        if picked:
+            if len(picked) > 1:
+                later = np.array(picked[1:])
+                prior_max = np.array(
+                    [sims[p, picked[:i + 1]].max()
+                     for i, p in enumerate(picked[1:])]
+                )
+                div_sel = np.concatenate(([0.0], prior_max))
+            else:
+                div_sel = np.array([0.0])
+            first_rel = lam * rel[picked[0]]
+            sel_scores = lam * rel[picked] - (1.0 - lam) * div_sel
+            sel_scores[0] = first_rel
+            out["score"] = np.round(sel_scores, 6)
+        else:
+            out["score"] = np.array([], dtype="float64")
+        return out
+
+    return cand.groupBy("q_id").applyInPandas(
+        mmr, "q_id long, n_id long, rank int, score double"
+    ).select("q_id", "rank", "n_id", "score")

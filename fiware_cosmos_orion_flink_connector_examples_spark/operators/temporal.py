@@ -118,3 +118,110 @@ def range_pairs(
         .filter(F.col("us2") - F.col("us1") <= horizon_us)
         .select(key, "id1", "id2", (F.col("us2") - F.col("us1")).alias("gap_us"))
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    step_secs: int,
+) -> DataFrame:
+    """Fixed-grid resample per ``key`` with last-observation-carried-
+    forward (LOCF): one output row per ``step_secs`` bin between each
+    key's first and last observation, carrying the latest observed
+    ``value_col`` forward through empty bins.  The gap-fill/downsample
+    op every time-series store ships (``date_bin`` + fill); stock Spark
+    has no built-in, so it's composed here.
+
+    Within-bin "last" is the max of (ts, id) — ``id_col`` must be
+    unique so ties at the same timestamp are deterministic in any
+    engine.  The carried value is copied verbatim (no arithmetic), so
+    results are bit-exact across engines.
+
+    Scale shape: three keyed exchanges, all on (key[, bin]) — per-bin
+    last is a map-side-combinable agg on (key, bin); the span frame is
+    one row per key; the grid explode emits span/step rows per key
+    (bounded by the caller's step choice, NOT by data volume); the LOCF
+    fill is one frameless window per key whose partition width is that
+    same bounded grid.  No global sort, no inequality join; skew bound
+    = longest single-key span / step.
+
+    Output: (key, bin_ts epoch-seconds, value_locf, is_observed).
+    """
+    step_us = step_secs * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    obs = df.select(
+        F.col(key),
+        F.floor(us / F.lit(step_us)).alias("_bin"),
+        us.alias("_us"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    per_bin = obs.groupBy(key, "_bin").agg(
+        F.max(F.struct("_us", "_id", "_v")).getField("_v").alias("_last_v")
+    )
+    spans = per_bin.groupBy(key).agg(
+        F.min("_bin").alias("_lo"), F.max("_bin").alias("_hi")
+    )
+    grid = spans.select(
+        F.col(key), F.explode(F.sequence("_lo", "_hi")).alias("_bin")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(per_bin, [key, "_bin"], "left")
+        .withColumn("_fill", F.last("_last_v", ignorenulls=True).over(w))
+        .select(
+            F.col(key),
+            (F.col("_bin") * F.lit(step_secs)).cast("long").alias("bin_ts"),
+            F.col("_fill").alias("value_locf"),
+            F.col("_last_v").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-``key`` ordered
+    state sequences: for each (prev_state, next_state) pair, the count
+    of adjacent occurrences and the row-normalized probability.
+    Ordering ties on ``ts_col`` break by ``id_col`` (unique), so the
+    sequence — and therefore the matrix — is engine-deterministic.
+
+    Scale shape: one exchange on ``key`` for the lag window (partition
+    width = one key's history), then a map-side-combinable count agg on
+    the (prev, next) pair — 2 exchanges total, the second over
+    |states|² rows.  The row-sum normalizer is a second frameless
+    window over the tiny matrix, not a join.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.col(key),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(state_col).alias("next_state"),
+        )
+        .withColumn("prev_state", F.lag("next_state").over(w))
+        .filter(F.col("prev_state").isNotNull())
+    )
+    counts = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    )

@@ -2973,3 +2973,103 @@ def set_multiset_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "user_id", "n")
     )
     return ex.unionAll(ia)
+
+
+@register(
+    "events_resample_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             epoch_us(ts) // 3600000000 AS bin,
+             max({'u': epoch_us(ts), 'i': event_id, 'v': value}) AS last_s
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bin FROM spans),
+    filled AS (
+      SELECT g.user_id, g.bin, o.last_s.v AS obs_v,
+             last_value(o.last_s.v IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bin = o.bin)
+    SELECT user_id, CAST(bin * 3600 AS BIGINT) AS bin_ts, value_locf,
+           obs_v IS NOT NULL AS is_observed
+    FROM filled
+    """,
+    doc="Temporal gap-fill: hourly fixed-grid resample of each user's "
+    "value stream with last-observation-carried-forward — the "
+    "date_bin+fill op every time-series store ships and stock Spark "
+    "lacks (composed in operators/temporal.py:resample_locf).  "
+    "Within-bin last is max(struct(ts, event_id, value)) so same-"
+    "timestamp ties are engine-deterministic; the carried value is "
+    "copied verbatim (no arithmetic), so hashes are bit-exact.  Three "
+    "keyed exchanges, all on (user[, bin]); grid size is span/step per "
+    "key — bounded by the step choice, not data volume.",
+    tags=("ext", "temporal", "resample", "locf"),
+)
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        resample_locf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_locf(
+        ev, "user_id", "ts", "value", id_col="event_id", step_secs=3600
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS next_state,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state
+      FROM events),
+    counts AS (
+      SELECT prev_state, next_state, count(*) AS n
+      FROM seq WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_state, next_state, n,
+           round(n / sum(n) OVER (PARTITION BY prev_state), 6) AS p
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (behavioral modeling / next-event prediction features): "
+    "count and row-probability for each (prev_type, next_type) pair, "
+    "ordering ties broken by the unique event_id so the matrix is "
+    "engine-deterministic.  One exchange on user_id for the lag "
+    "window, a map-side-combinable pair count, then the row "
+    "normalizer as a frameless window over the |states|^2-row matrix "
+    "(operators/temporal.py:transition_counts).",
+    tags=("ext", "temporal", "markov"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        transition_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "ann_topk_mmr",
+    oracle=None,
+    doc="X3 diversified retrieval: maximal marginal relevance "
+    "(Carbonell & Goldstein 1998) over a 50-candidate cosine "
+    "shortlist, lam=0.5, k=5 — the re-ranking step RAG stacks bolt "
+    "onto plain ANN so the k results aren't five near-copies.  "
+    "Greedy selection is inherently iterative, hence no ANSI-SQL "
+    "oracle; the pytest pins (a) lam=1 degenerates bit-exactly to "
+    "topk_cosine_bruteforce and (b) selected-set min pairwise "
+    "distance >= the plain top-k's on a constructed clustered "
+    "fixture, plus a pure-python reference equality.  Shape: "
+    "broadcast-queries x streamed-scan shortlist (corpus never "
+    "shuffles), candidate vectors re-attached via broadcast "
+    "semi-join, then one applyInPandas group per query "
+    "(state = 50 x dim floats).",
+    tags=("ext", "similarity", "X3", "mmr"),
+)
+def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_mmr(emb, qs, k=5, shortlist=50, lam=0.5)

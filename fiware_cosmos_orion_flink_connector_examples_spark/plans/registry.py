@@ -106,6 +106,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "corpus_prep_pipeline",
     "decontaminate_spans_8gram",
     "span_dedup_intra_doc",
+    "events_resample_locf",
+    "events_transition_matrix",
+    "ann_topk_mmr",
 )
 
 

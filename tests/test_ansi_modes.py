@@ -32,6 +32,8 @@ REPRESENTATIVE = [
     "span_dedup_removed_run50",
     "decontaminate_spans_8gram",
     "span_dedup_intra_doc",
+    "events_resample_locf",
+    "events_transition_matrix",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",

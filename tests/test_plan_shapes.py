@@ -324,3 +324,42 @@ def test_islands_single_exchange(spark):
 
     plan = plan_of(spark, "events_type_islands")
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_resample_locf_jvm_side_keyed_exchanges(spark):
+    """LOCF gap-fill is a pure DataFrame composition (no Python stage)
+    and every exchange is keyed on user_id (+bin) — no global sort, no
+    round-robin repartition."""
+    import re
+
+    plan = plan_of(spark, "events_resample_locf")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    for m in re.findall(r"Exchange (\w+partitioning)\([^)]*\)", plan):
+        assert m == "hashpartitioning", plan
+
+
+def test_transition_matrix_exchanges_shrink(spark):
+    """Lag window (user_id) + pair-count agg + normalizer window: three
+    exchanges, but only the first is data-sized — the count agg MUST
+    combine map-side (partial+final pair) so the second carries at most
+    partitions x |states|^2 rows, and the third moves the 25-row
+    matrix.  Keying the pair shuffle on prev_state alone would skip the
+    third exchange but forfeit the map-side combine (an explicit
+    repartition shuffles raw pair rows over |states| keys) — rejected."""
+    import re
+
+    plan = plan_of(spark, "events_transition_matrix")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 3, plan
+    assert "partial_count" in plan  # map-side combine before the pair shuffle
+
+
+def test_mmr_shortlist_broadcasts_corpus_never_shuffles(spark):
+    """MMR stage 1 broadcasts the query set; stage 2 broadcasts the
+    |Q|x50-row shortlist back onto the corpus scan — the corpus side
+    must never sort-merge."""
+    plan = plan_of(spark, "ann_topk_mmr")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan

@@ -392,3 +392,185 @@ def test_token_budget_plan_has_no_per_source_sort(spark):
     assert heavy, "hash-ordered window missing"
     for l in heavy:
         assert "_rng" in l, f"hash-ordered window not range-partitioned: {l}"
+
+
+# --- temporal: LOCF resample + transition matrix -----------------------------
+
+
+def test_resample_locf_matches_bruteforce(spark):
+    """Grid covers [first, last] bin per key, empty bins carry the
+    latest observed value forward, within-bin last wins by (ts, id)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        resample_locf,
+    )
+
+    rows = [
+        # key 1: obs in bins 0, 0 (tie ts -> id wins), 3
+        (1, 5.0, 10.0, 100),
+        (2, 5.0, 11.0, 100),   # same bin+ts, higher id -> wins bin 0
+        (3, 35.0, 7.0, 100),
+        # key 2: single obs
+        (4, 12.0, 3.5, 200),
+    ]
+    df = spark.createDataFrame(
+        [(i, float(s), v, k) for i, s, v, k in rows],
+        "event_id int, sec double, value double, user_id int",
+    ).select(
+        "event_id", "user_id", "value",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+    )
+    got = {
+        (r.user_id, r.bin_ts): (r.value_locf, r.is_observed)
+        for r in resample_locf(
+            df, "user_id", "ts", "value", id_col="event_id", step_secs=10
+        ).collect()
+    }
+    want = {
+        (100, 0): (11.0, True),
+        (100, 10): (11.0, False),
+        (100, 20): (11.0, False),
+        (100, 30): (7.0, True),
+        (200, 10): (3.5, True),
+    }
+    assert got == want
+
+
+def test_transition_counts_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        transition_counts,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        rows.append((i, rng.randint(0, 9), float(rng.randint(0, 50)),
+                     rng.choice("abcd")))
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, sec double, state string"
+    ).select(
+        "event_id", "user_id", "state",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+    )
+    seqs = defaultdict(list)
+    for i, u, s, st in rows:
+        seqs[u].append((s, i, st))
+    c: Counter = Counter()
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            c[(a, b)] += 1
+    rowsum: Counter = Counter()
+    for (a, _), n in c.items():
+        rowsum[a] += n
+    got = {
+        (r.prev_state, r.next_state): (r.n, r.p)
+        for r in transition_counts(df, "user_id", "ts", "state", "event_id").collect()
+    }
+    want = {
+        (a, b): (n, round(n / rowsum[a], 6)) for (a, b), n in c.items()
+    }
+    assert got == want
+
+
+# --- MMR diversified top-k ---------------------------------------------------
+
+
+def _brute_mmr(vecs, qids, k, shortlist, lam):
+    """Pure-python MMR reference: cosine shortlist then greedy
+    lam*rel - (1-lam)*max-sim-to-picked, ties by ascending id."""
+    import math
+
+    def norm(v):
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v] if s else v
+
+    nv = {i: norm(v) for i, v in vecs.items()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(nv[a], nv[b]))
+
+    out = {}
+    for q in qids:
+        scored = sorted(
+            ((round(cos(q, n), 6), n) for n in nv if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:shortlist]
+        rel = {n: c for c, n in scored}
+        cand = [n for _, n in scored]
+        picked = []
+        while cand and len(picked) < k:
+            best = None
+            for n in cand:  # cand is (score-desc, id-asc) stable order
+                div = max((cos(n, s) for s in picked), default=0.0)
+                sc = lam * rel[n] - (1 - lam) * div if picked else lam * rel[n]
+                if best is None or sc > best[0] + 1e-12:
+                    best = (sc, n)
+            picked.append(best[1])
+            cand.remove(best[1])
+            out[(q, len(picked))] = best[1]
+    return out
+
+
+def test_mmr_matches_pure_python_reference(spark):
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import similarity
+
+    rng = random.Random(7)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    qs = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.q_id, r.rank): r.n_id
+        for r in similarity.topk_mmr(df, qs, k=5, shortlist=20, lam=0.5).collect()
+    }
+    assert got == _brute_mmr(vecs, [0, 1, 2], k=5, shortlist=20, lam=0.5)
+
+
+def test_mmr_lambda_one_is_exact_topk(spark):
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import similarity
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    mmr = {
+        (r.q_id, r.rank): r.n_id
+        for r in similarity.topk_mmr(emb, qs, k=5, shortlist=50, lam=1.0).collect()
+    }
+    bf = {
+        (r.q_id, r.rank): r.n_id
+        for r in similarity.topk_cosine_bruteforce(emb, qs, k=5).collect()
+    }
+    assert mmr == bf
+
+
+def test_mmr_diversifies_clustered_corpus(spark):
+    """Two tight clusters: plain top-k returns only the near cluster;
+    MMR at lam=0.5 must reach into the far cluster."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import similarity
+
+    rng = random.Random(3)
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]  # query
+    # A and B are equally q-aligned on axis 0 but OPPOSED on axis 1, so
+    # cross-cluster sim (0.6) sits well below within-cluster sim (~1.0)
+    # while B stays relevant — the regime where MMR must cross over.
+    for i in range(1, 9):  # cluster A: [1, +0.4] direction, rel ~0.93
+        rows.append((i, [1.0 + rng.uniform(-0.005, 0.005),
+                         0.4 + rng.uniform(-0.005, 0.005), 0.0, 0.0]))
+    for i in range(9, 17):  # cluster B: [1, -0.5] direction, rel ~0.89
+        rows.append((i, [1.0 + rng.uniform(-0.005, 0.005),
+                         -0.5 + rng.uniform(-0.005, 0.005), 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") == 0)
+    plain = {r.n_id for r in
+             similarity.topk_cosine_bruteforce(df, qs, k=5).collect()}
+    mmr = {r.n_id for r in
+           similarity.topk_mmr(df, qs, k=5, shortlist=16, lam=0.5).collect()}
+    assert plain <= set(range(1, 9))           # top-k stays in cluster A
+    assert mmr & set(range(9, 17))             # MMR reaches cluster B

@@ -245,6 +245,8 @@ def round6_smoke(spark, m: int = 25, n_docs: int = 2_000_000) -> None:
         run("decontaminate_spans (2M docs)", "decontaminate_spans_8gram")
         run("corpus_prep_pipeline (2M docs)", "corpus_prep_pipeline")
         run("span_dedup_intra_doc (2M docs)", "span_dedup_intra_doc")
+        run(f"events_resample_locf ({m}M)", "events_resample_locf")
+        run(f"events_transition_matrix ({m}M)", "events_transition_matrix")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
