@@ -3073,3 +3073,44 @@ def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 8)
     return similarity.topk_mmr(emb, qs, k=5, shortlist=50, lam=0.5)
+
+
+@register(
+    "dup_matrix_by_source",
+    oracle=f"""
+    WITH pairs AS ({_D_JACCARD_PAIRS})
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           count(*) AS n_pairs,
+           round(avg(p.jaccard), 6) AS avg_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.d1
+    JOIN documents db ON db.doc_id = p.d2
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplication matrix: for each unordered source "
+    "pair, the count and mean similarity of >=0.8-jaccard doc pairs "
+    "straddling (or within) them — the curator view that tells WHICH "
+    "crawls overlap which (dup_rate_by_source only says how much each "
+    "source duplicates overall).  Pair detection reuses the inverted-"
+    "index join; the pair set is tiny, so BOTH source lookups broadcast "
+    "it onto the corpus scan — the corpus never shuffles, and the "
+    "matrix agg runs over |pairs| rows.",
+    tags=("ext", "dedup", "profile"),
+)
+def dup_matrix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    s1 = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    s2 = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
+    both = s2.join(F.broadcast(s1.join(F.broadcast(pairs), "d1")), "d2")
+    return (
+        both.groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )

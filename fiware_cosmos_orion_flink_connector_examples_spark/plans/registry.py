@@ -109,6 +109,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "events_resample_locf",
     "events_transition_matrix",
     "ann_topk_mmr",
+    "dup_matrix_by_source",
 )
 
 

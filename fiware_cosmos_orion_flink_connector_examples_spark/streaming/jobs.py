@@ -382,3 +382,65 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_SCHEMA = "user_id bigint, prev_state string, next_state string"
+TRANSITION_STATE_SCHEMA = "last_state string, last_us bigint"
+
+
+def streaming_transitions(
+    events: DataFrame,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stateful streaming twin of the batch transition matrix
+    (``events_transition_matrix``): per user, each arriving event emits
+    one (prev_state, next_state) pair row against the user's previous
+    event — state is just (last_state, last_event_us), constant size.
+    A live dashboard keeps the matrix as a running count over the
+    emitted pair stream (append mode), never recomputing history.
+
+    Within a micro-batch events replay in (ts, event_id) order, so an
+    availableNow replay of a history equals the batch lag-window
+    exactly (pytest-pinned); cross-batch late events carry the
+    sessionizer's guarantee class — arrival order within the
+    watermark horizon.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        last_state, last_us = (
+            state.get if state.exists else (None, -1)
+        )
+        prevs, nexts = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                if last_state is not None:
+                    prevs.append(last_state)
+                    nexts.append(etype)
+                last_state = etype
+                last_us = int(ts.value // 1_000)
+        state.update((last_state, last_us))
+        if prevs:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(prevs),
+                    "prev_state": prevs,
+                    "next_state": nexts,
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

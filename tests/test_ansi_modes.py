@@ -34,6 +34,7 @@ REPRESENTATIVE = [
     "span_dedup_intra_doc",
     "events_resample_locf",
     "events_transition_matrix",
+    "dup_matrix_by_source",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",

@@ -363,3 +363,10 @@ def test_mmr_shortlist_broadcasts_corpus_never_shuffles(spark):
         "BroadcastNestedLoopJoin"
     ) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_matrix_source_lookups_broadcast(spark):
+    """Both doc_id→source lookups must broadcast the tiny pair set —
+    the corpus side of each lookup never sort-merges."""
+    plan = plan_of(spark, "dup_matrix_by_source")
+    assert plan.count("BroadcastHashJoin") >= 2, plan

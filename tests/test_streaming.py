@@ -1230,3 +1230,96 @@ def test_streaming_span_decontamination_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     assert set(got) == expected
     assert len(got) == len(train_rows)
+
+
+def test_streaming_transitions_matches_batch(spark, tmp_path):
+    """Stateful pair emission vs the batch lag window: an availableNow
+    replay must emit exactly the batch transition pairs, and a second
+    micro-batch must resume from state (the cross-batch pair uses the
+    carried last_state, with no re-emission of history)."""
+    import datetime as dt
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        transition_counts,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(sec, eid, user, etype):
+        return {"ts": (t0 + dt.timedelta(seconds=sec)).replace(
+            tzinfo=dt.timezone.utc).timestamp(), "event_id": eid,
+            "user_id": user, "event_type": etype}
+
+    batch1 = [
+        ev(0, 0, 1, "view"), ev(10, 1, 1, "click"), ev(20, 2, 1, "view"),
+        ev(5, 3, 2, "signup"), ev(5, 4, 2, "click"),   # ts tie -> event_id order
+        ev(0, 5, 3, "error"),                          # single event: no pair yet
+    ]
+    batch2 = [ev(40, 6, 3, "view"), ev(50, 7, 1, "purchase")]
+    spool = tmp_path / "tspool"
+    spool.mkdir()
+    with open(spool / "b1.jsonl", "w") as f:
+        for e in batch1:
+            f.write(json.dumps(e) + "\n")
+    out_dir = str(tmp_path / "trans_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "ts double, event_id long, user_id long, event_type string"
+            )
+            .json(str(spool))
+            .selectExpr(
+                "user_id", "timestamp_seconds(ts) AS ts", "event_id", "event_type"
+            )
+        )
+        q = (
+            jobs.streaming_transitions(stream)
+            .writeStream.format("json")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.schema(
+            "user_id long, prev_state string, next_state string"
+        ).json(out_dir).collect()
+        out = {}
+        for r in rows:
+            k = (r.prev_state, r.next_state)
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    got1 = drain()
+    assert got1 == {
+        ("view", "click"): 1, ("click", "view"): 1,  # u1
+        ("signup", "click"): 1,                      # u2 tie broken by event_id
+    }
+
+    with open(spool / "b2.jsonl", "w") as f:
+        for e in batch2:
+            f.write(json.dumps(e) + "\n")
+    got2 = drain()
+    # cross-batch pairs resumed from carried state: u3 error->view, u1 view->purchase
+    assert got2 == {
+        ("view", "click"): 1, ("click", "view"): 1, ("signup", "click"): 1,
+        ("error", "view"): 1, ("view", "purchase"): 1,
+    }
+
+    # full-history replay == batch lag window
+    all_events = [(e["event_id"], e["user_id"], e["event_type"], e["ts"])
+                  for e in batch1 + batch2]
+    batch_df = spark.createDataFrame(
+        all_events, "event_id long, user_id long, event_type string, sec double"
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_seconds(sec) AS ts")
+    want = {
+        (r.prev_state, r.next_state): r.n
+        for r in transition_counts(
+            batch_df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got2 == want
