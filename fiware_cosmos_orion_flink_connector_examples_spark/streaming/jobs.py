@@ -444,3 +444,85 @@ def streaming_transitions(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+LOCF_SCHEMA = "user_id bigint, bin_ts bigint, value_locf double, is_observed boolean"
+LOCF_STATE_SCHEMA = "cur_bin bigint, cur_us bigint, cur_id bigint, cur_v double"
+
+
+def streaming_locf(
+    events: DataFrame,
+    step_secs: int = 3600,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stateful streaming gap-fill — the live twin of the batch
+    ``temporal.resample_locf``: per user, a fixed-``step_secs`` bin is
+    EMITTED when the first event of a later bin arrives (the bin is
+    then closed), together with carried-forward rows for any empty
+    bins in between.  State per key is one open bin: (bin, last_us,
+    last_id, last_v) — constant size, no event buffering; a dashboard
+    appends grid rows instead of recomputing the resample per trigger.
+
+    The open (most recent) bin is never emitted — it could still
+    receive a later in-bin event — so an availableNow replay of a
+    history equals the batch resample minus each key's final bin
+    (pytest-pinned).  Within a micro-batch events replay in
+    (ts, event_id) order; a cross-batch event arriving for an
+    already-closed bin is dropped-late in the same guarantee class as
+    the sessionizer (arrival order within the watermark horizon).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    step_us = step_secs * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        cur_bin, cur_us, cur_id, cur_v = (
+            state.get if state.exists else (-1, -1, -1, float("nan"))
+        )
+        out_bins, out_vals, out_obs = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                us = int(ts.value // 1_000)
+                b = us // step_us
+                if cur_bin < 0:
+                    cur_bin, cur_us, cur_id, cur_v = b, us, eid, val
+                elif b == cur_bin:
+                    if (us, eid) > (cur_us, cur_id):
+                        cur_us, cur_id, cur_v = us, eid, val
+                elif b > cur_bin:
+                    # close the open bin, carry through the gap
+                    out_bins.append(cur_bin)
+                    out_vals.append(cur_v)
+                    out_obs.append(True)
+                    for gap in range(cur_bin + 1, b):
+                        out_bins.append(gap)
+                        out_vals.append(cur_v)
+                        out_obs.append(False)
+                    cur_bin, cur_us, cur_id, cur_v = b, us, eid, val
+                # b < cur_bin: late event for a closed bin — dropped
+        state.update((cur_bin, cur_us, cur_id, cur_v))
+        if out_bins:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_bins),
+                    "bin_ts": [b * step_secs for b in out_bins],
+                    "value_locf": out_vals,
+                    "is_observed": out_obs,
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=LOCF_SCHEMA,
+            stateStructType=LOCF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1323,3 +1323,97 @@ def test_streaming_transitions_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got2 == want
+
+
+def test_streaming_locf_matches_batch(spark, tmp_path):
+    """Streaming gap-fill vs the batch resample: an availableNow replay
+    must emit exactly the batch LOCF grid minus each key's final
+    (still-open) bin; a second micro-batch closes bins carried from
+    checkpointed state, including the gap rows."""
+    import datetime as dt
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.temporal import (
+        resample_locf,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(sec, eid, user, value):
+        return {"ts": (t0 + dt.timedelta(seconds=sec)).replace(
+            tzinfo=dt.timezone.utc).timestamp(), "event_id": eid,
+            "user_id": user, "value": value}
+
+    # 10 s bins. u1: bins 0 (two events, last wins), 3 — gap bins 1,2
+    # carried; u2: single bin so far (nothing closed in batch 1)
+    batch1 = [
+        ev(1, 0, 1, 5.0), ev(8, 1, 1, 7.0), ev(35, 2, 1, 9.0),
+        ev(12, 3, 2, 3.5),
+    ]
+    batch2 = [ev(61, 4, 1, 1.0), ev(43, 5, 2, 4.5)]
+    spool = tmp_path / "lspool"
+    spool.mkdir()
+    with open(spool / "b1.jsonl", "w") as f:
+        for e in batch1:
+            f.write(json.dumps(e) + "\n")
+    out_dir = str(tmp_path / "locf_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "ts double, event_id long, user_id long, value double"
+            )
+            .json(str(spool))
+            .selectExpr(
+                "user_id", "timestamp_seconds(ts) AS ts", "event_id", "value"
+            )
+        )
+        q = (
+            jobs.streaming_locf(stream, step_secs=10)
+            .writeStream.format("json")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_locf"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.bin_ts): (r.value_locf, r.is_observed)
+            for r in spark.read.schema(
+                "user_id long, bin_ts long, value_locf double, is_observed boolean"
+            ).json(out_dir).collect()
+        }
+
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())  # bin-aligned
+    got1 = drain()
+    assert got1 == {
+        (1, base + 0): (7.0, True),    # last-in-bin wins
+        (1, base + 10): (7.0, False),  # carried
+        (1, base + 20): (7.0, False),  # carried
+        # u1 bin 30 still open; u2 bin 10 still open
+    }
+
+    with open(spool / "b2.jsonl", "w") as f:
+        for e in batch2:
+            f.write(json.dumps(e) + "\n")
+    got2 = drain()
+
+    # full-history replay == batch resample minus each key's final bin
+    all_events = [(e["event_id"], e["user_id"], e["value"], e["ts"])
+                  for e in batch1 + batch2]
+    batch_df = spark.createDataFrame(
+        all_events, "event_id long, user_id long, value double, sec double"
+    ).selectExpr("event_id", "user_id", "value",
+                 "timestamp_seconds(sec) AS ts")
+    full = resample_locf(batch_df, "user_id", "ts", "value",
+                         id_col="event_id", step_secs=10)
+    import pyspark.sql.functions as SF
+
+    last_bin = full.groupBy("user_id").agg(SF.max("bin_ts").alias("bin_ts"))
+    want = {
+        (r.user_id, r.bin_ts): (r.value_locf, r.is_observed)
+        for r in full.join(last_bin, ["user_id", "bin_ts"], "left_anti").collect()
+    }
+    assert got2 == want
+    assert {(2, base + 10), (2, base + 20), (2, base + 30)} <= set(got2)  # u2 closed+gaps
