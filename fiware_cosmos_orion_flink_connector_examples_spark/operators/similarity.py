@@ -728,3 +728,68 @@ def topk_mmr(
     return cand.groupBy("q_id").applyInPandas(
         mmr, "q_id long, n_id long, rank int, score double"
     ).select("q_id", "rank", "n_id", "score")
+
+
+def covariance_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed covariance moments for an embedding column — the
+    PCA/whitening-prep statistic: per Arrow batch, one numpy X^T X +
+    column-sum (dense BLAS, the sanctioned Python exception), then a
+    DISTRIBUTED final reduce (posexplode + sum per cell) — nothing
+    corpus-sized, and nothing batch-count-sized, ever reaches the
+    driver.  Output one row per (i <= j) cell: (i, j, n, s_i, s_j,
+    sxx) — callers finish cov = (sxx - s_i*s_j/n) / (n-1) with the
+    tiny frames broadcast.
+
+    Shape at 100 TB: the map side emits ONE (dim + dim^2)-double row
+    per Arrow batch; the reduce is a sum over dim^2 keys.  Shuffle
+    volume = batches x dim^2 doubles, independent of corpus rows.
+    """
+    import numpy as np
+
+    # bounded collect: ONE row, to learn the vector width for the
+    # flattened-index arithmetic below
+    dim_row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            yield pd.DataFrame(
+                {
+                    "n": [len(M)],
+                    "s": [M.sum(axis=0).tolist()],
+                    "xtx": [(M.T @ M).ravel().tolist()],
+                }
+            )
+
+    parts = df.select(F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        part, "n long, s array<double>, xtx array<double>"
+    )
+    sxx = (
+        parts.select(F.posexplode("xtx").alias("k", "v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("sxx"))
+        .select(
+            (F.col("k") / dim).cast("int").alias("i"),
+            F.pmod("k", F.lit(dim)).cast("int").alias("j"),
+            "sxx",
+        )
+        .filter(F.col("i") <= F.col("j"))
+    )
+    svec = (
+        parts.select(F.posexplode("s").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum("v").alias("s"))
+    )
+    tot = parts.agg(F.sum("n").alias("n"))
+    return (
+        sxx.join(F.broadcast(svec.select(F.col("d").alias("i"), F.col("s").alias("s_i"))), "i")
+        .join(F.broadcast(svec.select(F.col("d").alias("j"), F.col("s").alias("s_j"))), "j")
+        .crossJoin(F.broadcast(tot))
+        .select("i", "j", "n", "s_i", "s_j", "sxx")
+    )

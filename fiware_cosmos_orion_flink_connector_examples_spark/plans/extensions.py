@@ -3114,3 +3114,161 @@ def dup_matrix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
         )
     )
+
+
+@register(
+    "events_user_trend",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             count(*) AS n,
+             sum((epoch_us(ts) - 1700000000000000) / 86400000000.0) AS sx,
+             sum(value) AS sy,
+             sum(((epoch_us(ts) - 1700000000000000) / 86400000000.0)
+               * ((epoch_us(ts) - 1700000000000000) / 86400000000.0)) AS sxx,
+             sum(((epoch_us(ts) - 1700000000000000) / 86400000000.0) * value) AS sxy
+      FROM events GROUP BY 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM m
+    WHERE n >= 2 AND (n * sxx - sx * sx) != 0
+    """,
+    doc="Group-wise OLS trend (per-user value-over-time slope — the "
+    "distributed closed-form regression every monitoring stack wants): "
+    "slope and intercept from the five moment sums (n, Σx, Σy, Σx², "
+    "Σxy), which are all map-side-combinable — ONE exchange carrying "
+    "five doubles per user, no per-group iteration, no Python.  Time "
+    "is offset by a fixed epoch constant and rescaled to days BEFORE "
+    "squaring: raw epoch-µs squared would overflow the 53-bit "
+    "mantissa, and even epoch-days (~19 700) makes n·Σx²−(Σx)² cancel "
+    "~7 significant digits — the centered x keeps cancellation to ~2 "
+    "digits so the rounded slope can't straddle a rounding boundary "
+    "between engines' different summation orders.",
+    tags=("ext", "stats", "regression"),
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts")) - F.lit(1_700_000_000_000_000)) / F.lit(
+        86_400_000_000.0
+    )
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("value").alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * F.col("value")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return (
+        m.filter((F.col("n") >= 2) & (denom != 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(slope, 6).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+        )
+    )
+
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents),
+    wf AS (SELECT word, count(*) AS f FROM w GROUP BY 1),
+    px AS (
+      SELECT word, f, unnest(range(1, len(word))) AS i
+      FROM wf WHERE len(word) >= 2),
+    p AS (
+      SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, sum(f) AS n
+      FROM px GROUP BY 1)
+    SELECT pair, CAST(n AS BIGINT) AS n, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+      FROM p)
+    WHERE rank <= 30
+    """,
+    doc="First-iteration BPE merge statistics (Sennrich et al. 2016 "
+    "tokenizer induction, distributed): adjacent character-pair counts "
+    "weighted by corpus word frequency — the argmax pair is the first "
+    "BPE merge, and the distillation to a word-frequency table is what "
+    "makes corpus-scale induction tractable (pair explosion runs over "
+    "DISTINCT words, not corpus tokens: |vocab| << corpus).  Two "
+    "map-side-combinable aggs (word freq, then pair sum) and a top-30 "
+    "over the <=26^2-row pair table; integer counts, engine-exact.",
+    tags=("ext", "text", "tokenizer"),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
+            "word"
+        )
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "f",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            "word",
+        )
+        .select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+        .select("pair", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, unnest(v) AS xi, generate_subscripts(v, 1) AS i FROM e),
+    nn AS (SELECT count(*) AS n FROM e),
+    prod AS (
+      SELECT a.i - 1 AS i, b.i - 1 AS j,
+             sum(a.xi * b.xi) AS sxx, sum(a.xi) AS s_i_part
+      FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i
+      GROUP BY 1, 2),
+    s AS (SELECT i - 1 AS d, sum(xi) AS s FROM x GROUP BY 1)
+    SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+           round((p.sxx - si.s * sj.s / nn.n) / (nn.n - 1), 6) + 0.0 AS cov
+    FROM prod p
+    JOIN s si ON si.d = p.i
+    JOIN s sj ON sj.d = p.j
+    CROSS JOIN nn
+    """,
+    doc="Embedding covariance matrix (PCA/whitening prep, the "
+    "embedding-matrix QC step beyond per-dim moments): upper-triangle "
+    "(i <= j) covariance via similarity.covariance_moments — one numpy "
+    "X^T X + column-sum per Arrow batch (dense BLAS), then a "
+    "DISTRIBUTED posexplode+sum reduce over dim^2 cells; shuffle "
+    "volume is batches x dim^2 doubles, independent of corpus rows, "
+    "and the mean-correction frames broadcast.  The oracle "
+    "re-derives the same cells from a per-row pair join — "
+    "O(n x dim^2) there, fine at oracle scale, which is exactly why "
+    "the engine side uses the moment form instead.",
+    tags=("ext", "similarity", "stats", "X4"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = similarity.covariance_moments(emb, "embedding")
+    cov = (F.col("sxx") - F.col("s_i") * F.col("s_j") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    # + 0.0 normalizes IEEE negative zero on BOTH engines (a rounded
+    # -1e-9 stringifies as -0.0 in one engine and 0.0 in the other)
+    return m.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))

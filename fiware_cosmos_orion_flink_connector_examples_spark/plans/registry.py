@@ -110,6 +110,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "events_transition_matrix",
     "ann_topk_mmr",
     "dup_matrix_by_source",
+    "events_user_trend",
+    "bpe_pair_stats",
+    "embedding_covariance",
 )
 
 

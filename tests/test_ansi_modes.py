@@ -35,6 +35,9 @@ REPRESENTATIVE = [
     "events_resample_locf",
     "events_transition_matrix",
     "dup_matrix_by_source",
+    "events_user_trend",
+    "bpe_pair_stats",
+    "embedding_covariance",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",

@@ -370,3 +370,31 @@ def test_dup_matrix_source_lookups_broadcast(spark):
     the corpus side of each lookup never sort-merges."""
     plan = plan_of(spark, "dup_matrix_by_source")
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_user_trend_single_exchange_partial_agg(spark):
+    """All five moment sums ride ONE hashpartitioning(user_id) exchange
+    with a map-side partial."""
+    import re
+
+    plan = plan_of(spark, "events_user_trend")
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "partial_" in plan
+
+
+def test_bpe_pair_stats_aggs_combine_mapside(spark):
+    """Word-freq and pair-sum aggs must both have partial+final pairs —
+    the shuffles carry distinct words / distinct pairs, not tokens."""
+    plan = plan_of(spark, "bpe_pair_stats")
+    assert plan.count("HashAggregate") >= 4
+    assert "EvalPython" not in plan
+
+
+def test_covariance_reduce_is_distributed(spark):
+    """The X^T X partials reduce via exchange+agg (never a driver
+    collect), and the mean-correction joins broadcast the dim-sized
+    frames."""
+    plan = plan_of(spark, "embedding_covariance")
+    assert "HashAggregate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -574,3 +574,101 @@ def test_mmr_diversifies_clustered_corpus(spark):
            similarity.topk_mmr(df, qs, k=5, shortlist=16, lam=0.5).collect()}
     assert plain <= set(range(1, 9))           # top-k stays in cluster A
     assert mmr & set(range(9, 17))             # MMR reaches cluster B
+
+
+# --- OLS trend / BPE stats / covariance --------------------------------------
+
+
+def test_events_user_trend_matches_numpy(spark):
+    import numpy as np
+
+    rng = random.Random(13)
+    rows = []
+    for u in range(6):
+        for i in range(rng.randint(0, 8)):
+            rows.append((len(rows), u, float(rng.randint(0, 10**6)),
+                         float(rng.uniform(-50, 50))))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec double, value double"
+    ).selectExpr("event_id", "user_id", "value",
+                 "timestamp_seconds(sec) AS ts")
+    # mirror the registered query's moment form on this frame
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        events_user_trend,
+    )
+    import tempfile, shutil, os
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.user_id: (r.n, r.slope, r.intercept)
+            for r in events_user_trend(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    by_user = {}
+    for _, u, sec, v in rows:
+        by_user.setdefault(u, []).append(((sec * 1e6 - 1.7e15) / 86400e6, v))
+    for u, pts in by_user.items():
+        xs = np.array([p[0] for p in pts]); ys = np.array([p[1] for p in pts])
+        if len(pts) < 2 or np.allclose(xs, xs[0]):
+            assert u not in got
+            continue
+        slope, intercept = np.polyfit(xs, ys, 1)
+        n, g_slope, g_intercept = got[u]
+        assert n == len(pts)
+        assert abs(g_slope - slope) < 1e-4, (u, g_slope, slope)
+        # intercept extrapolates to x=0 far outside the data window, so
+        # compare at relative precision (polyfit is SVD, ours closed-form)
+        assert abs(g_intercept - intercept) < 1e-7 * abs(intercept) + 1e-4
+
+
+def test_bpe_pair_stats_matches_bruteforce(spark):
+    import collections
+    import os, shutil, tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        bpe_pair_stats,
+    )
+
+    docs = [(0, "low lower lowest"), (1, "new newer newest low"), (2, "a bb")]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {(r.pair): (r.n, r.rank) for r in bpe_pair_stats(spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    c: collections.Counter = collections.Counter()
+    for _, t in docs:
+        for w in t.lower().split():
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    want = {p: (n, i + 1) for i, (p, n) in enumerate(ranked)}
+    assert got == want
+    assert got["lo"][0] == 4  # low/lower/lowest + low
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import similarity
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(37, 6)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)  # multiple Arrow batches: the partial X^T X must combine
+    m = similarity.covariance_moments(df, "embedding")
+    rows = m.collect()
+    want = np.cov(X, rowvar=False)
+    assert len(rows) == 6 * 7 // 2
+    for r in rows:
+        cov = (r.sxx - r.s_i * r.s_j / r.n) / (r.n - 1)
+        assert abs(cov - want[r.i, r.j]) < 1e-9, (r.i, r.j)
+        assert r.n == 37
