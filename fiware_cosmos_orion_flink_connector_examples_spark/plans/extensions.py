@@ -3272,3 +3272,110 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + 0.0 normalizes IEEE negative zero on BOTH engines (a rounded
     # -1e-9 stringifies as -0.0 in one engine and 0.0 in the other)
     return m.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+
+
+@register(
+    "ngram_diversity_by_source",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    g AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks
+      WHERE len(t) >= 2)
+    SELECT source,
+           count(*) AS n_grams,
+           count(DISTINCT gram) AS n_distinct,
+           round(count(DISTINCT gram) / CAST(count(*) AS DOUBLE), 6)
+             AS diversity
+    FROM g GROUP BY 1
+    """,
+    doc="Per-source bigram diversity (distinct/total ratio — the "
+    "cheap Self-BLEU stand-in that flags template-generated or "
+    "boilerplate-heavy sources before training): token bigrams per "
+    "source, exact distinct via a two-level agg — the (source, gram) "
+    "pre-agg combines map-side so the second exchange carries "
+    "distinct pairs, never raw gram occurrences.  Integer counts, "
+    "engine-exact; one ratio division at the end.",
+    tags=("ext", "text", "quality"),
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    length = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, length),
+        F.slice(toks, 2, length),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per = (
+        docs.select("source", F.explode(grams).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("source").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias(
+            "diversity"
+        ),
+    )
+
+
+@register(
+    "quality_decile_counts",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT quantile_cont(n_tok, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bnds
+      FROM q)
+    SELECT CAST(len(list_filter(b.bnds, x -> q.n_tok > x)) AS INTEGER) AS decile,
+           count(*) AS n_docs,
+           round(min(q.n_tok), 2) AS lo,
+           round(max(q.n_tok), 2) AS hi
+    FROM q CROSS JOIN b
+    GROUP BY 1
+    """,
+    doc="Equi-depth decile binning of doc token counts — the scalable "
+    "quantile-discretization pattern: exact interpolated quantile "
+    "boundaries from ONE aggregate (a 9-double row), broadcast back "
+    "over the scan, bucket = how many boundaries the value exceeds "
+    "(identical list_filter/filter expression both engines — no ntile, "
+    "whose global sort is the anti-pattern at 100 TB).  Same exact-"
+    "interpolation convention as outliers_mad_by_type.",
+    tags=("ext", "stats", "quantile"),
+)
+def quality_decile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("double")
+        .alias("n_tok"),
+    )
+    bnds = q.agg(
+        F.percentile(
+            "n_tok", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("bnds")
+    )
+    return (
+        q.crossJoin(F.broadcast(bnds))
+        .select(
+            F.size(
+                F.filter("bnds", lambda x: F.col("n_tok") > x)
+            ).alias("decile"),
+            "n_tok",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("n_tok"), 2).alias("lo"),
+            F.round(F.max("n_tok"), 2).alias("hi"),
+        )
+    )

@@ -113,6 +113,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "events_user_trend",
     "bpe_pair_stats",
     "embedding_covariance",
+    "ngram_diversity_by_source",
+    "quality_decile_counts",
 )
 
 

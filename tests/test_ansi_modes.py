@@ -38,6 +38,8 @@ REPRESENTATIVE = [
     "events_user_trend",
     "bpe_pair_stats",
     "embedding_covariance",
+    "ngram_diversity_by_source",
+    "quality_decile_counts",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",

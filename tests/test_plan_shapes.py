@@ -398,3 +398,11 @@ def test_covariance_reduce_is_distributed(spark):
     assert "HashAggregate" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_decile_binning_no_global_sort(spark):
+    """Equi-depth binning must broadcast the one-row boundary frame —
+    never plan ntile's global single-partition sort."""
+    plan = plan_of(spark, "quality_decile_counts")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # no ntile
