@@ -247,6 +247,16 @@ def round6_smoke(spark, m: int = 25, n_docs: int = 2_000_000) -> None:
         run("span_dedup_intra_doc (2M docs)", "span_dedup_intra_doc")
         run(f"events_resample_locf ({m}M)", "events_resample_locf")
         run(f"events_transition_matrix ({m}M)", "events_transition_matrix")
+        run(f"events_user_trend ({m}M)", "events_user_trend")
+        run("bpe_pair_stats (2M docs)", "bpe_pair_stats")
+        run("ngram_diversity_by_source (2M docs)", "ngram_diversity_by_source")
+        run("quality_decile_counts (2M docs)", "quality_decile_counts")
+        # dup_matrix_by_source is NOT smoked here: it reuses the UNCAPPED
+        # ngram_jaccard_pairs posting join, and this fixture's 200k-doc
+        # boilerplate gives 6 shingles df=200k — Σdf² ≈ 1.2e11 candidate
+        # pairs by construction.  On skewed corpora the capped pair
+        # source (skewed_dedup_smoke above) is the demonstrated shape;
+        # the matrix agg itself is |pairs|-sized either way.
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
