@@ -3379,3 +3379,48 @@ def quality_decile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("n_tok"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    contrib AS (
+      SELECT day + CAST(k AS INTEGER) AS day, user_id
+      FROM du, range(0, 7) r(k)),
+    wau AS (
+      SELECT day, count(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY 1),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+    SELECT CAST(strftime(d.day, '%Y-%m-%d') AS VARCHAR) AS day,
+           d.dau, w.wau,
+           round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+    doc="Rolling engagement: exact DAU, trailing-7-day WAU, and the "
+    "DAU/WAU stickiness ratio per active day.  The exact trailing "
+    "distinct uses the contribution-explode shape: the DISTINCT "
+    "(day, user) table (already tiny relative to events) fans each "
+    "row into the 7 report days it contributes to, then a distinct "
+    "count per day — a bounded 7x blowup of the REDUCED table, never "
+    "a self-join of events or a per-day range scan; all exchanges "
+    "are day-keyed.  Integer counts, engine-exact.",
+    tags=("ext", "temporal", "engagement"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    contrib = du.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    ).select(F.date_add("day", F.col("k")).alias("day"), "user_id")
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )

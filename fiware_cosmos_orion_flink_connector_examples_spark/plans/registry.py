@@ -115,6 +115,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "embedding_covariance",
     "ngram_diversity_by_source",
     "quality_decile_counts",
+    "events_dau_wau",
 )
 
 

@@ -40,6 +40,7 @@ REPRESENTATIVE = [
     "embedding_covariance",
     "ngram_diversity_by_source",
     "quality_decile_counts",
+    "events_dau_wau",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",
