@@ -3424,3 +3424,73 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "events_cep_signup_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, s.t0, min(epoch_us(e.ts)) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s.t0
+        AND epoch_us(e.ts) <= s.t0 + 86400000000
+      GROUP BY 1, 2),
+    bad AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN p ON e.user_id = p.user_id
+      WHERE e.event_type = 'error'
+        AND epoch_us(e.ts) > p.t0 AND epoch_us(e.ts) < p.t1)
+    SELECT p.user_id,
+           CAST(p.t0 // 1000000 AS BIGINT) AS signup_ts,
+           CAST(p.t1 // 1000000 AS BIGINT) AS purchase_ts,
+           p.t1 - p.t0 AS latency_us
+    FROM p LEFT JOIN bad USING (user_id)
+    WHERE bad.user_id IS NULL
+    """,
+    doc="CEP-style sequence pattern (the Flink MATCH_RECOGNIZE staple "
+    "the reference ecosystem reaches for): first 'signup' followed by "
+    "the earliest 'purchase' within 24 hours, REJECTED if any 'error' "
+    "falls strictly between them — pattern = step chain + time bound "
+    "+ negation, the three ingredients the fixed funnel lacks.  All "
+    "three stage frames and both joins key on user_id (one exchange "
+    "family, same as the funnel); type equality predicates push to "
+    "the parquet scan; time math is integer microseconds, "
+    "engine-exact.",
+    tags=("ext", "temporal", "cep"),
+)
+def events_cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(
+            (F.col("us") > F.col("t0"))
+            & (F.col("us") <= F.col("t0") + F.lit(86_400_000_000))
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("us").alias("t1"))
+    )
+    bad = (
+        ev.filter(F.col("event_type") == "error")
+        .join(p.select("user_id", "t0", "t1"), "user_id")
+        .filter((F.col("us") > F.col("t0")) & (F.col("us") < F.col("t1")))
+        .select("user_id")
+        .distinct()
+    )
+    return p.join(bad, "user_id", "left_anti").select(
+        "user_id",
+        F.floor(F.col("t0") / 1_000_000).cast("long").alias("signup_ts"),
+        F.floor(F.col("t1") / 1_000_000).cast("long").alias("purchase_ts"),
+        (F.col("t1") - F.col("t0")).alias("latency_us"),
+    )

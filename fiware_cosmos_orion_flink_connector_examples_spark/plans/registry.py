@@ -116,6 +116,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "ngram_diversity_by_source",
     "quality_decile_counts",
     "events_dau_wau",
+    "events_cep_signup_purchase",
 )
 
 

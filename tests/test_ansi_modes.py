@@ -41,6 +41,7 @@ REPRESENTATIVE = [
     "ngram_diversity_by_source",
     "quality_decile_counts",
     "events_dau_wau",
+    "events_cep_signup_purchase",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",

@@ -406,3 +406,13 @@ def test_decile_binning_no_global_sort(spark):
     plan = plan_of(spark, "quality_decile_counts")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan  # no ntile
+
+
+def test_cep_stage_scans_push_type_predicates(spark):
+    """Each CEP stage reads only its event type, and no stage pays a
+    nested-loop: the time bound is a post-equi-join filter."""
+    plan = plan_of(spark, "events_cep_signup_purchase")
+    for v in ("signup", "purchase", "error"):
+        assert f"EqualTo(event_type,{v})" in plan, v
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

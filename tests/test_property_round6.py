@@ -672,3 +672,49 @@ def test_embedding_covariance_matches_numpy(spark):
         cov = (r.sxx - r.s_i * r.s_j / r.n) / (r.n - 1)
         assert abs(cov - want[r.i, r.j]) < 1e-9, (r.i, r.j)
         assert r.n == 37
+
+
+# --- CEP sequence pattern ----------------------------------------------------
+
+
+def test_cep_negation_and_bound(spark):
+    """Pattern semantics on a constructed fixture: (a) in-window
+    sequence matches, (b) an intervening error rejects, (c) an error
+    outside [t0, t1] does NOT reject, (d) purchase past the bound
+    fails, (e) purchase before signup fails."""
+    import datetime as dt
+    import os, shutil, tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        events_cep_signup_purchase,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, hours, etype):
+        nonlocal eid
+        rows.append((eid, user, etype, t0 + dt.timedelta(hours=hours)))
+        eid += 1
+
+    ev(1, 0, "signup"); ev(1, 2, "purchase")                    # match
+    ev(2, 0, "signup"); ev(2, 1, "error"); ev(2, 2, "purchase") # rejected
+    ev(3, 0, "error"); ev(3, 1, "signup"); ev(3, 2, "purchase"); ev(3, 3, "error")  # errors outside
+    ev(4, 0, "signup"); ev(4, 30, "purchase")                   # past 24h bound
+    ev(5, 2, "signup"); ev(5, 1, "purchase")                    # wrong order
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        df.select(
+            "event_id", "ts", "user_id", "event_type",
+            F.lit(1.0).alias("value"), F.lit("{}").alias("props"),
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.user_id: r.latency_us
+            for r in events_cep_signup_purchase(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == {1: 2 * 3600 * 1_000_000, 3: 1 * 3600 * 1_000_000}
