@@ -3494,3 +3494,61 @@ def events_cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("t1") / 1_000_000).cast("long").alias("purchase_ts"),
         (F.col("t1") - F.col("t0")).alias("latency_us"),
     )
+
+
+@register(
+    "sample_weighted_exact_k",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             round(0.5 * least(n_tok / 50.0, 1.0)
+                 + 0.25 * (CASE WHEN n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 9.0
+                                THEN 1.0 ELSE 0.5 END)
+                 + 0.25 * (CASE WHEN n_stop / greatest(n_tok, 1.0) > 0.02
+                                THEN 1.0 ELSE 0.6 END), 4) AS quality
+      FROM q),
+    keyed AS (
+      SELECT doc_id, source, quality,
+             ln(((CAST(concat('0x', substr(md5(concat('es:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % 9007199254740992) + 0.5) / 9007199254740992.0) / quality AS k
+      FROM scored)
+    SELECT doc_id, source, quality
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 200
+    """,
+    doc="EXACT-size weighted sampling without replacement (Efraimidis "
+    "& Spirakis 2006 A-ES): each doc draws the deterministic seeded-"
+    "md5 uniform u and keys on ln(u)/w (monotone with u^(1/w)); the "
+    "top-200 keys ARE the weighted sample.  Where "
+    "sample_weighted_quality gives a Bernoulli sample of RANDOM size, "
+    "this pins the size exactly — the mixture-construction case where "
+    "the budget is a row count.  Scan-level map + distributed top-k "
+    "(TakeOrderedAndProject, plan-asserted — never a global sort); "
+    "deterministic across runs, partitionings, and engines.",
+    tags=("ext", "sample", "weighted"),
+)
+def sample_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", text.quality_score("text").alias("quality")
+    )
+    m = 1 << 53  # u = (H mod 2^53 + 0.5) / 2^53 in (0,1): ln never sees 0
+    u = (
+        F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "es"), F.lit(m))
+        + F.lit(0.5)
+    ) / F.lit(float(m))
+    keyed = scored.withColumn("k", F.log(u) / F.col("quality"))
+    return (
+        keyed.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(200)
+        .select("doc_id", "source", "quality")
+    )

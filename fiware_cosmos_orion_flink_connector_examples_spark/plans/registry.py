@@ -117,6 +117,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "quality_decile_counts",
     "events_dau_wau",
     "events_cep_signup_purchase",
+    "sample_weighted_exact_k",
 )
 
 

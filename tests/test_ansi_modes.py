@@ -42,6 +42,7 @@ REPRESENTATIVE = [
     "quality_decile_counts",
     "events_dau_wau",
     "events_cep_signup_purchase",
+    "sample_weighted_exact_k",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",

@@ -416,3 +416,11 @@ def test_cep_stage_scans_push_type_predicates(spark):
         assert f"EqualTo(event_type,{v})" in plan, v
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_exact_k_is_take_ordered(spark):
+    """The A-ES top-k must plan TakeOrderedAndProject — never a global
+    sort — and stay Python-free."""
+    plan = plan_of(spark, "sample_weighted_exact_k")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
