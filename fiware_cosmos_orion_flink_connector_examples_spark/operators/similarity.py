@@ -709,7 +709,6 @@ def topk_mmr(
         out["rank"] = np.arange(1, len(picked) + 1, dtype="int32")
         if picked:
             if len(picked) > 1:
-                later = np.array(picked[1:])
                 prior_max = np.array(
                     [sims[p, picked[:i + 1]].max()
                      for i, p in enumerate(picked[1:])]
