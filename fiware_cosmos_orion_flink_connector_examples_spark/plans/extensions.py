@@ -3552,3 +3552,135 @@ def sample_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("doc_id", "source", "quality")
     )
+
+
+@register(
+    "events_user_360",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (SELECT user_id, min(epoch_us(ts)) AS t0
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.t0 GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t1 GROUP BY 1),
+    isl AS (
+      SELECT user_id,
+             sum(CASE WHEN prev IS NULL OR prev != event_type THEN 1 ELSE 0 END)
+               AS n_islands
+      FROM (SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev
+            FROM events)
+      GROUP BY 1),
+    m AS (
+      SELECT user_id, count(*) AS n,
+             sum((epoch_us(ts) - 1700000000000000) / 86400000000.0) AS sx,
+             sum(value) AS sy,
+             sum(((epoch_us(ts) - 1700000000000000) / 86400000000.0)
+               * ((epoch_us(ts) - 1700000000000000) / 86400000000.0)) AS sxx,
+             sum(((epoch_us(ts) - 1700000000000000) / 86400000000.0) * value) AS sxy
+      FROM events GROUP BY 1)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.t2 IS NOT NULL THEN 3
+                     WHEN c.t1 IS NOT NULL THEN 2
+                     WHEN s.t0 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS funnel_stage,
+           CAST(isl.n_islands AS BIGINT) AS n_islands,
+           CASE WHEN m.n >= 2 AND (m.n * m.sxx - m.sx * m.sx) != 0
+                THEN round((m.n * m.sxy - m.sx * m.sy)
+                           / (m.n * m.sxx - m.sx * m.sx), 6)
+                ELSE NULL END AS value_slope
+    FROM u
+    LEFT JOIN s USING (user_id) LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    JOIN isl USING (user_id) JOIN m USING (user_id)
+    """,
+    doc="Capstone user-360 frame: funnel stage reached (signup -> "
+    "click-after -> purchase-after), behavioral island count, and the "
+    "OLS value trend slope — three subsystems (sequential funnel, "
+    "gaps-and-islands, moment regression) composed into ONE per-user "
+    "frame.  Every stage frame, window, and join keys on user_id, so "
+    "the whole pipeline is one exchange family; the chained oracle "
+    "re-derives all three in SQL and hash-checks the composition, "
+    "not just the parts.",
+    tags=("ext", "temporal", "capstone"),
+)
+def events_user_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    users = ev.select("user_id").distinct()
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    isl = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("chg").cast("long").alias("n_islands"))
+    )
+    x = (F.col("us") - F.lit(1_700_000_000_000_000)) / F.lit(86_400_000_000.0)
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("value").alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * F.col("value")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        (F.col("n") >= 2) & (denom != 0),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom, 6
+        ),
+    )
+    return (
+        users.join(s, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .join(isl, "user_id")
+        .join(m, "user_id")
+        .select(
+            "user_id",
+            F.when(F.col("t2").isNotNull(), 3)
+            .when(F.col("t1").isNotNull(), 2)
+            .when(F.col("t0").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_stage"),
+            "n_islands",
+            slope.alias("value_slope"),
+        )
+    )

@@ -118,6 +118,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "events_dau_wau",
     "events_cep_signup_purchase",
     "sample_weighted_exact_k",
+    "events_user_360",
 )
 
 

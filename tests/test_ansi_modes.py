@@ -43,6 +43,7 @@ REPRESENTATIVE = [
     "events_dau_wau",
     "events_cep_signup_purchase",
     "sample_weighted_exact_k",
+    "events_user_360",
     "split_dedup_safe",
     "corpus_prep_pipeline",
     "events_funnel_conversion",

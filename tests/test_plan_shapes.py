@@ -424,3 +424,14 @@ def test_weighted_exact_k_is_take_ordered(spark):
     plan = plan_of(spark, "sample_weighted_exact_k")
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_user_360_single_exchange_family(spark):
+    """The capstone's every data exchange hashes on user_id — the three
+    subsystems co-locate instead of re-shuffling per stage."""
+    import re
+
+    plan = plan_of(spark, "events_user_360")
+    for args in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert args.strip().startswith("user_id"), args
+    assert "CartesianProduct" not in plan
