@@ -820,6 +820,13 @@ def embedding_dup_pairs_ivf(
     import numpy as np
     import pandas as pd
 
+    if not centroids:
+        # training saw an empty corpus: exact single-block scoring —
+        # identical (d1, d2, cos) contract, free on the empty corpus
+        # that produced the empty quantizer
+        return embedding_dup_pairs(
+            df.withColumn("_all", F.lit(0)), id_col, vec_col, "_all", threshold
+        ).distinct()
     id_type = df.schema[id_col].dataType.simpleString()
     C = np.asarray(centroids, dtype="float64")
     c_norms = (C * C).sum(axis=1)

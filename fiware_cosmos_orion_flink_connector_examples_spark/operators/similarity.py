@@ -147,6 +147,11 @@ def kmeans_fit_sample(
         .limit(max_sample)
         .collect()
     )
+    if not sample:  # empty training corpus: no quantizer to train —
+        # callers fall back to the exact path (free on an empty corpus)
+        if full_key is not None:
+            _QUANTIZER_CACHE[full_key] = []
+        return []
     X = np.asarray([list(r.v) for r in sample], dtype="float64")
     # deterministic init: first k of the hash-ordered sample
     C = X[:k].copy()
@@ -228,7 +233,13 @@ def topk_cosine_ivf(
     """IVF probe: corpus bucketed by nearest centroid; each query scans
     its ``nprobe`` nearest buckets only — candidate set shrinks by
     ~k_centroids/nprobe.  Join is an equi-join on bucket id with the
-    query side broadcast; the corpus never shuffles."""
+    query side broadcast; the corpus never shuffles.
+
+    An empty ``centroids`` list (training saw an empty corpus) falls
+    back to the exact brute-force scan — identical output contract,
+    and free on the empty corpus that produced it."""
+    if not centroids:
+        return topk_cosine_bruteforce(df, queries, k, id_col, vec_col)
     raw = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col).alias("n_id"),
@@ -358,6 +369,10 @@ def pq_train(
         .limit(max_sample)
         .collect()
     )
+    if not sample:  # empty training corpus — see kmeans_fit_sample
+        if full_key is not None:
+            _QUANTIZER_CACHE[full_key] = []
+        return []
     X = np.asarray([list(r.v) for r in sample], dtype="float64")
     dim = X.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
@@ -446,6 +461,8 @@ def topk_cosine_pq(
 
     from pyspark.sql.functions import pandas_udf
 
+    if not codebooks:  # empty training corpus: exact path, same contract
+        return topk_cosine_bruteforce(df, queries, k, id_col, vec_col)
     m = len(codebooks)
     codes = pq_encode(df.select(F.col(id_col), l2_normalize(F.col(vec_col).cast("array<double>")).alias("_nv")), codebooks, "_nv", id_col)
 
@@ -559,6 +576,8 @@ def topk_cosine_pq_batch(
     O(|corpus|/c_blocks · m + |queries|/q_blocks · m·k)."""
     import numpy as np
 
+    if not codebooks:  # empty training corpus: exact path, same contract
+        return topk_cosine_bruteforce(df, queries, k, id_col, vec_col)
     m = len(codebooks)
     n_codes = len(codebooks[0])
     id_type = df.schema[id_col].dataType.simpleString()
