@@ -738,7 +738,7 @@ def embedding_dup_pairs(
 
     blk_type = df.schema[block_col].dataType.simpleString()
     id_type = df.schema[id_col].dataType.simpleString()
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("d"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
@@ -846,7 +846,7 @@ def embedding_dup_pairs_ivf(
                 }
             )
 
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_vec")
     )
     index = base.mapInPandas(

@@ -333,7 +333,9 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(run, schema=REAL_FEATURE_SCHEMA)
+    return media.filter(F.col("payload").isNotNull()).mapInPandas(
+        run, schema=REAL_FEATURE_SCHEMA
+    )
 
 
 def fake_decode_features(payload: bytes) -> tuple[int, int, int, int]:
@@ -365,7 +367,9 @@ def extract_features(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return media.filter(F.col("payload").isNotNull()).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = StructType(
@@ -402,7 +406,9 @@ def sample_frames(media: DataFrame, frame_size: int = 256, every_n: int = 2) -> 
                 {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
             )
 
-    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+    return media.filter(F.col("payload").isNotNull()).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -47,7 +47,11 @@ def topk_cosine_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self-match
-    excluded).  ``queries`` must have the same id/vec columns."""
+    excluded).  ``queries`` must have the same id/vec columns.
+    Rows with a NULL vector are dropped at the boundary (nothing to
+    score) — the convention every kernel in this module shares."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     base = df.select(
         F.col(id_col).alias("n_id"),
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
@@ -141,7 +145,9 @@ def kmeans_fit_sample(
         if hit is not None:
             return hit
 
-    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    v = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
     sample = (
         v.orderBy(F.pmod(F.xxhash64(F.col("_id")), F.lit(1_000_003)), F.col("_id"))
         .limit(max_sample)
@@ -240,6 +246,8 @@ def topk_cosine_ivf(
     and free on the empty corpus that produced it."""
     if not centroids:
         return topk_cosine_bruteforce(df, queries, k, id_col, vec_col)
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     raw = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col).alias("n_id"),
@@ -361,7 +369,7 @@ def pq_train(
         if hit is not None:
             return hit
 
-    v = df.select(
+    v = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     sample = (
@@ -463,6 +471,8 @@ def topk_cosine_pq(
 
     if not codebooks:  # empty training corpus: exact path, same contract
         return topk_cosine_bruteforce(df, queries, k, id_col, vec_col)
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     m = len(codebooks)
     codes = pq_encode(df.select(F.col(id_col), l2_normalize(F.col(vec_col).cast("array<double>")).alias("_nv")), codebooks, "_nv", id_col)
 
@@ -578,6 +588,8 @@ def topk_cosine_pq_batch(
 
     if not codebooks:  # empty training corpus: exact path, same contract
         return topk_cosine_bruteforce(df, queries, k, id_col, vec_col)
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     m = len(codebooks)
     n_codes = len(codebooks[0])
     id_type = df.schema[id_col].dataType.simpleString()
@@ -785,7 +797,9 @@ def covariance_moments(
                 }
             )
 
-    parts = df.select(F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+    parts = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(
         part, "n long, s array<double>, xtx array<double>"
     )
     sxx = (

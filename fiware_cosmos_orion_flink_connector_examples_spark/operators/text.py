@@ -340,10 +340,12 @@ def chunk_documents(
     per-row work, no Python, chunk rows shuffle-free until whatever
     the caller aggregates.
 
-    Returns (id, chunk_idx INT, chunk_text, n_tokens INT).
+    Returns (id, chunk_idx INT, chunk_text, n_tokens INT).  Rows with
+    NULL text are dropped at the boundary (nothing to chunk).
     """
     from pyspark.sql import functions as F
 
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(text_col)
     n = F.size(toks)
     # number of stride steps: 1 + max(0, ceil((n - size) / stride));

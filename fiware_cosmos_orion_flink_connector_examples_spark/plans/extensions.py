@@ -640,7 +640,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_real",
     oracle="""
     WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L
-               FROM documents)
+               FROM documents WHERE text IS NOT NULL)
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS kind,
            CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE L % 32 + 1 END AS INTEGER) AS width,
@@ -666,7 +666,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    # NULL text has no payload to synthesize — drop at the boundary
+    # (same convention as the decode kernels' payload-null filter)
+    base = docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("image"))
