@@ -526,3 +526,76 @@ def streaming_locf(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CEP_SCHEMA = "user_id bigint, signup_ts bigint, purchase_ts bigint, latency_us bigint"
+CEP_STATE_SCHEMA = "t0 bigint, t1 bigint, err bigint, done bigint"
+
+
+def streaming_cep_signup_purchase(
+    events: DataFrame,
+    within_us: int = 86_400_000_000,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stateful streaming twin of the batch CEP pattern
+    (``events_cep_signup_purchase``): per user, track the first
+    'signup' (t0), reject on any 'error' strictly after t0 before the
+    match completes, and emit ONE match row when the earliest
+    'purchase' within ``within_us`` of t0 arrives — state is four
+    int64s, constant size.
+
+    Streaming semantics note (the retraction boundary): the batch
+    query rejects on an error anywhere in (t0, t1) — including one
+    that ARRIVES later but TIMESTAMPS earlier.  A stream cannot
+    retract an emitted match, so in-order feeds (and availableNow
+    replays, which sort per batch) match the batch output exactly
+    (pytest-pinned); an out-of-order error crossing micro-batch
+    boundaries is the documented divergence, same guarantee class as
+    the sessionizer.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        t0, t1, err, done = state.get if state.exists else (-1, -1, -1, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                us = int(ts.value // 1_000)
+                if done:
+                    break
+                if etype == "signup" and t0 < 0:
+                    t0 = us
+                elif etype == "error" and t0 >= 0 and us > t0:
+                    err = us
+                    done = 1  # pattern dead for this user
+                elif (
+                    etype == "purchase"
+                    and t0 >= 0
+                    and us > t0
+                    and us <= t0 + within_us
+                ):
+                    t1 = us
+                    done = 1
+                    out.append((user_id, t0 // 1_000_000, us // 1_000_000, us - t0))
+        state.update((t0, t1, err, done))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "signup_ts", "purchase_ts", "latency_us"],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CEP_SCHEMA,
+            stateStructType=CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

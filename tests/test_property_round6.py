@@ -718,3 +718,38 @@ def test_cep_negation_and_bound(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert got == {1: 2 * 3600 * 1_000_000, 3: 1 * 3600 * 1_000_000}
+
+
+def test_ivf_empty_quantizer_falls_back_exact(spark):
+    """centroids=[] (empty training corpus) must fall back to exact
+    scoring with identical contracts — pinned on a small NON-empty
+    frame so the fallback semantics are visible, not just non-crashing."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    rng = random.Random(2)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = df.filter(F.col("vec_id") < 3)
+    bf = {(r.q_id, r.rank): r.n_id
+          for r in similarity.topk_cosine_bruteforce(df, qs, k=4).collect()}
+    ivf = {(r.q_id, r.rank): r.n_id
+           for r in similarity.topk_cosine_ivf(df, qs, [], k=4).collect()}
+    assert ivf == bf
+    pairs_single_block = {
+        (r.d1, r.d2)
+        for r in dedup.embedding_dup_pairs(
+            df.withColumn("_b", F.lit(0)), "vec_id", "embedding", "_b", 0.4
+        ).collect()
+    }
+    pairs_fallback = {
+        (r.d1, r.d2)
+        for r in dedup.embedding_dup_pairs_ivf(
+            df, [], "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert pairs_fallback == pairs_single_block

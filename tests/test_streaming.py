@@ -1417,3 +1417,95 @@ def test_streaming_locf_matches_batch(spark, tmp_path):
     }
     assert got2 == want
     assert {(2, base + 10), (2, base + 20), (2, base + 30)} <= set(got2)  # u2 closed+gaps
+
+
+def test_streaming_cep_matches_batch(spark, tmp_path):
+    """Streaming CEP vs the batch pattern query: an availableNow replay
+    (per-batch event-time sort) must emit exactly the batch matches,
+    and a cross-batch purchase resumes from checkpointed signup state."""
+    import datetime as dt
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        events_cep_signup_purchase,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, hours, etype):
+        nonlocal eid
+        rows.append({"ts": (t0 + dt.timedelta(hours=hours)).replace(
+            tzinfo=dt.timezone.utc).timestamp(), "event_id": eid,
+            "user_id": user, "event_type": etype})
+        eid += 1
+
+    ev(1, 0, "signup"); ev(1, 2, "purchase")                     # match b1
+    ev(2, 0, "signup"); ev(2, 1, "error"); ev(2, 2, "purchase")  # rejected
+    ev(4, 0, "signup"); ev(4, 30, "purchase")                    # past bound
+    ev(3, 0, "signup")                                           # completes in b2
+    batch1, batch2 = rows[:], []
+    rows = batch2
+    ev(3, 5, "purchase")                                         # match b2
+    spool = tmp_path / "cspool"
+    spool.mkdir()
+    out_dir = str(tmp_path / "cep_out")
+
+    def write(name, evs):
+        with open(spool / name, "w") as f:
+            for e in evs:
+                f.write(json.dumps(e) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "ts double, event_id long, user_id long, event_type string"
+            )
+            .json(str(spool))
+            .selectExpr(
+                "user_id", "timestamp_seconds(ts) AS ts", "event_id", "event_type"
+            )
+        )
+        q = (
+            jobs.streaming_cep_signup_purchase(stream)
+            .writeStream.format("json")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_cep"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.user_id: (r.signup_ts, r.purchase_ts, r.latency_us)
+            for r in spark.read.schema(
+                "user_id long, signup_ts long, purchase_ts long, latency_us long"
+            ).json(out_dir).collect()
+        }
+
+    write("b1.jsonl", batch1)
+    got1 = drain()
+    assert set(got1) == {1}
+    write("b2.jsonl", batch2)
+    got2 = drain()
+    assert set(got2) == {1, 3}
+
+    # full-history replay == the batch CEP query on the same events
+    import os, shutil, tempfile
+    tmp = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            [(e["event_id"], e["user_id"], e["event_type"], e["ts"])
+             for e in batch1 + batch2],
+            "event_id long, user_id long, event_type string, sec double",
+        ).selectExpr(
+            "event_id", "timestamp_seconds(sec) AS ts", "user_id", "event_type",
+            "1.0 AS value", "'{}' AS props",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        want = {
+            r.user_id: (r.signup_ts, r.purchase_ts, r.latency_us)
+            for r in events_cep_signup_purchase(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got2 == want
