@@ -251,6 +251,9 @@ def round6_smoke(spark, m: int = 25, n_docs: int = 2_000_000) -> None:
         run("bpe_pair_stats (2M docs)", "bpe_pair_stats")
         run("ngram_diversity_by_source (2M docs)", "ngram_diversity_by_source")
         run("quality_decile_counts (2M docs)", "quality_decile_counts")
+        run(f"events_dau_wau ({m}M)", "events_dau_wau")
+        run(f"events_cep_signup_purchase ({m}M)", "events_cep_signup_purchase")
+        run(f"events_user_360 ({m}M)", "events_user_360")
         # dup_matrix_by_source is NOT smoked here: it reuses the UNCAPPED
         # ngram_jaccard_pairs posting join, and this fixture's 200k-doc
         # boilerplate gives 6 shingles df=200k — Σdf² ≈ 1.2e11 candidate
