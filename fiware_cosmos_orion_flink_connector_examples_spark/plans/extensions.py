@@ -3686,3 +3686,39 @@ def events_user_360(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope.alias("value_slope"),
         )
     )
+
+
+@register(
+    "events_hll_mergeable_daily",
+    oracle=None,
+    doc="Mergeable-sketch rollup (the Datasketches HLL pattern behind "
+    "every incremental 100 TB distinct-count pipeline): per-day "
+    "hll_sketch_agg of user_id, estimates per day, plus an 'ALL' row "
+    "whose sketch is hll_union_agg OF THE DAILY SKETCHES — the total "
+    "is computed WITHOUT rescanning events, which is what makes "
+    "sketch rollups incremental (store the daily sketch bytes, merge "
+    "on read).  No ANSI oracle (Datasketches binary format); the "
+    "pytest pins merged-union == one-shot whole-table sketch estimate "
+    "EXACTLY (same lgConfigK => same registers) and both within 5% of "
+    "the exact distinct count.",
+    tags=("ext", "sketch", "approx"),
+)
+def events_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    )
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("sk").alias("distinct_est"),
+    )
+    total = (
+        daily.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("day"),
+            F.hll_sketch_estimate("sk").alias("distinct_est"),
+        )
+    )
+    return per_day.unionByName(total)

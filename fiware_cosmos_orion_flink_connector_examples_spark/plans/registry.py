@@ -119,6 +119,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "events_cep_signup_purchase",
     "sample_weighted_exact_k",
     "events_user_360",
+    "events_hll_mergeable_daily",
 )
 
 

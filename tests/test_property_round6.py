@@ -753,3 +753,28 @@ def test_ivf_empty_quantizer_falls_back_exact(spark):
         ).collect()
     }
     assert pairs_fallback == pairs_single_block
+
+
+def test_hll_mergeable_union_equals_oneshot(spark):
+    """Union of per-day sketches must estimate EXACTLY like a one-shot
+    whole-table sketch (same lgConfigK => same registers), and both
+    land within 5% of the exact distinct count."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        events_hll_mergeable_daily,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.day: r.distinct_est
+            for r in events_hll_mergeable_daily(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    oneshot = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12))
+    ).collect()[0][0]
+    exact = ev.select("user_id").distinct().count()
+    assert rows["ALL"] == oneshot
+    assert abs(rows["ALL"] - exact) <= 0.05 * exact
+    day_ests = [v for k, v in rows.items() if k != "ALL"]
+    assert all(0 < v <= rows["ALL"] * 1.05 for v in day_ests)
