@@ -435,3 +435,13 @@ def test_user_360_single_exchange_family(spark):
     for args in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert args.strip().startswith("user_id"), args
     assert "CartesianProduct" not in plan
+
+
+def test_dau_wau_no_cartesian_day_keyed(spark):
+    """The trailing-distinct must come from the contribution explode of
+    the reduced (day,user) table — never a self-join of events or a
+    nested-loop range probe."""
+    plan = plan_of(spark, "events_dau_wau")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the 7-day contribution explode
