@@ -77,15 +77,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # Everything outside the window holds an r4/r5 proof, so no proof ages
 # past ~3 rounds before rotation re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r6 rewrote these onto new physical paths after their r5 proofs:
-    # sample_token_budget gained the two-pass range-partitioned prefix
-    # sum (VERDICT r5 #3), sample_weighted_quality's threshold compare
-    # moved to pinned-floor semantics on both engines (ADVICE r5), and
-    # events_type_islands moved to integer floor-division for the
-    # island bounds (ADVICE r5) — re-prove all three.
-    "sample_token_budget",
-    "sample_weighted_quality",
-    "events_type_islands",
+    # r7 round hygiene: emptied at round start (the r6 entries are now
+    # history in CORRECTNESS_r06.json).  Repopulate only for
+    # oracle-bearing queries physically rewritten after their latest
+    # driver proof.
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -100,26 +95,9 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    "span_dedup_removed",
-    "span_dedup_removed_run50",
-    "split_dedup_safe",
-    "corpus_prep_pipeline",
-    "decontaminate_spans_8gram",
-    "span_dedup_intra_doc",
-    "events_resample_locf",
-    "events_transition_matrix",
-    "ann_topk_mmr",
-    "dup_matrix_by_source",
-    "events_user_trend",
-    "bpe_pair_stats",
-    "embedding_covariance",
-    "ngram_diversity_by_source",
-    "quality_decile_counts",
-    "events_dau_wau",
-    "events_cep_signup_purchase",
-    "sample_weighted_exact_k",
-    "events_user_360",
-    "events_hll_mergeable_daily",
+    # r7 round hygiene: emptied at round start; repopulated below as
+    # round-7 queries register (class-2 membership still comes from
+    # artifact history, this tuple is bookkeeping for the rotation test).
 )
 
 
