@@ -1072,6 +1072,10 @@ def remove_repeated_spans(
     100 TB the dominant costs are the two token-scale exchanges
     ((id, pos) window and anti-join), both partitioned by doc id.
     """
+    # NULL text is dropped at the boundary (matching chunk_documents):
+    # size(regexp_extract_all(NULL)) is -1/NULL depending on ANSI mode,
+    # which would leak n_tokens=-1 rows (ADVICE r6)
+    df = df.filter(F.col(text_col).isNotNull())
     g = shingle_rows(df, id_col, text_col, n, keep_pos=True)
     wg = Window.partitionBy("gram")
     dup = (
@@ -1107,6 +1111,8 @@ def remove_intra_doc_repeats(
     by doc length, immune to corpus-wide boilerplate skew — strictly
     narrower than the cross-doc posting window), then the shared cut
     tail.  Output (id, n_tokens, n_removed, text_clean)."""
+    # NULL text dropped at the boundary — see remove_repeated_spans
+    df = df.filter(F.col(text_col).isNotNull())
     g = shingle_rows(df, id_col, text_col, n, keep_pos=True)
     wg = Window.partitionBy(id_col, "gram")
     dup = (
@@ -1147,6 +1153,8 @@ def remove_contaminated_spans(
 
     Output (id, n_tokens, n_removed, text_clean), one row per train
     doc."""
+    # NULL text dropped at the boundary — see remove_repeated_spans
+    train = train.filter(F.col(text_col).isNotNull())
     g = shingle_rows(train, id_col, text_col, n, keep_pos=True)
     dirty = shingle_rows(eval_df, id_col, text_col, n, distinct=False).select("gram")
     dup = g.join(dirty, "gram", "left_semi").select(id_col, "_pos")

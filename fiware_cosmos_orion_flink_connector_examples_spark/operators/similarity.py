@@ -755,8 +755,12 @@ def topk_mmr(
             out["score"] = np.array([], dtype="float64")
         return out
 
+    # derive the id type like the sibling kernels (topk_cosine_pq_batch)
+    # so string/int id columns don't hit an Arrow schema mismatch
+    # (ADVICE r6 low)
+    id_type = df.schema[id_col].dataType.simpleString()
     return cand.groupBy("q_id").applyInPandas(
-        mmr, "q_id long, n_id long, rank int, score double"
+        mmr, f"q_id {id_type}, n_id {id_type}, rank int, score double"
     ).select("q_id", "rank", "n_id", "score")
 
 
@@ -780,8 +784,16 @@ def covariance_moments(
     import numpy as np
 
     # bounded collect: ONE row, to learn the vector width for the
-    # flattened-index arithmetic below
-    dim_row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    # flattened-index arithmetic below.  Probe from the NULL-filtered
+    # frame — the batch path drops NULL vectors, and an arbitrary
+    # limit(1) row with a NULL embedding would yield dim NULL/-1 and
+    # corrupt every (i, j) cell (ADVICE r6 medium).
+    dim_row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .limit(1)
+        .collect()
+    )
     dim = int(dim_row[0]["d"]) if dim_row else 0
 
     def part(it):

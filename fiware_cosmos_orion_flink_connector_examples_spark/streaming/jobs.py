@@ -549,9 +549,11 @@ def streaming_cep_signup_purchase(
     that ARRIVES later but TIMESTAMPS earlier.  A stream cannot
     retract an emitted match, so in-order feeds (and availableNow
     replays, which sort per batch) match the batch output exactly
-    (pytest-pinned); an out-of-order error crossing micro-batch
-    boundaries is the documented divergence, same guarantee class as
-    the sessionizer.
+    (pytest-pinned) — including the same-timestamp error/purchase tie,
+    which is resolved purchase-first to mirror batch's strictly-inside
+    (t0, t1) error window (ADVICE r6); an out-of-order error crossing
+    micro-batch boundaries is the documented divergence, same
+    guarantee class as the sessionizer.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -562,7 +564,14 @@ def streaming_cep_signup_purchase(
         t0, t1, err, done = state.get if state.exists else (-1, -1, -1, 0)
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+            # same-timestamp tie-break: apply a tied 'purchase' BEFORE a
+            # tied 'error' — batch rejects only errors STRICTLY inside
+            # (t0, t1), so an error timestamped exactly at the matching
+            # purchase must not kill the pattern (ADVICE r6).  Other
+            # types keep event_id order at equal ts.
+            pdf = pdf.assign(
+                _tie=(pdf["event_type"] != "purchase").astype("int8")
+            ).sort_values(["ts", "_tie", "event_id"])
             for ts, etype in zip(pdf["ts"], pdf["event_type"]):
                 us = int(ts.value // 1_000)
                 if done:
