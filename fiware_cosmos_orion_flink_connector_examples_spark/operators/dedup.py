@@ -425,6 +425,79 @@ def simhash_dedup_pairs(
     )
 
 
+def hash_dup_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    bits: int = 64,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs within Hamming radius over a PRECOMPUTED n-bit
+    hash column (perceptual image hashes, audio fingerprints — any
+    fixed-width fingerprint; ``simhash_dedup_pairs`` owns the text
+    path because it also builds the signature).  Pigeonhole banding:
+    with ``n_bands`` >= max_hamming + 1 contiguous bit bands, any pair
+    within the radius shares at least one EXACT band — so candidates
+    come from ``n_bands`` self-equi-joins on (band, value), never
+    row x row — then a ``bit_count(xor)`` verify.  Exact recall at
+    exact cost: banding is a prune, the verify is the truth.
+
+    Unlike ``simhash_bands`` (60-bit, sign-free) the full-width 64-bit
+    case can carry the SIGN bit, so bands extract with
+    ``shiftrightunsigned`` — an arithmetic shift would smear the sign
+    across every high band and silently merge buckets.
+
+    Shape at 100 TB: the hash table is one int64 per image (the bytes
+    never reach this operator); each band join shuffles on (band,
+    value) with skew bounded by the most-populous bucket — constant
+    images pile into one bucket the same way boilerplate grams pile
+    into a posting list, and the same df-cap pre-filter applies if a
+    corpus needs it.  Hamming filter runs BEFORE the pair distinct so
+    the final shuffle carries qualifying pairs only.
+
+    Returns (d1, d2, hamming) with d1 < d2, one row per pair."""
+    from pyspark import StorageLevel
+
+    if n_bands is None:
+        n_bands = max_hamming + 2 if bits % (max_hamming + 2) == 0 else max_hamming + 1
+    assert n_bands >= max_hamming + 1, "pigeonhole needs >= max_hamming+1 bands"
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    h = F.col(hash_col)
+    bands = (
+        hashes.select(
+            F.col(id_col),
+            h.alias("_h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(h, i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bv"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select(F.col(id_col), "_h", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = bands.select(F.col(id_col).alias("d1"), F.col("_h").alias("h1"), "band", "bv")
+    b = bands.select(F.col(id_col).alias("d2"), F.col("_h").alias("h2"), "band", "bv")
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 20, driver_pair_max: int = 1_000_000
 ) -> DataFrame:

@@ -113,9 +113,10 @@ def encode_bmp(width: int, height: int, fill: int) -> bytes:
     return header + row_bytes * height
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, float]:
-    """Parse a BI_RGB 24bpp BMP: (width, height, mean pixel value) —
-    the pixel array really is read and averaged (padding stripped)."""
+def decode_bmp_array(payload: bytes):
+    """Parse a BI_RGB 24bpp BMP to its (height, width, 3) uint8 pixel
+    array in TOP-DOWN row order (BMP stores rows bottom-up for positive
+    heights — flipped back here), padding stripped."""
     import struct
 
     import numpy as np
@@ -127,11 +128,46 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
     (bpp,) = struct.unpack_from("<H", payload, 28)
     if bpp != 24:
         raise ValueError(f"only 24bpp supported, got {bpp}")
+    bottom_up = height > 0
     height = abs(height)
     row = (3 * width + 3) & ~3
     arr = np.frombuffer(payload, dtype="uint8", count=row * height, offset=offset)
-    pixels = arr.reshape(height, row)[:, : 3 * width]
-    return width, height, float(pixels.mean())
+    pixels = arr.reshape(height, row)[:, : 3 * width].reshape(height, width, 3)
+    return pixels[::-1] if bottom_up else pixels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Parse a BI_RGB 24bpp BMP: (width, height, mean pixel value) —
+    the pixel array really is read and averaged (padding stripped)."""
+    pixels = decode_bmp_array(payload)
+    h, w, _ = pixels.shape
+    return w, h, float(pixels.mean())
+
+
+def encode_bmp_gray(arr) -> bytes:
+    """Encode a 2-D uint8 grayscale array as a BI_RGB 24bpp BMP with
+    equal R=G=B channels (rows written bottom-up per spec) — a valid
+    file any viewer opens; ``decode_bmp_array`` round-trips it."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    height, width = a.shape
+    row = (3 * width + 3) & ~3
+    img_size = row * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rgb = np.repeat(a[::-1], 3, axis=1)  # bottom-up rows, BGR==gray
+    pad = row - 3 * width
+    if pad:
+        rgb = np.concatenate(
+            [rgb, np.zeros((height, pad), dtype="uint8")], axis=1
+        )
+    return header + rgb.tobytes()
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -163,16 +199,16 @@ def encode_png(width: int, height: int, fill: int) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float]:
-    """REAL PNG decode via stdlib ``zlib`` + numpy: parse chunks,
-    inflate the IDAT stream, undo the per-scanline filters (all five
-    spec filter types: none/sub/up/average/paeth), return
-    (width, height, mean pixel value) over the reconstructed array.
-    Supports 8-bit gray (color type 0) and RGB (type 2),
-    non-interlaced — the shapes a pipeline's thumbnail/QC pass sees.
-    The average/paeth unfilter is scanline-sequential by spec (each
-    byte depends on the reconstructed left neighbor); the sub filter
-    is a per-lane cumulative sum.  CRCs are validated per chunk."""
+def decode_png_array(payload: bytes):
+    """REAL PNG decode via stdlib ``zlib`` + numpy to the reconstructed
+    (height, width, channels) uint8 array: parse chunks, inflate the
+    IDAT stream, undo the per-scanline filters (all five spec filter
+    types: none/sub/up/average/paeth).  Supports 8-bit gray (color
+    type 0) and RGB (type 2), non-interlaced — the shapes a pipeline's
+    thumbnail/QC pass sees.  The average/paeth unfilter is
+    scanline-sequential by spec (each byte depends on the
+    reconstructed left neighbor); the sub filter is a per-lane
+    cumulative sum.  CRCs are validated per chunk."""
     import struct
     import zlib
 
@@ -236,7 +272,45 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         else:
             raise ValueError(f"bad filter type {ftype}")
         out[y] = rec & 0xFF
-    return width, height, float(out.mean())
+    return out.reshape(height, width, ch)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """(width, height, mean pixel value) over the real decoded array —
+    see ``decode_png_array`` for the decode itself."""
+    arr = decode_png_array(payload)
+    h, w, _ = arr.shape
+    return w, h, float(arr.mean())
+
+
+def encode_png_gray(arr) -> bytes:
+    """Encode a 2-D uint8 grayscale array as an 8-bit grayscale PNG
+    (color type 0, filter-0 rows) via stdlib ``zlib`` —
+    ``decode_png_array`` round-trips it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    height, width = a.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(height))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_wav(n_frames: int, amplitude: int, sample_rate: int = 8000) -> bytes:
@@ -408,6 +482,83 @@ def sample_frames(media: DataFrame, frame_size: int = 256, every_n: int = 2) -> 
 
     return media.filter(F.col("payload").isNotNull()).mapInPandas(
         run, schema=FRAME_SCHEMA
+    )
+
+
+# --- perceptual hashing (round 7): image NEAR-dup dedup ---------------------
+# Text has exact/MinHash/SimHash/embedding dedup; this is the image
+# counterpart (X2 x X5): decode -> grayscale -> block-average to an
+# 8x8 grid -> average hash (aHash: bit = block >= mean of blocks) as
+# one int64 per image.  Near-identical images (recompression, small
+# edits, equal-channel format conversion) land within a few Hamming
+# bits; candidate pairing is SimHash-style pigeonhole banding
+# (operators/dedup.phash_dup_pairs), never image x image.
+
+
+def ahash64(arr, grid: int = 8) -> int:
+    """Average-hash a decoded pixel array to a SIGNED 64-bit int.
+
+    ``arr`` is (h, w) grayscale or (h, w, ch); channels average to
+    grayscale first (exact when channels are equal, e.g. gray-encoded
+    BMP).  The array block-averages to ``grid x grid`` cells with
+    integral floor boundaries (``np.add.reduceat``) — exact block
+    means for divisible sizes, deterministic floor-split otherwise —
+    then bit(R, C) = cell >= mean(cells), packed row-major MSB-first:
+    bit index 63 - (R*grid + C).  Two's-complement wrap keeps the
+    value a Spark/DuckDB BIGINT."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype="float64")
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    if h < grid or w < grid:
+        raise ValueError(f"image {h}x{w} smaller than {grid}x{grid} grid")
+    rb = (np.arange(grid) * h) // grid
+    cb = (np.arange(grid) * w) // grid
+    sums = np.add.reduceat(np.add.reduceat(a, rb, axis=0), cb, axis=1)
+    counts = np.outer(np.diff(np.append(rb, h)), np.diff(np.append(cb, w)))
+    cells = sums / counts
+    bits = (cells >= cells.mean()).ravel()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << (63 - i)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual-hash table over the media model: decode each image
+    payload (BMP via ``decode_bmp_array``, PNG via ``decode_png_array``
+    — format sniffed by magic) and aHash it -> (media_id, phash).
+
+    One Arrow ``mapInPandas`` pass, no shuffle: payloads stream
+    through executor-side batches and only (id, int64) rows come out —
+    at 100 TB the downstream dedup never touches image bytes again.
+    Non-image kinds and NULL payloads drop at the boundary."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                arr = (
+                    decode_png_array(b)
+                    if b[: len(PNG_MAGIC)] == PNG_MAGIC
+                    else decode_bmp_array(b)
+                )
+                ids.append(mid)
+                hashes.append(ahash64(arr, grid))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes}).astype(
+                {"media_id": "int64", "phash": "int64"}
+            )
+
+    return (
+        media.filter((F.col("kind") == "image") & F.col("payload").isNotNull())
+        .select("media_id", "payload")
+        .mapInPandas(run, schema="media_id long, phash long")
     )
 
 

@@ -707,6 +707,103 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_phash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+      FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT d.doc_id, r.r, c.c,
+             30 + ((d.g + 1) * (r.r * 40503 + c.c * 65027 + 9176)) % 180
+                + CASE WHEN d.v > 0 AND r.r = d.v - 1 AND c.c = d.v - 1
+                       THEN 25 ELSE 0 END AS val
+      FROM d, range(8) AS r(r), range(8) AS c(c)),
+    m AS (SELECT doc_id, avg(CAST(val AS DOUBLE)) AS mu FROM b GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id, b.r, b.c,
+             CASE WHEN CAST(b.val AS DOUBLE) >= m.mu THEN 1 ELSE 0 END AS bit
+      FROM b JOIN m USING (doc_id))
+    SELECT a.doc_id AS d1, bb.doc_id AS d2,
+           CAST(sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+             AS hamming
+    FROM bits a JOIN bits bb
+      ON a.r = bb.r AND a.c = bb.c AND a.doc_id < bb.doc_id
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) <= 6
+    """,
+    doc="Image NEAR-dup dedup via perceptual hash (X2 x X5 — the image "
+    "counterpart of simhash_dedup_pairs): each doc synthesizes a VALID "
+    "16x16 grayscale image (even doc_id a 24bpp BMP, odd a type-0 PNG) "
+    "whose 2x2-block values derive from (doc_id//4, doc_id%4) — four "
+    "per-group variants differing in one perturbed block, i.e. real "
+    "near-duplicates; the engine DECODES the files (magic-sniffed), "
+    "aHashes the pixel arrays to int64 (block-average to 8x8, bit = "
+    "cell >= mean), and pairs within Hamming<=6 via 8-band pigeonhole "
+    "equi-joins + bit_count(xor) verify — never image x image (the "
+    "oracle's O(n^2) bit join is the TEST harness, not the plan).  The "
+    "oracle re-derives every hash bit from the synthesis arithmetic "
+    "alone, so a decoder, block-average, mean-compare, bit-packing, "
+    "band-split, or Hamming defect hash-fails.  At 100 TB the bytes "
+    "stream through one Arrow decode pass and only (id, int64) rows "
+    "reach the banded joins.",
+    tags=("ext", "multimodal", "dedup", "X2", "X5", "pandas_udf"),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.expr("doc_id DIV 4").alias("g"),
+        (F.col("doc_id") % 4).cast("int").alias("v"),
+        (F.col("doc_id") % 2).cast("int").alias("fmt"),
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        R = np.arange(8, dtype="int64")[:, None]
+        C = np.arange(8, dtype="int64")[None, :]
+        for pdf in batches:
+            payloads = []
+            for g, v, fmt in zip(pdf["g"], pdf["v"], pdf["fmt"]):
+                # multiplicative pattern: an ADDITIVE g-term is a mere
+                # mod-180 shift of one base pattern (measured: 12k+
+                # cross-group hash collisions at 400 docs); scaling the
+                # (R, C) ramp by (g+1) decorrelates nearby groups (0
+                # cross-group pairs at 400 docs), leaving the
+                # perturbed-block variants as the dominant near-dups.
+                # Groups 180 apart repeat the pattern exactly (mod-180
+                # periodicity) — those are genuine whole-image
+                # duplicates at larger SF, which the dedup correctly
+                # reports on both engines.
+                blocks = 30 + ((int(g) + 1) * (R * 40503 + C * 65027 + 9176)) % 180
+                if v > 0:
+                    blocks = blocks.copy()
+                    blocks[v - 1, v - 1] += 25
+                px = np.repeat(np.repeat(blocks, 2, axis=0), 2, axis=1).astype(
+                    "uint8"
+                )
+                payloads.append(
+                    multimodal.encode_bmp_gray(px)
+                    if fmt == 0
+                    else multimodal.encode_png_gray(px)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    media = base.mapInPandas(enc, "media_id long, kind string, payload binary")
+    hashes = multimodal.image_phash(media)
+    return dedup.hash_dup_pairs(
+        hashes, "media_id", "phash", max_hamming=6, bits=64
+    ).select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
     "text_sentiment_by_source",
     oracle=r"""
     SELECT source,

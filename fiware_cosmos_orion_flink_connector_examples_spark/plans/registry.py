@@ -98,6 +98,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # r7 round hygiene: emptied at round start; repopulated below as
     # round-7 queries register (class-2 membership still comes from
     # artifact history, this tuple is bookkeeping for the rotation test).
+    "dedup_image_phash",
 )
 
 

@@ -91,6 +91,128 @@ def test_span_removal_drops_null_text(spark, which):
         assert rows[2].n_removed > 0  # the dup/contaminated doc is cut
 
 
+# --- image perceptual-hash dedup (round-7 headline operator) ---------------
+
+
+def test_encoders_round_trip_pixel_arrays():
+    """encode_bmp_gray / encode_png_gray -> decode array: bit-exact,
+    including BMP's bottom-up row order and row padding."""
+    import numpy as np
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (16, 16), (13, 21), (9, 8)]:
+        a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        bmp = multimodal.decode_bmp_array(multimodal.encode_bmp_gray(a))
+        assert bmp.shape == (h, w, 3)
+        assert (bmp == a[:, :, None]).all()
+        png = multimodal.decode_png_array(multimodal.encode_png_gray(a))
+        assert png.shape == (h, w, 1)
+        assert (png[:, :, 0] == a).all()
+
+
+def test_ahash64_matches_brute_force():
+    """ahash64 == the definition computed independently: block means
+    via explicit slicing, bit = cell >= mean, MSB-first packing, signed
+    two's-complement wrap."""
+    import numpy as np
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.multimodal import (
+        ahash64,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (16, 16), (64, 48), (17, 23)]:
+        a = rng.integers(0, 256, size=(h, w)).astype("float64")
+        cells = np.empty((8, 8))
+        for R in range(8):
+            for C in range(8):
+                r0, r1 = (R * h) // 8, ((R + 1) * h) // 8 if R < 7 else h
+                c0, c1 = (C * w) // 8, ((C + 1) * w) // 8 if C < 7 else w
+                cells[R, C] = a[r0:r1, c0:c1].mean()
+        bits = (cells >= cells.mean()).ravel()
+        want = 0
+        for i, b in enumerate(bits):
+            if b:
+                want |= 1 << (63 - i)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert ahash64(a) == want
+
+
+def test_ahash_small_perturbation_small_hamming():
+    """The perceptual property: a few edited pixels move the hash a few
+    bits; an unrelated image moves it far."""
+    import numpy as np
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.multimodal import (
+        ahash64,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(64, 64)).astype("float64")
+    edited = base.copy()
+    edited[:4, :4] = 255  # one corner patch
+    other = rng.integers(0, 256, size=(64, 64)).astype("float64")
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(ahash64(base), ahash64(edited)) <= 4
+    assert ham(ahash64(base), ahash64(other)) >= 16
+
+
+def test_hash_dup_pairs_exact_recall_vs_brute_force(spark):
+    """Banding is a prune, not an approximation: pairs == the O(n^2)
+    brute-force Hamming filter, including hashes with the sign bit set
+    (shiftrightunsigned regression guard)."""
+    import random
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+        hash_dup_pairs,
+    )
+
+    rng = random.Random(5)
+    hashes = []
+    for i in range(40):
+        h = rng.getrandbits(64)
+        hashes.append((i, h - (1 << 64) if h >= 1 << 63 else h))
+    # inject near-dups: flip <=6 bits of earlier hashes
+    for i in range(40, 60):
+        src = hashes[i - 40][1] & ((1 << 64) - 1)
+        for _ in range(rng.randint(0, 6)):
+            src ^= 1 << rng.randrange(64)
+        hashes.append((i, src - (1 << 64) if src >= 1 << 63 else src))
+    df = spark.createDataFrame(hashes, "media_id long, phash long")
+    got = sorted(
+        (r.d1, r.d2, r.hamming)
+        for r in hash_dup_pairs(df, "media_id", max_hamming=6).collect()
+    )
+    want = []
+    for i in range(60):
+        for j in range(i + 1, 60):
+            d = bin((hashes[i][1] ^ hashes[j][1]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want.append((i, j, d))
+    assert got == sorted(want)
+
+
+def test_hash_dup_pairs_plan_banded_no_cartesian(spark):
+    """The candidate join is a banded equi-join — no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the plan."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+        hash_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 1_000_003) for i in range(20)], "media_id long, phash long"
+    )
+    plan = hash_dup_pairs(df, "media_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_streaming_cep_purchase_error_timestamp_tie(spark, tmp_path):
     """error and matching purchase share a timestamp: batch keeps the
     match (error not strictly inside (t0, t1)) — the stream must too,
