@@ -77,10 +77,11 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # Everything outside the window holds an r4/r5 proof, so no proof ages
 # past ~3 rounds before rotation re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r7 round hygiene: emptied at round start (the r6 entries are now
-    # history in CORRECTNESS_r06.json).  Repopulate only for
-    # oracle-bearing queries physically rewritten after their latest
-    # driver proof.
+    # r8: emptied at round start (r7 entries are history in
+    # CORRECTNESS_r07.json).  Repopulated below as round-8 rewrites
+    # land: dup_matrix_by_source's join strategy was physically
+    # rewritten (size-gated broadcast, VERDICT r7 #1) after its r6
+    # proof, so its hash proof must re-run this round.
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -95,10 +96,9 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    # r7 round hygiene: emptied at round start; repopulated below as
-    # round-7 queries register (class-2 membership still comes from
+    # r8 round hygiene: emptied at round start; repopulated below as
+    # round-8 queries register (class-2 membership still comes from
     # artifact history, this tuple is bookkeeping for the rotation test).
-    "dedup_image_phash",
 )
 
 
