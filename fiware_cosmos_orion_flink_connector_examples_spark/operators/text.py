@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import md5int64
+from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import eagerly
 
 # Dialect caveat (hypothesis-found): outside ASCII the regex engines
 # diverge — Java/RE2 class \s is ASCII (NBSP counts as a word char)
@@ -294,6 +295,9 @@ def unigram_logprob(
 
     if n_vocab <= literal_vocab_max:
         rows = freq.collect()  # bounded by literal_vocab_max
+        # the literal plan below references only `mapping` — the vocab
+        # cache has no further consumer, release it now (r7 #6)
+        freq.unpersist()
         mapping = F.create_map(
             *[x for r in rows for x in (F.lit(r["tok"]), F.lit(float(r["c"])))]
         )
@@ -499,7 +503,11 @@ def source_unigram_kl(
         F.lit(0.0),
         lambda acc, x: acc + x["term"],
     )
-    return terms.groupBy(group_col).agg(
+    out = terms.groupBy(group_col).agg(
         F.min("n_g").cast("long").alias("n_tokens"),
         F.round(folded, 6).alias("kl"),
     )
+    # |groups| result rows vs a |groups|x|vocab| cache: materialize the
+    # tiny result eagerly and release st (caching.eagerly, r7 #6) —
+    # the session-lived-cache note above predates this wrapper.
+    return eagerly(out, st)

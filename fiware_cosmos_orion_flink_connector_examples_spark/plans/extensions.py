@@ -15,6 +15,9 @@ from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
     similarity,
     text,
 )
+from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+    eagerly,
+)
 from fiware_cosmos_orion_flink_connector_examples_spark.operators.windows import (
     tumbling_window_agg,
 )
@@ -2604,7 +2607,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = s.agg(F.count(F.lit(1)).alias("_n_base"))
     # 1-row broadcast scalar join — same pattern as the other
     # whole-corpus normalizations in this module.
-    return counts.crossJoin(F.broadcast(base)).select(
+    out = counts.crossJoin(F.broadcast(base)).select(
         "stage",
         "step",
         "n_users",
@@ -2612,6 +2615,9 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_rate"
         ),
     )
+    # 3-row result vs a per-user cache: materialize eagerly and
+    # release s (caching.eagerly, r7 #6)
+    return eagerly(out, s)
 
 
 @register(
@@ -3192,9 +3198,15 @@ def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "straddling (or within) them — the curator view that tells WHICH "
     "crawls overlap which (dup_rate_by_source only says how much each "
     "source duplicates overall).  Pair detection reuses the inverted-"
-    "index join; the pair set is tiny, so BOTH source lookups broadcast "
-    "it onto the corpus scan — the corpus never shuffles, and the "
-    "matrix agg runs over |pairs| rows.",
+    "index join; the pair set is USUALLY tiny, so below the measured "
+    "crossover BOTH source lookups broadcast it onto the corpus scan — "
+    "the corpus never shuffles and the matrix agg runs over |pairs| "
+    "rows — but the regime is SIZE-GATED (dedup.attach_pair_sides, "
+    "VERDICT r7 #1): a high-dup crawl corpus can emit billions of "
+    "pairs, where the plan drops the broadcast hints and falls back to "
+    "doc-id-keyed shuffle equi-joins.  The pair set persists across "
+    "the probe + plan and is released via caching.eagerly once the "
+    "(tiny source x source) matrix materializes.",
     tags=("ext", "dedup", "profile"),
 )
 def dup_matrix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3202,8 +3214,8 @@ def dup_matrix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
     s1 = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
     s2 = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
-    both = s2.join(F.broadcast(s1.join(F.broadcast(pairs), "d1")), "d2")
-    return (
+    both, pairs_p = dedup.attach_pair_sides(pairs, s1, s2)
+    matrix = (
         both.groupBy(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),
@@ -3213,6 +3225,7 @@ def dup_matrix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
         )
     )
+    return eagerly(matrix, pairs_p)
 
 
 @register(

@@ -81,7 +81,11 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
     # CORRECTNESS_r07.json).  Repopulated below as round-8 rewrites
     # land: dup_matrix_by_source's join strategy was physically
     # rewritten (size-gated broadcast, VERDICT r7 #1) after its r6
-    # proof, so its hash proof must re-run this round.
+    # proof, so its hash proof must re-run this round; funnel + KL
+    # gained the eagerly() materialize-then-release tail (r7 #6).
+    "dup_matrix_by_source",
+    "events_funnel_conversion",
+    "source_unigram_kl",
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the

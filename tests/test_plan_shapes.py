@@ -365,11 +365,18 @@ def test_mmr_shortlist_broadcasts_corpus_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_dup_matrix_source_lookups_broadcast(spark):
-    """Both doc_id→source lookups must broadcast the tiny pair set —
-    the corpus side of each lookup never sort-merges."""
-    plan = plan_of(spark, "dup_matrix_by_source")
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+def test_dup_matrix_returns_materialized_matrix(spark):
+    """r8 redesign (VERDICT r7 #1): the query returns the EAGERLY
+    materialized source×source matrix (caching.eagerly) — the plan is
+    a checkpoint scan, with the pair-set cache already released.  The
+    broadcast-below/shuffle-above join regimes are pinned in
+    tests/test_property_round8.py on attach_pair_sides directly."""
+    df = QUERIES["dup_matrix_by_source"].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
 def test_user_trend_single_exchange_partial_agg(spark):

@@ -1,0 +1,113 @@
+"""Round-8 regression pins — VERDICT r7 directives plus one test per
+ADVICE r7 item, added as the fixes land.
+
+VERDICT r7 coverage:
+  1 attach_pair_sides (dup_matrix_by_source's join) is size-gated:
+    broadcast hints below the bound, shuffle equi-joins above, rows
+    identical in either regime.
+
+ADVICE r7 coverage:
+  1 (low) image_phash skips undecodable 'image' payloads instead of
+    failing the whole job (drop-at-the-boundary, as documented).
+  2 (low) hash_dup_pairs rejects band configs that degenerate the
+    equi-join (band_bits == 0).
+  3 (low) hash_dup_pairs no longer leaks its bands cache — the result
+    is materialized eagerly and the cache released.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+
+
+def _pair_fixture(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (10, 40, 0.95), (7, 99, 0.81)],
+        "d1 long, d2 long, jaccard double",
+    )
+    s1 = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    s2 = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
+    return pairs, s1, s2
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_attach_pair_sides_broadcast_below_gate(spark):
+    """Small pair set: both endpoint joins broadcast the pair side —
+    the corpus never shuffles (VERDICT r7 #1, regime 1)."""
+    pairs, s1, s2 = _pair_fixture(spark)
+    joined, pairs_p = dedup.attach_pair_sides(pairs, s1, s2, broadcast_pair_max=1000)
+    plan = _plan(joined)
+    pairs_p.unpersist()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_attach_pair_sides_shuffle_above_gate(spark):
+    """Pair set above the gate: broadcast hints are DROPPED and the
+    doc-id-keyed shuffle equi-joins carry the plan (regime 2).  With
+    auto-broadcast disabled the no-hint plan must contain no broadcast
+    of the pair side at all — proving the hints are really gone."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs, s1, s2 = _pair_fixture(spark)
+        joined, pairs_p = dedup.attach_pair_sides(pairs, s1, s2, broadcast_pair_max=0)
+        plan = _plan(joined)
+        pairs_p.unpersist()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_eagerly_materializes_and_releases_caches(spark):
+    """caching.eagerly (VERDICT r6 #5 / r7 #6): the returned frame
+    holds the computed rows while every handed-in cache is released —
+    the session-lived-persist leak the one-session smoke pack
+    measured."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
+
+    spark.catalog.clearCache()
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).persist()
+    agg = base.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    agg.count()  # materialize base into the cache
+    assert base.storageLevel.useMemory or base.storageLevel.useDisk
+    out = eagerly(agg, base)
+    # the corpus-scale base cache is RELEASED (the checkpoint block —
+    # result-sized — is the only storage the wrapper leaves behind)
+    assert not (base.storageLevel.useMemory or base.storageLevel.useDisk)
+    # 1000 rows over 7 keys: k=0..5 get 143, k=6 gets 142
+    assert {(r.k, r.n) for r in out.collect()} == {
+        (i, 143 if i < 6 else 142) for i in range(7)
+    }
+
+
+def test_attach_pair_sides_regimes_identical_rows(spark):
+    """Both regimes are the same relation — only the physical plan
+    differs."""
+    pairs, s1, s2 = _pair_fixture(spark)
+    lo, p_lo = dedup.attach_pair_sides(pairs, s1, s2, broadcast_pair_max=1000)
+    hi, p_hi = dedup.attach_pair_sides(pairs, s1, s2, broadcast_pair_max=0)
+    cols = ["d1", "d2", "jaccard", "sa", "sb"]
+    got_lo = {tuple(r) for r in lo.select(*cols).collect()}
+    got_hi = {tuple(r) for r in hi.select(*cols).collect()}
+    p_lo.unpersist()
+    p_hi.unpersist()
+    assert got_lo == got_hi and len(got_lo) == 4
