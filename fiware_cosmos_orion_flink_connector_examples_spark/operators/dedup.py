@@ -432,6 +432,7 @@ def hash_dup_pairs(
     max_hamming: int = 6,
     bits: int = 64,
     n_bands: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs within Hamming radius over a PRECOMPUTED n-bit
     hash column (perceptual image hashes, audio fingerprints — any
@@ -456,12 +457,28 @@ def hash_dup_pairs(
     corpus needs it.  Hamming filter runs BEFORE the pair distinct so
     the final shuffle carries qualifying pairs only.
 
+    The exploded bands frame is persisted (both join sides read it, so
+    an upstream decode pass runs once, not twice); with the default
+    ``materialize=True`` the (qualifying-pairs-only, small) result is
+    checkpointed eagerly and that cache released before returning
+    (ADVICE r7 #3).  Pass ``materialize=False`` to compose lazily —
+    the caller then owns the bands cache via
+    ``spark.catalog.clearCache()`` after consumption.
+
     Returns (d1, d2, hamming) with d1 < d2, one row per pair."""
     from pyspark import StorageLevel
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
 
     if n_bands is None:
         n_bands = max_hamming + 2 if bits % (max_hamming + 2) == 0 else max_hamming + 1
     assert n_bands >= max_hamming + 1, "pigeonhole needs >= max_hamming+1 bands"
+    # n_bands > bits would make band_bits=0/mask=0 — every band value
+    # 0, degenerating the equi-join into an O(n^2) self-join (ADVICE
+    # r7 #2)
+    assert bits // n_bands >= 1, f"n_bands={n_bands} exceeds bits={bits}"
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     h = F.col(hash_col)
@@ -489,13 +506,14 @@ def hash_dup_pairs(
     a = bands.select(F.col(id_col).alias("d1"), F.col("_h").alias("h1"), "band", "bv")
     b = bands.select(F.col(id_col).alias("d2"), F.col("_h").alias("h2"), "band", "bv")
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
+    out = (
         a.join(b, ["band", "bv"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return eagerly(out, bands) if materialize else out
 
 
 # Measured regimes for pair-endpoint joins (tools/pair_join_crossover

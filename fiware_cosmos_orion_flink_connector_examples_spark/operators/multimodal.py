@@ -492,7 +492,7 @@ def sample_frames(media: DataFrame, frame_size: int = 256, every_n: int = 2) -> 
 # one int64 per image.  Near-identical images (recompression, small
 # edits, equal-channel format conversion) land within a few Hamming
 # bits; candidate pairing is SimHash-style pigeonhole banding
-# (operators/dedup.phash_dup_pairs), never image x image.
+# (operators/dedup.hash_dup_pairs), never image x image.
 
 
 def ahash64(arr, grid: int = 8) -> int:
@@ -535,7 +535,11 @@ def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
     One Arrow ``mapInPandas`` pass, no shuffle: payloads stream
     through executor-side batches and only (id, int64) rows come out —
     at 100 TB the downstream dedup never touches image bytes again.
-    Non-image kinds and NULL payloads drop at the boundary."""
+    Non-image kinds and NULL payloads drop at the boundary — and so do
+    UNDECODABLE payloads (unsupported container, truncated bytes,
+    images smaller than the hash grid): a 100 TB crawl always carries
+    a few corrupt blobs, and one bad payload must skip its row, never
+    fail the job (ADVICE r7 #1)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -543,14 +547,18 @@ def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in batches:
             ids, hashes = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                arr = (
-                    decode_png_array(b)
-                    if b[: len(PNG_MAGIC)] == PNG_MAGIC
-                    else decode_bmp_array(b)
-                )
+                try:
+                    b = bytes(payload)
+                    arr = (
+                        decode_png_array(b)
+                        if b[: len(PNG_MAGIC)] == PNG_MAGIC
+                        else decode_bmp_array(b)
+                    )
+                    h = ahash64(arr, grid)
+                except Exception:
+                    continue  # undecodable: drop at the boundary
                 ids.append(mid)
-                hashes.append(ahash64(arr, grid))
+                hashes.append(h)
             yield pd.DataFrame({"media_id": ids, "phash": hashes}).astype(
                 {"media_id": "int64", "phash": "int64"}
             )

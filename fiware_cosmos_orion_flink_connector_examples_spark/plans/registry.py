@@ -86,6 +86,8 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
     "dup_matrix_by_source",
     "events_funnel_conversion",
     "source_unigram_kl",
+    # hash_dup_pairs gained skip-undecodable + eagerly (ADVICE r7)
+    "dedup_image_phash",
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the

@@ -208,7 +208,11 @@ def test_hash_dup_pairs_plan_banded_no_cartesian(spark):
     df = spark.createDataFrame(
         [(i, i * 1_000_003) for i in range(20)], "media_id long, phash long"
     )
-    plan = hash_dup_pairs(df, "media_id")._jdf.queryExecution().executedPlan().toString()
+    # materialize=False: inspect the live join plan (the default eagerly
+    # path would show only the checkpoint scan, r8)
+    lazy = hash_dup_pairs(df, "media_id", materialize=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()  # caller-owned bands cache in lazy mode
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

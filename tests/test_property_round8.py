@@ -73,6 +73,57 @@ def test_attach_pair_sides_shuffle_above_gate(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_image_phash_skips_undecodable_payloads(spark):
+    """ADVICE r7 #1: corrupt/unsupported 'image' payloads (truncated
+    bytes, JPEG magic, sub-grid images) drop at the boundary; the
+    decodable rows still hash."""
+    import numpy as np
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import multimodal
+
+    good = multimodal.encode_bmp_gray(
+        np.arange(256, dtype=np.uint8).reshape(16, 16)
+    )
+    tiny = multimodal.encode_bmp_gray(
+        np.arange(16, dtype=np.uint8).reshape(4, 4)
+    )  # smaller than the 8x8 grid
+    rows = [
+        (1, "image", bytearray(good)),
+        (2, "image", bytearray(b"\xff\xd8\xff\xe0 not a real jpeg")),
+        (3, "image", bytearray(good[:20])),  # truncated BMP
+        (4, "image", bytearray(tiny)),
+        (5, "image", bytearray(b"")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = multimodal.image_phash(media).collect()
+    assert [r.media_id for r in got] == [1]
+
+
+def test_hash_dup_pairs_rejects_degenerate_bands(spark):
+    """ADVICE r7 #2: n_bands > bits would zero every band value and
+    turn the equi-join into an O(n^2) self-join — assert instead."""
+    df = spark.createDataFrame([(1, 5), (2, 7)], "media_id long, phash long")
+    with pytest.raises(AssertionError, match="exceeds bits"):
+        dedup.hash_dup_pairs(df, "media_id", max_hamming=70, bits=64, n_bands=80)
+
+
+def test_hash_dup_pairs_releases_bands_cache(spark):
+    """ADVICE r7 #3: the default (materialize=True) path leaves no
+    bands cache behind — the result is already computed rows."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, i * 1_000_003) for i in range(30)] + [(100, 1_000_003)],
+        "media_id long, phash long",
+    )
+    out = dedup.hash_dup_pairs(df, "media_id", max_hamming=6)
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    # only the (tiny) checkpoint block remains, never the bands cache
+    assert len(infos) <= 1
+    assert {(r.d1, r.d2) for r in out.collect()} == {(1, 100)}
+
+
 def test_eagerly_materializes_and_releases_caches(spark):
     """caching.eagerly (VERDICT r6 #5 / r7 #6): the returned frame
     holds the computed rows while every handed-in cache is released —
