@@ -2397,6 +2397,66 @@ def span_dedup_removed_run50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup_removed_bpe",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+      FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id,
+                   unnest([{'pos': i - 1, 'tok': t[i]}
+                           for i in range(1, len(t) + 1)], recursive := true)
+            FROM toks),
+    g AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+                         for i in range(1, len(t) - 6)], recursive := true)
+          FROM toks),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN firsts USING (gram)
+            WHERE firsts.first_doc < g.doc_id),
+    removed AS (SELECT DISTINCT doc_id, pos + k AS pos
+                FROM dup, range(0, 8) r(k)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN removed USING (doc_id, pos)
+             WHERE removed.pos IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT tot.doc_id, tot.n_tokens,
+           CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN agg USING (doc_id)
+    """,
+    doc="X2 SUB-WORD-fidelity span dedup (VERDICT r7 #2 — Lee et al. "
+    "2022 operate on BPE token ids, not whitespace words): cut every "
+    "subword token covered by a positional 8-gram of BPE pre-tokens "
+    "(letter runs / digit runs / single punctuation) already present "
+    "in a lower-id doc.  Whitespace never forms a token, so reflowed "
+    "or re-spaced boilerplate ('end.Start' vs 'end. Start') produces "
+    "the SAME gram stream and still gets cut — the escape the \\S+ "
+    "word path leaves open (property-tested in "
+    "tests/test_property_round8.py).  Engine side shingles TOKEN-ID "
+    "grams: xxhash64 per token, one xxhash64 over the 8 ids as the "
+    "gram key, so every posting shuffle carries int64s, never n-token "
+    "strings; the oracle shingles the same token sequence as strings "
+    "— grouping-identical, which is exactly the fingerprint-equality "
+    "claim under test.  Output hashes the cleaned subword stream "
+    "(md5) plus exact before/removed counts.",
+    tags=("ext", "dedup", "X2", "span", "bpe"),
+)
+def span_dedup_removed_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_repeated_spans_bpe(docs, "doc_id", "text", n=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+@register(
     "span_dedup_intra_doc",
     oracle=r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

@@ -105,6 +105,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # r8 round hygiene: emptied at round start; repopulated below as
     # round-8 queries register (class-2 membership still comes from
     # artifact history, this tuple is bookkeeping for the rotation test).
+    "span_dedup_removed_bpe",
 )
 
 
