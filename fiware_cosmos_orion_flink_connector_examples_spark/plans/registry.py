@@ -106,6 +106,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # round-8 queries register (class-2 membership still comes from
     # artifact history, this tuple is bookkeeping for the rotation test).
     "span_dedup_removed_bpe",
+    "crossmodal_doc_profile",
 )
 
 
