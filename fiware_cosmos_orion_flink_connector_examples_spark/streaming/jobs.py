@@ -608,3 +608,85 @@ def streaming_cep_signup_purchase(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DAU_WAU_SCHEMA = "day string, dau bigint, wau bigint, stickiness double"
+DAU_WAU_STATE_SCHEMA = "dau_ids array<bigint>, wau_ids array<bigint>"
+
+
+def streaming_dau_wau(
+    events: DataFrame,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stateful streaming engagement — the live twin of the batch
+    ``events_dau_wau`` (VERDICT r7 #4): per report day, running exact
+    DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio,
+    re-emitted each micro-batch the day's counts change (update mode —
+    a dashboard upserts on `day`).
+
+    Same contribution-explode shape as the batch query, streamed: each
+    event fans stateless-ly into the 7 report days it contributes to
+    (k = 0 marks the DAU contribution), so the stateful stage keys on
+    REPORT DAY and its per-key state is two distinct-user-id sets —
+    state size is bounded by weekly actives per day, never by event
+    count, and an availableNow replay of a history equals the batch
+    query exactly (pytest-pinned).  At larger cardinalities the exact
+    id sets swap for HLL registers (events_hll_mergeable_daily's
+    sketch, ~2 KB per day constant) with the same plan shape — exact
+    sets keep the twin bit-comparable to the batch oracle here.
+
+    Day keys are strings (yyyy-MM-dd): Arrow state serialization
+    round-trips strings losslessly, and the batch query emits the same
+    format — the join key for the replay-equality pin.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    contrib = (
+        events.withWatermark("ts", watermark)
+        .select(F.to_date("ts").alias("_day"), "user_id")
+        .select(
+            "_day",
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_k"),
+        )
+        .select(
+            F.date_format(F.date_add("_day", F.col("_k")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "user_id",
+            (F.col("_k") == 0).alias("is_dau"),
+        )
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        day = key[0]
+        if state.exists:
+            a, b = state.get
+            dau, wau = set(int(x) for x in a), set(int(x) for x in b)
+        else:
+            dau, wau = set(), set()
+        for pdf in pdfs:
+            for uid, is_d in zip(pdf["user_id"], pdf["is_dau"]):
+                u = int(uid)
+                wau.add(u)
+                if is_d:
+                    dau.add(u)
+        state.update((sorted(dau), sorted(wau)))
+        yield pd.DataFrame(
+            {
+                "day": [day],
+                "dau": [len(dau)],
+                "wau": [len(wau)],
+                "stickiness": [round(len(dau) / len(wau), 6) if wau else 0.0],
+            }
+        )
+
+    return contrib.groupBy("day").applyInPandasWithState(
+        update,
+        outputStructType=DAU_WAU_SCHEMA,
+        stateStructType=DAU_WAU_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1509,3 +1509,141 @@ def test_streaming_cep_matches_batch(spark, tmp_path):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert got2 == want
+
+
+def test_streaming_dau_wau_matches_batch(spark, tmp_path):
+    """Stateful DAU/WAU twin (VERDICT r7 #4): after draining a history
+    the per-day counts equal exact batch engagement (python-replicated
+    distinct sets), and a second micro-batch RESUMES from state —
+    counts grow, never reset."""
+    import datetime as dt
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, tzinfo=dt.timezone.utc)
+
+    def ev(day, minute, user):
+        return {
+            "ts": (t0 + dt.timedelta(days=day, minutes=minute)).timestamp(),
+            "user_id": user,
+        }
+
+    batch1 = [ev(0, 1, 1), ev(0, 2, 2), ev(0, 3, 2), ev(1, 1, 1), ev(3, 5, 3)]
+    batch2 = [ev(3, 6, 1), ev(9, 1, 2)]  # day 3 gains a user; day 9 new
+
+    def expected(evs):
+        dau: dict = {}
+        wau: dict = {}
+        for e in evs:
+            day = dt.datetime.fromtimestamp(
+                e["ts"], dt.timezone.utc
+            ).date()
+            dau.setdefault(day, set()).add(e["user_id"])
+            for k in range(7):
+                wau.setdefault(day + dt.timedelta(days=k), set()).add(
+                    e["user_id"]
+                )
+        return {
+            d.isoformat(): (
+                len(dau[d]),
+                len(wau[d]),
+                round(len(dau[d]) / len(wau[d]), 6),
+            )
+            for d in dau
+        }
+
+    spool = tmp_path / "dwspool"
+    spool.mkdir()
+    with open(spool / "b1.jsonl", "w") as f:
+        for e in batch1:
+            f.write(json.dumps(e) + "\n")
+    stream = (
+        spark.readStream.schema("ts double, user_id long")
+        .json(str(spool))
+        .selectExpr("timestamp_seconds(ts) AS ts", "user_id")
+    )
+    q = (
+        jobs.streaming_dau_wau(stream)
+        .writeStream.format("memory")
+        .queryName("t_dau_wau")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+
+        def current():
+            best: dict = {}
+            for r in spark.sql("select * from t_dau_wau").collect():
+                cur = best.get(r.day)
+                if cur is None or (r.wau, r.dau) > (cur.wau, cur.dau):
+                    best[r.day] = r
+            # report days holding only trailing-window contributions
+            # (dau=0) are dashboard-upsert noise, not engagement days
+            return {
+                d: (r.dau, r.wau, r.stickiness)
+                for d, r in best.items()
+                if r.dau > 0
+            }
+
+        assert current() == expected(batch1)
+        with open(spool / "b2.jsonl", "w") as f:
+            for e in batch2:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+        assert current() == expected(batch1 + batch2)
+    finally:
+        q.stop()
+
+
+def test_streaming_dau_wau_replay_equals_batch_query(spark, tmp_path):
+    """availableNow-style replay of the REAL sf0.001 events history ==
+    the registered batch events_dau_wau output, row for row — the same
+    twin contract the funnel/CEP/LOCF jobs carry."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r.day, r.dau, r.wau, r.stickiness)
+        for r in QUERIES["events_dau_wau"].fn(spark, sf).collect()
+    }
+
+    spool = tmp_path / "dw_replay"
+    spool.mkdir()
+    ev = load_table(spark, sf, "events").selectExpr(
+        "cast(ts as double) AS ts", "user_id"
+    )
+    ev.coalesce(1).write.json(str(spool / "hist"))
+    stream = (
+        spark.readStream.schema("ts double, user_id long")
+        .json(str(spool / "hist"))
+        .selectExpr("timestamp_seconds(ts) AS ts", "user_id")
+    )
+    q = (
+        jobs.streaming_dau_wau(stream)
+        .writeStream.format("memory")
+        .queryName("t_dw_replay")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dwr"))
+        .start()
+    )
+    q.awaitTermination(120)
+    best: dict = {}
+    for r in spark.sql("select * from t_dw_replay").collect():
+        cur = best.get(r.day)
+        if cur is None or (r.wau, r.dau) > (cur.wau, cur.dau):
+            best[r.day] = r
+    got = {
+        (d, r.dau, r.wau, r.stickiness)
+        for d, r in best.items()
+        if r.dau > 0
+    }
+    assert got == want and len(want) > 0
