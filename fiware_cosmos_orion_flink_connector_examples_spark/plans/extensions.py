@@ -826,6 +826,83 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _synth_audio_media(docs: DataFrame):
+    """Deterministic synthetic audio corpus over ``documents`` (the
+    audio sibling of ``_synth_image_media``): each non-NULL-text doc
+    encodes a 2048-sample 16-bit PCM WAV of 8 NON-stationary tone
+    windows — two sinusoids per window with frequencies derived from
+    (doc_id//4, window, tone index); the doc_id%4 variants add one
+    quiet extra tone in ONE window, i.e. real near-duplicate
+    recordings (re-takes with a transient).  Stationarity matters:
+    constant-tone clips collapse all 8 fingerprint rows to one pattern
+    (measured: 42/190 cross-group collisions), per-window tone sets
+    decorrelate groups completely (0/435 at Hamming<=6)."""
+
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.expr("doc_id DIV 4").alias("g"),
+        (F.col("doc_id") % 4).cast("int").alias("v"),
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(256) / 8000.0
+        for pdf in batches:
+            payloads = []
+            for g, v in zip(pdf["g"], pdf["v"]):
+                x = np.zeros(2048)
+                for w in range(8):
+                    seg = np.zeros(256)
+                    for i in range(2):
+                        f = 400 + ((int(g) + 1) * (w * 97 + i * 53 + 17)) % 3200
+                        seg += 8000 * np.sin(2 * np.pi * f * t)
+                    if v > 0 and w == v - 1:
+                        seg += 1500 * np.sin(2 * np.pi * (500 + int(v) * 300) * t)
+                    x[w * 256 : (w + 1) * 256] = seg
+                payloads.append(multimodal.encode_wav_samples(x))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return base.mapInPandas(enc, "media_id long, kind string, payload binary")
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=None,  # the fingerprint is an FFT artifact — not ANSI-SQL-
+    # expressible; the pytest pins pairs == the O(n^2) brute-force
+    # Hamming filter over the SAME fingerprints (banding exactness),
+    # in-group/cross-group separation on the synthetic corpus, and a
+    # gain-invariance property of the kernel
+    # (tests/test_property_round8.py).
+    doc="Audio NEAR-dup dedup via spectral fingerprint (X2 x X5, "
+    "VERDICT r7 #7 — makes hash_dup_pairs' 'any fixed-width "
+    "fingerprint' claim load-bearing): each doc synthesizes a VALID "
+    "PCM WAV of 8 tone windows (doc_id%4 variants = re-takes with one "
+    "transient tone), the engine DECODES the files (stdlib wave), "
+    "fingerprints 8x8 log-energy FFT cells to int64 (bit = cell >= "
+    "mean, the aHash rule on a spectrogram), and pairs within "
+    "Hamming<=6 via the SAME pigeonhole band join the image path uses "
+    "— hash_dup_pairs unchanged, never clip x clip.  At 100 TB the "
+    "audio bytes stream through one Arrow decode pass and only "
+    "(id, int64) rows reach the banded joins.",
+    tags=("ext", "multimodal", "dedup", "X2", "X5", "pandas_udf"),
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = _synth_audio_media(docs)
+    fps = multimodal.audio_fingerprint(media)
+    return dedup.hash_dup_pairs(
+        fps, "media_id", "afp", max_hamming=6, bits=64
+    ).select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
+
+
 @register(
     "crossmodal_doc_profile",
     oracle=r"""

@@ -107,6 +107,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # artifact history, this tuple is bookkeeping for the rotation test).
     "span_dedup_removed_bpe",
     "crossmodal_doc_profile",
+    "dedup_audio_fingerprint",
 )
 
 
