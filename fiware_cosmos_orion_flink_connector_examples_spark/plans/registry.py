@@ -108,6 +108,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "span_dedup_removed_bpe",
     "crossmodal_doc_profile",
     "dedup_audio_fingerprint",
+    "approx_sketches_bounded",
 )
 
 
