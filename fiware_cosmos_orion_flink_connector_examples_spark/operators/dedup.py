@@ -1349,6 +1349,8 @@ def remove_contaminated_spans(
     text_col: str = "text",
     n: int = 8,
     min_run: int | None = None,
+    token_re: str | None = None,
+    hashed_grams: bool = False,
 ) -> DataFrame:
     """Span-level DECONTAMINATION: cut from each train doc every token
     covered by a positional ``n``-gram that occurs ANYWHERE in the
@@ -1372,12 +1374,22 @@ def remove_contaminated_spans(
 
     Output (id, n_tokens, n_removed, text_clean), one row per train
     doc."""
-    # NULL text dropped at the boundary — see remove_repeated_spans
+    # NULL text dropped at the boundary — see remove_repeated_spans.
+    # token_re/hashed_grams mirror remove_repeated_spans: the BPE
+    # subword + token-id-gram form closes the same reflow escape for
+    # DECONTAMINATION (benchmark text re-spaced into training pages
+    # must still be cut — registered as decontaminate_spans_bpe).
     train = train.filter(F.col(text_col).isNotNull())
-    g = shingle_rows(train, id_col, text_col, n, keep_pos=True)
-    dirty = shingle_rows(eval_df, id_col, text_col, n, distinct=False).select("gram")
+    g = shingle_rows(
+        train, id_col, text_col, n, keep_pos=True,
+        token_re=token_re, hashed=hashed_grams,
+    )
+    dirty = shingle_rows(
+        eval_df, id_col, text_col, n, distinct=False,
+        token_re=token_re, hashed=hashed_grams,
+    ).select("gram")
     dup = g.join(dirty, "gram", "left_semi").select(id_col, "_pos")
-    return _cut_covered_tokens(train, id_col, text_col, dup, n, min_run)
+    return _cut_covered_tokens(train, id_col, text_col, dup, n, min_run, token_re)
 
 
 def _cut_covered_tokens(

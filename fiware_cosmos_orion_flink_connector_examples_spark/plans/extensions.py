@@ -2076,6 +2076,81 @@ def decontaminate_spans_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_spans_bpe",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t,
+                         CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                           % 20 = 0 AS is_eval
+                  FROM documents),
+    tok AS (SELECT doc_id,
+                   unnest([{'pos': i - 1, 'tok': t[i]}
+                           for i in range(1, len(t) + 1)], recursive := true)
+            FROM toks WHERE NOT is_eval),
+    g AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+                         for i in range(1, len(t) - 6)], recursive := true)
+          FROM toks WHERE NOT is_eval),
+    evg AS (SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
+                                    for i in range(1, len(t) - 6)]) AS gram
+            FROM toks WHERE is_eval),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN evg USING (gram)),
+    removed AS (SELECT DISTINCT doc_id, pos + k AS pos
+                FROM dup, range(0, 8) r(k)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN removed USING (doc_id, pos)
+             WHERE removed.pos IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+            FROM toks WHERE NOT is_eval)
+    SELECT tot.doc_id, tot.n_tokens,
+           CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN agg USING (doc_id)
+    WHERE tot.n_tokens - coalesce(agg.n_kept, 0) > 0
+    """,
+    doc="SUB-WORD-fidelity span decontamination: decontaminate_spans_"
+    "8gram over BPE pre-tokens with int64 token-id grams (the "
+    "span_dedup_removed_bpe treatment applied to the eval-leakage "
+    "cut).  The decontamination stakes are higher than dedup's: a "
+    "benchmark answer re-spaced or re-wrapped into a training page "
+    "escapes the \\S+ word-gram probe entirely — whitespace never "
+    "forms a BPE token, so the reflowed leak still shares every "
+    "8-subword-token gram and gets cut (property-tested alongside the "
+    "dedup variant).  Same 5% seeded-md5 split, same LEFT SEMI probe "
+    "(int64 gram keys now), same linear cut tail.",
+    tags=("ext", "dedup", "decontamination", "span", "bpe"),
+)
+def decontaminate_spans_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+        BPE_RE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
+    tagged = docs.withColumn("_is_eval", is_eval)
+    out = dedup.remove_contaminated_spans(
+        tagged.filter(~F.col("_is_eval")),
+        tagged.filter(F.col("_is_eval")),
+        "doc_id",
+        n=8,
+        token_re=BPE_RE,
+        hashed_grams=True,
+    )
+    return out.filter(F.col("n_removed") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+@register(
     "decontaminate_bloom_8gram",
     oracle=r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
@@ -2831,6 +2906,17 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "events", "funnel"),
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, s = _funnel_plan(spark, sf_dir)
+    # 3-row result vs a per-user cache: materialize eagerly and
+    # release s (caching.eagerly, r7 #6)
+    return eagerly(out, s)
+
+
+def _funnel_plan(spark: SparkSession, sf_dir: str):
+    """The LAZY funnel plan + its stage-1 cache handle — split out so
+    plan tests can assert pushdown/broadcast shape on the live plan
+    (the registered query returns the eagerly checkpointed result,
+    whose plan is just a scan)."""
     ev = load_table(spark, sf_dir, "events")
     # Persisted (VERDICT r5 #7): s feeds the click join, its own stage
     # count, AND the denominator — without the cache the group-
@@ -2884,9 +2970,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_users").cast("double") / F.col("_n_base"), 4),
         ).alias("conv_rate"),
     )
-    # 3-row result vs a per-user cache: materialize eagerly and
-    # release s (caching.eagerly, r7 #6)
-    return eagerly(out, s)
+    return out, s
 
 
 @register(

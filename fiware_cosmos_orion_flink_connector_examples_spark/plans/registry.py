@@ -114,6 +114,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "approx_sketches_bounded",
     "bpe_learned_merges",
     "bpe_pieces_per_word_by_source",
+    "decontaminate_spans_bpe",
 )
 
 

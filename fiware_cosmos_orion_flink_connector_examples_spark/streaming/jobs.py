@@ -690,3 +690,29 @@ def streaming_dau_wau(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll_daily(events: DataFrame, watermark: str = "1 minute") -> DataFrame:
+    """Streaming twin of the batch mergeable-sketch rollup
+    (``events_hll_mergeable_daily``'s per-day half): per event day, a
+    live Datasketches HLL distinct-user estimate via the BUILT-IN
+    ``hll_sketch_agg`` running as a streaming aggregate — zero custom
+    state code, Spark's agg state IS the sketch (update mode re-emits
+    a day's estimate whenever it changes).
+
+    Because HLL union is commutative/associative and the lgConfigK
+    matches the batch query (12), an availableNow replay's final
+    per-day estimates equal the batch rows EXACTLY — same registers,
+    not merely same-accuracy (pytest-pinned).  This is the property
+    that makes the sketch architecture incremental: the stream keeps
+    daily sketches hot while the batch side unions stored sketch bytes
+    for totals, and both read the same numbers."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.to_date("ts").alias("_day"))
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .select(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            F.hll_sketch_estimate("sk").alias("distinct_est"),
+        )
+    )

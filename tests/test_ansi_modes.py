@@ -56,6 +56,12 @@ REPRESENTATIVE = [
     "events_type_islands",
     "events_asof_latest_order",
     "set_multiset_ops_events",
+    # round 8: token-id gram hashing, 3-modality division/float mix,
+    # sketch-envelope booleans, gated pair join
+    "span_dedup_removed_bpe",
+    "crossmodal_doc_profile",
+    "approx_sketches_bounded",
+    "dedup_image_phash",
 ]
 
 if os.environ.get("ANSI_FULL") == "1":  # full-registry sweep (slow)

@@ -277,8 +277,18 @@ def test_round5_queries_stay_jvm_side(spark):
 
 def test_funnel_stage_scans_push_type_predicate(spark):
     """Each funnel stage reads only its event type: the equality
-    predicate must reach all three parquet scans."""
-    plan = plan_of(spark, "events_funnel_conversion")
+    predicate must reach all three parquet scans.  Asserted on the
+    LAZY plan (_funnel_plan) — the registered query returns the
+    eagerly checkpointed result (r8), whose plan is just a scan."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        _funnel_plan,
+    )
+
+    out, s = _funnel_plan(spark, SF)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    s.unpersist()
     for v in ("signup", "click", "purchase"):
         assert f"EqualTo(event_type,{v})" in plan, v
 
@@ -452,3 +462,33 @@ def test_dau_wau_no_cartesian_day_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan  # the 7-day contribution explode
+
+
+def test_bpe_span_dedup_gram_keys_are_int64_jvm_side(spark):
+    """span_dedup_removed_bpe's 100TB claim: gram keys are xxhash64
+    int64s (8-byte posting shuffles), the whole pipeline stays
+    JVM-side — no Python UDF anywhere."""
+    plan = plan_of(spark, "span_dedup_removed_bpe")
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crossmodal_profile_joins_are_doc_keyed(spark):
+    """crossmodal_doc_profile: three modality frames meet on doc id —
+    no cartesian/nested-loop anywhere; media enters via one Arrow
+    mapInPandas pass (the only Python in the plan)."""
+    plan = plan_of(spark, "crossmodal_doc_profile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # synth encode + phash decode; formatted mode lists each node in
+    # tree + details → ×2
+    assert plan.count("MapInPandas") == 4
+
+
+def test_bpe_pieces_query_broadcasts_segmentation(spark):
+    """The learned-vocab fertility query probes the corpus scan with a
+    BROADCAST (word, n_pieces) table — the corpus never shuffles for
+    the join."""
+    plan = plan_of(spark, "bpe_pieces_per_word_by_source")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -109,6 +109,33 @@ def test_bpe_span_dedup_survives_whitespace_reflow(spark):
     assert got[0].n_tokens == got[1].n_tokens == got[2].n_tokens
 
 
+def test_bpe_decontamination_survives_whitespace_reflow(spark):
+    """The decontamination stakes of the reflow escape: eval text
+    re-spaced into a training page escapes the word-gram probe but is
+    still cut by the BPE token-id probe."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import BPE_RE
+
+    ev = spark.createDataFrame([(100, _BOILER)], "doc_id long, text string")
+    leaked = _BOILER.replace(".", " .").replace(",", " ,")  # re-spaced leak
+    train = spark.createDataFrame(
+        [(1, "clean page with enough original content to stand alone here"),
+         (2, "prefix words then " + leaked + " then suffix words")],
+        "doc_id long, text string",
+    )
+    word = {
+        r.doc_id: r.n_removed
+        for r in dedup.remove_contaminated_spans(train, ev, "doc_id", n=8).collect()
+    }
+    assert word[2] == 0  # the escape
+    bpe = {
+        r.doc_id: r.n_removed
+        for r in dedup.remove_contaminated_spans(
+            train, ev, "doc_id", n=8, token_re=BPE_RE, hashed_grams=True
+        ).collect()
+    }
+    assert bpe[1] == 0 and bpe[2] > 0  # the cut
+
+
 def test_bpe_hashed_grams_match_string_grams(spark):
     """The int64 token-id gram formulation is grouping-identical to
     string grams over the same tokenization (fingerprint equality)."""

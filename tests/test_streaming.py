@@ -1647,3 +1647,49 @@ def test_streaming_dau_wau_replay_equals_batch_query(spark, tmp_path):
         if r.dau > 0
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_hll_daily_replay_equals_batch_sketch(spark, tmp_path):
+    """availableNow replay of the sf0.001 events history: per-day HLL
+    estimates equal the batch events_hll_mergeable_daily per-day rows
+    EXACTLY (same lgConfigK => same registers), making the sketch
+    rollup's incremental story a pinned contract, not a claim."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r.day, r.distinct_est)
+        for r in QUERIES["events_hll_mergeable_daily"].fn(spark, sf).collect()
+        if r.day != "ALL"
+    }
+    spool = tmp_path / "hll_replay"
+    spool.mkdir()
+    load_table(spark, sf, "events").selectExpr(
+        "cast(ts as double) AS ts", "user_id"
+    ).coalesce(1).write.json(str(spool / "hist"))
+    stream = (
+        spark.readStream.schema("ts double, user_id long")
+        .json(str(spool / "hist"))
+        .selectExpr("timestamp_seconds(ts) AS ts", "user_id")
+    )
+    q = (
+        jobs.streaming_hll_daily(stream)
+        .writeStream.format("memory")
+        .queryName("t_hll_replay")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hllr"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.day, r.distinct_est)
+        for r in spark.sql("select * from t_hll_replay").collect()
+    }
+    assert got == want and len(want) > 0
