@@ -532,6 +532,34 @@ def hash_dup_pairs(
 BROADCAST_PAIR_MAX = 16_000_000
 
 
+def gated_broadcast(
+    df: DataFrame, row_max: int
+) -> tuple[DataFrame, DataFrame, bool]:
+    """SIZE-GATED broadcast hint (the attach_pair_sides discipline as
+    a reusable primitive): persist ``df``, probe its row count with a
+    bounded ``limit(max+1).count()``, and return it WITH the broadcast
+    hint only below ``row_max`` — above, the unhinted frame joins via
+    ordinary shuffle equi-joins that work at any size.  Use for any
+    derived small-in-practice side (dup-doc-id sets, report frames)
+    whose worst case is corpus-scale.  Returns (maybe_hinted, persisted
+    handle, was_small); callers release the handle after materializing
+    (``caching.eagerly``)."""
+    from pyspark import StorageLevel
+
+    p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    probe = min(row_max + 1, (1 << 31) - 1)
+    small = p.limit(probe).count() <= row_max
+    return (F.broadcast(p) if small else p), p, small
+
+
+# Doc-ID SET broadcast bound: one long per row, so rows ≈ bytes/24 with
+# object overhead — 32M ids ≈ 0.75 GB broadcast, safe under the 8 GB
+# cap / typical executor heap.  A dirty crawl's dup-doc set is a large
+# FRACTION of the corpus (30-50% is common at ≥0.8 jaccard), so unlike
+# pair sets this side outgrows broadcast quickly at scale.
+BROADCAST_IDSET_MAX = 32_000_000
+
+
 def attach_pair_sides(
     pairs: DataFrame,
     s1: DataFrame,

@@ -1361,8 +1361,11 @@ def split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dashboard number that decides which crawls get re-filtered): "
     "docs appearing in any ≥0.8-jaccard pair, as a share of each "
     "source's docs.  Pair detection reuses the inverted-index join; "
-    "the report side is a broadcast-size semi-structure joined back "
-    "to the corpus.",
+    "the dup-doc-id side is SIZE-GATED (dedup.gated_broadcast, r8): "
+    "usually broadcast-size, but a dirty crawl's dup set is a large "
+    "FRACTION of the corpus — above 32M ids the hint drops and the "
+    "probe becomes a doc-id shuffle join.  Result eagerly "
+    "materialized, id-set cache released.",
     tags=("ext", "dedup", "profile"),
 )
 def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1374,8 +1377,9 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_dup", F.lit(1))
     )
-    return (
-        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+    dd, dd_p, _ = dedup.gated_broadcast(dup_docs, dedup.BROADCAST_IDSET_MAX)
+    out = (
+        docs.join(dd, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1385,6 +1389,7 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+    return eagerly(out, dd_p)
 
 
 @register(

@@ -91,6 +91,8 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
     # literal path now unpersists its vocab post-collect (plan itself
     # unchanged; fronted out of caution)
     "text_unigram_logprob",
+    # dup-doc-id side now size-gated + eagerly materialized (r8)
+    "dup_rate_by_source",
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the

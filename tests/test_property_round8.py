@@ -387,6 +387,28 @@ def test_dedup_audio_fingerprint_matches_brute_force(spark):
     assert in_group / len(got) >= 0.95
 
 
+def test_gated_broadcast_regimes(spark):
+    """dedup.gated_broadcast: hint present below the bound, absent
+    above; join rows identical either way (the dup_rate_by_source
+    gate, r8)."""
+    ids = spark.range(50).select(F.col("id").alias("doc_id"), F.lit(1).alias("_f"))
+    corpus = spark.range(200).select(F.col("id").alias("doc_id"))
+    for gate, expect_bcast in ((1000, True), (0, False)):
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            dd, p, small = dedup.gated_broadcast(ids, gate)
+            assert small is expect_bcast
+            joined = corpus.join(dd, "doc_id", "left")
+            plan = _plan(joined)
+            n = joined.filter(F.col("_f").isNotNull()).count()
+            p.unpersist()
+            assert n == 50
+            assert ("BroadcastHashJoin" in plan) is expect_bcast
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_eagerly_materializes_and_releases_caches(spark):
     """caching.eagerly (VERDICT r6 #5 / r7 #6): the returned frame
     holds the computed rows while every handed-in cache is released —
