@@ -114,3 +114,39 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def bpe_span_smoke(spark, n_docs: int = 2_000_000, hot_frac: int = 10) -> None:
+    """The BPE span-REMOVAL path at 100x the bench corpus: same hot-
+    boilerplate fixture as tools/scale_smoke.span_dedup_smoke but with
+    punctuation-bearing text (so BPE pre-tokens differ from \\S+) and
+    the FULL remove path (cut tail included), n=4 subword grams —
+    proving the int64 token-id gram shuffle + linear cut tail hold at
+    ~30M token rows with a 200k-deep hot posting list."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+        remove_repeated_spans_bpe,
+    )
+
+    uniq = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(8)),
+            lambda i: F.concat(F.lit("t"), F.xxhash64(F.col("id"), i)),
+        ),
+        " ",
+    )
+    boiler = F.lit("Click here, accept all cookies. Terms apply!")
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % hot_frac == 0, F.concat(uniq, F.lit(" "), boiler))
+        .otherwise(uniq)
+        .alias("text"),
+    )
+    t0 = time.time()
+    remove_repeated_spans_bpe(docs, "doc_id", "text", n=4).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    print(
+        f"bpe span removal ({n_docs // 1_000_000}M docs, hot df="
+        f"{n_docs // hot_frac}) {time.time() - t0:.1f}s",
+        flush=True,
+    )
