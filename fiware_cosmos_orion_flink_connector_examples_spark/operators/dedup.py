@@ -425,6 +425,48 @@ def simhash_dedup_pairs(
     )
 
 
+def band_explode(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Pigeonhole band rows for an n-bit hash column: one (id, _h,
+    band, bv) row per contiguous bit band, extracted with
+    ``shiftrightunsigned`` (sign-safe for full-width int64 hashes).
+    Shared by the batch banded join (``hash_dup_pairs``) and the
+    streaming bucket-state twin (``jobs.streaming_hash_dedup``) — both
+    sides MUST band identically or the stream misses pairs the batch
+    finds."""
+    # n_bands > bits would make band_bits=0/mask=0 — every band value
+    # 0, degenerating the equi-join into an O(n^2) self-join (ADVICE
+    # r7 #2)
+    assert bits // n_bands >= 1, f"n_bands={n_bands} exceeds bits={bits}"
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    h = F.col(hash_col)
+    return df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(h, i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        F.col(id_col), "_h", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+
+
 def hash_dup_pairs(
     hashes: DataFrame,
     id_col: str,
@@ -433,6 +475,7 @@ def hash_dup_pairs(
     bits: int = 64,
     n_bands: int | None = None,
     materialize: bool = True,
+    band_df_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs within Hamming radius over a PRECOMPUTED n-bit
     hash column (perceptual image hashes, audio fingerprints — any
@@ -453,9 +496,17 @@ def hash_dup_pairs(
     never reach this operator); each band join shuffles on (band,
     value) with skew bounded by the most-populous bucket — constant
     images pile into one bucket the same way boilerplate grams pile
-    into a posting list, and the same df-cap pre-filter applies if a
-    corpus needs it.  Hamming filter runs BEFORE the pair distinct so
-    the final shuffle carries qualifying pairs only.
+    into a posting list.  ``band_df_cap`` is that remedy made real
+    (the ngram_jaccard_pairs_capped discipline): buckets holding more
+    than the cap drop from CANDIDATE generation, so a million
+    identical thumbnails cannot quadratically explode one partition.
+    Recall trade, stated exactly: a pair is lost only if EVERY band
+    the two hashes share is over the cap — near-identical floods (the
+    thing the cap prunes) are precisely the pairs a dedup would
+    collapse to one representative anyway, and exact-duplicate floods
+    are cheaper handled by exact_dedup on the hash value first.
+    Hamming filter runs BEFORE the pair distinct so the final shuffle
+    carries qualifying pairs only.
 
     The exploded bands frame is persisted (both join sides read it, so
     an upstream decode pass runs once, not twice); with the default
@@ -475,34 +526,17 @@ def hash_dup_pairs(
     if n_bands is None:
         n_bands = max_hamming + 2 if bits % (max_hamming + 2) == 0 else max_hamming + 1
     assert n_bands >= max_hamming + 1, "pigeonhole needs >= max_hamming+1 bands"
-    # n_bands > bits would make band_bits=0/mask=0 — every band value
-    # 0, degenerating the equi-join into an O(n^2) self-join (ADVICE
-    # r7 #2)
-    assert bits // n_bands >= 1, f"n_bands={n_bands} exceeds bits={bits}"
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
-    h = F.col(hash_col)
-    bands = (
-        hashes.select(
-            F.col(id_col),
-            h.alias("_h"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftrightunsigned(h, i * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bv"),
-                        )
-                        for i in range(n_bands)
-                    ]
-                )
-            ).alias("b"),
-        )
-        .select(F.col(id_col), "_h", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    bands = band_explode(hashes, id_col, hash_col, bits, n_bands).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    if band_df_cap is not None:
+        cool = (
+            bands.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= band_df_cap)
+            .select("band", "bv")
+        )
+        bands = bands.join(cool, ["band", "bv"], "left_semi")
     a = bands.select(F.col(id_col).alias("d1"), F.col("_h").alias("h1"), "band", "bv")
     b = bands.select(F.col(id_col).alias("d2"), F.col("_h").alias("h2"), "band", "bv")
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))

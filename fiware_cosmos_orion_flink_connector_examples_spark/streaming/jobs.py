@@ -716,3 +716,104 @@ def streaming_hll_daily(events: DataFrame, watermark: str = "1 minute") -> DataF
             F.hll_sketch_estimate("sk").alias("distinct_est"),
         )
     )
+
+
+HASH_PAIR_SCHEMA = "d1 bigint, d2 bigint, hamming int"
+HASH_BUCKET_STATE_SCHEMA = "ids array<bigint>, hs array<bigint>"
+
+
+def streaming_hash_dedup(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    bits: int = 64,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Streaming near-dup detection over a fingerprint stream — the
+    live twin of the batch banded join (``dedup.hash_dup_pairs``):
+    each arriving (id, int64-hash) row band-explodes through the SAME
+    ``dedup.band_explode`` arithmetic, and a stateful stage keyed on
+    (band, bv) holds the bucket's seen (id, hash) list as state — the
+    inverted index, kept hot as stream state.  A new arrival compares
+    against its bucket (python ``int.bit_count`` on the xor) and emits
+    a (d1, d2, hamming) row per within-radius match, the micro-batch
+    it becomes knowable (append mode; a pair is final on emit).
+
+    Pigeonhole recall carries over exactly: a pair within the radius
+    shares >=1 band, and whichever side arrives later finds the
+    earlier one in that band's state — an availableNow replay emits
+    the batch pair set exactly (pytest-pinned, including a cross-batch
+    pair resolved from carried state).  Pairs sharing several bands
+    would surface in each shared bucket, so each match emits ONLY from
+    the MINIMUM shared band (both parties hold both full hashes, so
+    every bucket computes the same minimum independently — the classic
+    LSH first-matching-band rule).  One stateful stage, exactly one
+    row per pair; Spark permits only a single applyInPandasWithState
+    per stream, so a downstream dedup stage isn't even an option.
+
+    State sizing at scale: bucket state IS the band index, so total
+    state ≈ n_bands × corpus rows of (int64, int64) — the same bytes
+    the batch join shuffles, amortized across the stream's life; a
+    flooded bucket (constant images) is the same skew the batch side
+    caps with ``band_df_cap``, and the streaming analog is bounding
+    the state list length (drop-new policy) when a corpus needs it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+        band_explode,
+    )
+
+    bands = band_explode(hashes, id_col, hash_col, bits, n_bands).select(
+        F.col(id_col).alias("_id"), "_h", "band", "bv"
+    )
+
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        my_band = int(key[0])
+        if state.exists:
+            ids, hs = state.get
+            ids, hs = [int(x) for x in ids], [int(x) for x in hs]
+        else:
+            ids, hs = [], []
+        d1s, d2s, hams = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("_id")
+            for i, h in zip(pdf["_id"], pdf["_h"]):
+                i, h = int(i), int(h)
+                for j, g in zip(ids, hs):
+                    if i == j:
+                        continue
+                    x = (h ^ g) & ((1 << 64) - 1)
+                    if x.bit_count() <= max_hamming:
+                        # emit only from the MINIMUM shared band: every
+                        # bucket holding this pair derives the same
+                        # minimum from the two hashes alone
+                        first = next(
+                            k
+                            for k in range(n_bands)
+                            if (x >> (k * band_bits)) & mask == 0
+                        )
+                        if first == my_band:
+                            a, b = (j, i) if j < i else (i, j)
+                            d1s.append(a)
+                            d2s.append(b)
+                            hams.append(x.bit_count())
+                ids.append(i)
+                hs.append(h)
+        state.update((ids, hs))
+        if d1s:
+            yield pd.DataFrame({"d1": d1s, "d2": d2s, "hamming": hams})
+
+    pairs = bands.groupBy("band", "bv").applyInPandasWithState(
+        update,
+        outputStructType=HASH_PAIR_SCHEMA,
+        stateStructType=HASH_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return pairs

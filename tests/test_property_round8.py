@@ -387,6 +387,25 @@ def test_dedup_audio_fingerprint_matches_brute_force(spark):
     assert in_group / len(got) >= 0.95
 
 
+def test_hash_dup_pairs_band_df_cap_prunes_floods(spark):
+    """band_df_cap: a constant-hash flood (every band bucket hot)
+    contributes NO candidate pairs, while pairs whose hashes live in
+    cool buckets are still found exactly."""
+    flood = [(i, 123456789) for i in range(50)]  # identical hashes
+    clean = [(100, 1 << 40), (101, (1 << 40) | 3)]  # hamming 2 pair
+    df = spark.createDataFrame(flood + clean, "media_id long, phash long")
+    capped = {
+        (r.d1, r.d2)
+        for r in dedup.hash_dup_pairs(
+            df, "media_id", max_hamming=6, band_df_cap=10
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+    # without the cap the flood pairs quadratically (sanity)
+    full = dedup.hash_dup_pairs(df, "media_id", max_hamming=6).count()
+    assert full == (50 * 49) // 2 + 1
+
+
 def test_gated_broadcast_regimes(spark):
     """dedup.gated_broadcast: hint present below the bound, absent
     above; join rows identical either way (the dup_rate_by_source

@@ -1693,3 +1693,81 @@ def test_streaming_hll_daily_replay_equals_batch_sketch(spark, tmp_path):
         for r in spark.sql("select * from t_hll_replay").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_hash_dedup_replay_equals_batch(spark, tmp_path):
+    """Streaming banded near-dup twin: an availableNow replay of a
+    fingerprint history emits EXACTLY the batch hash_dup_pairs set,
+    and a second micro-batch finds a cross-batch pair from carried
+    bucket state."""
+    import random
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+        hash_dup_pairs,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        h = rng.getrandbits(64)
+        rows.append((i, h - (1 << 64) if h >= 1 << 63 else h))
+    for i in range(40, 60):  # near-dups of earlier hashes
+        src = rows[i - 40][1] & ((1 << 64) - 1)
+        for _ in range(rng.randint(0, 6)):
+            src ^= 1 << rng.randrange(64)
+        rows.append((i, src - (1 << 64) if src >= 1 << 63 else src))
+    batch_df = spark.createDataFrame(rows, "media_id long, phash long")
+    want = {
+        (r.d1, r.d2, r.hamming)
+        for r in hash_dup_pairs(batch_df, "media_id", max_hamming=6).collect()
+    }
+    assert want  # fixture really contains near-dups
+
+    # split the history: an item whose only partner sits in batch 1
+    # arrives in batch 2 — the carried-state case
+    b1, b2 = rows[:50], rows[50:]
+    spool = tmp_path / "hashspool"
+    spool.mkdir()
+
+    def write(name, rs):
+        with open(spool / name, "w") as f:
+            for i, h in rs:
+                f.write(json.dumps({"media_id": i, "phash": h}) + "\n")
+
+    write("b1.jsonl", b1)
+    stream = spark.readStream.schema("media_id long, phash long").json(str(spool))
+    q = (
+        jobs.streaming_hash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_hash_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.d1, r.d2, r.hamming)
+            for r in spark.sql("select * from t_hash_dedup").collect()
+        }
+        want1 = {
+            (r.d1, r.d2, r.hamming)
+            for r in hash_dup_pairs(
+                spark.createDataFrame(b1, "media_id long, phash long"),
+                "media_id", max_hamming=6,
+            ).collect()
+        }
+        assert got1 == want1
+        write("b2.jsonl", b2)
+        q.processAllAvailable()
+        got2 = {
+            (r.d1, r.d2, r.hamming)
+            for r in spark.sql("select * from t_hash_dedup").collect()
+        }
+        assert got2 == want
+        # at least one pair strictly straddles the batches
+        b2_ids = {i for i, _ in b2}
+        assert any((d1 not in b2_ids) and (d2 in b2_ids) for d1, d2, _ in got2)
+    finally:
+        q.stop()
