@@ -117,6 +117,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "bpe_learned_merges",
     "bpe_pieces_per_word_by_source",
     "decontaminate_spans_bpe",
+    "span_dedup_removed_bpe_run50",
 )
 
 
