@@ -4347,3 +4347,146 @@ def events_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(total)
+
+
+@register(
+    "quality_nb_classifier",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS n_uniq
+      FROM documents),
+    lab AS (
+      SELECT doc_id, t,
+             CASE WHEN pass_len AND pass_word AND pass_stop AND pass_distinct THEN 1
+                  WHEN (CASE WHEN pass_len THEN 0 ELSE 1 END
+                        + CASE WHEN pass_word THEN 0 ELSE 1 END
+                        + CASE WHEN pass_stop THEN 0 ELSE 1 END
+                        + CASE WHEN pass_distinct THEN 0 ELSE 1 END) >= 2 THEN -1
+                  ELSE NULL END AS label
+      FROM (SELECT doc_id, t,
+                   n_tok >= 30.0 AS pass_len,
+                   n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 9.0 AS pass_word,
+                   n_stop / greatest(n_tok, 1.0) > 0.02 AS pass_stop,
+                   n_uniq / greatest(n_tok, 1.0) >= 0.3 AS pass_distinct
+            FROM q)),
+    ex AS (SELECT label, unnest(t) AS tok FROM lab WHERE label IS NOT NULL),
+    freq AS (SELECT tok,
+                    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pc,
+                    sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS nc
+             FROM ex GROUP BY 1),
+    tot AS (SELECT count(*) AS v,
+                   coalesce(sum(pc), 0) AS pt,
+                   coalesce(sum(nc), 0) AS nt
+            FROM freq),
+    w AS (SELECT map(list(tok),
+                     list(ln((pc + 1.0) / (pt + v)) - ln((nc + 1.0) / (nt + v)))) AS m
+          FROM freq CROSS JOIN tot),
+    o AS (SELECT ln(1.0 / (pt + v)) - ln(1.0 / (nt + v)) AS ow FROM tot)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           label,
+           round(CAST(list_aggregate(
+                   list_transform(t, tok -> CAST(round(coalesce(m[tok][1], ow) * 1e12)
+                                                 AS BIGINT)),
+                   'sum') AS DOUBLE) / len(t) / 1e12, 6) AS nb_score
+    FROM lab CROSS JOIN w CROSS JOIN o
+    WHERE len(t) > 0
+    """,
+    doc="X4 MODEL-BASED quality filter (the CCNet/fastText-classifier "
+    "stage of LLM data prep, distilled to its distributable core): "
+    "heuristic rule extremes label the corpus (+1 all-pass / -1 "
+    "two-fails, operators/text.nb_quality_label), a naive-Bayes "
+    "add-1-smoothed token weight table ln P(tok|+) − ln P(tok|−) is "
+    "learned from the labeled slice, and EVERY doc — including the "
+    "unlabeled middle, which is the point of classifier-based "
+    "filtering — is scored by mean token log-likelihood-ratio with a "
+    "smoothed OOV fallback.  operators/text.nb_quality_scores: "
+    "map-only labeling fused into the explode; vocab-sized "
+    "(token,class) partial+final agg; weight table broadcast back "
+    "onto the token stream; ONE doc-keyed partial+final SUM — "
+    "engine-identical floats via weight quantization to integer "
+    "picounits + exact DECIMAL(38,0) summation (the "
+    "stats_exact_moments order-free trick; 6× faster at 2M docs than "
+    "an ordered list re-fold and safe on million-token docs).  "
+    "Open-vocab corpora cap the table at top-K df and fold the tail "
+    "into OOV.",
+    tags=("ext", "text", "X4", "quality", "classifier"),
+)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.nb_quality_scores(docs)
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    den AS (SELECT list_aggregate(list_sort(list(sqrt(CAST(n AS DOUBLE)))), 'sum') AS d
+            FROM counts),
+    quota AS (SELECT source,
+                     greatest(1, CAST(floor(200.0 * sqrt(CAST(n AS DOUBLE)) / d)
+                                      AS BIGINT)) AS q
+              FROM counts CROSS JOIN den)
+    SELECT source, doc_id, lang FROM (
+      SELECT d.source, d.doc_id, d.lang, quota.q,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY {_D_MD5INT.format(x="CAST(d.doc_id AS VARCHAR)")}, d.doc_id
+             ) AS rn
+      FROM documents d JOIN quota USING (source)
+    ) WHERE rn <= q
+    """,
+    doc="Temperature-scaled mixture sampling (the multilingual "
+    "rebalance of XLM-R/mT5 data prep): per-source quota ∝ n^T with "
+    "T=0.5 — sqrt keeps the power IEEE-exact across engines — over a "
+    "200-doc target, floor+greatest(1,·) so rare sources survive, "
+    "draw selected by md5-hash rank so it is stable across runs, "
+    "partitionings, and engines.  The n^T denominator is summed over "
+    "a SORTED list fold (sort_array/list_sort) so the float total is "
+    "summation-order-free — the same cross-engine determinism trick "
+    "as stats_exact_moments.  100 TB shape: source-count agg is "
+    "tiny, the quota table broadcasts, and the only data-sized "
+    "operation is one source-keyed window shuffle — identical to "
+    "sample_mixture_balanced, with the same documented skew remedy "
+    "(the largest source bounds a partition; pre-filter by a cheap "
+    "hash band if one source dominates).",
+    tags=("ext", "sample", "mixture", "temperature"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    den = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.sqrt(F.col("n").cast("double")))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("d")
+    )
+    quota = counts.crossJoin(F.broadcast(den)).select(
+        "source",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                F.lit(200.0) * F.sqrt(F.col("n").cast("double")) / F.col("d")
+            ),
+        ).alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        md5int64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("q"))
+        .select("source", "doc_id", "lang")
+    )

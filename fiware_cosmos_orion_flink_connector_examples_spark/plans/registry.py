@@ -118,6 +118,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "bpe_pieces_per_word_by_source",
     "decontaminate_spans_bpe",
     "span_dedup_removed_bpe_run50",
+    "quality_nb_classifier",
+    "sample_temperature_mixture",
 )
 
 

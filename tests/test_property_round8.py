@@ -466,3 +466,139 @@ def test_attach_pair_sides_regimes_identical_rows(spark):
     p_lo.unpersist()
     p_hi.unpersist()
     assert got_lo == got_hi and len(got_lo) == 4
+
+
+# --- round-8 depth additions: model-based quality filter + temperature mixture
+
+
+def test_nb_classifier_separates_label_extremes(spark):
+    """The learned naive-Bayes score must order the training extremes
+    correctly ON AVERAGE (mean score of +1-labeled docs > mean of
+    -1-labeled) and must score every non-empty doc, labeled or not —
+    scoring the unlabeled middle is the point of classifier-based
+    filtering."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text.nb_quality_scores(docs).collect()
+    n_docs = docs.filter(F.length("text") > 0).count()
+    assert len(out) == n_docs
+    pos = [r["nb_score"] for r in out if r["label"] == 1]
+    neg = [r["nb_score"] for r in out if r["label"] == -1]
+    assert pos and neg, "fixture must produce both label extremes"
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_nb_classifier_oov_doc_scores_at_smoothed_fallback(spark):
+    """A doc whose tokens never occur in the labeled slice scores
+    exactly the smoothed OOV weight ln((nt+V)/(pt+V)) — pinned against
+    an independent Python computation of the same closed form."""
+    import math
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    # 3 all-pass positives (long, stopword-rich, varied), 3 hard
+    # negatives (short AND stopword-free AND repetitive), and one
+    # unlabeled probe made of tokens unseen anywhere else.  The probe
+    # must be labeled NULL: mid-length with stopwords, so only
+    # pass_len fails.
+    pos_text = " ".join(f"the w{i} of x{i} to y{i}" for i in range(12))
+    neg_text = "zz " * 4
+    probe_text = "the qqq www eee rrr of " * 2
+    rows = (
+        [(i, pos_text) for i in range(3)]
+        + [(10 + i, neg_text.strip()) for i in range(3)]
+        + [(99, probe_text.strip())]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.nb_quality_scores(docs).collect()}
+    assert out[0]["label"] == 1 and out[10]["label"] == -1
+    assert out[99]["label"] is None
+
+    labeled_toks = set(pos_text.split()) | set(neg_text.split())
+    probe_toks = set(probe_text.split()) - {"the", "of"}
+    # "the"/"of" DO occur in positives; rebuild the probe expectation
+    # token by token with the same add-1 closed form instead.
+    pt = 3 * len(pos_text.split())
+    nt = 3 * len(neg_text.split())
+    v = len(labeled_toks)
+    pos_counts: dict[str, int] = {}
+    for t in pos_text.split():
+        pos_counts[t] = pos_counts.get(t, 0) + 1
+    neg_counts: dict[str, int] = {}
+    for t in neg_text.split():
+        neg_counts[t] = neg_counts.get(t, 0) + 1
+
+    # per-token weights: counts are per-doc counts × 3 identical docs
+    def w_exact(tok: str) -> float:
+        pc = 3 * pos_counts.get(tok, 0)
+        nc = 3 * neg_counts.get(tok, 0)
+        return math.log((pc + 1.0) / (pt + v)) - math.log((nc + 1.0) / (nt + v))
+
+    toks = probe_text.strip().split()
+    # quantized closed form: per-token round(w*1e12) ints, exact sum
+    expected = round(
+        sum(round(w_exact(t) * 1e12) for t in toks) / len(toks) / 1e12, 6
+    )
+    assert abs(out[99]["nb_score"] - expected) < 1e-9
+    assert probe_toks, "probe must actually contain OOV tokens"
+
+
+def test_temperature_mixture_quotas_match_closed_form(spark):
+    """Per-source draw sizes equal min(n_s, quota_s) for the T=0.5
+    closed form (sorted-sum denominator, floor, min-1 guard), and the
+    selection FRACTION is non-increasing in source size — the
+    flattening property that defines temperature sampling."""
+    import math
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        sample_temperature_mixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_by_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    d = sum(sorted(math.sqrt(n) for n in n_by_src.values()))
+    quota = {
+        s: max(1, math.floor(200.0 * math.sqrt(n) / d)) for s, n in n_by_src.items()
+    }
+    out = sample_temperature_mixture(spark, sf)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {s: min(n_by_src[s], q) for s, q in quota.items()}
+    fracs = sorted(
+        ((n_by_src[s], quota[s] / n_by_src[s]) for s in quota), key=lambda t: t[0]
+    )
+    for (n1, f1), (n2, f2) in zip(fracs, fracs[1:]):
+        if n1 < n2:
+            assert f1 >= f2 - 1e-12
+
+
+def test_nb_classifier_label_evaluated_below_generate(spark):
+    """The regexp-heavy label expression must be computed ONCE PER DOC
+    in the Project below each token explode, with the Generate passing
+    it through as a plain attribute.  Planning label and explode in
+    one select puts the label in the Project ABOVE the Generate —
+    re-evaluated per exploded token: measured 73 s vs 6 s on 2M docs.
+    Pin: every `Generate explode` node carries `label#N` in its
+    pass-through (requiredChildOutput) list, and no Project above a
+    Generate contains a regexp evaluation."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        text.nb_quality_scores(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    gen_lines = [l for l in plan.splitlines() if "Generate explode" in l]
+    assert gen_lines, "expected token-explode Generate nodes in the plan"
+    for line in gen_lines:
+        assert "label#" in line, f"label not passed through Generate: {line}"
+        assert "regexp" not in line, f"regexp evaluated inside Generate: {line}"

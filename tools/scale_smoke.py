@@ -66,6 +66,7 @@ def main() -> None:
     skewed_dedup_smoke(spark)
     span_dedup_smoke(spark)
     round6_smoke(spark, m)
+    round8b_smoke(spark)
 
 
 def skewed_dedup_smoke(spark, n_docs: int = 20_000, hot_frac: int = 10) -> None:
@@ -260,6 +261,78 @@ def round6_smoke(spark, m: int = 25, n_docs: int = 2_000_000) -> None:
         # pairs by construction.  On skewed corpora the capped pair
         # source (skewed_dedup_smoke above) is the demonstrated shape;
         # the matrix agg itself is |pairs|-sized either way.
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def round8b_smoke(spark, n_docs: int = 2_000_000) -> None:
+    """Round-8 depth additions at ~100× the bench corpus: the
+    model-based quality filter (two corpus passes + one doc-keyed
+    shuffle) and temperature mixture sampling (one source-keyed window
+    shuffle) on 2M synthetic docs.
+
+    The fixture makes BOTH label extremes real so the classifier's
+    training slice is non-degenerate: even doc_ids are long (40+
+    tokens) and stopword-rich (all-rules-pass → +1), odd doc_ids are
+    short hash-word salad (≥2 fails → -1).  16 sources with one
+    ~10/25-hot source exercise the quota window's skew bound."""
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_r8b_")
+    try:
+        # even ids: 20 "the wN of" trigrams (60 tokens, stop ratio 2/3
+        # ≥ 0.02, avg word len in [3,9], distinct ratio > 0.3 via
+        # hash-varied wN) — all four rules pass.  odd ids: ~6 hash
+        # words — fails len + stop.
+        rich = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.concat(
+                    F.lit("the w"),
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000)),
+                    F.lit(" of"),
+                ),
+            ),
+            " ",
+        )
+        salad = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.pmod(F.xxhash64("id", F.lit(9)), F.lit(5)) + 1),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000))
+                ),
+            ),
+            " ",
+        )
+        text = F.when(F.col("id") % 2 == 0, rich).otherwise(salad)
+        src = F.when(
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(25)) < 10, F.lit(0)
+        ).otherwise(F.pmod(F.xxhash64("id", F.lit(4)), F.lit(16)))
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("src"), src).alias("source"),
+            F.length(text).alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        def run(tag, name):
+            t = time.time()
+            QUERIES[name].fn(spark, tmp).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(f"{tag:34s} {time.time() - t:.1f}s", flush=True)
+            spark.catalog.clearCache()
+
+        print(f"round-8b registered-query smoke: docs={n_docs // 1_000_000}M")
+        run("quality_nb_classifier (2M docs)", "quality_nb_classifier")
+        run("sample_temperature_mixture (2M)", "sample_temperature_mixture")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
