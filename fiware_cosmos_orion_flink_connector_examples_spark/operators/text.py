@@ -350,17 +350,24 @@ def chunk_documents(
     from pyspark.sql import functions as F
 
     df = df.filter(F.col(text_col).isNotNull())
-    toks = tokens(text_col)
-    n = F.size(toks)
+    # tokenization is PRE-PROJECTED below the explode: a computed
+    # sibling in the same select as posexplode lands in the Project
+    # ABOVE the Generate and is re-evaluated once per CHUNK — for a
+    # doc with c chunks that is c tokenization passes over the full
+    # text, O(n²) on long docs (the nb_quality_scores lesson,
+    # SCALING.md round 8).  Two-step projection pins it per-doc;
+    # CollapseProject cannot merge through a Generate.
+    pre = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n = F.size(F.col("_toks"))
     # number of stride steps: 1 + max(0, ceil((n - size) / stride));
     # integer form works for n <= size too (single chunk)
     n_chunks = F.greatest(
         F.lit(1),
         (F.lit(1) + F.ceil((n - F.lit(size)).cast("double") / F.lit(stride))).cast("int"),
     )
-    base = df.select(
+    base = pre.select(
         F.col(id_col),
-        toks.alias("_toks"),
+        F.col("_toks"),
         F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_step"),
     )
     piece = F.slice(F.col("_toks"), F.col("_step") * stride + 1, size)
@@ -653,6 +660,94 @@ def nb_quality_label(col: Column | str = "text") -> Column:
     )
 
 
+def _nb_train_freq(pre: DataFrame):
+    """Shared naive-Bayes training pass: per-token (+/-)-class counts
+    from the labeled slice of ``pre`` (columns label, toks) plus the
+    three training scalars.  Returns (freq DF — PERSISTED, caller
+    releases or lets the session own it; v, pos_total, neg_total)."""
+    ex_lab = (
+        pre.filter(F.col("label").isNotNull())
+        .select("label", F.explode("toks").alias("tok"))
+    )
+    # persisted: the totals probe and the downstream weight consumer
+    # both read it (session-lived by the unigram_logprob precedent;
+    # bench.py clearCache()s between queries).
+    freq = ex_lab.groupBy("tok").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("pc"),
+        F.sum(F.when(F.col("label") == -1, 1).otherwise(0)).alias("nc"),
+    ).persist()
+    totals = freq.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("pc").alias("pt"),
+        F.sum("nc").alias("nt"),
+    ).collect()[0]  # bounded: one row of three scalars
+    return freq, int(totals["v"] or 0), int(totals["pt"] or 0), int(totals["nt"] or 0)
+
+
+def nb_quality_weight_map(
+    docs: DataFrame, text_col: str = "text", vocab_max: int = 32_768
+) -> tuple[list[tuple[str, int]], int]:
+    """Train the naive-Bayes quality model and COLLECT it as a
+    bounded literal table for map-only serving — the artifact a
+    streaming ingest gate (``jobs.streaming_quality_gate``) embeds as
+    a ``create_map`` so scoring needs no join, no shuffle, and no
+    state.
+
+    Weights are quantized to integer picounits BY THE ENGINE (the
+    same ``round(w·1e12)`` expression the batch scorer applies), so a
+    literal-map serve and the batch ``nb_quality_scores`` produce
+    bit-identical sums — no Python ``math.log`` re-derivation to
+    drift.  Vocabulary beyond ``vocab_max`` (collected in occurrence
+    order: count desc, token asc — deterministic) folds into the OOV
+    weight, changing the model only in its rarest tail; the cap
+    bounds both the driver collect and the serving plan's literal
+    size (same 10k–65k planner-health territory as
+    unigram_logprob's literal path).
+
+    Returns ([(token, quantized_weight)], quantized_oov_weight);
+    ([], 0) when the corpus yields no labeled tokens.
+    """
+    pre = docs.select(
+        nb_quality_label(text_col).alias("label"),
+        tokens(text_col).alias("toks"),
+    )
+    freq, v, pt, nt = _nb_train_freq(pre)
+    if v == 0:
+        freq.unpersist()
+        return [], 0
+    pos_den = F.lit(float(pt + v))
+    neg_den = F.lit(float(nt + v))
+    wq = F.round(
+        (
+            F.log((F.col("pc") + F.lit(1.0)) / pos_den)
+            - F.log((F.col("nc") + F.lit(1.0)) / neg_den)
+        )
+        * F.lit(1e12),
+        0,
+    ).cast("long")
+    rows = (
+        freq.select("tok", (F.col("pc") + F.col("nc")).alias("df"), wq.alias("wq"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(vocab_max)
+        .collect()
+    )
+    oov_row = (
+        freq.sparkSession.range(1)
+        .select(
+            F.round(
+                (F.log(F.lit(1.0) / pos_den) - F.log(F.lit(1.0) / neg_den))
+                * F.lit(1e12),
+                0,
+            )
+            .cast("long")
+            .alias("q")
+        )
+        .collect()[0]
+    )
+    freq.unpersist()
+    return [(r["tok"], int(r["wq"])) for r in rows], int(oov_row["q"])
+
+
 def nb_quality_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -702,25 +797,7 @@ def nb_quality_scores(
         tokens(text_col).alias("toks"),
     )
 
-    ex_lab = (
-        pre.filter(F.col("label").isNotNull())
-        .select("label", F.explode("toks").alias("tok"))
-    )
-    # persisted: the totals probe and the lazy scoring join both read
-    # it (session-lived by the unigram_logprob precedent; bench.py
-    # clearCache()s between queries).
-    freq = ex_lab.groupBy("tok").agg(
-        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("pc"),
-        F.sum(F.when(F.col("label") == -1, 1).otherwise(0)).alias("nc"),
-    ).persist()
-    totals = freq.agg(
-        F.count(F.lit(1)).alias("v"),
-        F.sum("pc").alias("pt"),
-        F.sum("nc").alias("nt"),
-    ).collect()[0]  # bounded: one row of three scalars
-    v = int(totals["v"] or 0)
-    pt = int(totals["pt"] or 0)
-    nt = int(totals["nt"] or 0)
+    freq, v, pt, nt = _nb_train_freq(pre)
     pos_den = F.lit(float(pt + v))
     neg_den = F.lit(float(nt + v))
 

@@ -84,6 +84,7 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
     # proof, so its hash proof must re-run this round; funnel + KL
     # gained the eagerly() materialize-then-release tail (r7 #6).
     "dup_matrix_by_source",
+    "doc_chunks",  # chunk tokenization pre-projected below the explode
     "events_funnel_conversion",
     "source_unigram_kl",
     # hash_dup_pairs gained skip-undecodable + eagerly (ADVICE r7)

@@ -817,3 +817,73 @@ def streaming_hash_dedup(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return pairs
+
+
+def streaming_quality_gate(
+    docs: DataFrame,
+    weight_rows: list[tuple[str, int]],
+    oov_q: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_score: float | None = None,
+) -> DataFrame:
+    """Online model-based quality filtering — the streaming twin of
+    the batch naive-Bayes classifier (``quality_nb_classifier``): a
+    trained weight table (``text.nb_quality_weight_map``'s quantized
+    artifact) is embedded as a ``create_map`` literal and every
+    arriving doc is labeled and scored in ONE projection — no join,
+    no aggregation, no watermark, no state; append-mode-legal behind
+    any sink.  This is the shape an ingest pipeline wants: the model
+    is a broadcast-sized artifact refreshed out-of-band (retrain
+    batch-side, restart the query), while the hot path stays
+    whole-stage-codegen'd per-row arithmetic.
+
+    Equality contract (pytest-pinned): the weights are quantized
+    integer picounits produced by the SAME engine expressions as the
+    batch scorer, and the per-doc fold sums those integers — an
+    availableNow replay emits exactly ``nb_quality_scores``' rows
+    (n_tokens, label, nb_score all bit-equal; per-doc sums are exact
+    DECIMAL(38,0) either way, summation-order-free).  Empty/NULL-text
+    docs drop at the boundary, matching the batch explode.
+
+    ``min_score`` adds a ``pass_gate`` boolean (score ≥ threshold)
+    without filtering — the caller routes rejects (the multimodal
+    decode-rejects pattern)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+        nb_quality_label,
+        tokens,
+    )
+
+    toks = tokens(text_col)
+    if weight_rows:
+        mapping = F.create_map(
+            *[x for tok, wq in weight_rows for x in (F.lit(tok), F.lit(int(wq)))]
+        )
+        per_tok = lambda t: F.coalesce(  # noqa: E731
+            F.element_at(mapping, t), F.lit(int(oov_q))
+        )
+    else:
+        per_tok = lambda t: F.lit(int(oov_q))  # noqa: E731
+    quant = F.transform(toks, per_tok)
+    total = F.aggregate(
+        quant,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda a, x: a + x.cast("decimal(38,0)"),
+    )
+    pre = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        nb_quality_label(text_col).alias("label"),
+        total.alias("_sq"),
+    ).filter(F.col("n_tokens") > 0)
+    out = pre.select(
+        id_col,
+        "n_tokens",
+        "label",
+        F.round(
+            F.col("_sq").cast("double") / F.col("n_tokens") / F.lit(1e12), 6
+        ).alias("nb_score"),
+    )
+    if min_score is not None:
+        out = out.withColumn("pass_gate", F.col("nb_score") >= F.lit(min_score))
+    return out

@@ -1771,3 +1771,64 @@ def test_streaming_hash_dedup_replay_equals_batch(spark, tmp_path):
         assert any((d1 not in b2_ids) and (d2 in b2_ids) for d1, d2, _ in got2)
     finally:
         q.stop()
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """Stream/batch unification for model-based quality filtering: the
+    weight map trained batch-side (quantized BY THE ENGINE) drives a
+    map-only streaming gate whose availableNow replay emits exactly
+    the batch classifier's rows — n_tokens, label, and nb_score all
+    bit-equal (integer-picounit sums are summation-order-free, so the
+    two physical shapes cannot drift)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    expected = {
+        (r.doc_id, r.n_tokens, r.label, r.nb_score)
+        for r in text.nb_quality_scores(docs).collect()
+    }
+    labels = {lab for _, _, lab, _ in expected}
+    assert 1 in labels and -1 in labels, "fixture must span both extremes"
+
+    weight_rows, oov_q = text.nb_quality_weight_map(docs)
+    assert weight_rows, "trained vocabulary must be non-empty"
+
+    spool = tmp_path / "qgate_spool"
+    spool.mkdir()
+    with open(spool / "docs.jsonl", "w") as f:
+        for r in docs.collect():
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(spool))
+    gated = jobs.streaming_quality_gate(stream, weight_rows, oov_q)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("t_stream_qgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_tokens, r.label, r.nb_score)
+        for r in spark.sql("SELECT * FROM t_stream_qgate").collect()
+    }
+    assert got == expected
+
+
+def test_streaming_quality_gate_threshold_and_empty_model(spark, tmp_path):
+    """min_score adds a pass_gate routing column without filtering,
+    and an empty weight map (no labeled training tokens) degrades to
+    the constant OOV score instead of failing."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming.jobs import (
+        streaming_quality_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = streaming_quality_gate(docs, [], 0, min_score=0.5)
+    rows = {(r.doc_id, r.nb_score, r.pass_gate) for r in out.collect()}
+    assert rows == {(1, 0.0, False), (2, 0.0, False)}
