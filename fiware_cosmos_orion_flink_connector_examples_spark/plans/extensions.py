@@ -4457,14 +4457,27 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "sample", "mixture", "temperature"),
 )
 def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _temperature_draw(docs, 200.0, ["lang"])
+
+
+def _temperature_draw(
+    df: DataFrame, target: float, extra_cols: list[str]
+) -> DataFrame:
+    """The temperature-scaled (T=0.5) per-source quota draw over any
+    frame carrying (source, doc_id): quota ∝ sqrt(n) of a ``target``
+    total with a min-1 guard, selection by md5-hash rank.  The sqrt
+    denominator folds over a SORTED collected list so the float total
+    is summation-order-free across engines (stats_exact_moments
+    discipline).  Shared by ``sample_temperature_mixture`` and the
+    ``corpus_curate_nb`` capstone."""
     from pyspark.sql.window import Window
 
     from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
         md5int64,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     den = counts.agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.sqrt(F.col("n").cast("double")))),
@@ -4477,7 +4490,7 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.lit(1).cast("long"),
             F.floor(
-                F.lit(200.0) * F.sqrt(F.col("n").cast("double")) / F.col("d")
+                F.lit(target) * F.sqrt(F.col("n").cast("double")) / F.col("d")
             ),
         ).alias("q"),
     )
@@ -4485,8 +4498,105 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5int64(F.col("doc_id").cast("string")), F.col("doc_id")
     )
     return (
-        docs.join(F.broadcast(quota), "source")
+        df.join(F.broadcast(quota), "source")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("q"))
-        .select("source", "doc_id", "lang")
+        .select("source", "doc_id", *extra_cols)
     )
+
+
+@register(
+    "corpus_curate_nb",
+    oracle=f"""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    q AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) AS n_uniq
+      FROM kept),
+    lab AS (
+      SELECT doc_id, t,
+             CASE WHEN pass_len AND pass_word AND pass_stop AND pass_distinct THEN 1
+                  WHEN (CASE WHEN pass_len THEN 0 ELSE 1 END
+                        + CASE WHEN pass_word THEN 0 ELSE 1 END
+                        + CASE WHEN pass_stop THEN 0 ELSE 1 END
+                        + CASE WHEN pass_distinct THEN 0 ELSE 1 END) >= 2 THEN -1
+                  ELSE NULL END AS label
+      FROM (SELECT doc_id, t,
+                   n_tok >= 30.0 AS pass_len,
+                   n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 9.0 AS pass_word,
+                   n_stop / greatest(n_tok, 1.0) > 0.02 AS pass_stop,
+                   n_uniq / greatest(n_tok, 1.0) >= 0.3 AS pass_distinct
+            FROM q)),
+    ex AS (SELECT label, unnest(t) AS tok FROM lab WHERE label IS NOT NULL),
+    freq AS (SELECT tok,
+                    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pc,
+                    sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS nc
+             FROM ex GROUP BY 1),
+    tot AS (SELECT count(*) AS v,
+                   coalesce(sum(pc), 0) AS pt,
+                   coalesce(sum(nc), 0) AS nt
+            FROM freq),
+    w AS (SELECT map(list(tok),
+                     list(ln((pc + 1.0) / (pt + v)) - ln((nc + 1.0) / (nt + v)))) AS m
+          FROM freq CROSS JOIN tot),
+    o AS (SELECT ln(1.0 / (pt + v)) - ln(1.0 / (nt + v)) AS ow FROM tot),
+    nb AS (
+      SELECT doc_id,
+             round(CAST(list_aggregate(
+                     list_transform(t, tok -> CAST(round(coalesce(m[tok][1], ow) * 1e12)
+                                                   AS BIGINT)),
+                     'sum') AS DOUBLE) / len(t) / 1e12, 6) AS nb_score
+      FROM lab CROSS JOIN w CROSS JOIN o
+      WHERE len(t) > 0),
+    surv AS (SELECT kept.source, kept.doc_id, kept.lang, nb.nb_score
+             FROM kept JOIN nb USING (doc_id)
+             WHERE nb.nb_score >= 0.0),
+    counts AS (SELECT source, count(*) AS n FROM surv GROUP BY 1),
+    den AS (SELECT list_aggregate(list_sort(list(sqrt(CAST(n AS DOUBLE)))), 'sum') AS d
+            FROM counts),
+    quota AS (SELECT source,
+                     greatest(1, CAST(floor(100.0 * sqrt(CAST(n AS DOUBLE)) / d)
+                                      AS BIGINT)) AS q
+              FROM counts CROSS JOIN den)
+    SELECT source, doc_id, lang, nb_score FROM (
+      SELECT s.source, s.doc_id, s.lang, s.nb_score, quota.q,
+             row_number() OVER (
+               PARTITION BY s.source
+               ORDER BY {_D_MD5INT.format(x="CAST(s.doc_id AS VARCHAR)")}, s.doc_id
+             ) AS rn
+      FROM surv s JOIN quota USING (source)
+    ) WHERE rn <= q
+    """,
+    doc="The curation capstone for the round-8 additions, chaining "
+    "them END TO END the way an LLM ingest actually runs: (1) exact "
+    "dedup (lowest-id survivor per text), (2) the naive-Bayes "
+    "model-based quality filter TRAINED ON THE DEDUPED corpus — "
+    "training after dedup matters: duplicate boilerplate would "
+    "otherwise dominate the token counts — keeping docs with a "
+    "non-negative log-likelihood-ratio score (more positive-class "
+    "evidence than negative), then (3) the temperature-scaled "
+    "per-source draw (T=0.5, 100-doc target) over the survivors.  "
+    "Every stage is the registered operator (exact_dedup, "
+    "nb_quality_scores, _temperature_draw), not a re-implementation; "
+    "the oracle chains the same proven SQL blocks.  100 TB shape: "
+    "one text-key shuffle + the classifier's vocab agg/doc sum + one "
+    "source-keyed window — no stage introduces a join or shuffle the "
+    "component queries don't already carry.",
+    tags=("ext", "dedup", "quality", "sample", "pipeline", "capstone"),
+)
+def corpus_curate_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup(docs, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = docs.join(keep, "doc_id")
+    scores = text.nb_quality_scores(kept)
+    surv = kept.select("source", "doc_id", "lang").join(
+        scores.filter(F.col("nb_score") >= 0.0).select("doc_id", "nb_score"),
+        "doc_id",
+    )
+    return _temperature_draw(surv, 100.0, ["lang", "nb_score"])

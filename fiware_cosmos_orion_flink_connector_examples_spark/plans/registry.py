@@ -121,6 +121,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "span_dedup_removed_bpe_run50",
     "quality_nb_classifier",
     "sample_temperature_mixture",
+    "corpus_curate_nb",
 )
 
 
