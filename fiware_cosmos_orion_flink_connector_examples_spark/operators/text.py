@@ -845,3 +845,101 @@ def nb_quality_scores(
             6,
         ).alias("nb_score"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-doc mean ln-probability under an INTERPOLATED BIGRAM model
+    — the fidelity step above ``unigram_logprob`` on the CCNet/KenLM
+    perplexity-filter ladder: token 0 scores ln(c(w0)/N); token i>0
+    scores ln(λ·c(w_{i-1}w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/N).  The
+    unigram interpolation floor keeps every observed token's term
+    finite without smoothing (the corpus scores itself, so there is
+    no OOV); c(w_{i-1}) is the plain unigram count (the standard
+    scoring approximation — contexts at doc boundaries make this an
+    un-normalized score, which is fine for a FILTER).
+
+    Cross-engine determinism: per-term picounit quantization + exact
+    DECIMAL(38,0) sums (the nb_quality_scores discipline) — plain
+    partial+final agg, no ordered fold, no per-doc list.
+
+    100 TB shape: unigram agg (vocab-sized, broadcast-gated back onto
+    the streams), bigram agg (bigram-vocab-sized — the big side; its
+    join back onto the pair stream is an unhinted equi-join, AQE
+    splits the zipfian hot contexts), one doc-keyed partial+final
+    SUM.  Tokenization and the pair zip are attributes below their
+    Generates (the round-8 Generate discipline).
+
+    Returns (id, n_tokens BIGINT, avg_logprob DOUBLE); empty/NULL
+    docs drop at the boundary.
+    """
+    pre = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n_tok = F.size(F.col("_toks"))
+
+    uni_ex = pre.select(F.explode("_toks").alias("tok"))
+    # persisted: the N probe and both scoring joins read it
+    # (session-lived by the unigram_logprob precedent).
+    uni = uni_ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    totals = uni.agg(F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")).collect()[0]
+    v = int(totals["v"] or 0)
+    n_total = F.lit(float(totals["n"] or 0))
+
+    pairs_gen = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    big_ex = pre.select(
+        F.col(id_col), F.explode(pairs_gen).alias("bg")
+    ).select(
+        F.col(id_col),
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+        F.concat("bg.w1", F.lit(" "), "bg.w2").alias("g"),
+    )
+    bc = big_ex.groupBy("g").agg(F.count(F.lit(1)).alias("cb")).persist()
+
+    u = uni
+    if v <= 2_000_000:  # same zipfian-key broadcast gate as nb_quality_scores
+        u = F.broadcast(uni)
+
+    def quant(col):
+        return F.round(col * F.lit(1e12), 0).cast("long").cast("decimal(38,0)")
+
+    first = pre.filter(n_tok > 0).select(
+        F.col(id_col), F.element_at("_toks", 1).alias("tok")
+    )
+    f_terms = first.join(u, "tok").select(
+        F.col(id_col),
+        quant(F.log(F.col("c").cast("double") / n_total)).alias("q"),
+    )
+    b_terms = (
+        big_ex.join(bc, "g")
+        .join(u.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(u.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .select(
+            F.col(id_col),
+            quant(
+                F.log(
+                    F.lit(lam) * (F.col("cb").cast("double") / F.col("c1"))
+                    + F.lit(1.0 - lam) * (F.col("c2").cast("double") / n_total)
+                )
+            ).alias("q"),
+        )
+    )
+    per_doc = (
+        f_terms.unionByName(b_terms)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("q").alias("sq"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("sq").cast("double") / F.col("n_tokens") / F.lit(1e12), 6
+        ).alias("avg_logprob"),
+    )

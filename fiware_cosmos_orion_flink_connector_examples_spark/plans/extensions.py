@@ -4600,3 +4600,52 @@ def corpus_curate_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return _temperature_draw(surv, 100.0, ["lang", "nb_score"])
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    uni_ex AS (SELECT unnest(t) AS tok FROM toks),
+    uc AS (SELECT tok, count(*) AS c FROM uni_ex GROUP BY 1),
+    n AS (SELECT sum(c) AS n FROM uc),
+    big_ex AS (SELECT unnest([t[i-1] || ' ' || t[i] for i in range(2, len(t)+1)]) AS g
+               FROM toks),
+    bc AS (SELECT g, count(*) AS c FROM big_ex GROUP BY 1),
+    um AS (SELECT map(list(tok), list(c)) AS m FROM uc),
+    bm AS (SELECT map(list(g), list(c)) AS m FROM bc),
+    terms AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CAST(round(ln(CAST(um.m[t[1]][1] AS DOUBLE) / n.n) * 1e12) AS BIGINT)
+             + coalesce(list_aggregate(
+                 [CAST(round(ln(0.75 * (CAST(bm.m[t[i-1] || ' ' || t[i]][1] AS DOUBLE)
+                                        / um.m[t[i-1]][1])
+                              + 0.25 * (CAST(um.m[t[i]][1] AS DOUBLE) / n.n)) * 1e12)
+                       AS BIGINT)
+                  for i in range(2, len(t)+1)], 'sum'), 0) AS sq
+      FROM toks CROSS JOIN um CROSS JOIN bm CROSS JOIN n
+      WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(sq AS DOUBLE) / n_tokens / 1e12, 6) AS avg_logprob
+    FROM terms
+    """,
+    doc="X4 INTERPOLATED BIGRAM language-model scoring — the fidelity "
+    "step above text_unigram_logprob on the CCNet/KenLM "
+    "perplexity-filter ladder: token 0 scores ln(c(w0)/N), token i "
+    "scores ln(0.75·c(w_{i-1}w_i)/c(w_{i-1}) + 0.25·c(w_i)/N) — "
+    "repetitive token SEQUENCES now score high (predictable) even "
+    "when their unigram mix looks normal, which is the signal the "
+    "unigram filter cannot see.  operators/text.bigram_logprob: "
+    "unigram + bigram count aggs, three equi-joins back onto the "
+    "pair stream (unigram side broadcast-gated on the probed vocab "
+    "count; the bigram join unhinted — AQE splits zipfian hot "
+    "contexts), ONE doc-keyed partial+final SUM of picounit-"
+    "quantized terms (order-free — no collect_list re-fold).  Both "
+    "Generates pass tokenization through as attributes (the round-8 "
+    "Generate discipline).",
+    tags=("ext", "text", "X4", "quality", "lm"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs)

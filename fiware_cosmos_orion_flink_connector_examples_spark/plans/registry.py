@@ -122,6 +122,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "quality_nb_classifier",
     "sample_temperature_mixture",
     "corpus_curate_nb",
+    "text_bigram_logprob",
 )
 
 

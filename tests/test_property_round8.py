@@ -624,3 +624,38 @@ def test_chunk_documents_tokenizes_below_generate(spark):
     for line in gen_lines:
         assert "_toks#" in line, f"_toks not passed through Generate: {line}"
         assert "regexp" not in line, f"tokenization inside Generate: {line}"
+
+
+def test_bigram_logprob_sees_sequence_repetition(spark):
+    """The discriminating signal of the bigram step: two docs with the
+    IDENTICAL token multiset (equal unigram scores by construction)
+    but different orderings — the one whose bigrams repeat scores
+    strictly higher under the interpolated bigram model."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    seq = "a b " * 6  # bigrams: 'a b' and 'b a' only, maximally repetitive
+    mix = "a a a b a b b a b b a b"  # same 6×a + 6×b, diverse bigrams
+    docs = spark.createDataFrame(
+        [(0, seq.strip()), (1, mix)], "doc_id long, text string"
+    )
+    uni = {r.doc_id: r.avg_logprob for r in text.unigram_logprob(docs).collect()}
+    assert uni[0] == uni[1]  # unigram filter is blind to the ordering
+    big = {r.doc_id: r.avg_logprob for r in text.bigram_logprob(docs).collect()}
+    assert big[0] > big[1]  # bigram filter is not
+
+
+def test_bigram_logprob_single_token_doc_scores_unigram(spark):
+    """A one-token doc has no bigrams: its score must equal the plain
+    unigram term ln(c(w)/N), n_tokens == 1."""
+    import math
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "solo pair"), (2, "solo")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.bigram_logprob(docs).collect()}
+    assert out[0].n_tokens == 1
+    # c(solo)=3, N=4 — quantized exactly as the engine does
+    expected = round(round(math.log(3.0 / 4.0) * 1e12) / 1 / 1e12, 6)
+    assert abs(out[0].avg_logprob - expected) < 1e-9

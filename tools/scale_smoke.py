@@ -333,6 +333,8 @@ def round8b_smoke(spark, n_docs: int = 2_000_000) -> None:
         print(f"round-8b registered-query smoke: docs={n_docs // 1_000_000}M")
         run("quality_nb_classifier (2M docs)", "quality_nb_classifier")
         run("sample_temperature_mixture (2M)", "sample_temperature_mixture")
+        run("corpus_curate_nb (2M docs)", "corpus_curate_nb")
+        run("text_bigram_logprob (2M docs)", "text_bigram_logprob")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
