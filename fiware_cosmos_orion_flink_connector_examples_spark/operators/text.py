@@ -901,7 +901,10 @@ def bigram_logprob(
         F.col("bg.w2").alias("w2"),
         F.concat("bg.w1", F.lit(" "), "bg.w2").alias("g"),
     )
-    bc = big_ex.groupBy("g").agg(F.count(F.lit(1)).alias("cb")).persist()
+    # NOT persisted: the bigram table has exactly one consumer (the
+    # scoring join) — unlike `uni`, which feeds the N probe plus two
+    # joins.
+    bc = big_ex.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
 
     u = uni
     if v <= 2_000_000:  # same zipfian-key broadcast gate as nb_quality_scores

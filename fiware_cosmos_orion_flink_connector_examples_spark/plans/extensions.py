@@ -4470,7 +4470,14 @@ def _temperature_draw(
     denominator folds over a SORTED collected list so the float total
     is summation-order-free across engines (stats_exact_moments
     discipline).  Shared by ``sample_temperature_mixture`` and the
-    ``corpus_curate_nb`` capstone."""
+    ``corpus_curate_nb`` capstone.
+
+    Scale assumption (inherent to mixture sampling, not this
+    implementation): the mixture dimension is BOUNDED — languages,
+    domains, registered sources — so the counts collect_list and the
+    broadcast quota table are both |sources|-sized.  A high-
+    cardinality key (per-URL "source") is a different operator:
+    use the hash-rank sampling family instead."""
     from pyspark.sql.window import Window
 
     from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
