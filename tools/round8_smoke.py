@@ -88,6 +88,12 @@ def one_session_pack(spark, sf_dir: str = "/root/testdata/sf0.1") -> None:
         "dup_matrix_by_source",
         "dedup_image_phash",
         "text_unigram_logprob",
+        # late r8: the NB classifier and bigram LM persist their
+        # vocab-sized count tables (session-lived by the
+        # unigram_logprob precedent) — pack membership proves the
+        # accumulation stays bounded and per-iteration time flat.
+        "quality_nb_classifier",
+        "text_bigram_logprob",
     ]
     for it in range(3):
         row = {"iter": it}
