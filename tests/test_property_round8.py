@@ -659,3 +659,18 @@ def test_bigram_logprob_single_token_doc_scores_unigram(spark):
     # c(solo)=3, N=4 — quantized exactly as the engine does
     expected = round(round(math.log(3.0 / 4.0) * 1e12) / 1 / 1e12, 6)
     assert abs(out[0].avg_logprob - expected) < 1e-9
+
+
+def test_quantized_lm_scores_partitioning_invariant(spark):
+    """The order-free claim made concrete: because per-doc totals are
+    exact integer sums (picounit quantization + DECIMAL(38,0)), the
+    classifier and bigram-LM scores must be IDENTICAL under different
+    partitionings — where a float-sum formulation would drift in the
+    low digits as combine order changes."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn in (text.nb_quality_scores, text.bigram_logprob):
+        a = {tuple(r) for r in fn(docs.repartition(1)).collect()}
+        b = {tuple(r) for r in fn(docs.repartition(13, "doc_id")).collect()}
+        assert a == b, f"{fn.__name__} drifted across partitionings"
