@@ -674,3 +674,31 @@ def test_quantized_lm_scores_partitioning_invariant(spark):
         a = {tuple(r) for r in fn(docs.repartition(1)).collect()}
         b = {tuple(r) for r in fn(docs.repartition(13, "doc_id")).collect()}
         assert a == b, f"{fn.__name__} drifted across partitionings"
+
+
+def test_nb_classifier_one_sided_labels_stay_finite(spark):
+    """A corpus whose heuristic extremes are all one class (every real
+    crawl shard after pre-filtering can look like this) must still
+    train and score: add-1 smoothing keeps every weight finite when
+    neg_total==0 (or pos_total==0), and the weight-map artifact stays
+    servable."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    pos_text = " ".join(f"the w{i} of x{i} to y{i}" for i in range(12))
+    only_pos = spark.createDataFrame(
+        [(i, pos_text) for i in range(3)], "doc_id long, text string"
+    )
+    out = text.nb_quality_scores(only_pos).collect()
+    assert len(out) == 3
+    assert all(r.label == 1 for r in out)
+    assert all(r.nb_score is not None and abs(r.nb_score) < 1e6 for r in out)
+
+    rows, oov = text.nb_quality_weight_map(only_pos)
+    assert rows and isinstance(oov, int)
+
+    only_neg = spark.createDataFrame(
+        [(i, "zz zz zz") for i in range(3)], "doc_id long, text string"
+    )
+    out2 = text.nb_quality_scores(only_neg).collect()
+    assert len(out2) == 3 and all(r.label == -1 for r in out2)
+    assert all(r.nb_score is not None for r in out2)
