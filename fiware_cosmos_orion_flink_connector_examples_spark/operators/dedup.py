@@ -526,17 +526,23 @@ def hash_dup_pairs(
     if n_bands is None:
         n_bands = max_hamming + 2 if bits % (max_hamming + 2) == 0 else max_hamming + 1
     assert n_bands >= max_hamming + 1, "pigeonhole needs >= max_hamming+1 bands"
-    bands = band_explode(hashes, id_col, hash_col, bits, n_bands).persist(
+    # keep the PERSISTED handle separate from any frame derived from
+    # it: unpersist matches the cached plan by sameResult, so calling
+    # it on the capped semi-join below would be a silent no-op and the
+    # exploded-bands cache would outlive the session (review finding,
+    # round 8).
+    bands_p = band_explode(hashes, id_col, hash_col, bits, n_bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    bands = bands_p
     if band_df_cap is not None:
         cool = (
-            bands.groupBy("band", "bv")
+            bands_p.groupBy("band", "bv")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= band_df_cap)
             .select("band", "bv")
         )
-        bands = bands.join(cool, ["band", "bv"], "left_semi")
+        bands = bands_p.join(cool, ["band", "bv"], "left_semi")
     a = bands.select(F.col(id_col).alias("d1"), F.col("_h").alias("h1"), "band", "bv")
     b = bands.select(F.col(id_col).alias("d2"), F.col("_h").alias("h2"), "band", "bv")
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
@@ -547,7 +553,7 @@ def hash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return eagerly(out, bands) if materialize else out
+    return eagerly(out, bands_p) if materialize else out
 
 
 # Measured regimes for pair-endpoint joins (tools/pair_join_crossover

@@ -644,6 +644,12 @@ def audio_fp64(x, grid: int = 8) -> int:
     differ in ~half of them (property-tested)."""
     import numpy as np
 
+    if grid < 1 or grid * grid > 64:
+        # 64-bit packing bound: grid > 8 would shift by a negative
+        # count inside the per-row decode try/except, silently
+        # dropping EVERY clip as "undecodable" — fail loudly at the
+        # config boundary instead (review finding, round 8).
+        raise ValueError(f"grid must be in [1, 8] for 64-bit packing, got {grid}")
     x = np.asarray(x, dtype="float64")
     if x.size < grid * 2:
         raise ValueError(f"{x.size} samples too short for {grid} windows")
@@ -696,6 +702,11 @@ def audio_fingerprint(media: DataFrame, grid: int = 8) -> DataFrame:
     Arrow ``mapInPandas`` pass, no shuffle — only (id, int64) rows
     reach the downstream banded dedup, mirroring ``image_phash``;
     undecodable payloads drop at the boundary (same contract)."""
+    # config validation must happen HERE, driver-side: inside the
+    # per-row try/except a bad grid would masquerade as 100%
+    # undecodable payloads (empty output, no error).
+    if grid < 1 or grid * grid > 64:
+        raise ValueError(f"grid must be in [1, 8] for 64-bit packing, got {grid}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

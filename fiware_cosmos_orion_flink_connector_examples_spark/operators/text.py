@@ -798,6 +798,19 @@ def nb_quality_scores(
     )
 
     freq, v, pt, nt = _nb_train_freq(pre)
+    if v == 0:
+        # no labeled tokens (every doc in the unlabeled middle, or an
+        # empty corpus): there is no model — emit NULL scores instead
+        # of letting the zero denominators reach log()/division (ANSI
+        # DIVIDE_BY_ZERO on one engine, NaN-cast divergence on the
+        # other).  nb_quality_weight_map makes the same ([], 0) call.
+        freq.unpersist()
+        return pre.filter(F.size("toks") > 0).select(
+            F.col(id_col),
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.col("label"),
+            F.lit(None).cast("double").alias("nb_score"),
+        )
     pos_den = F.lit(float(pt + v))
     neg_den = F.lit(float(nt + v))
 

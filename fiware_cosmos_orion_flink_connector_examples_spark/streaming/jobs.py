@@ -780,11 +780,22 @@ def streaming_hash_dedup(
             ids, hs = [int(x) for x in ids], [int(x) for x in hs]
         else:
             ids, hs = [], []
+        seen = set(zip(ids, hs))
         d1s, d2s, hams = [], [], []
         for pdf in pdfs:
             pdf = pdf.sort_values("_id")
             for i, h in zip(pdf["_id"], pdf["_h"]):
                 i, h = int(i), int(h)
+                # idempotent under at-least-once delivery: an exact
+                # (id, hash) re-arrival (source re-listed, item
+                # re-crawled unchanged) must neither re-emit the
+                # pairs already emitted for it nor duplicate bucket
+                # state (review finding, round 8).  Same id with a
+                # CHANGED hash is a new observation and still
+                # compares/stores.
+                if (i, h) in seen:
+                    continue
+                seen.add((i, h))
                 for j, g in zip(ids, hs):
                     if i == j:
                         continue

@@ -702,3 +702,55 @@ def test_nb_classifier_one_sided_labels_stay_finite(spark):
     out2 = text.nb_quality_scores(only_neg).collect()
     assert len(out2) == 3 and all(r.label == -1 for r in out2)
     assert all(r.nb_score is not None for r in out2)
+
+
+def test_hash_dup_pairs_releases_bands_cache_with_cap(spark):
+    """Review finding (round 8): with band_df_cap set, `bands` was
+    rebound to the capped semi-join, so eagerly() unpersisted a
+    never-persisted plan and the exploded-bands cache leaked.  The
+    persisted HANDLE must be released in both branches."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, i * 1_000_003) for i in range(30)] + [(100, 1_000_003)],
+        "media_id long, phash long",
+    )
+    out = dedup.hash_dup_pairs(df, "media_id", max_hamming=6, band_df_cap=5)
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) <= 1, "bands cache leaked through the cap branch"
+    assert {(r.d1, r.d2) for r in out.collect()} == {(1, 100)}
+
+
+def test_nb_classifier_all_unlabeled_corpus_yields_null_scores(spark):
+    """Review finding (round 8): a corpus where every doc lands in the
+    unlabeled middle (exactly one failing rule each) has no training
+    extremes — the scorer must emit NULL scores, not divide by zero
+    (ANSI) or NaN-cast-diverge (non-ANSI)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    # 31 varied 3-char words, no stopwords: passes len/word/distinct,
+    # fails ONLY pass_stop -> label NULL for every doc
+    mid = " ".join(f"x{i:02d}" for i in range(31))
+    docs = spark.createDataFrame(
+        [(i, mid) for i in range(4)], "doc_id long, text string"
+    )
+    out = text.nb_quality_scores(docs).collect()
+    assert len(out) == 4
+    assert all(r.label is None and r.nb_score is None for r in out)
+    assert all(r.n_tokens == 31 for r in out)
+    rows, oov = text.nb_quality_weight_map(docs)
+    assert rows == [] and oov == 0
+
+
+def test_audio_fingerprint_rejects_bad_grid(spark):
+    """Review finding (round 8): grid > 8 overflows the 64-bit packing
+    with a negative shift that the per-row decode try/except would
+    swallow as '100% undecodable' — it must fail loudly driver-side."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b""))], "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(ValueError, match="grid"):
+        multimodal.audio_fingerprint(media, grid=9)
+    with pytest.raises(ValueError, match="grid"):
+        multimodal.audio_fp64([0.0] * 64, grid=9)

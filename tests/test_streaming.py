@@ -1832,3 +1832,50 @@ def test_streaming_quality_gate_threshold_and_empty_model(spark, tmp_path):
     out = streaming_quality_gate(docs, [], 0, min_score=0.5)
     rows = {(r.doc_id, r.nb_score, r.pass_gate) for r in out.collect()}
     assert rows == {(1, 0.0, False), (2, 0.0, False)}
+
+
+def test_streaming_hash_dedup_idempotent_redelivery(spark, tmp_path):
+    """Review finding (round 8): an exact (id, hash) re-arrival — the
+    at-least-once case (source re-listed, item re-crawled unchanged) —
+    must neither re-emit already-emitted pairs nor duplicate bucket
+    state; a genuinely NEW item afterwards still pairs normally."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    base = 0x0123456789ABCDEF
+    rows1 = [(1, base), (2, base ^ 0b11)]  # hamming 2 pair
+    spool = tmp_path / "redeliver"
+    spool.mkdir()
+
+    def write(name, rs):
+        with open(spool / name, "w") as f:
+            for i, h in rs:
+                f.write(json.dumps({"media_id": i, "phash": h}) + "\n")
+
+    write("b1.jsonl", rows1)
+    stream = spark.readStream.schema("media_id long, phash long").json(str(spool))
+    q = (
+        jobs.streaming_hash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_hash_redeliver")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [tuple(r) for r in spark.sql("select * from t_hash_redeliver").collect()]
+        assert sorted(got) == [(1, 2, 2)]
+        # redeliver the SAME rows: nothing new may be emitted
+        write("b2.jsonl", rows1)
+        q.processAllAvailable()
+        got = [tuple(r) for r in spark.sql("select * from t_hash_redeliver").collect()]
+        assert sorted(got) == [(1, 2, 2)], "redelivery re-emitted pairs"
+        # a new near-dup still matches against (non-duplicated) state
+        write("b3.jsonl", [(3, base ^ 0b100)])
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("select * from t_hash_redeliver").collect()
+        )
+        assert got == [(1, 2, 2), (1, 3, 1), (2, 3, 3)]
+    finally:
+        q.stop()

@@ -10,7 +10,8 @@
    flat and the cached-RDD count must return to ~0 after each query
    (the late-query inflation SCALING.md:497 measured is gone).
 
-Run: python tools/round8_smoke.py [n_images_thousands]
+Run: python tools/round8_smoke.py [n_images_thousands] [--bpe]
+(--bpe adds the 2M-doc BPE span-removal smoke.)
 Numbers land in SCALING.md round 8.
 """
 
@@ -110,16 +111,16 @@ def one_session_pack(spark, sf_dir: str = "/root/testdata/sf0.1") -> None:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    # args: [n_images_thousands] [--bpe]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(pos[0]) if pos else 200
     spark = get_spark(app_name="round8_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     media_smoke(spark, k * 1000)
     audio_smoke(spark, 100_000)
     one_session_pack(spark)
-
-
-if __name__ == "__main__":
-    main()
+    if "--bpe" in sys.argv:
+        bpe_span_smoke(spark)
 
 
 def bpe_span_smoke(spark, n_docs: int = 2_000_000, hot_frac: int = 10) -> None:
@@ -156,3 +157,7 @@ def bpe_span_smoke(spark, n_docs: int = 2_000_000, hot_frac: int = 10) -> None:
         f"{n_docs // hot_frac}) {time.time() - t0:.1f}s",
         flush=True,
     )
+
+
+if __name__ == "__main__":
+    main()
