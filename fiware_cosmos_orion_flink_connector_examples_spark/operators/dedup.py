@@ -629,17 +629,14 @@ def attach_pair_sides(
     Returns ``(joined, pairs_persisted)`` where ``joined`` =
     pairs ⋈ s1 ⋈ s2 with identical rows in either regime.
     """
-    from pyspark import StorageLevel
-
-    pairs_p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    # limit() takes a JVM int — clamp the probe; any bound beyond
-    # INT_MAX pairs is outside broadcast territory anyway
-    probe = min(broadcast_pair_max + 1, (1 << 31) - 1)
-    small = pairs_p.limit(probe).count() <= broadcast_pair_max
+    # the persist + clamped size probe is gated_broadcast — ONE home
+    # for the idiom, not a second hand-maintained copy (review
+    # finding, round 8)
+    maybe_pairs, pairs_p, small = gated_broadcast(pairs, broadcast_pair_max)
     if small:
-        joined = s2.join(F.broadcast(s1.join(F.broadcast(pairs_p), "d1")), "d2")
+        joined = s2.join(F.broadcast(s1.join(maybe_pairs, "d1")), "d2")
     else:
-        joined = s2.join(s1.join(pairs_p, "d1"), "d2")
+        joined = s2.join(s1.join(maybe_pairs, "d1"), "d2")
     return joined, pairs_p
 
 

@@ -508,6 +508,8 @@ def ahash64(arr, grid: int = 8) -> int:
     value a Spark/DuckDB BIGINT."""
     import numpy as np
 
+    if grid < 1 or grid * grid > 64:
+        raise ValueError(f"grid must be in [1, 8] for 64-bit packing, got {grid}")
     a = np.asarray(arr, dtype="float64")
     if a.ndim == 3:
         a = a.mean(axis=2)
@@ -540,6 +542,11 @@ def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
     images smaller than the hash grid): a 100 TB crawl always carries
     a few corrupt blobs, and one bad payload must skip its row, never
     fail the job (ADVICE r7 #1)."""
+    # config validation driver-side: inside the per-row try/except a
+    # bad grid would masquerade as 100% undecodable payloads (the
+    # audio_fingerprint guard, applied to both media paths).
+    if grid < 1 or grid * grid > 64:
+        raise ValueError(f"grid must be in [1, 8] for 64-bit packing, got {grid}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -3826,19 +3826,13 @@ def bpe_pieces_per_word_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     merges = text.bpe_merge_table(
         docs, "text", n_merges=50, cache_key=("docs", sf_dir)
     )
-    words = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .orderBy(F.desc("f"), F.asc("word"))
-        .limit(65536)
-    )
+    # the SAME vocabulary definition the merges were trained on —
+    # shared helper, not an inline copy, so tokenization/tie-break/cap
+    # changes cannot diverge training from serving (review finding,
+    # round 8)
     seg_rows = [
-        (r.word, len(text.segment_word(r.word, merges))) for r in words.collect()
+        (word, len(text.segment_word(word, merges)))
+        for word, _ in text.collect_word_freq(docs, "text", 65536)
     ]
     seg = spark.createDataFrame(seg_rows, "word string, n_pieces int")
     ex = docs.select(

@@ -628,12 +628,22 @@ def streaming_dau_wau(
     event fans stateless-ly into the 7 report days it contributes to
     (k = 0 marks the DAU contribution), so the stateful stage keys on
     REPORT DAY and its per-key state is two distinct-user-id sets —
-    state size is bounded by weekly actives per day, never by event
-    count, and an availableNow replay of a history equals the batch
-    query exactly (pytest-pinned).  At larger cardinalities the exact
-    id sets swap for HLL registers (events_hll_mergeable_daily's
-    sketch, ~2 KB per day constant) with the same plan shape — exact
-    sets keep the twin bit-comparable to the batch oracle here.
+    PER-DAY state is bounded by weekly actives, never by event count,
+    and an availableNow replay of a history equals the batch query
+    exactly (pytest-pinned).  At larger cardinalities the exact id
+    sets swap for HLL registers (events_hll_mergeable_daily's sketch,
+    ~2 KB per day constant) with the same plan shape — exact sets
+    keep the twin bit-comparable to the batch oracle here.
+
+    TOTAL state grows with the number of report days seen
+    (NoTimeout): a day older than watermark + 7 days can never change
+    again, so a long-running deployment should evict closed days with
+    an EventTimeTimeout (state.setTimeoutTimestamp at day_end + 7d;
+    emission is unaffected — closed days are final) or compact them
+    into the HLL register form.  Kept NoTimeout here because eviction
+    timing is watermark-dependent and would make the availableNow
+    replay ≡ batch pin depend on micro-batch boundaries (review
+    finding, round 8 — the bound is per-day, not total).
 
     Day keys are strings (yyyy-MM-dd): Arrow state serialization
     round-trips strings losslessly, and the batch query emits the same
@@ -764,6 +774,14 @@ def streaming_hash_dedup(
         band_explode,
     )
 
+    # same invariants the batch twin asserts (hash_dup_pairs): without
+    # them a max_hamming >= n_bands call would silently lose recall —
+    # a pair differing in every band shares no bucket — and the
+    # documented replay ≡ batch contract would break with no error
+    # (review finding, round 8).
+    assert n_bands >= max_hamming + 1, "pigeonhole needs >= max_hamming+1 bands"
+    assert bits // n_bands >= 1, "band_bits must be >= 1"
+
     bands = band_explode(hashes, id_col, hash_col, bits, n_bands).select(
         F.col(id_col).alias("_id"), "_h", "band", "bv"
     )
@@ -854,8 +872,13 @@ def streaming_quality_gate(
     batch scorer, and the per-doc fold sums those integers — an
     availableNow replay emits exactly ``nb_quality_scores``' rows
     (n_tokens, label, nb_score all bit-equal; per-doc sums are exact
-    DECIMAL(38,0) either way, summation-order-free).  Empty/NULL-text
-    docs drop at the boundary, matching the batch explode.
+    DECIMAL(38,0) either way, summation-order-free) **provided the
+    trained vocabulary fit ``nb_quality_weight_map``'s vocab_max**:
+    a truncated map folds tail tokens into the OOV weight while the
+    batch scorer joins the full table, so scores for tail-bearing
+    docs intentionally differ (the serving-size trade, stated in the
+    weight-map docstring).  Empty/NULL-text docs drop at the
+    boundary, matching the batch explode.
 
     ``min_score`` adds a ``pass_gate`` boolean (score ≥ threshold)
     without filtering — the caller routes rejects (the multimodal
