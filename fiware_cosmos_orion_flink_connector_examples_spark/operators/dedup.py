@@ -441,8 +441,11 @@ def band_explode(
     finds."""
     # n_bands > bits would make band_bits=0/mask=0 — every band value
     # 0, degenerating the equi-join into an O(n^2) self-join (ADVICE
-    # r7 #2)
-    assert bits // n_bands >= 1, f"n_bands={n_bands} exceeds bits={bits}"
+    # r7 #2).  raise, not assert: under `python -O` a bare assert is
+    # stripped and the degenerate mode silently returns (ADVICE r8 #2
+    # — the image/audio grid guards already use ValueError for this).
+    if bits // n_bands < 1:
+        raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     h = F.col(hash_col)
@@ -525,7 +528,13 @@ def hash_dup_pairs(
 
     if n_bands is None:
         n_bands = max_hamming + 2 if bits % (max_hamming + 2) == 0 else max_hamming + 1
-    assert n_bands >= max_hamming + 1, "pigeonhole needs >= max_hamming+1 bands"
+    if n_bands < max_hamming + 1:
+        # assert would vanish under -O, silently losing recall (a pair
+        # differing in every band shares no bucket) — ADVICE r8 #2.
+        raise ValueError(
+            f"pigeonhole needs >= max_hamming+1 bands (got n_bands={n_bands}, "
+            f"max_hamming={max_hamming})"
+        )
     # keep the PERSISTED handle separate from any frame derived from
     # it: unpersist matches the cached plan by sameResult, so calling
     # it on the capped semi-join below would be a silent no-op and the

@@ -531,6 +531,7 @@ def source_unigram_kl(
 # registered, driver-checked artifact (bpe_learned_merges).
 
 _BPE_MERGE_CACHE: dict[tuple, list] = {}
+_WORD_FREQ_CACHE: dict[tuple, list] = {}
 
 
 def collect_word_freq(
@@ -552,6 +553,25 @@ def collect_word_freq(
         .limit(vocab_max)
     )
     return [(r.word, r.f) for r in wf.collect()]
+
+
+def cached_word_freq(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_max: int = 65536,
+    cache_key: tuple | None = None,
+) -> list[tuple[str, int]]:
+    """Memoized ``collect_word_freq``: the distilled word-frequency
+    table is consumed by BOTH the merge learner (``bpe_merge_table``)
+    and the fertility query's serving vocabulary — without this memo
+    the second consumer re-pays the full corpus scan the first one
+    just ran (ADVICE r8 #4)."""
+    if cache_key is None:
+        return collect_word_freq(docs, text_col, vocab_max)
+    key = (cache_key, text_col, vocab_max)
+    if key not in _WORD_FREQ_CACHE:
+        _WORD_FREQ_CACHE[key] = collect_word_freq(docs, text_col, vocab_max)
+    return _WORD_FREQ_CACHE[key]
 
 
 def learn_bpe_merges(
@@ -632,7 +652,7 @@ def bpe_merge_table(
     if cache_key is not None and key in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[key]
     merges = learn_bpe_merges(
-        collect_word_freq(docs, text_col, vocab_max), n_merges
+        cached_word_freq(docs, text_col, vocab_max, cache_key), n_merges
     )
     if cache_key is not None:
         _BPE_MERGE_CACHE[key] = merges
@@ -796,7 +816,15 @@ def nb_quality_scores(
         nb_quality_label(text_col).alias("label"),
         tokens(text_col).alias("toks"),
     )
+    return _nb_score_pre(pre, id_col)
 
+
+def _nb_score_pre(pre: DataFrame, id_col: str) -> DataFrame:
+    """Shared NB train-and-score body over a pre-projected (id, label,
+    toks) frame — ``toks`` is the FEATURE array (plain tokens for
+    ``nb_quality_scores``; tokens + hashed bigram features for
+    ``nb_quality_scores_hashed_bigrams``).  Extracted verbatim so both
+    variants plan identically; ``n_tokens`` counts features."""
     freq, v, pt, nt = _nb_train_freq(pre)
     if v == 0:
         # no labeled tokens (every doc in the unlabeled middle, or an
@@ -857,6 +885,182 @@ def nb_quality_scores(
             F.col("sq").cast("double") / F.col("n_tokens") / F.lit(1e12),
             6,
         ).alias("nb_score"),
+    )
+
+
+def kn_bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-doc mean ln-probability under an interpolated KNESER-NEY
+    bigram model — the next rung of the perplexity ladder above
+    ``bigram_logprob`` (VERDICT r8 #5), and the smoothing the CCNet
+    KenLM filter actually uses (modified KN, here the classic
+    single-discount form at order 2):
+
+        P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1)
+                   + D·N1+(w1·)/c(w1) · N1+(·w2)/T
+
+    where N1+(w1·) is the count of distinct continuations of w1,
+    N1+(·w2) the distinct contexts of w2, and T the number of distinct
+    bigram TYPES — the continuation probability that makes KN score
+    "glue words" (seen after many contexts) higher than corpus-
+    frequent-but-context-bound words, which absolute interpolation
+    cannot.  Token 0 scores ln(c(w0)/N) (the bigram_logprob rule).
+    Every observed pair has c>=1, N1+>=1, so the argument stays
+    positive even when c <= D — KN needs no extra floor.
+
+    All four model tables are plain aggs: unigram counts, bigram-type
+    counts, and the two distinct-continuation tables are RE-AGGS of
+    the bigram-type table (vocab-scale, never a second corpus scan);
+    T is a 1-row broadcast scalar.  Scoring is the bigram_logprob
+    join shape plus two vocab-sized broadcast-gated joins; per-term
+    picounit quantization + exact DECIMAL(38,0) sums keep both
+    engines bit-identical.
+
+    Returns (id, n_tokens BIGINT, avg_logprob DOUBLE)."""
+    pre = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n_tok = F.size(F.col("_toks"))
+
+    uni_ex = pre.select(F.explode("_toks").alias("tok"))
+    # persisted: the probe and two scoring joins read it (the
+    # bigram_logprob precedent; session-lived, bench clearCache()s).
+    uni = uni_ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
+    ).collect()[0]
+    v = int(totals["v"] or 0)
+    n_total = F.lit(float(totals["n"] or 0))
+
+    pairs_gen = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    big_ex = pre.select(F.col(id_col), F.explode(pairs_gen).alias("bg")).select(
+        F.col(id_col),
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+    # persisted: three consumers (scoring join + both continuation
+    # re-aggs) — all vocab-scale.
+    bcw = (
+        big_ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
+    )
+    fol = bcw.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
+    prec = bcw.groupBy("w2").agg(F.count(F.lit(1)).alias("np"))
+    tt = bcw.agg(F.count(F.lit(1)).alias("t_types"))
+
+    u = uni
+    if v <= 2_000_000:  # the nb_quality_scores zipfian broadcast gate
+        u = F.broadcast(uni)
+        fol = F.broadcast(fol)
+        prec = F.broadcast(prec)
+
+    def quant(col):
+        return F.round(col * F.lit(1e12), 0).cast("long").cast("decimal(38,0)")
+
+    first = pre.filter(n_tok > 0).select(
+        F.col(id_col), F.element_at("_toks", 1).alias("tok")
+    )
+    f_terms = first.join(u, "tok").select(
+        F.col(id_col),
+        quant(F.log(F.col("c").cast("double") / n_total)).alias("q"),
+    )
+    d = F.lit(discount)
+    b_terms = (
+        big_ex.join(bcw, ["w1", "w2"])
+        .join(u.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(fol, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col(id_col),
+            quant(
+                F.log(
+                    F.greatest(
+                        F.col("cb").cast("double") - d, F.lit(0.0)
+                    )
+                    / F.col("c1")
+                    + d
+                    * (F.col("nf").cast("double") / F.col("c1"))
+                    * (F.col("np").cast("double") / F.col("t_types"))
+                )
+            ).alias("q"),
+        )
+    )
+    per_doc = (
+        f_terms.unionByName(b_terms)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("q").alias("sq"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("sq").cast("double") / F.col("n_tokens") / F.lit(1e12), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def nb_feature_array(
+    text_col: str = "text", n_buckets: int = 1 << 20
+) -> Column:
+    """fastText-style feature array: the unigram tokens PLUS one
+    hashed-bigram feature per adjacent pair — ``b#<md5int64(w1·w2) %
+    n_buckets>``.  Bucketing bounds the feature vocabulary the way
+    fastText's ``-bucket`` table does (collisions fold rare bigrams
+    together; the model tolerates it), and the hash is the repo's
+    cross-engine md5int64 so a DuckDB oracle reproduces every bucket
+    id bit-for-bit (`fast_hash64` is the production swap).  The
+    bigram stream is built array-side (zip_with over two slices) so
+    it rides the SAME pre-projected select as the tokens — nothing
+    re-evaluates above a Generate."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    m = F.greatest(n - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(
+            F.lit("b#"),
+            (
+                md5int64(F.concat(a, F.lit(" "), b)) % F.lit(n_buckets)
+            ).cast("string"),
+        ),
+    )
+    return F.concat(toks, bigrams)
+
+
+def nb_quality_scores_hashed_bigrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 20,
+) -> DataFrame:
+    """``nb_quality_scores`` with fastText-fidelity features (VERDICT
+    r8 #4): unigrams + hashed bigram buckets.  Word n-grams are what
+    let the CCNet/fastText classifier catch fluent-looking spam with
+    anomalous COLLOCATIONS — two docs with identical token multisets
+    (identical unigram NB scores by construction) separate as soon as
+    their adjacent pairs differ (property-pinned).  Same training
+    (add-1 smoothed per-feature class counts from the distant
+    labels), same picounit-quantized DECIMAL sums, same broadcast
+    gate — only the feature array changes, so the 100 TB shape is
+    unchanged: the feature stream is < 2x the token stream and the
+    weight table is capped by n_buckets + |vocab|.
+
+    Returns (id, n_features BIGINT, label INT nullable, nb_score
+    DOUBLE)."""
+    pre = docs.select(
+        F.col(id_col),
+        nb_quality_label(text_col).alias("label"),
+        nb_feature_array(text_col, n_buckets).alias("toks"),
+    )
+    return _nb_score_pre(pre, id_col).withColumnRenamed(
+        "n_tokens", "n_features"
     )
 
 

@@ -904,6 +904,125 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_banding_exact_bounded",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_clips,
+           TRUE AS banded_equals_brute
+    FROM documents WHERE text IS NOT NULL AND doc_id < 200
+    """,
+    doc="Driver-visible banding-exactness envelope for the audio path "
+    "(VERDICT r8 #3 — the approx_sketches_bounded trick): over a "
+    "bounded deterministic slice (doc_id < 200, so the O(n^2) side "
+    "stays ~20k comparisons at any sf), the SAME synth→decode→"
+    "fingerprint pipeline dedup_audio_fingerprint runs feeds BOTH the "
+    "pigeonhole band join AND a brute-force all-pairs bit_count(xor) "
+    "<= 6 filter; the emitted boolean asserts full pair-SET equality "
+    "(anti-joins empty in both directions), and the oracle emits the "
+    "slice size with a TRUE literal — so a banding regression (lost "
+    "band, wrong shift, masked sign bit) hash-fails the driver row "
+    "instead of hiding in pytest.  The brute join is the bounded "
+    "VERIFIER, not the operator: production pairs always come from "
+    "the banded path.",
+    tags=("ext", "multimodal", "dedup", "X2", "X5", "envelope"),
+)
+def audio_banding_exact_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = _synth_audio_media(docs)
+    fps = multimodal.audio_fingerprint(media).persist()
+    banded = dedup.hash_dup_pairs(
+        fps, "media_id", "afp", max_hamming=6, bits=64
+    ).select("d1", "d2")
+    a = fps.select(F.col("media_id").alias("d1"), F.col("afp").alias("h1"))
+    b = fps.select(F.col("media_id").alias("d2"), F.col("afp").alias("h2"))
+    brute = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 6)
+        .select("d1", "d2")
+        .persist()
+    )
+    n_clips = fps.agg(F.count(F.lit(1)).alias("n_clips"))
+    miss = brute.join(banded, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).alias("_miss")
+    )
+    extra = banded.join(brute, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).alias("_extra")
+    )
+    res = (
+        n_clips.crossJoin(F.broadcast(miss))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "n_clips",
+            ((F.col("_miss") == 0) & (F.col("_extra") == 0)).alias(
+                "banded_equals_brute"
+            ),
+        )
+    )
+    return eagerly(res, fps, brute)
+
+
+@register(
+    "ann_pq_paths_bit_equal",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           TRUE AS paths_bit_equal
+    FROM embeddings WHERE vec_id < 64
+    """,
+    doc="Driver-visible serving≡batch proof for the PQ family (VERDICT "
+    "r8 #3): runs ann_topk_pq's driver-side-ADC serving path AND "
+    "ann_topk_pq_batch's executor-side grid-cogroup path over the "
+    "same 64-query set, same trained codebooks, and emits a boolean "
+    "asserting exact row-set equality (q_id, n_id, rank, rounded "
+    "score — anti-joins empty both ways).  The oracle emits the query "
+    "count with a TRUE literal, so a divergence between the two "
+    "physical strategies (table build, block partitioning, shortlist "
+    "rounding) hash-fails the driver row — promoting "
+    "test_pq_batch_matches_serving_path's pytest-only pin into the "
+    "correctness artifact.",
+    tags=("ext", "similarity", "X3", "pq", "envelope"),
+)
+def ann_pq_paths_bit_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(
+        emb,
+        m=32,
+        k=256,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, "embeddings"),
+    )
+    qs = emb.filter(F.col("vec_id") < 64)
+    serving = similarity.topk_cosine_pq(emb, qs, books, k=5, rerank=4).persist()
+    batch = similarity.topk_cosine_pq_batch(
+        emb, qs, books, k=5, rerank=4
+    ).persist()
+    cols = serving.columns
+    n_queries = qs.agg(F.count(F.lit(1)).alias("n_queries"))
+    miss = serving.join(batch, cols, "left_anti").agg(
+        F.count(F.lit(1)).alias("_miss")
+    )
+    extra = batch.join(serving, cols, "left_anti").agg(
+        F.count(F.lit(1)).alias("_extra")
+    )
+    res = (
+        n_queries.crossJoin(F.broadcast(miss))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "n_queries",
+            ((F.col("_miss") == 0) & (F.col("_extra") == 0)).alias(
+                "paths_bit_equal"
+            ),
+        )
+    )
+    return eagerly(res, serving, batch)
+
+
+@register(
     "crossmodal_doc_profile",
     oracle=r"""
     WITH tq AS (
@@ -3832,7 +3951,12 @@ def bpe_pieces_per_word_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     # round 8)
     seg_rows = [
         (word, len(text.segment_word(word, merges)))
-        for word, _ in text.collect_word_freq(docs, "text", 65536)
+        # cached_word_freq: bpe_merge_table just distilled this exact
+        # table — re-collecting it would repeat the full corpus scan
+        # (ADVICE r8 #4)
+        for word, _ in text.cached_word_freq(
+            docs, "text", 65536, cache_key=("docs", sf_dir)
+        )
     ]
     seg = spark.createDataFrame(seg_rows, "word string, n_pieces int")
     ex = docs.select(
@@ -4416,6 +4540,82 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_nb_classifier_bigram",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS n_uniq
+      FROM documents),
+    lab AS (
+      SELECT doc_id, t,
+             CASE WHEN pass_len AND pass_word AND pass_stop AND pass_distinct THEN 1
+                  WHEN (CASE WHEN pass_len THEN 0 ELSE 1 END
+                        + CASE WHEN pass_word THEN 0 ELSE 1 END
+                        + CASE WHEN pass_stop THEN 0 ELSE 1 END
+                        + CASE WHEN pass_distinct THEN 0 ELSE 1 END) >= 2 THEN -1
+                  ELSE NULL END AS label
+      FROM (SELECT doc_id, t,
+                   n_tok >= 30.0 AS pass_len,
+                   n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 9.0 AS pass_word,
+                   n_stop / greatest(n_tok, 1.0) > 0.02 AS pass_stop,
+                   n_uniq / greatest(n_tok, 1.0) >= 0.3 AS pass_distinct
+            FROM q)),
+    feats AS (
+      SELECT doc_id, label,
+             list_concat(t,
+               ['b#' || CAST(CAST(concat('0x', substr(md5(t[i-1] || ' ' || t[i]), 1, 15)) AS BIGINT)
+                             % 1048576 AS VARCHAR)
+                for i in range(2, len(t)+1)]) AS f
+      FROM lab),
+    ex AS (SELECT label, unnest(f) AS tok FROM feats WHERE label IS NOT NULL),
+    freq AS (SELECT tok,
+                    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pc,
+                    sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS nc
+             FROM ex GROUP BY 1),
+    tot AS (SELECT count(*) AS v,
+                   coalesce(sum(pc), 0) AS pt,
+                   coalesce(sum(nc), 0) AS nt
+            FROM freq),
+    w AS (SELECT map(list(tok),
+                     list(ln((pc + 1.0) / (pt + v)) - ln((nc + 1.0) / (nt + v)))) AS m
+          FROM freq CROSS JOIN tot),
+    o AS (SELECT ln(1.0 / (pt + v)) - ln(1.0 / (nt + v)) AS ow FROM tot)
+    SELECT doc_id,
+           CAST(len(f) AS BIGINT) AS n_features,
+           label,
+           round(CAST(list_aggregate(
+                   list_transform(f, tok -> CAST(round(coalesce(m[tok][1], ow) * 1e12)
+                                                 AS BIGINT)),
+                   'sum') AS DOUBLE) / len(f) / 1e12, 6) AS nb_score
+    FROM feats CROSS JOIN w CROSS JOIN o
+    WHERE len(f) > 0
+    """,
+    doc="quality_nb_classifier with fastText-fidelity HASHED-BIGRAM "
+    "features (VERDICT r8 #4): the feature array is unigrams + one "
+    "b#<md5int64(w1 w2) % 2^20> bucket per adjacent pair — word "
+    "n-grams are what the fastText/CCNet classifier uses to catch "
+    "fluent-looking spam with anomalous collocations; two docs with "
+    "identical token MULTISETS (unigram model provably ties) "
+    "separate the moment their adjacent pairs differ (property-"
+    "pinned in tests/test_property_round9.py).  Bucketing bounds "
+    "the feature vocabulary like fastText's -bucket table; the hash "
+    "is the cross-engine md5int64 (oracle reproduces every bucket "
+    "bit-for-bit; fast_hash64 is the production swap).  Training, "
+    "quantized-picounit scoring, broadcast gate, and the "
+    "below-the-Generate discipline are nb_quality_scores' — the "
+    "feature stream is <2x the token stream, so the 100 TB shape "
+    "is unchanged.",
+    tags=("ext", "text", "X4", "quality", "classifier"),
+)
+def quality_nb_classifier_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.nb_quality_scores_hashed_bigrams(docs)
+
+
+@register(
     "sample_temperature_mixture",
     oracle=f"""
     WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
@@ -4442,12 +4642,16 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitionings, and engines.  The n^T denominator is summed over "
     "a SORTED list fold (sort_array/list_sort) so the float total is "
     "summation-order-free — the same cross-engine determinism trick "
-    "as stats_exact_moments.  100 TB shape: source-count agg is "
-    "tiny, the quota table broadcasts, and the only data-sized "
-    "operation is one source-keyed window shuffle — identical to "
-    "sample_mixture_balanced, with the same documented skew remedy "
-    "(the largest source bounds a partition; pre-filter by a cheap "
-    "hash band if one source dominates).",
+    "as stats_exact_moments.  100 TB shape (VERDICT r8 #1 fix): the "
+    "source-count agg is tiny and the quota table broadcasts; "
+    "selection runs the sample_token_budget two-pass range-"
+    "partitioned prefix-sum rank with a docs quota — the hash's top "
+    "6 bits range-partition each source into 64 slices, pass 1's "
+    "per-(source, range) counts become exclusive prefixes via a "
+    "|sources|x64-row window, and pass 2 sorts WITHIN (source, "
+    "range) only, pruning ranges past the quota before the sort — "
+    "no single task ever sorts a whole source, and the expensive "
+    "pass touches only each source's ~quota-sized head slice.",
     tags=("ext", "sample", "mixture", "temperature"),
 )
 def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4456,7 +4660,11 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _temperature_draw(
-    df: DataFrame, target: float, extra_cols: list[str]
+    df: DataFrame,
+    target: float,
+    extra_cols: list[str],
+    n_ranges_log2: int = 6,
+    persist_base: bool = False,
 ) -> DataFrame:
     """The temperature-scaled (T=0.5) per-source quota draw over any
     frame carrying (source, doc_id): quota ∝ sqrt(n) of a ``target``
@@ -4465,6 +4673,28 @@ def _temperature_draw(
     is summation-order-free across engines (stats_exact_moments
     discipline).  Shared by ``sample_temperature_mixture`` and the
     ``corpus_curate_nb`` capstone.
+
+    De-skewed selection (VERDICT r8 #1 — the repo's last flagged
+    scale-killer): the naive ``row_number() OVER (PARTITION BY source
+    ORDER BY h, id)`` sorts each source in ONE task, so at 100 TB the
+    dominant source (typically 40-60% English) funnels half the corpus
+    through a single sort.  This is the ``sample_token_budget``
+    two-pass range-partitioned prefix-sum rank with a docs-instead-of-
+    tokens quota: the 60-bit hash's top bits order-preservingly split
+    each source into 64 ranges; pass 1 counts docs per (source, range)
+    and a tiny |sources|x64-row window turns the counts into exclusive
+    cross-range prefixes (broadcast back); pass 2 ranks WITHIN
+    (source, range) only — global rank = range prefix + within-range
+    row_number, row-identical to the single window because (range, h,
+    id) order == (h, id) order.  Ranges whose exclusive prefix already
+    meets the quota are pruned BEFORE the sort, so the expensive pass
+    touches only the ~q-sized head slice of each source.
+
+    ``persist_base`` (the _token_budget_two_pass discipline): the base
+    is consumed three times (counts, pass-1 prefixes, pass-2 rank) —
+    for a raw parquet scan the re-reads are cheap, but when ``df`` is
+    an expensive derived frame (corpus_curate_nb feeds the dedup +
+    classifier DAG in) set True to cache the NARROW per-doc base.
 
     Scale assumption (inherent to mixture sampling, not this
     implementation): the mixture dimension is BOUNDED — languages,
@@ -4475,10 +4705,20 @@ def _temperature_draw(
     from pyspark.sql.window import Window
 
     from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        MD5INT_BITS,
         md5int64,
     )
 
-    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    base = df.select(
+        "source",
+        "doc_id",
+        *extra_cols,
+        md5int64(F.col("doc_id").cast("string")).alias("_h"),
+    ).withColumn("_rng", F.shiftright("_h", MD5INT_BITS - n_ranges_log2))
+    if persist_base:
+        base = base.persist()
+
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     den = counts.agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.sqrt(F.col("n").cast("double")))),
@@ -4495,12 +4735,30 @@ def _temperature_draw(
             ),
         ).alias("q"),
     )
-    w = Window.partitionBy("source").orderBy(
-        md5int64(F.col("doc_id").cast("string")), F.col("doc_id")
+    # Pass 1: per-(source, range) doc counts -> exclusive cross-range
+    # prefix (frame ends at -1: everything strictly before this range
+    # in hash order).  <= 64 rows per source; broadcast back.
+    wr = (
+        Window.partitionBy("source")
+        .orderBy("_rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = (
+        base.groupBy("source", "_rng")
+        .agg(F.count(F.lit(1)).alias("_rng_n"))
+        .withColumn("_prefix", F.coalesce(F.sum("_rng_n").over(wr), F.lit(0)))
+        .select("source", "_rng", "_prefix")
+    )
+    # Pass 2: prune ranges that cannot contribute (first rank in the
+    # range is _prefix + 1 > q), then rank within (source, range) only.
+    wb = Window.partitionBy("source", "_rng").orderBy(
+        F.asc("_h"), F.asc("doc_id")
     )
     return (
-        df.join(F.broadcast(quota), "source")
-        .withColumn("rn", F.row_number().over(w))
+        base.join(F.broadcast(prefixes), ["source", "_rng"])
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("_prefix") < F.col("q"))
+        .withColumn("rn", F.col("_prefix") + F.row_number().over(wb))
         .filter(F.col("rn") <= F.col("q"))
         .select("source", "doc_id", *extra_cols)
     )
@@ -4584,9 +4842,10 @@ def _temperature_draw(
     "Every stage is the registered operator (exact_dedup, "
     "nb_quality_scores, _temperature_draw), not a re-implementation; "
     "the oracle chains the same proven SQL blocks.  100 TB shape: "
-    "one text-key shuffle + the classifier's vocab agg/doc sum + one "
-    "source-keyed window — no stage introduces a join or shuffle the "
-    "component queries don't already carry.",
+    "one text-key shuffle + the classifier's vocab agg/doc sum + the "
+    "draw's range-partitioned (source, range) rank (never a whole-"
+    "source single-task sort; VERDICT r8 #1) — no stage introduces a "
+    "join or shuffle the component queries don't already carry.",
     tags=("ext", "dedup", "quality", "sample", "pipeline", "capstone"),
 )
 def corpus_curate_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4600,7 +4859,11 @@ def corpus_curate_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.filter(F.col("nb_score") >= 0.0).select("doc_id", "nb_score"),
         "doc_id",
     )
-    return _temperature_draw(surv, 100.0, ["lang", "nb_score"])
+    # persist_base: surv's lineage is the dedup join + the classifier's
+    # full scoring DAG — the draw's three base consumptions would
+    # otherwise re-run it three times (narrow per-doc cache, the
+    # _token_budget_two_pass discipline)
+    return _temperature_draw(surv, 100.0, ["lang", "nb_score"], persist_base=True)
 
 
 @register(
@@ -4650,3 +4913,60 @@ def corpus_curate_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bigram_logprob(docs)
+
+
+@register(
+    "text_bigram_logprob_kn",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    uni_ex AS (SELECT unnest(t) AS tok FROM toks),
+    uc AS (SELECT tok, count(*) AS c FROM uni_ex GROUP BY 1),
+    n AS (SELECT sum(c) AS n FROM uc),
+    big_ex AS (SELECT unnest([t[i-1] || ' ' || t[i] for i in range(2, len(t)+1)]) AS g
+               FROM toks),
+    bc AS (SELECT g, count(*) AS cb FROM big_ex GROUP BY 1),
+    bw AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, cb FROM bc),
+    fol AS (SELECT w1, count(*) AS nf FROM bw GROUP BY 1),
+    prec AS (SELECT w2, count(*) AS np FROM bw GROUP BY 1),
+    tt AS (SELECT count(*) AS bt FROM bw),
+    um AS (SELECT map(list(tok), list(c)) AS m FROM uc),
+    bm AS (SELECT map(list(g), list(cb)) AS m FROM bc),
+    fm AS (SELECT map(list(w1), list(nf)) AS m FROM fol),
+    pm AS (SELECT map(list(w2), list(np)) AS m FROM prec),
+    terms AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CAST(round(ln(CAST(um.m[t[1]][1] AS DOUBLE) / n.n) * 1e12) AS BIGINT)
+             + coalesce(list_aggregate(
+                 [CAST(round(ln(
+                     greatest(CAST(bm.m[t[i-1] || ' ' || t[i]][1] AS DOUBLE) - 0.75, 0.0)
+                       / um.m[t[i-1]][1]
+                     + 0.75 * (CAST(fm.m[t[i-1]][1] AS DOUBLE) / um.m[t[i-1]][1])
+                            * (CAST(pm.m[t[i]][1] AS DOUBLE) / tt.bt)
+                   ) * 1e12) AS BIGINT)
+                  for i in range(2, len(t)+1)], 'sum'), 0) AS sq
+      FROM toks CROSS JOIN um CROSS JOIN bm CROSS JOIN fm CROSS JOIN pm
+           CROSS JOIN n CROSS JOIN tt
+      WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(sq AS DOUBLE) / n_tokens / 1e12, 6) AS avg_logprob
+    FROM terms
+    """,
+    doc="X4 KNESER-NEY bigram LM scoring (VERDICT r8 #5 — the "
+    "smoothing CCNet's KenLM filter actually runs, at order 2): "
+    "token i>0 scores ln(max(c(w1w2)−0.75,0)/c(w1) + "
+    "0.75·N1+(w1·)/c(w1) · N1+(·w2)/T) — the CONTINUATION "
+    "probability N1+(·w2)/T replaces the raw unigram backoff, so "
+    "words seen after many distinct contexts (glue words) stay "
+    "probable while corpus-frequent-but-context-bound tokens drop, "
+    "the distinction absolute interpolation cannot express.  "
+    "operators/text.kn_bigram_logprob: the bigram_logprob join shape "
+    "plus two vocab-sized continuation re-aggs of the bigram-TYPE "
+    "table (never a second corpus scan) and a 1-row broadcast T "
+    "scalar; per-term picounit quantization + DECIMAL(38,0) sums "
+    "keep both engines bit-identical.",
+    tags=("ext", "text", "X4", "quality", "lm"),
+)
+def text_bigram_logprob_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.kn_bigram_logprob(docs)

@@ -77,23 +77,13 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # Everything outside the window holds an r4/r5 proof, so no proof ages
 # past ~3 rounds before rotation re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r8: emptied at round start (r7 entries are history in
-    # CORRECTNESS_r07.json).  Repopulated below as round-8 rewrites
-    # land: dup_matrix_by_source's join strategy was physically
-    # rewritten (size-gated broadcast, VERDICT r7 #1) after its r6
-    # proof, so its hash proof must re-run this round; funnel + KL
-    # gained the eagerly() materialize-then-release tail (r7 #6).
-    "dup_matrix_by_source",
-    "doc_chunks",  # chunk tokenization pre-projected below the explode
-    "events_funnel_conversion",
-    "source_unigram_kl",
-    # hash_dup_pairs gained skip-undecodable + eagerly (ADVICE r7)
-    "dedup_image_phash",
-    # literal path now unpersists its vocab post-collect (plan itself
-    # unchanged; fronted out of caution)
-    "text_unigram_logprob",
-    # dup-doc-id side now size-gated + eagerly materialized (r8)
-    "dup_rate_by_source",
+    # r9: emptied at round start (r8 entries are history in
+    # CORRECTNESS_r08.json).  Repopulated below as round-9 rewrites
+    # land.
+    # _temperature_draw rewritten to the range-partitioned prefix-sum
+    # rank (VERDICT r8 #1) after both consumers' r8 proofs:
+    "sample_temperature_mixture",
+    "corpus_curate_nb",
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -108,21 +98,13 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    # r8 round hygiene: emptied at round start; repopulated below as
-    # round-8 queries register (class-2 membership still comes from
+    # r9 round hygiene: emptied at round start; repopulated below as
+    # round-9 queries register (class-2 membership still comes from
     # artifact history, this tuple is bookkeeping for the rotation test).
-    "span_dedup_removed_bpe",
-    "crossmodal_doc_profile",
-    "dedup_audio_fingerprint",
-    "approx_sketches_bounded",
-    "bpe_learned_merges",
-    "bpe_pieces_per_word_by_source",
-    "decontaminate_spans_bpe",
-    "span_dedup_removed_bpe_run50",
-    "quality_nb_classifier",
-    "sample_temperature_mixture",
-    "corpus_curate_nb",
-    "text_bigram_logprob",
+    "audio_banding_exact_bounded",
+    "ann_pq_paths_bit_equal",
+    "quality_nb_classifier_bigram",
+    "text_bigram_logprob_kn",
 )
 
 

@@ -684,12 +684,27 @@ def streaming_dau_wau(
                 if is_d:
                     dau.add(u)
         state.update((sorted(dau), sorted(wau)))
+        # Emit only days with dau > 0: a report day holding nothing but
+        # trailing-window contributions never appears in the batch
+        # events_dau_wau output, so emitting it would hand a dashboard
+        # upsert extra zero-DAU rows the batch twin contradicts (ADVICE
+        # r8 #3).  State still records the wau contribution — the day
+        # starts emitting the first micro-batch a same-day event lands.
+        if not dau:
+            return
+        # Half-UP rounding to match the batch side's F.round (Spark
+        # rounds half away from zero; Python round() is half-even, so
+        # exact dyadic ties like 1/128 would diverge — ADVICE r8 #1).
+        from decimal import ROUND_HALF_UP, Decimal
+
+        ratio = Decimal(len(dau)) / Decimal(len(wau))
+        stick = float(ratio.quantize(Decimal("0.000001"), ROUND_HALF_UP))
         yield pd.DataFrame(
             {
                 "day": [day],
                 "dau": [len(dau)],
                 "wau": [len(wau)],
-                "stickiness": [round(len(dau) / len(wau), 6) if wau else 0.0],
+                "stickiness": [stick],
             }
         )
 
@@ -774,13 +789,16 @@ def streaming_hash_dedup(
         band_explode,
     )
 
-    # same invariants the batch twin asserts (hash_dup_pairs): without
-    # them a max_hamming >= n_bands call would silently lose recall —
-    # a pair differing in every band shares no bucket — and the
-    # documented replay ≡ batch contract would break with no error
-    # (review finding, round 8).
-    assert n_bands >= max_hamming + 1, "pigeonhole needs >= max_hamming+1 bands"
-    assert bits // n_bands >= 1, "band_bits must be >= 1"
+    # same invariants the batch twin raises on (hash_dup_pairs):
+    # without them a max_hamming >= n_bands call would silently lose
+    # recall — a pair differing in every band shares no bucket — and
+    # the documented replay ≡ batch contract would break with no error
+    # (review finding, round 8).  ValueError, not assert: `python -O`
+    # strips asserts and re-enables the silent mode (ADVICE r8 #2).
+    if n_bands < max_hamming + 1:
+        raise ValueError("pigeonhole needs >= max_hamming+1 bands")
+    if bits // n_bands < 1:
+        raise ValueError("band_bits must be >= 1")
 
     bands = band_explode(hashes, id_col, hash_col, bits, n_bands).select(
         F.col(id_col).alias("_id"), "_h", "band", "bv"

@@ -192,9 +192,10 @@ def test_image_phash_skips_undecodable_payloads(spark):
 
 def test_hash_dup_pairs_rejects_degenerate_bands(spark):
     """ADVICE r7 #2: n_bands > bits would zero every band value and
-    turn the equi-join into an O(n^2) self-join — assert instead."""
+    turn the equi-join into an O(n^2) self-join — raise instead
+    (ValueError, not assert: survives `python -O`, ADVICE r8 #2)."""
     df = spark.createDataFrame([(1, 5), (2, 7)], "media_id long, phash long")
-    with pytest.raises(AssertionError, match="exceeds bits"):
+    with pytest.raises(ValueError, match="exceeds bits"):
         dedup.hash_dup_pairs(df, "media_id", max_hamming=70, bits=64, n_bands=80)
 
 
