@@ -614,6 +614,37 @@ DAU_WAU_SCHEMA = "day string, dau bigint, wau bigint, stickiness double"
 DAU_WAU_STATE_SCHEMA = "dau_ids array<bigint>, wau_ids array<bigint>"
 
 
+def _dau_wau_contrib(
+    events: DataFrame, watermark: str, keep_ts: bool = False
+) -> DataFrame:
+    """Shared contribution-explode stage for the DAU/WAU twins: each
+    event fans into the 7 report days it contributes to (k = 0 marks
+    the DAU contribution), so the stateful stage keys on REPORT DAY.
+    ``keep_ts`` carries the WATERMARKED ts attribute through the
+    projections — EventTimeTimeout requires the watermark column to
+    still be present at the stateful operator (the bounded variant's
+    requirement; the NoTimeout twin prunes it)."""
+    ts_cols = ["ts"] if keep_ts else []
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.to_date("ts").alias("_day"), "user_id", *ts_cols)
+        .select(
+            "_day",
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_k"),
+            *ts_cols,
+        )
+        .select(
+            F.date_format(F.date_add("_day", F.col("_k")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "user_id",
+            (F.col("_k") == 0).alias("is_dau"),
+            *ts_cols,
+        )
+    )
+
+
 def streaming_dau_wau(
     events: DataFrame,
     watermark: str = "1 minute",
@@ -637,13 +668,13 @@ def streaming_dau_wau(
 
     TOTAL state grows with the number of report days seen
     (NoTimeout): a day older than watermark + 7 days can never change
-    again, so a long-running deployment should evict closed days with
-    an EventTimeTimeout (state.setTimeoutTimestamp at day_end + 7d;
-    emission is unaffected — closed days are final) or compact them
-    into the HLL register form.  Kept NoTimeout here because eviction
-    timing is watermark-dependent and would make the availableNow
-    replay ≡ batch pin depend on micro-batch boundaries (review
-    finding, round 8 — the bound is per-day, not total).
+    again.  ``streaming_dau_wau_bounded`` IS the eviction variant a
+    long-running deployment runs (EventTimeTimeout at day_end + 7d,
+    state row count pytest-pinned across a multi-week replay); this
+    NoTimeout twin stays because eviction timing is watermark-
+    dependent and would make the FULL-history availableNow replay ≡
+    batch pin depend on micro-batch boundaries (review finding,
+    round 8 — the bound is per-day, not total).
 
     Day keys are strings (yyyy-MM-dd): Arrow state serialization
     round-trips strings losslessly, and the batch query emits the same
@@ -651,22 +682,7 @@ def streaming_dau_wau(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    contrib = (
-        events.withWatermark("ts", watermark)
-        .select(F.to_date("ts").alias("_day"), "user_id")
-        .select(
-            "_day",
-            "user_id",
-            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_k"),
-        )
-        .select(
-            F.date_format(F.date_add("_day", F.col("_k")), "yyyy-MM-dd").alias(
-                "day"
-            ),
-            "user_id",
-            (F.col("_k") == 0).alias("is_dau"),
-        )
-    )
+    contrib = _dau_wau_contrib(events, watermark)
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -714,6 +730,92 @@ def streaming_dau_wau(
         stateStructType=DAU_WAU_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dau_wau_bounded(
+    events: DataFrame,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """``streaming_dau_wau`` with BOUNDED TOTAL STATE (VERDICT r8 #6
+    — the eviction variant SCALING.md names): identical contribution
+    explode, identical per-day emission, but each day key arms an
+    EventTimeTimeout at day_end + 7 days — once the watermark passes
+    that point no event can contribute to the day (the last
+    contributing event-day is the report day itself, and its rows
+    are watermark-dropped long before day_end + 7d), so the timeout
+    fires and the state row is REMOVED.  Total state is therefore
+    bounded by the ~8-day active horizon × weekly actives, not by
+    deployment lifetime (pytest pins the state row count across a
+    multi-week replay).
+
+    Emission is unaffected: a closed day is final on eviction, and
+    the timeout branch emits nothing (update-mode consumers already
+    hold the day's last value).  Kept separate from the NoTimeout
+    twin because eviction timing is watermark-dependent — the
+    replay ≡ batch pin holds for IN-HORIZON days here, while the
+    NoTimeout twin pins full-history equality."""
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    contrib = _dau_wau_contrib(events, watermark, keep_ts=True)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        day = key[0]
+        if state.hasTimedOut:
+            # day_end + 7d passed the watermark: no future contribution
+            # is possible — drop the id sets, emit nothing (the day's
+            # last update-mode row is already final downstream).
+            state.remove()
+            return
+        if state.exists:
+            a, b = state.get
+            dau, wau = set(int(x) for x in a), set(int(x) for x in b)
+        else:
+            dau, wau = set(), set()
+        for pdf in pdfs:
+            for uid, is_d in zip(pdf["user_id"], pdf["is_dau"]):
+                u = int(uid)
+                wau.add(u)
+                if is_d:
+                    dau.add(u)
+        state.update((sorted(dau), sorted(wau)))
+        day_close = dt.datetime.strptime(day, "%Y-%m-%d").replace(
+            tzinfo=dt.timezone.utc
+        ) + dt.timedelta(days=8)  # end of `day` (+1d) + 7d horizon
+        # clamp above the current watermark: applyInPandasWithState
+        # does NOT drop late rows for us, so an out-of-order replay
+        # can deliver a contribution to a day whose close already
+        # passed — Spark rejects a timeout behind the watermark, and
+        # the right semantics is "evict at the next opportunity".
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(int(day_close.timestamp() * 1000), wm + 1)
+        )
+        if not dau:
+            return  # zero-DAU days never appear batch-side (ADVICE r8 #3)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        ratio = Decimal(len(dau)) / Decimal(len(wau))
+        stick = float(ratio.quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        yield pd.DataFrame(
+            {
+                "day": [day],
+                "dau": [len(dau)],
+                "wau": [len(wau)],
+                "stickiness": [stick],
+            }
+        )
+
+    return contrib.groupBy("day").applyInPandasWithState(
+        update,
+        outputStructType=DAU_WAU_SCHEMA,
+        stateStructType=DAU_WAU_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -873,6 +975,7 @@ def streaming_quality_gate(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_score: float | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Online model-based quality filtering — the streaming twin of
     the batch naive-Bayes classifier (``quality_nb_classifier``): a
@@ -922,14 +1025,17 @@ def streaming_quality_gate(
         F.lit(0).cast("decimal(38,0)"),
         lambda a, x: a + x.cast("decimal(38,0)"),
     )
+    extras = list(extra_cols or [])
     pre = docs.select(
         F.col(id_col),
+        *extras,
         F.size(toks).cast("long").alias("n_tokens"),
         nb_quality_label(text_col).alias("label"),
         total.alias("_sq"),
     ).filter(F.col("n_tokens") > 0)
     out = pre.select(
         id_col,
+        *extras,
         "n_tokens",
         "label",
         F.round(
@@ -939,3 +1045,84 @@ def streaming_quality_gate(
     if min_score is not None:
         out = out.withColumn("pass_gate", F.col("nb_score") >= F.lit(min_score))
     return out
+
+
+def streaming_curation_gate(
+    docs: DataFrame,
+    weight_rows: list[tuple[str, int]],
+    oov_q: int,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Live twin of ``corpus_curate_nb``'s first two stages (VERDICT
+    r8 #7): exact first-seen text dedup (stateful) chained into the
+    stateless naive-Bayes quality gate — the shape of a streaming
+    ingest front-end where only the draw (which needs corpus totals)
+    stays batch.
+
+    Stage 1 keys on ``md5(text)`` (128-bit — the same exact-content
+    identity ``exact_dedup`` groups on, hashed so state never holds
+    document bodies) and keeps ONE doc per text: within a micro-batch
+    the min doc_id (the batch keep_id rule), across batches
+    first-seen-wins.  Replay ≡ batch therefore holds when the replay
+    arrives in doc_id order — the natural order of a history re-feed
+    — and that chained replay equals the batch capstone's pre-draw
+    survivor set row-for-row (pytest-pinned).  Stage 2 is
+    ``streaming_quality_gate``'s literal-map projection (weights
+    trained batch-side on the DEDUPED corpus, exactly as the capstone
+    trains), filtering at ``min_score`` — stateless, so the single
+    allowed applyInPandasWithState slot stays with the dedup.
+
+    State at scale: one boolean per DISTINCT text ever seen (the
+    md5 key is the state key); an at-least-once redelivery of an
+    already-kept doc is dropped by the marker, keeping emission
+    exactly-once per text.
+
+    Returns (source, doc_id, lang, nb_score) — the capstone's surv
+    frame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs.filter(F.col("text").isNotNull()).select(
+        F.md5(F.col("text")).alias("_k"), "doc_id", "source", "lang", "text"
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            return  # text already kept — every arrival is a duplicate
+        best = None
+        for pdf in pdfs:
+            for did, src, lang, txt in zip(
+                pdf["doc_id"], pdf["source"], pdf["lang"], pdf["text"]
+            ):
+                if best is None or int(did) < best[0]:
+                    best = (int(did), src, lang, txt)
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            {
+                "doc_id": [best[0]],
+                "source": [best[1]],
+                "lang": [best[2]],
+                "text": [best[3]],
+            }
+        )
+
+    kept = keyed.groupBy("_k").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, source string, lang string, text string",
+        stateStructType="kept boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    scored = streaming_quality_gate(
+        kept,
+        weight_rows,
+        oov_q,
+        min_score=min_score,
+        extra_cols=["source", "lang"],
+    )
+    return scored.filter(F.col("pass_gate")).select(
+        "source", "doc_id", "lang", "nb_score"
+    )
