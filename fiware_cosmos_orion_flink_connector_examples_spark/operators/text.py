@@ -1005,6 +1005,195 @@ def kn_bigram_logprob(
     )
 
 
+def kn_trigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-doc mean ln-probability under an interpolated KNESER-NEY
+    TRIGRAM model — the rung above ``kn_bigram_logprob`` toward the
+    CCNet 5-gram KenLM filter.  Chen & Goodman's interpolated KN with
+    a single discount D at every order; crucially the MIDDLE order
+    uses CONTINUATION counts, not raw counts:
+
+        P(w3|w1 w2) = max(c(w1w2w3) − D, 0)/c(w1w2)
+                      + D·N1+(w1w2·)/c(w1w2) · Pmid(w3|w2)
+        Pmid(w3|w2) = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+                      + D·N1+L(w2)/N1+(·w2·) · N1+(·w3)/T
+
+    where N1+(·w2w3) counts distinct left contexts of the bigram,
+    N1+(·w2·) distinct (w1,w3) trigram frames around w2, N1+L(w2)
+    distinct w3 with any (·,w2,w3) trigram, N1+(·w3)/T the same
+    lowest-order continuation distribution the bigram model bottoms
+    out in.  Token 1 scores ln(c/N), token 2 the order-2 KN formula —
+    so a 2-token doc scores identically to ``kn_bigram_logprob``.
+    Every scored n-gram was observed, so every argument is strictly
+    positive (the interpolation term has N1+ ≥ 1 throughout) — no
+    floors needed.
+
+    100 TB shape: ONE extra corpus pass (the trigram explode); every
+    model table above order zero is an agg or RE-AGG of the
+    trigram/bigram TYPE tables (type-scale, never a second corpus
+    scan).  Single-word-keyed tables (fol/prec/mid/lam) broadcast
+    below the 2M-vocab gate; pair/triple-keyed joins stay unhinted so
+    AQE splits the zipfian skew.  Per-term picounit quantization +
+    DECIMAL(38,0) sums keep both engines bit-identical.
+
+    Returns (id, n_tokens BIGINT, avg_logprob DOUBLE)."""
+    pre = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n_tok = F.size(F.col("_toks"))
+
+    uni_ex = pre.select(F.explode("_toks").alias("tok"))
+    uni = uni_ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
+    ).collect()[0]
+    v = int(totals["v"] or 0)
+    n_total = F.lit(float(totals["n"] or 0))
+
+    m2 = F.greatest(n_tok - 1, F.lit(0))
+    pairs_gen = F.zip_with(
+        F.slice(F.col("_toks"), 1, m2),
+        F.slice(F.col("_toks"), 2, m2),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    big_ex = pre.select(F.col(id_col), F.explode(pairs_gen).alias("bg")).select(
+        F.col(id_col),
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+    bcw = (
+        big_ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
+    )
+    fol = bcw.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
+    prec = bcw.groupBy("w2").agg(F.count(F.lit(1)).alias("np"))
+    tt = bcw.agg(F.count(F.lit(1)).alias("t_types"))
+
+    m3 = F.greatest(n_tok - 2, F.lit(0))
+    tri_gen = F.zip_with(
+        F.zip_with(
+            F.slice(F.col("_toks"), 1, m3),
+            F.slice(F.col("_toks"), 2, m3),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+        F.slice(F.col("_toks"), 3, m3),
+        lambda p, z: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")
+        ),
+    )
+    tri_ex = pre.select(F.col(id_col), F.explode(tri_gen).alias("tg")).select(
+        F.col(id_col),
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    # persisted: four consumers (scoring join + nf3/ctx re-aggs, and
+    # ctx itself re-aggs twice more) — all type-scale.
+    tcw = (
+        tri_ex.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .persist()
+    )
+    nf3 = tcw.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nf3"))
+    # distinct triples ⇒ per-(w2,w3) row count IS the distinct-w1 count
+    ctx = tcw.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cctx")).persist()
+    mid = tcw.groupBy("w2").agg(F.count(F.lit(1)).alias("cmid"))
+    lam = ctx.groupBy("w2").agg(F.count(F.lit(1)).alias("clam"))
+
+    u = uni
+    if v <= 2_000_000:  # the nb_quality_scores zipfian broadcast gate
+        u = F.broadcast(uni)
+        fol = F.broadcast(fol)
+        prec = F.broadcast(prec)
+        mid = F.broadcast(mid)
+        lam = F.broadcast(lam)
+
+    def quant(col):
+        return F.round(col * F.lit(1e12), 0).cast("long").cast("decimal(38,0)")
+
+    d = F.lit(discount)
+
+    first = pre.filter(n_tok > 0).select(
+        F.col(id_col), F.element_at("_toks", 1).alias("tok")
+    )
+    f_terms = first.join(u, "tok").select(
+        F.col(id_col),
+        quant(F.log(F.col("c").cast("double") / n_total)).alias("q"),
+    )
+    # token 2 only: the order-2 KN formula over the doc's FIRST pair
+    second = pre.filter(n_tok >= 2).select(
+        F.col(id_col),
+        F.element_at("_toks", 1).alias("w1"),
+        F.element_at("_toks", 2).alias("w2"),
+    )
+    s_terms = (
+        second.join(bcw, ["w1", "w2"])
+        .join(u.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(fol, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col(id_col),
+            quant(
+                F.log(
+                    F.greatest(F.col("cb").cast("double") - d, F.lit(0.0))
+                    / F.col("c1")
+                    + d
+                    * (F.col("nf").cast("double") / F.col("c1"))
+                    * (F.col("np").cast("double") / F.col("t_types"))
+                )
+            ).alias("q"),
+        )
+    )
+    t_terms = (
+        tri_ex.join(tcw, ["w1", "w2", "w3"])
+        .join(
+            bcw.select(
+                F.col("w1"), F.col("w2"), F.col("cb").alias("c12")
+            ),
+            ["w1", "w2"],
+        )
+        .join(nf3, ["w1", "w2"])
+        .join(ctx, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(lam, "w2")
+        .join(prec.select(F.col("w2").alias("w3"), "np"), "w3")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col(id_col),
+            quant(
+                F.log(
+                    F.greatest(F.col("ct").cast("double") - d, F.lit(0.0))
+                    / F.col("c12")
+                    + (d * F.col("nf3") / F.col("c12"))
+                    * (
+                        F.greatest(
+                            F.col("cctx").cast("double") - d, F.lit(0.0)
+                        )
+                        / F.col("cmid")
+                        + (d * F.col("clam") / F.col("cmid"))
+                        * (F.col("np").cast("double") / F.col("t_types"))
+                    )
+                )
+            ).alias("q"),
+        )
+    )
+    per_doc = (
+        f_terms.unionByName(s_terms)
+        .unionByName(t_terms)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("q").alias("sq"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("sq").cast("double") / F.col("n_tokens") / F.lit(1e12), 6
+        ).alias("avg_logprob"),
+    )
+
+
 def nb_feature_array(
     text_col: str = "text", n_buckets: int = 1 << 20
 ) -> Column:

@@ -105,6 +105,14 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "ann_pq_paths_bit_equal",
     "quality_nb_classifier_bigram",
     "text_bigram_logprob_kn",
+    "text_trigram_logprob_kn",
+    "ann_mmr_lambda1_equals_brute",
+    "ann_ivf_recall_bounded",
+    "corpus_curate_ccnet",
+    "sample_dsir",
+    "bpe_first_merge_derived",
+    "hll_merge_equals_oneshot",
+    "doc_pack_constraints",
 )
 
 

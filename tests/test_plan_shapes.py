@@ -515,3 +515,37 @@ def test_temperature_draw_rank_is_range_partitioned(spark, name):
     # source also carries _rng as the next key
     for sort_args in re.findall(r"Arguments: \[source#\d+ ASC[^\]]*\]", plan):
         assert "_rng" in sort_args, sort_args
+
+
+def test_dsir_topk_avoids_global_sort(spark):
+    """sample_dsir's selection must be TakeOrderedAndProject
+    (per-partition heads merged on the driver), never a global Sort —
+    and the broadcast-gated weight join must be a BroadcastHashJoin
+    at fixture vocab size."""
+    plan = plan_of(spark, "sample_dsir")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ccnet_buckets_have_no_window_sort(spark):
+    """corpus_curate_ccnet's tertile bucketing must be the broadcast-
+    boundaries shape (one per-lang percentile agg joined back), NOT a
+    per-lang ntile/row_number window — the _temperature_draw de-skew
+    lesson applied from the start."""
+    plan = plan_of(spark, "corpus_curate_ccnet")
+    # no Window operator at all — "ntile" alone would false-match the
+    # perceNTILE aggregate the bucketing is SUPPOSED to use
+    assert "\nWindow" not in plan and "(Window" not in plan
+    assert "row_number" not in plan.lower()
+    assert "percentile" in plan.lower()
+
+
+def test_kn_trigram_single_word_tables_broadcast(spark):
+    """text_trigram_logprob_kn: the vocab-sized single-word model
+    tables (unigram, follower, preceder, mid, lambda) broadcast under
+    the 2M gate; the trigram-type scoring join stays a shuffle join
+    for AQE skew splitting."""
+    plan = plan_of(spark, "text_trigram_logprob_kn")
+    assert "BroadcastHashJoin" in plan
+    # the Python boundary stays out of the hot path entirely
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -153,3 +153,166 @@ def test_kn_continuation_beats_context_bound_word(spark):
     # probe bigrams are unseen... (cb missing -> pair drops from the
     # join, so equal sums either way)
     assert base[2] == base[3]
+
+
+def _py_kn_trigram(texts, d=0.75):
+    """Pure-python interpolated-KN trigram reference (Chen & Goodman
+    single-discount, middle order on continuation counts)."""
+    import math
+    from collections import Counter
+
+    toks = [t.split() for t in texts]
+    uni = Counter(w for t in toks for w in t)
+    n = sum(uni.values())
+    bi = Counter((t[i - 1], t[i]) for t in toks for i in range(1, len(t)))
+    tri = Counter(
+        (t[i - 2], t[i - 1], t[i]) for t in toks for i in range(2, len(t))
+    )
+    nf = Counter(w1 for (w1, _w2) in bi)
+    np_ = Counter(w2 for (_w1, w2) in bi)
+    bt = len(bi)
+    nf3 = Counter((w1, w2) for (w1, w2, _w3) in tri)
+    ctx = Counter((w2, w3) for (_w1, w2, w3) in tri)
+    mid = Counter(w2 for (_w1, w2, _w3) in tri)
+    lam = Counter(w2 for (w2, _w3) in ctx)
+    out = {}
+    for i, t in enumerate(toks):
+        if not t:
+            continue
+        q = round(math.log(uni[t[0]] / n) * 1e12)
+        if len(t) >= 2:
+            w1, w2 = t[0], t[1]
+            q += round(
+                math.log(
+                    max(bi[(w1, w2)] - d, 0.0) / uni[w1]
+                    + d * (nf[w1] / uni[w1]) * (np_[w2] / bt)
+                )
+                * 1e12
+            )
+        for j in range(2, len(t)):
+            w1, w2, w3 = t[j - 2], t[j - 1], t[j]
+            pmid = max(ctx[(w2, w3)] - d, 0.0) / mid[w2] + d * (
+                lam[w2] / mid[w2]
+            ) * (np_[w3] / bt)
+            q += round(
+                math.log(
+                    max(tri[(w1, w2, w3)] - d, 0.0) / bi[(w1, w2)]
+                    + d * (nf3[(w1, w2)] / bi[(w1, w2)]) * pmid
+                )
+                * 1e12
+            )
+        out[i] = (len(t), round(q / len(t) / 1e12, 6))
+    return out
+
+
+def test_kn_trigram_matches_python_reference(spark):
+    """Full-formula equality vs an independent pure-python KN trigram
+    on a mixed corpus (0/1/2/many-token docs, repeated collocations,
+    singletons)."""
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran on the mat",
+        "a dog sat on a log",
+        "solo",
+        "two tokens",
+        "",
+        "the the the the",
+        "cat sat cat sat cat",
+    ]
+    docs = _doc_frame(spark, texts)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in text.kn_trigram_logprob(docs).collect()
+    }
+    assert got == _py_kn_trigram(texts)
+
+
+def test_kn_trigram_nests_bigram_rung(spark):
+    """Order nesting, pinned: a corpus of <=2-token docs generates no
+    trigrams, and the trigram model's token-1/token-2 formulas ARE the
+    bigram model's — identical rows."""
+    texts = ["alpha beta", "alpha gamma", "beta alpha", "solo", "alpha beta"]
+    docs = _doc_frame(spark, texts)
+    tri = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in text.kn_trigram_logprob(docs).collect()
+    }
+    bi = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in text.kn_bigram_logprob(docs).collect()
+    }
+    assert tri == bi
+
+
+def test_kn_trigram_rewards_seen_collocation_chain(spark):
+    """A doc whose trigrams were all observed repeatedly scores higher
+    than a same-length shuffle whose trigrams are singletons — the
+    LM-filter discrimination the perplexity ladder exists for."""
+    common = "the quick brown fox jumps over the lazy dog"
+    texts = [common] * 5 + ["dog the over quick lazy jumps fox brown the"]
+    docs = _doc_frame(spark, texts)
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in text.kn_trigram_logprob(docs).collect()
+    }
+    assert got[0] > got[5]
+
+
+def test_ccnet_buckets_are_ordered_tertiles(spark):
+    """corpus_curate_ccnet invariants on the fixture corpus: (a) only
+    the lowest-id doc of each duplicated text survives, (b) within
+    every language the bucket score ranges are ordered tail <= middle
+    <= head, (c) kept_ccnet is exactly bucket != tail, (d) the head
+    bucket holds at most half the lang's docs (tertiles, modulo
+    boundary ties)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    rows = QUERIES["corpus_curate_ccnet"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    expect_keep = {
+        r["k"]
+        for r in docs.groupBy("text").agg(F.min("doc_id").alias("k")).collect()
+    }
+    assert {r.doc_id for r in rows} == expect_keep
+
+    by_lang: dict = {}
+    for r in rows:
+        assert r.kept_ccnet == (r.ppl_bucket != "tail")
+        by_lang.setdefault(r.lang, {}).setdefault(r.ppl_bucket, []).append(
+            r.avg_logprob
+        )
+    for lang, bk in by_lang.items():
+        n = sum(len(v) for v in bk.values())
+        if "tail" in bk and "middle" in bk:
+            assert max(bk["tail"]) <= min(bk["middle"]), lang
+        if "middle" in bk and "head" in bk:
+            assert max(bk["middle"]) <= min(bk["head"]), lang
+        if n >= 6 and "head" in bk:
+            assert len(bk["head"]) <= n / 2, (lang, n, len(bk["head"]))
+
+
+def test_dsir_target_domain_ranks_highest(spark):
+    """sample_dsir invariant on the fixture corpus: the target-domain
+    (English) docs carry the highest mean importance log-weight — the
+    DSIR selection criterion working as published — and the top of
+    the ranking is target-dominated."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    rows = QUERIES["sample_dsir"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.dsir_logw)
+    means = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    assert all(means["en"] > m for k, m in means.items() if k != "en"), means
+    top20 = sorted(rows, key=lambda r: (-r.dsir_logw, r.doc_id))[:20]
+    assert sum(1 for r in top20 if r.lang == "en") >= 15
