@@ -1673,3 +1673,88 @@ def bloom_probe_filter(
             .drop(f"_w{i}", f"_b{i}")
         )
     return out
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal — the hash-dedup first stage
+    of CCNet (Wenzek et al. 2020 §3.1: every normalized paragraph is
+    hashed and all copies beyond the corpus-first occurrence are
+    dropped; it removes boilerplate — headers, cookie banners, nav
+    bars — before any model-based stage).  Reference scope: the
+    reference repo has no corpus operators; this is [ext] X2 mandated
+    by BASELINE.json.
+
+    Keep rule: a line occurrence survives iff its (id, pos) equals the
+    corpus-wide minimum (id, pos) for that normalized line — i.e. only
+    the FIRST occurrence anywhere survives, intra-doc repeats
+    included.  Normalization here is trim(); whitespace-only lines are
+    dropped entirely (CCNet normalizes harder — lowercase/digits —
+    which composes by swapping the norm expression).
+
+    Output: one row per input doc — (id, n_lines, n_removed,
+    text_clean) where n_lines counts non-empty lines and text_clean
+    re-joins survivors in position order with '\\n'.
+
+    Shape — agg-then-join, NOT a per-line window (deliberately the
+    opposite choice from remove_repeated_spans' posting window): the
+    skew case here is the COMMON case — one cookie-banner line in
+    millions of docs means one window partition holding millions of
+    rows in a single task, while min(struct(id, pos)) is a
+    partial-aggable agg, so the hot line collapses to one row per map
+    task before the shuffle.  The join back on the line string is a
+    plain equi-join AQE can skew-split.  Re-assembly is the
+    sort_array(collect_list(struct(pos, line))) position-order fold
+    (deterministic across partitionings); docs losing every line
+    still emit a row via the left join from the base scan.  At scale,
+    swap the join key for xxhash64(norm) to shrink the shuffle (64-bit
+    collisions ≈ birthday(n_lines); CCNet ships the same tradeoff with
+    SHA1-64) — kept as the exact string here so the DuckDB oracle is
+    collision-free.
+    """
+    df = df.filter(F.col(text_col).isNotNull())
+    lines = df.select(
+        id_col, F.posexplode(F.split(text_col, "\n")).alias("pos", "_raw")
+    )
+    occ = lines.select(
+        id_col, "pos", F.trim(F.col("_raw")).alias("norm")
+    ).filter(F.col("norm") != "")
+    firsts = occ.groupBy("norm").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first")
+    )
+    kept = occ.join(firsts, "norm").filter(
+        (F.col(id_col) == F.col(f"_first.{id_col}"))
+        & (F.col("pos") == F.col("_first.pos"))
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "norm"))),
+                lambda s: s["norm"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    # n_lines is row-local on the base scan (no explode), so docs with
+    # zero surviving (or zero non-empty) lines still emit a row
+    tot = df.select(
+        id_col,
+        F.size(
+            F.filter(
+                F.transform(F.split(text_col, "\n"), F.trim),
+                lambda l: l != "",
+            )
+        ).alias("n_lines"),
+    )
+    return tot.join(clean, id_col, "left").select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )

@@ -2573,6 +2573,546 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '\S+') AS toks,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / greatest(len(toks), 1) AS mwl,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+               / greatest(len(toks), 1) AS sym_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+               AS DOUBLE) / len(lines) AS bullet_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))
+               AS DOUBLE) / len(lines) AS ellipsis_ratio,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS DOUBLE) / greatest(len(toks), 1) AS alpha_ratio,
+             len(list_distinct(regexp_extract_all(lower(text),
+               '\b(the|be|to|of|and|that|have|with)\b'))) AS n_stop_kinds
+      FROM t)
+    SELECT doc_id, n_words,
+           n_words BETWEEN 50 AND 100000 AS pass_word_count,
+           mwl BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+           sym_ratio < 0.1 AS pass_symbol_ratio,
+           bullet_ratio < 0.9 AS pass_bullets,
+           ellipsis_ratio < 0.3 AS pass_ellipsis,
+           alpha_ratio > 0.8 AS pass_alpha_words,
+           n_stop_kinds >= 2 AS pass_stopwords,
+           (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+             AND sym_ratio < 0.1 AND bullet_ratio < 0.9
+             AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+             AND n_stop_kinds >= 2 AS gopher_pass
+    FROM m
+    """,
+    doc="X4 the Gopher quality rule card (Rae et al. 2021, Appendix "
+    "A5 — the rule-based filter most open corpus pipelines replicate "
+    "before any model-based stage): per-doc booleans for word count "
+    "in [50, 100k], mean word length in [3, 10], symbol-to-word "
+    "ratio (#/ellipsis) < 0.1, bullet-started lines < 90%, "
+    "ellipsis-ended lines < 30%, >= 80% words containing an "
+    "alphabetic char, and >= 2 distinct required stopwords — plus "
+    "the conjunctive gopher_pass.  Pure per-row JVM column "
+    "expressions (regexp_count / filter / array_distinct): map-only, "
+    "ZERO exchanges, fused into one WholeStageCodegen over the scan "
+    "(plan-pinned, the text_redact_pii discipline) — at 100 TB this "
+    "runs at scan speed and composes under any later stage.",
+    tags=("ext", "text", "X4", "quality", "gopher"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    lines = F.split("text", "\n")
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mwl = (
+        F.length(F.regexp_replace("text", r"\s", "")).cast("double") / nw
+    )
+    sym_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), 0)).cast(
+            "double"
+        )
+        / nw
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))).cast(
+            "double"
+        )
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double")
+        / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / nw
+    )
+    n_stop_kinds = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower("text"),
+                F.lit(r"\b(the|be|to|of|and|that|have|with)\b"),
+                0,
+            )
+        )
+    )
+    p_wc = (n_words >= 50) & (n_words <= 100_000)
+    p_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    p_sym = sym_ratio < 0.1
+    p_bul = bullet_ratio < 0.9
+    p_ell = ellipsis_ratio < 0.3
+    p_alpha = alpha_ratio > 0.8
+    p_stop = n_stop_kinds >= 2
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        p_wc.alias("pass_word_count"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_sym.alias("pass_symbol_ratio"),
+        p_bul.alias("pass_bullets"),
+        p_ell.alias("pass_ellipsis"),
+        p_alpha.alias("pass_alpha_words"),
+        p_stop.alias("pass_stopwords"),
+        (p_wc & p_mwl & p_sym & p_bul & p_ell & p_alpha & p_stop).alias(
+            "gopher_pass"
+        ),
+    )
+
+
+@register(
+    "text_gopher_repetition",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+             list_filter(string_split(text, chr(10) || chr(10)), p -> p <> '')
+               AS paras,
+             greatest(length(text), 1) AS tc
+      FROM documents WHERE text IS NOT NULL),
+    gr AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, len(w) - n + 2),
+                                   i -> array_to_string(w[i:i+n-1], ' ')))
+               AS gram
+      FROM t, (VALUES (2),(3),(4),(5),(10)) ns(n)
+      WHERE len(w) >= n),
+    c AS (SELECT doc_id, n, gram, count(*) AS c FROM gr GROUP BY ALL),
+    rep AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN n=2 THEN c*length(gram) END), 0) AS top2,
+             coalesce(max(CASE WHEN n=3 THEN c*length(gram) END), 0) AS top3,
+             coalesce(max(CASE WHEN n=4 THEN c*length(gram) END), 0) AS top4,
+             coalesce(sum(CASE WHEN n=5 AND c>=2 THEN c*length(gram) END), 0)
+               AS dup5,
+             coalesce(sum(CASE WHEN n=10 AND c>=2 THEN c*length(gram) END), 0)
+               AS dup10
+      FROM c GROUP BY doc_id),
+    lm AS (
+      SELECT doc_id, tc, len(lines) AS nl, len(paras) AS np,
+             len(list_distinct(lines)) AS dl, len(list_distinct(paras)) AS dp,
+             coalesce(list_aggregate(list_transform(lines, l -> length(l)),
+                                     'sum'), 0) AS lc,
+             coalesce(list_aggregate(
+               list_transform(list_distinct(lines), l -> length(l)), 'sum'), 0)
+               AS dlc,
+             coalesce(list_aggregate(list_transform(paras, p -> length(p)),
+                                     'sum'), 0) AS pc,
+             coalesce(list_aggregate(
+               list_transform(list_distinct(paras), p -> length(p)), 'sum'), 0)
+               AS dpc
+      FROM t),
+    f AS (
+      SELECT lm.doc_id,
+             round(CASE WHEN nl > 0
+                        THEN (nl - dl) / CAST(nl AS DOUBLE) ELSE 0.0 END, 6)
+               AS dup_line_frac,
+             round(CASE WHEN np > 0
+                        THEN (np - dp) / CAST(np AS DOUBLE) ELSE 0.0 END, 6)
+               AS dup_para_frac,
+             round(CASE WHEN lc > 0
+                        THEN (lc - dlc) / CAST(lc AS DOUBLE) ELSE 0.0 END, 6)
+               AS dup_line_char_frac,
+             round(CASE WHEN pc > 0
+                        THEN (pc - dpc) / CAST(pc AS DOUBLE) ELSE 0.0 END, 6)
+               AS dup_para_char_frac,
+             round(coalesce(top2, 0) / CAST(tc AS DOUBLE), 6)
+               AS top2gram_char_frac,
+             round(coalesce(top3, 0) / CAST(tc AS DOUBLE), 6)
+               AS top3gram_char_frac,
+             round(coalesce(top4, 0) / CAST(tc AS DOUBLE), 6)
+               AS top4gram_char_frac,
+             round(coalesce(dup5, 0) / CAST(tc AS DOUBLE), 6)
+               AS dup5gram_char_frac,
+             round(coalesce(dup10, 0) / CAST(tc AS DOUBLE), 6)
+               AS dup10gram_char_frac
+      FROM lm LEFT JOIN rep USING (doc_id))
+    SELECT doc_id, dup_line_frac, dup_para_frac, dup_line_char_frac,
+           dup_para_char_frac, top2gram_char_frac, top3gram_char_frac,
+           top4gram_char_frac, dup5gram_char_frac, dup10gram_char_frac,
+           dup_line_frac <= 0.30 AS pass_dup_lines,
+           dup_para_frac <= 0.30 AS pass_dup_paras,
+           dup_line_char_frac <= 0.20 AS pass_dup_line_chars,
+           dup_para_char_frac <= 0.20 AS pass_dup_para_chars,
+           top2gram_char_frac <= 0.20 AS pass_top2gram,
+           top3gram_char_frac <= 0.18 AS pass_top3gram,
+           top4gram_char_frac <= 0.16 AS pass_top4gram,
+           dup5gram_char_frac <= 0.15 AS pass_dup5gram,
+           dup10gram_char_frac <= 0.10 AS pass_dup10gram,
+           dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+             AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+             AND top2gram_char_frac <= 0.20 AND top3gram_char_frac <= 0.18
+             AND top4gram_char_frac <= 0.16 AND dup5gram_char_frac <= 0.15
+             AND dup10gram_char_frac <= 0.10 AS repetition_pass
+    FROM f
+    """,
+    doc="X4 the Gopher REPETITION rule card (Rae et al. 2021, Appendix "
+    "A5, table A1 — the other half of the rule filter next to "
+    "text_gopher_rules): duplicate line / paragraph fraction (beyond-"
+    "first occurrences over non-empty splits), duplicate line / "
+    "paragraph CHARACTER fraction, top-{2,3,4}-gram character "
+    "coverage, and duplicated-{5,10}-gram character fraction, each "
+    "with its published threshold and the conjunctive "
+    "repetition_pass.  Top-n coverage is defined as max over grams of "
+    "count*len(gram) — the deterministic tie-free variant of 'chars "
+    "in the most frequent n-gram' (on count ties Gopher is ambiguous; "
+    "max-coverage is order-free on both engines).  The whole card is "
+    "computed ROW-LOCALLY: per-doc n-gram frequencies come from "
+    "sort_array + run-length encoding with higher-order functions "
+    "(filter/zip_with/aggregate over the sorted gram array — F.get "
+    "keeps out-of-range probes NULL-safe under ANSI), so the plan is "
+    "Scan -> Project with ZERO exchanges, zero Generate, zero Python "
+    "(plan-pinned): at 100 TB the entire repetition filter runs at "
+    "scan speed, embarrassingly parallel, no shuffle key to skew.  "
+    "Integer char counts make every fraction engine-exact before the "
+    "single round.",
+    tags=("ext", "text", "X4", "quality", "gopher"),
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # layer 1: base arrays (kept as a separate Project — toks is
+    # referenced by five gram builders; CollapseProject keeps
+    # multi-referenced non-cheap aliases un-inlined)
+    a1 = docs.select(
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).alias("tc"),
+        F.filter(F.split("text", "\n"), lambda l: l != "").alias("lines"),
+        F.filter(F.split("text", "\n\n"), lambda p: p != "").alias("paras"),
+        F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z0-9]+"), 0
+        ).alias("toks"),
+    )
+
+    def grams_sorted(k: int):
+        toks = F.col("toks")
+        n = F.size(toks)
+        return F.when(
+            n >= k,
+            F.sort_array(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, k), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # layer 2: sorted gram arrays (again multi-referenced downstream)
+    a2 = a1.select(
+        "doc_id",
+        "tc",
+        "lines",
+        "paras",
+        *[grams_sorted(k).alias(f"g{k}") for k in (2, 3, 4, 5, 10)],
+    )
+
+    def rl(col_name: str):
+        """(top_cover_chars, dup_chars) of a SORTED string array via
+        row-local run-length encoding.  F.get is 0-based and NULL on
+        out-of-range, so the i=1 'previous element' probe is safe
+        under ANSI."""
+        s = F.col(col_name)
+        n = F.size(s)
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.get(s, i - 2).isNull()
+            | (F.get(s, i - 1) != F.get(s, i - 2)),
+        )
+        nxt = F.concat(
+            F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1)
+        )
+        covers = F.zip_with(
+            starts, nxt, lambda a, b: (b - a) * F.length(F.get(s, a - 1))
+        )
+        top = F.when(n == 0, F.lit(0)).otherwise(
+            F.coalesce(F.array_max(covers), F.lit(0))
+        )
+        dup = F.when(n == 0, F.lit(0)).otherwise(
+            F.aggregate(
+                F.zip_with(
+                    starts,
+                    nxt,
+                    lambda a, b: F.when(
+                        b - a >= 2, (b - a) * F.length(F.get(s, a - 1))
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return top, dup
+
+    def chars_of(arr):
+        return F.coalesce(
+            F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x)),
+            F.lit(0),
+        )
+
+    lines, paras = F.col("lines"), F.col("paras")
+    nl, np_ = F.size(lines), F.size(paras)
+    dl = F.size(F.array_distinct(lines))
+    dp = F.size(F.array_distinct(paras))
+    lc, dlc = chars_of(lines), chars_of(F.array_distinct(lines))
+    pc, dpc = chars_of(paras), chars_of(F.array_distinct(paras))
+    tcd = F.col("tc").cast("double")
+
+    top2, _ = rl("g2")
+    top3, _ = rl("g3")
+    top4, _ = rl("g4")
+    _, dup5 = rl("g5")
+    _, dup10 = rl("g10")
+
+    def frac(num, den):
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        )
+
+    dup_line_frac = frac(nl - dl, nl)
+    dup_para_frac = frac(np_ - dp, np_)
+    dup_line_char_frac = frac(lc - dlc, lc)
+    dup_para_char_frac = frac(pc - dpc, pc)
+    a3 = a2.select(
+        "doc_id",
+        dup_line_frac.alias("dup_line_frac"),
+        dup_para_frac.alias("dup_para_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        dup_para_char_frac.alias("dup_para_char_frac"),
+        F.round(top2 / tcd, 6).alias("top2gram_char_frac"),
+        F.round(top3 / tcd, 6).alias("top3gram_char_frac"),
+        F.round(top4 / tcd, 6).alias("top4gram_char_frac"),
+        F.round(dup5 / tcd, 6).alias("dup5gram_char_frac"),
+        F.round(dup10 / tcd, 6).alias("dup10gram_char_frac"),
+    )
+    passes = {
+        "pass_dup_lines": F.col("dup_line_frac") <= 0.30,
+        "pass_dup_paras": F.col("dup_para_frac") <= 0.30,
+        "pass_dup_line_chars": F.col("dup_line_char_frac") <= 0.20,
+        "pass_dup_para_chars": F.col("dup_para_char_frac") <= 0.20,
+        "pass_top2gram": F.col("top2gram_char_frac") <= 0.20,
+        "pass_top3gram": F.col("top3gram_char_frac") <= 0.18,
+        "pass_top4gram": F.col("top4gram_char_frac") <= 0.16,
+        "pass_dup5gram": F.col("dup5gram_char_frac") <= 0.15,
+        "pass_dup10gram": F.col("dup10gram_char_frac") <= 0.10,
+    }
+    all_pass = None
+    for c in passes.values():
+        all_pass = c if all_pass is None else (all_pass & c)
+    return a3.select(
+        "*",
+        *[c.alias(n) for n, c in passes.items()],
+        all_pass.alias("repetition_pass"),
+    )
+
+
+@register(
+    "text_c4_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM documents WHERE text IS NOT NULL),
+    k AS (
+      SELECT doc_id, text, len(lines) AS n_lines,
+             list_filter(lines, l ->
+               regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(regexp_extract_all(l, '\S+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+             coalesce(list_aggregate(list_transform(lines,
+               l -> length(l)), 'sum'), 0) AS line_chars
+      FROM t),
+    m AS (
+      SELECT doc_id, n_lines,
+             CAST(len(kept) AS BIGINT) AS n_lines_kept,
+             coalesce(list_aggregate(list_transform(kept,
+               l -> len(regexp_extract_all(l, '[.!?]'))), 'sum'), 0)
+               AS n_sentences,
+             coalesce(list_aggregate(list_transform(kept,
+               l -> length(l)), 'sum'), 0) AS kept_chars,
+             line_chars,
+             contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+             contains(text, '{') AS has_curly_brace
+      FROM k)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, n_lines_kept,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           round(CASE WHEN line_chars > 0
+                      THEN kept_chars / CAST(line_chars AS DOUBLE)
+                      ELSE 0.0 END, 6) AS kept_char_frac,
+           has_lorem_ipsum, has_curly_brace,
+           n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace
+             AS c4_keep
+    FROM m
+    """,
+    doc="X4 the C4 cleaning rule card (Raffel et al. 2020 §2.2 — the "
+    "line-level filter behind the Colossal Clean Crawled Corpus): a "
+    "line survives iff it ends in terminal punctuation ([.!?\"] after "
+    "rtrim), has >= 5 words, and does not mention 'javascript'; the "
+    "page survives (c4_keep) iff the kept lines contain >= 3 "
+    "sentence-final marks and the page has neither 'lorem ipsum' nor "
+    "a curly brace (code).  Emits per-doc counts, the kept-character "
+    "fraction, and the page verdict.  (C4's remaining rule — the "
+    "three-sentence-span dedup — is the registered span_dedup_removed "
+    "family.)  Entirely row-local higher-order-function work over the "
+    "line split: Scan -> Project, ZERO exchanges / Generate / Python "
+    "(plan-pinned) — scan-speed at 100 TB, and the kept-lines array "
+    "is exactly what a rewrite stage would re-join with chr(10).",
+    tags=("ext", "text", "X4", "quality", "c4"),
+)
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    a1 = docs.select(
+        "doc_id",
+        "text",
+        F.split("text", "\n").alias("lines"),
+    )
+    kept = F.filter(
+        F.col("lines"),
+        lambda l: F.rtrim(l).rlike('[.!?"]$')
+        & (F.size(F.regexp_extract_all(l, F.lit(r"\S+"), 0)) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    a2 = a1.select(
+        "doc_id",
+        "text",
+        F.size("lines").alias("n_lines"),
+        kept.alias("kept"),
+        F.coalesce(
+            F.aggregate(
+                F.col("lines"), F.lit(0), lambda acc, l: acc + F.length(l)
+            ),
+            F.lit(0),
+        ).alias("line_chars"),
+    )
+    n_sent = F.coalesce(
+        F.aggregate(
+            F.col("kept"),
+            F.lit(0),
+            lambda acc, l: acc
+            + F.size(F.regexp_extract_all(l, F.lit("[.!?]"), 0)),
+        ),
+        F.lit(0),
+    )
+    kept_chars = F.coalesce(
+        F.aggregate(
+            F.col("kept"), F.lit(0), lambda acc, l: acc + F.length(l)
+        ),
+        F.lit(0),
+    )
+    has_lorem = F.lower("text").contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    a3 = a2.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.round(
+            F.when(
+                F.col("line_chars") > 0,
+                kept_chars.cast("double")
+                / F.col("line_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("kept_char_frac"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+    )
+    return a3.select(
+        "*",
+        (
+            (F.col("n_sentences") >= 3)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_curly_brace")
+        ).alias("c4_keep"),
+    )
+
+
+@register(
+    "line_dedup_removed",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+    l AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'norm': trim(ls[i])}
+                         for i in range(1, len(ls) + 1)],
+                        recursive := true)
+          FROM ls),
+    ne AS (SELECT doc_id, pos, norm FROM l WHERE norm <> ''),
+    k AS (SELECT doc_id, pos, norm,
+                 row_number() OVER (PARTITION BY norm
+                                    ORDER BY doc_id, pos) AS rn
+          FROM ne),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(norm, chr(10) ORDER BY pos)) AS clean_md5
+            FROM k WHERE rn = 1 GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM ne GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(tot.n_lines, 0) - coalesce(agg.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+    doc="X2 corpus-wide duplicate-LINE removal — the CCNet hash-dedup "
+    "first stage (Wenzek et al. 2020 §3.1: every copy of a normalized "
+    "line beyond the corpus-first occurrence is dropped; kills "
+    "headers / cookie banners / nav boilerplate before any "
+    "model-based filter): dedup.remove_duplicate_lines, "
+    "first-(doc_id,pos)-wins, trim() normalization, md5 of the "
+    "position-order re-joined survivors so the driver pins the full "
+    "cleaned text per doc.  Scale shape: min(struct(id,pos)) is a "
+    "partial-aggable AGG (not a per-line window) so the hot "
+    "boilerplate line collapses map-side; the join back is an "
+    "equi-join AQE can skew-split — the skew case here IS the common "
+    "case, which is why this deliberately inverts "
+    "remove_repeated_spans' posting-window choice.",
+    tags=("ext", "dedup", "X2", "lines"),
+)
+def line_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_lines(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+@register(
     "text_repetition_topk",
     oracle=r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

@@ -113,6 +113,10 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "bpe_first_merge_derived",
     "hll_merge_equals_oneshot",
     "doc_pack_constraints",
+    "text_gopher_rules",
+    "text_gopher_repetition",
+    "text_c4_rules",
+    "line_dedup_removed",
 )
 
 

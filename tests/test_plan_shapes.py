@@ -549,3 +549,50 @@ def test_kn_trigram_single_word_tables_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     # the Python boundary stays out of the hot path entirely
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_is_map_only(spark):
+    """text_gopher_rules must be pure per-row column work fused over
+    the scan: zero exchanges, zero Python eval (the text_redact_pii
+    discipline) — at 100 TB it runs at scan speed."""
+    plan = plan_of(spark, "text_gopher_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the whole query is Scan -> Filter -> Project (formatted mode
+    # marks codegen'd nodes with '*'; the lambda-bearing Project sits
+    # atop the fused scan+filter)
+    assert "Generate" not in plan and "Join" not in plan
+
+
+def test_gopher_repetition_is_map_only(spark):
+    """The WHOLE repetition card — per-doc n-gram frequencies included
+    — must stay row-local (sort_array + run-length over the gram
+    array): zero exchanges, zero Generate, zero joins, zero Python.
+    At 100 TB this is the difference between scan speed and a
+    corpus-sized (doc_id, gram) shuffle."""
+    plan = plan_of(spark, "text_gopher_repetition")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan and "Join" not in plan
+
+
+def test_c4_rules_is_map_only(spark):
+    """The C4 line-filter card is row-local lambda work over the line
+    split: zero exchanges / Generate / joins / Python."""
+    plan = plan_of(spark, "text_c4_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan and "Join" not in plan
+
+
+def test_line_dedup_agg_not_window(spark):
+    """line_dedup_removed's corpus-first detection must be the
+    partial-aggable min(struct) AGG joined back — NOT a per-line
+    window: a boilerplate line in millions of docs is one window
+    partition in one task, while the agg collapses it map-side and
+    the join back is AQE-skew-splittable."""
+    plan = plan_of(spark, "line_dedup_removed")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

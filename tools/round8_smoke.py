@@ -95,6 +95,13 @@ def one_session_pack(spark, sf_dir: str = "/root/testdata/sf0.1") -> None:
         # accumulation stays bounded and per-iteration time flat.
         "quality_nb_classifier",
         "text_bigram_logprob",
+        # r9: the KN rungs persist their type tables (uni/bcw, plus
+        # tcw/ctx for the trigram); ccnet re-enters kn_bigram's
+        # persists through the dedup join — the pack proves the
+        # session-lived set reaches a fixed point, not a leak.
+        "text_bigram_logprob_kn",
+        "text_trigram_logprob_kn",
+        "corpus_curate_ccnet",
     ]
     for it in range(3):
         row = {"iter": it}

@@ -67,6 +67,7 @@ def main() -> None:
     span_dedup_smoke(spark)
     round6_smoke(spark, m)
     round8b_smoke(spark)
+    round9_smoke(spark)
 
 
 def skewed_dedup_smoke(spark, n_docs: int = 20_000, hot_frac: int = 10) -> None:
@@ -341,3 +342,87 @@ def round8b_smoke(spark, n_docs: int = 2_000_000) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def round9_smoke(spark, n_docs: int = 2_000_000) -> None:
+    """Round-9 depth additions at ~100x the bench corpus: the KN LM
+    ladder (bigram + trigram), the hashed-bigram NB classifier, the
+    CCNet tertile capstone, and DSIR selection on 2M synthetic docs.
+
+    Same rich/salad fixture as round8b (both label extremes real) but
+    with a 2:1 en/de language split so the per-lang percentile
+    bucketing and the DSIR target/raw split both exercise their
+    grouping for real."""
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_r9_")
+    try:
+        rich = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.concat(
+                    F.lit("the w"),
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000)),
+                    F.lit(" of"),
+                ),
+            ),
+            " ",
+        )
+        salad = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.pmod(F.xxhash64("id", F.lit(9)), F.lit(5)) + 1),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000))
+                ),
+            ),
+            " ",
+        )
+        body = F.when(F.col("id") % 2 == 0, rich).otherwise(salad)
+        # even docs carry an IDENTICAL boilerplate first line — 1M
+        # copies of one line is exactly line_dedup_removed's skew
+        # case (the map-side-collapse claim under test) and gives the
+        # repetition card a multi-line doc to chew on
+        text = F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("accept all cookies to continue reading\n"), body
+            ),
+        ).otherwise(body)
+        src = F.when(
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(25)) < 10, F.lit(0)
+        ).otherwise(F.pmod(F.xxhash64("id", F.lit(4)), F.lit(16)))
+        lang = F.when(F.col("id") % 3 < 2, F.lit("en")).otherwise(F.lit("de"))
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            lang.alias("lang"),
+            F.concat(F.lit("src"), src).alias("source"),
+            F.length(text).alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        def run(tag, name):
+            t = time.time()
+            QUERIES[name].fn(spark, tmp).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(f"{tag:34s} {time.time() - t:.1f}s", flush=True)
+            spark.catalog.clearCache()
+
+        print(f"round-9 registered-query smoke: docs={n_docs // 1_000_000}M")
+        run("text_bigram_logprob_kn (2M)", "text_bigram_logprob_kn")
+        run("text_trigram_logprob_kn (2M)", "text_trigram_logprob_kn")
+        run("quality_nb_classifier_bigram (2M)", "quality_nb_classifier_bigram")
+        run("corpus_curate_ccnet (2M)", "corpus_curate_ccnet")
+        run("sample_dsir (2M)", "sample_dsir")
+        run("text_gopher_rules (2M)", "text_gopher_rules")
+        run("text_gopher_repetition (2M)", "text_gopher_repetition")
+        run("text_c4_rules (2M)", "text_c4_rules")
+        run("line_dedup_removed (2M, 1M-hot line)", "line_dedup_removed")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
