@@ -337,6 +337,60 @@ def topk_cosine_signbucket(
     return _rank_topk(scored, k).select("q_id", "n_id", "cos", "rank")
 
 
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    cross-batch negative selection step of SimCLR- and DPR-style
+    embedding training, Karpukhin et al. 2020): for each anchor, the
+    top-``k`` most-similar vectors whose ``label_col`` DIFFERS from
+    the anchor's — maximally confusing negatives, the ones worth
+    showing the model.  Reference scope: [ext] X3; the reference repo
+    has no vector operators.
+
+    Same scale shape as ``topk_cosine_bruteforce``: the anchor set is
+    the small side (broadcast — one corpus scan scores everything,
+    the big side never shuffles), the label-mismatch predicate rides
+    the broadcast join condition so same-label pairs are dropped
+    before scoring, and the per-anchor rank is the shared
+    ``_rank_topk`` window (rounded score desc, id asc —
+    deterministic).  Output adds the anchor/negative labels so the
+    pair can be audited downstream.
+    """
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    base = df.select(
+        F.col(id_col).alias("n_id"),
+        F.col(label_col).alias("n_label"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(qs), F.col("n_label") != F.col("q_label")
+        )
+        .select(
+            "q_id",
+            "q_label",
+            "n_id",
+            "n_label",
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    return _rank_topk(scored, k).select(
+        "q_id", "q_label", "n_id", "n_label", "cos", "rank"
+    )
+
+
 # --- product quantization (PQ) ---------------------------------------------
 
 

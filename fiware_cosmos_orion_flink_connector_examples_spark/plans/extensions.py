@@ -455,6 +455,47 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      {_D_NORM.format(v='embedding::DOUBLE[]')} AS qv
+               FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
+    n AS (SELECT vec_id AS n_id, label AS n_label,
+                 {_D_NORM.format(v='embedding::DOUBLE[]')} AS nv
+          FROM embeddings WHERE embedding IS NOT NULL),
+    scored AS (
+      SELECT q_id, q_label, n_id, n_label,
+             {_D_COS_N.format(a='qv', b='nv')} AS cos
+      FROM q CROSS JOIN n WHERE n_label != q_label
+    )
+    SELECT q_id, q_label, n_id, n_label, cos, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT q_id, q_label, n_id, n_label, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+               AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="X3 hard-negative mining (the DPR/SimCLR contrastive-training "
+    "data op, Karpukhin et al. 2020: for each anchor, the top-k "
+    "most-similar vectors with a DIFFERENT label — the maximally "
+    "confusing negatives worth training on): "
+    "similarity.hard_negatives, anchors vec_id<8, k=5.  Same "
+    "broadcast-anchors × streamed-scan shape as the brute-force "
+    "baseline with the label-mismatch predicate riding the broadcast "
+    "join condition (same-label pairs die before scoring); per-anchor "
+    "deterministic window rank.  At 100 TB the anchor batch is the "
+    "broadcast bound (gate at ~10k anchors, then switch to the "
+    "PQ/IVF shortlist paths which compose unchanged).",
+    tags=("ext", "similarity", "X3", "contrastive"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    return similarity.hard_negatives(emb, qs, k=5)
+
+
+@register(
     "ann_topk_signbucket",
     oracle=f"""
     WITH b AS (

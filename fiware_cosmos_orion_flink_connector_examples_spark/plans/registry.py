@@ -117,6 +117,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "text_gopher_repetition",
     "text_c4_rules",
     "line_dedup_removed",
+    "ann_hard_negatives",
 )
 
 
