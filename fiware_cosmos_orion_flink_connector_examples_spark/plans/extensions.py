@@ -259,6 +259,72 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_dedup_recall_bounded",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_D_NORM.format(v='embedding::DOUBLE[]')} AS nv
+      FROM embeddings WHERE vec_id < 200 AND embedding IS NOT NULL
+    ),
+    p AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {_D_COS_N.format(a='a.nv', b='b.nv')} >= 0.4
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_brute,
+           TRUE AS recall_ge_bound
+    FROM p
+    """,
+    doc="Driver-visible recall envelope for the IVF-blocked dedup path "
+    "(dedup_embedding_ivf's rows-only gap — the last one; the "
+    "approx_sketches_bounded / audio_banding_exact_bounded lineage): "
+    "over the bounded vec_id<200 slice, brute-force cosine dup pairs "
+    "(one-block embedding_dup_pairs — same Arrow kernels, same "
+    "rounding) are the truth set, the IVF(nprobe=3) blocked pairs are "
+    "the candidate set, and recall >= 0.5 is emitted as a boolean the "
+    "oracle asserts TRUE while n_brute is re-derived exactly in SQL.  "
+    "IVF pairs are a SUBSET of brute (same threshold, same scorer), "
+    "so the boolean tests exactly the blocking's miss rate; k-means "
+    "training is deterministic (refit equality pytest-pinned), making "
+    "recall a fixed number per corpus — measured 0.875 at sf0.001, "
+    "1.0 at sf0.01, bound deliberately below both.  A quantizer or "
+    "multi-probe regression now hash-fails the driver row instead of "
+    "hiding in pytest.  Cost is O(slice²)=20k comparisons, "
+    "sf-independent.",
+    tags=("ext", "dedup", "X2", "ivf", "envelope"),
+)
+def ivf_dedup_recall_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sl = emb.filter(F.col("vec_id") < 200)
+    cents = _shared_ivf_quantizer(spark, sf_dir, emb)
+    ivf = (
+        dedup.embedding_dup_pairs_ivf(sl, cents, threshold=0.4, nprobe=3)
+        .select("d1", "d2")
+        .persist()
+    )
+    brute = (
+        dedup.embedding_dup_pairs(
+            sl.withColumn("_all", F.lit(0)), block_col="_all", threshold=0.4
+        )
+        .select("d1", "d2")
+        .persist()
+    )
+    hit = ivf.join(brute, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("_hit"))
+    tot = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    res = tot.crossJoin(F.broadcast(hit)).select(
+        "n_brute",
+        (
+            F.col("_hit").cast("double")
+            >= F.lit(0.5) * F.col("n_brute").cast("double")
+        ).alias("recall_ge_bound"),
+    )
+    return eagerly(res, ivf, brute)
+
+
+@register(
     "dedup_incremental_batch",
     oracle=f"""
     WITH {_D_SHINGLES},
@@ -2843,9 +2909,12 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    # layer 1: base arrays (kept as a separate Project — toks is
-    # referenced by five gram builders; CollapseProject keeps
-    # multi-referenced non-cheap aliases un-inlined)
+    # Higher-order lambdas never enter whole-stage codegen (the Project
+    # is interpreted), so every structurally-duplicated subtree is
+    # re-EVALUATED per row.  The layering below materializes each
+    # expensive array exactly once per row — CollapseProject keeps
+    # multi-referenced non-cheap aliases un-inlined — which halved the
+    # 2M-doc smoke time vs the naive inline form.
     a1 = docs.select(
         "doc_id",
         F.greatest(F.length("text"), F.lit(1)).alias("tc"),
@@ -2857,6 +2926,11 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams_sorted(k: int):
+        """Sorted string array of the doc's word k-grams.  An int64
+        (xxhash64(slice), len)-struct variant was measured at 189 s vs
+        94 s for this form at 2M docs: in the interpreted HOF regime,
+        per-gram struct allocation + two extra lambda folds cost more
+        than the single array_join build + string sort."""
         toks = F.col("toks")
         n = F.size(toks)
         return F.when(
@@ -2869,70 +2943,93 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    # layer 2: sorted gram arrays (again multi-referenced downstream)
-    a2 = a1.select(
-        "doc_id",
-        "tc",
-        "lines",
-        "paras",
-        *[grams_sorted(k).alias(f"g{k}") for k in (2, 3, 4, 5, 10)],
-    )
-
-    def rl(col_name: str):
-        """(top_cover_chars, dup_chars) of a SORTED string array via
-        row-local run-length encoding.  F.get is 0-based and NULL on
-        out-of-range, so the i=1 'previous element' probe is safe
-        under ANSI."""
-        s = F.col(col_name)
-        n = F.size(s)
-        starts = F.filter(
-            F.sequence(F.lit(1), n),
-            lambda i: F.get(s, i - 2).isNull()
-            | (F.get(s, i - 1) != F.get(s, i - 2)),
-        )
-        nxt = F.concat(
-            F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1)
-        )
-        covers = F.zip_with(
-            starts, nxt, lambda a, b: (b - a) * F.length(F.get(s, a - 1))
-        )
-        top = F.when(n == 0, F.lit(0)).otherwise(
-            F.coalesce(F.array_max(covers), F.lit(0))
-        )
-        dup = F.when(n == 0, F.lit(0)).otherwise(
-            F.aggregate(
-                F.zip_with(
-                    starts,
-                    nxt,
-                    lambda a, b: F.when(
-                        b - a >= 2, (b - a) * F.length(F.get(s, a - 1))
-                    ).otherwise(F.lit(0)),
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            )
-        )
-        return top, dup
-
     def chars_of(arr):
         return F.coalesce(
             F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x)),
             F.lit(0),
         )
 
+    # layer 2: sorted gram arrays + the line/para metrics as INTS
+    # (lines/paras die here — their O(lines) folds run once)
     lines, paras = F.col("lines"), F.col("paras")
-    nl, np_ = F.size(lines), F.size(paras)
-    dl = F.size(F.array_distinct(lines))
-    dp = F.size(F.array_distinct(paras))
-    lc, dlc = chars_of(lines), chars_of(F.array_distinct(lines))
-    pc, dpc = chars_of(paras), chars_of(F.array_distinct(paras))
-    tcd = F.col("tc").cast("double")
+    a2 = a1.select(
+        "doc_id",
+        "tc",
+        F.size(lines).alias("nl"),
+        F.size(F.array_distinct(lines)).alias("dl"),
+        chars_of(lines).alias("lc"),
+        chars_of(F.array_distinct(lines)).alias("dlc"),
+        F.size(paras).alias("np"),
+        F.size(F.array_distinct(paras)).alias("dp"),
+        chars_of(paras).alias("pc"),
+        chars_of(F.array_distinct(paras)).alias("dpc"),
+        *[grams_sorted(k).alias(f"g{k}") for k in (2, 3, 4, 5, 10)],
+    )
 
-    top2, _ = rl("g2")
-    top3, _ = rl("g3")
-    top4, _ = rl("g4")
-    _, dup5 = rl("g5")
-    _, dup10 = rl("g10")
+    # layer 3: run-START positions of each sorted gram array (the
+    # O(n)-with-two-gets filter — the priciest interpreted pass, so it
+    # must evaluate once, never inline into its three consumers).
+    # F.get is 0-based and NULL on out-of-range, so the i=1 'previous
+    # element' probe is ANSI-safe; the size>0 guard keeps
+    # sequence(1, 0)'s DESCENDING surprise out entirely.
+    def starts_of(col_name: str):
+        s = F.col(col_name)
+        return F.when(
+            F.size(s) > 0,
+            F.filter(
+                F.sequence(F.lit(1), F.size(s)),
+                lambda i: F.get(s, i - 2).isNull()
+                | (F.get(s, i - 1) != F.get(s, i - 2)),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    carry = ["doc_id", "tc", "nl", "dl", "lc", "dlc", "np", "dp", "pc", "dpc"]
+    a3 = a2.select(
+        *carry,
+        *[F.col(f"g{k}") for k in (2, 3, 4, 5, 10)],
+        *[starts_of(f"g{k}").alias(f"st{k}") for k in (2, 3, 4, 5, 10)],
+    )
+
+    # layer 4: per-run (count, gram_chars) structs — st/g consumed once
+    def runs_of(k: int):
+        s, st = F.col(f"g{k}"), F.col(f"st{k}")
+        nxt = F.when(
+            F.size(st) > 0,
+            F.concat(
+                F.slice(st, 2, F.size(st) - 1), F.array(F.size(s) + 1)
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.zip_with(
+            st,
+            nxt,
+            lambda a, b: F.struct(
+                (b - a).alias("c"), F.length(F.get(s, a - 1)).alias("len")
+            ),
+        )
+
+    a4 = a3.select(
+        *carry, *[runs_of(k).alias(f"r{k}") for k in (2, 3, 4, 5, 10)]
+    )
+
+    # layer 5: scalars.  top-coverage = max over runs of c*len (single
+    # reference each — collapsing into this Project duplicates nothing)
+    def top_of(k: int):
+        r = F.col(f"r{k}")
+        return F.coalesce(
+            F.array_max(
+                F.transform(r, lambda x: x["c"] * x["len"])
+            ),
+            F.lit(0),
+        )
+
+    def dup_of(k: int):
+        r = F.col(f"r{k}")
+        return F.aggregate(
+            r,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(x["c"] >= 2, x["c"] * x["len"]).otherwise(F.lit(0)),
+        )
 
     def frac(num, den):
         return F.round(
@@ -2942,22 +3039,24 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    dup_line_frac = frac(nl - dl, nl)
-    dup_para_frac = frac(np_ - dp, np_)
-    dup_line_char_frac = frac(lc - dlc, lc)
-    dup_para_char_frac = frac(pc - dpc, pc)
-    a3 = a2.select(
+    nl, dl = F.col("nl"), F.col("dl")
+    lc, dlc = F.col("lc"), F.col("dlc")
+    np_, dp = F.col("np"), F.col("dp")
+    pc, dpc = F.col("pc"), F.col("dpc")
+    tcd = F.col("tc").cast("double")
+    a5 = a4.select(
         "doc_id",
-        dup_line_frac.alias("dup_line_frac"),
-        dup_para_frac.alias("dup_para_frac"),
-        dup_line_char_frac.alias("dup_line_char_frac"),
-        dup_para_char_frac.alias("dup_para_char_frac"),
-        F.round(top2 / tcd, 6).alias("top2gram_char_frac"),
-        F.round(top3 / tcd, 6).alias("top3gram_char_frac"),
-        F.round(top4 / tcd, 6).alias("top4gram_char_frac"),
-        F.round(dup5 / tcd, 6).alias("dup5gram_char_frac"),
-        F.round(dup10 / tcd, 6).alias("dup10gram_char_frac"),
+        frac(nl - dl, nl).alias("dup_line_frac"),
+        frac(np_ - dp, np_).alias("dup_para_frac"),
+        frac(lc - dlc, lc).alias("dup_line_char_frac"),
+        frac(pc - dpc, pc).alias("dup_para_char_frac"),
+        F.round(top_of(2) / tcd, 6).alias("top2gram_char_frac"),
+        F.round(top_of(3) / tcd, 6).alias("top3gram_char_frac"),
+        F.round(top_of(4) / tcd, 6).alias("top4gram_char_frac"),
+        F.round(dup_of(5) / tcd, 6).alias("dup5gram_char_frac"),
+        F.round(dup_of(10) / tcd, 6).alias("dup10gram_char_frac"),
     )
+    a3 = a5
     passes = {
         "pass_dup_lines": F.col("dup_line_frac") <= 0.30,
         "pass_dup_paras": F.col("dup_para_frac") <= 0.30,

@@ -118,6 +118,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "text_c4_rules",
     "line_dedup_removed",
     "ann_hard_negatives",
+    "ivf_dedup_recall_bounded",
 )
 
 
