@@ -96,6 +96,127 @@ def quality_rules(col: Column | str = "text") -> dict[str, Column]:
     }
 
 
+def gopher_rule_columns(col: Column | str = "text") -> dict[str, Column]:
+    """The Gopher quality rule card (Rae et al. 2021, Appendix A5) as
+    name → Column: per-doc pass booleans for word count in [50, 100k],
+    mean word length in [3, 10], symbol-to-word ratio < 0.1,
+    bullet-started lines < 90%, ellipsis-ended lines < 30%, >= 80%
+    words containing an alphabetic char, >= 2 distinct required
+    stopwords — plus ``n_words`` and the conjunctive ``gopher_pass``.
+    Pure per-row JVM column expressions, zero shuffle: the one
+    projection serves the batch query (``text_gopher_rules``) and the
+    stateless streaming gate unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(r"\S+"), 0)
+    lines = F.split(c, "\n")
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mwl = F.length(F.regexp_replace(c, r"\s", "")).cast("double") / nw
+    sym_ratio = (
+        F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0)).cast("double")
+        / nw
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double")
+        / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / nw
+    )
+    n_stop_kinds = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(c),
+                F.lit(r"\b(the|be|to|of|and|that|have|with)\b"),
+                0,
+            )
+        )
+    )
+    p_wc = (n_words >= 50) & (n_words <= 100_000)
+    p_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    p_sym = sym_ratio < 0.1
+    p_bul = bullet_ratio < 0.9
+    p_ell = ellipsis_ratio < 0.3
+    p_alpha = alpha_ratio > 0.8
+    p_stop = n_stop_kinds >= 2
+    return {
+        "n_words": n_words.cast("long"),
+        "pass_word_count": p_wc,
+        "pass_mean_word_len": p_mwl,
+        "pass_symbol_ratio": p_sym,
+        "pass_bullets": p_bul,
+        "pass_ellipsis": p_ell,
+        "pass_alpha_words": p_alpha,
+        "pass_stopwords": p_stop,
+        "gopher_pass": p_wc
+        & p_mwl
+        & p_sym
+        & p_bul
+        & p_ell
+        & p_alpha
+        & p_stop,
+    }
+
+
+def c4_rule_columns(col: Column | str = "text") -> dict[str, Column]:
+    """The C4 cleaning rule card (Raffel et al. 2020 §2.2) as name →
+    Column: a line survives iff it ends in terminal punctuation
+    ([.!?\"] after rtrim), has >= 5 words, and does not mention
+    'javascript'; the page verdict ``c4_keep`` requires >= 3
+    sentence-final marks among kept lines, no 'lorem ipsum', no curly
+    brace.  Row-local higher-order-function work over the line split —
+    one projection, shared verbatim by the batch query
+    (``text_c4_rules``) and the stateless streaming gate."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike('[.!?"]$')
+        & (F.size(F.regexp_extract_all(l, F.lit(r"\S+"), 0)) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    line_chars = F.coalesce(
+        F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l)),
+        F.lit(0),
+    )
+    n_sent = F.coalesce(
+        F.aggregate(
+            kept,
+            F.lit(0),
+            lambda acc, l: acc
+            + F.size(F.regexp_extract_all(l, F.lit("[.!?]"), 0)),
+        ),
+        F.lit(0),
+    )
+    kept_chars = F.coalesce(
+        F.aggregate(kept, F.lit(0), lambda acc, l: acc + F.length(l)),
+        F.lit(0),
+    )
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_lines_kept": F.size(kept).cast("long"),
+        "n_sentences": n_sent.cast("long"),
+        "kept_char_frac": F.round(
+            F.when(
+                line_chars > 0,
+                kept_chars.cast("double") / line_chars.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+        "has_lorem_ipsum": has_lorem,
+        "has_curly_brace": has_brace,
+        "c4_keep": (n_sent >= 3) & ~has_lorem & ~has_brace,
+    }
+
+
 # Marker words per language for the n-gram/keyword language-ID
 # heuristic.  The corpus is synthetic word salad, so markers are drawn
 # from its own vocabulary — the POINT is the deterministic scoring

@@ -2736,63 +2736,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    toks = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
-    lines = F.split("text", "\n")
-    n_words = F.size(toks)
-    nw = F.greatest(n_words, F.lit(1)).cast("double")
-    mwl = (
-        F.length(F.regexp_replace("text", r"\s", "")).cast("double") / nw
-    )
-    sym_ratio = (
-        F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), 0)).cast(
-            "double"
-        )
-        / nw
-    )
-    n_lines = F.size(lines).cast("double")
-    bullet_ratio = (
-        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))).cast(
-            "double"
-        )
-        / n_lines
-    )
-    ellipsis_ratio = (
-        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double")
-        / n_lines
-    )
-    alpha_ratio = (
-        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
-        / nw
-    )
-    n_stop_kinds = F.size(
-        F.array_distinct(
-            F.regexp_extract_all(
-                F.lower("text"),
-                F.lit(r"\b(the|be|to|of|and|that|have|with)\b"),
-                0,
-            )
-        )
-    )
-    p_wc = (n_words >= 50) & (n_words <= 100_000)
-    p_mwl = (mwl >= 3.0) & (mwl <= 10.0)
-    p_sym = sym_ratio < 0.1
-    p_bul = bullet_ratio < 0.9
-    p_ell = ellipsis_ratio < 0.3
-    p_alpha = alpha_ratio > 0.8
-    p_stop = n_stop_kinds >= 2
+    cols = text.gopher_rule_columns("text")
     return docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        p_wc.alias("pass_word_count"),
-        p_mwl.alias("pass_mean_word_len"),
-        p_sym.alias("pass_symbol_ratio"),
-        p_bul.alias("pass_bullets"),
-        p_ell.alias("pass_ellipsis"),
-        p_alpha.alias("pass_alpha_words"),
-        p_stop.alias("pass_stopwords"),
-        (p_wc & p_mwl & p_sym & p_bul & p_ell & p_alpha & p_stop).alias(
-            "gopher_pass"
-        ),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -3134,69 +3080,9 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    a1 = docs.select(
-        "doc_id",
-        "text",
-        F.split("text", "\n").alias("lines"),
-    )
-    kept = F.filter(
-        F.col("lines"),
-        lambda l: F.rtrim(l).rlike('[.!?"]$')
-        & (F.size(F.regexp_extract_all(l, F.lit(r"\S+"), 0)) >= 5)
-        & ~F.lower(l).contains("javascript"),
-    )
-    a2 = a1.select(
-        "doc_id",
-        "text",
-        F.size("lines").alias("n_lines"),
-        kept.alias("kept"),
-        F.coalesce(
-            F.aggregate(
-                F.col("lines"), F.lit(0), lambda acc, l: acc + F.length(l)
-            ),
-            F.lit(0),
-        ).alias("line_chars"),
-    )
-    n_sent = F.coalesce(
-        F.aggregate(
-            F.col("kept"),
-            F.lit(0),
-            lambda acc, l: acc
-            + F.size(F.regexp_extract_all(l, F.lit("[.!?]"), 0)),
-        ),
-        F.lit(0),
-    )
-    kept_chars = F.coalesce(
-        F.aggregate(
-            F.col("kept"), F.lit(0), lambda acc, l: acc + F.length(l)
-        ),
-        F.lit(0),
-    )
-    has_lorem = F.lower("text").contains("lorem ipsum")
-    has_brace = F.col("text").contains("{")
-    a3 = a2.select(
-        "doc_id",
-        F.col("n_lines").cast("long").alias("n_lines"),
-        F.size("kept").cast("long").alias("n_lines_kept"),
-        n_sent.cast("long").alias("n_sentences"),
-        F.round(
-            F.when(
-                F.col("line_chars") > 0,
-                kept_chars.cast("double")
-                / F.col("line_chars").cast("double"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("kept_char_frac"),
-        has_lorem.alias("has_lorem_ipsum"),
-        has_brace.alias("has_curly_brace"),
-    )
-    return a3.select(
-        "*",
-        (
-            (F.col("n_sentences") >= 3)
-            & ~F.col("has_lorem_ipsum")
-            & ~F.col("has_curly_brace")
-        ).alias("c4_keep"),
+    cols = text.c4_rule_columns("text")
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 

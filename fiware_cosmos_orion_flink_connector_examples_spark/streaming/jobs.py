@@ -1126,3 +1126,40 @@ def streaming_curation_gate(
     return scored.filter(F.col("pass_gate")).select(
         "source", "doc_id", "lang", "nb_score"
     )
+
+
+def streaming_rule_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Online rule-based quality filtering — the streaming twin of the
+    batch Gopher + C4 rule cards (``text_gopher_rules`` /
+    ``text_c4_rules``): every arriving doc gets the full per-doc rule
+    card in ONE stateless projection (the SAME
+    ``text.gopher_rule_columns`` / ``text.c4_rule_columns`` column
+    builders the batch queries select, so replay ≡ batch is equality
+    by construction, pytest-pinned).  No join, no aggregation, no
+    watermark, no state — append-mode-legal behind any sink, and the
+    cheapest possible ingest front-end: rule filtering happens at
+    wire speed BEFORE anything stateful (dedup, model scoring) sees
+    the doc.
+
+    Emits the union of both cards' columns plus ``rules_pass`` =
+    gopher_pass AND c4_keep — the caller routes rejects (the
+    multimodal decode-rejects pattern) or filters."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+        c4_rule_columns,
+        gopher_rule_columns,
+    )
+
+    g = gopher_rule_columns(text_col)
+    c = c4_rule_columns(text_col)
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        *(extra_cols or []),
+        *[col.alias(n) for n, col in g.items()],
+        *[col.alias(n) for n, col in c.items()],
+        (g["gopher_pass"] & c["c4_keep"]).alias("rules_pass"),
+    )

@@ -2060,3 +2060,61 @@ def test_streaming_curation_gate_matches_batch_capstone(spark, tmp_path):
         for r in spark.sql("select * from t_curation_gate").collect()
     }
     assert got == want
+
+
+def test_streaming_rule_gate_matches_batch_cards(spark, tmp_path):
+    """Stream/batch unification for the rule cards: streaming_rule_gate
+    selects the SAME gopher_rule_columns / c4_rule_columns the batch
+    queries select, so an availableNow replay must emit the exact
+    union of text_gopher_rules x text_c4_rules rows, and rules_pass
+    must equal gopher_pass AND c4_keep row-for-row."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    g = {r.doc_id: r for r in QUERIES["text_gopher_rules"].fn(spark, sf).collect()}
+    c = {r.doc_id: r for r in QUERIES["text_c4_rules"].fn(spark, sf).collect()}
+    assert set(g) == set(c)
+    expected = {
+        (
+            did,
+            g[did].n_words,
+            g[did].gopher_pass,
+            c[did].n_lines_kept,
+            c[did].kept_char_frac,
+            c[did].c4_keep,
+            g[did].gopher_pass and c[did].c4_keep,
+        )
+        for did in g
+    }
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    spool = tmp_path / "rgate_spool"
+    spool.mkdir()
+    with open(spool / "docs.jsonl", "w") as f:
+        for r in docs.collect():
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(spool))
+    gated = jobs.streaming_rule_gate(stream)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("t_stream_rgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (
+            r.doc_id,
+            r.n_words,
+            r.gopher_pass,
+            r.n_lines_kept,
+            r.kept_char_frac,
+            r.c4_keep,
+            r.rules_pass,
+        )
+        for r in spark.sql("SELECT * FROM t_stream_rgate").collect()
+    }
+    assert got == expected
