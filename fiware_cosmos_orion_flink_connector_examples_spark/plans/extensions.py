@@ -3139,6 +3139,110 @@ def line_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curate_rules",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, lang, source, text FROM documents
+               WHERE text IS NOT NULL),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+    l AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'norm': trim(ls[i])}
+                         for i in range(1, len(ls) + 1)],
+                        recursive := true)
+          FROM ls),
+    ne AS (SELECT doc_id, pos, norm FROM l WHERE norm <> ''),
+    k AS (SELECT doc_id, pos, norm,
+                 row_number() OVER (PARTITION BY norm
+                                    ORDER BY doc_id, pos) AS rn
+          FROM ne),
+    cl AS (SELECT doc_id, string_agg(norm, chr(10) ORDER BY pos) AS ct
+           FROM k WHERE rn = 1 GROUP BY 1),
+    d AS (SELECT t.doc_id, t.lang, t.source, coalesce(cl.ct, '') AS ct
+          FROM t LEFT JOIN cl USING (doc_id)),
+    m AS (SELECT doc_id, lang, source, ct,
+                 regexp_extract_all(ct, '\S+') AS toks,
+                 string_split(ct, chr(10)) AS clines
+          FROM d),
+    g AS (SELECT doc_id, lang, source, ct,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 (len(toks) BETWEEN 50 AND 100000)
+                 AND (length(regexp_replace(ct, '\s', '', 'g'))
+                      / CAST(greatest(len(toks), 1) AS DOUBLE)
+                      BETWEEN 3.0 AND 10.0)
+                 AND (len(regexp_extract_all(ct, '#|\.\.\.'))
+                      / CAST(greatest(len(toks), 1) AS DOUBLE) < 0.1)
+                 AND (len(list_filter(clines, x -> regexp_matches(x, '^[-*•]')))
+                      / CAST(len(clines) AS DOUBLE) < 0.9)
+                 AND (len(list_filter(clines, x -> regexp_matches(x, '\.\.\.$')))
+                      / CAST(len(clines) AS DOUBLE) < 0.3)
+                 AND (len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                      / CAST(greatest(len(toks), 1) AS DOUBLE) > 0.8)
+                 AND (len(list_distinct(regexp_extract_all(lower(ct),
+                      '\b(the|be|to|of|and|that|have|with)\b'))) >= 2)
+                   AS gopher_pass,
+                 (coalesce(list_aggregate(list_transform(
+                     list_filter(clines, x ->
+                       regexp_matches(rtrim(x), '[.!?"]$')
+                       AND len(regexp_extract_all(x, '\S+')) >= 5
+                       AND NOT contains(lower(x), 'javascript')),
+                     x -> len(regexp_extract_all(x, '[.!?]'))), 'sum'), 0)
+                   >= 3)
+                 AND NOT contains(lower(ct), 'lorem ipsum')
+                 AND NOT contains(ct, '{') AS c4_keep
+          FROM m)
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN ct <> '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonempty,
+           CAST(sum(CASE WHEN gopher_pass AND c4_keep THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN gopher_pass AND c4_keep THEN n_words ELSE 0 END)
+             AS BIGINT) AS words_kept
+    FROM g GROUP BY 1, 2
+    """,
+    doc="Rule-based curation capstone — the CCNet/Gopher FRONT-END in "
+    "composition order (dedup lines FIRST, then rule-filter the "
+    "cleaned text, exactly as Wenzek et al. run it): corpus-wide "
+    "duplicate-line removal (dedup.remove_duplicate_lines), then the "
+    "Gopher + C4 rule cards evaluated ON THE CLEANED TEXT "
+    "(text.gopher_rule_columns / c4_rule_columns — the same builders "
+    "the standalone queries and the streaming gate use), aggregated "
+    "to per-(lang, source) counts: docs in, docs surviving dedup "
+    "non-empty, docs passing both cards, and words kept — the "
+    "mixture-planning table a data engineer actually reads.  The "
+    "DuckDB oracle re-derives the ENTIRE chain (line dedup, cleaned "
+    "re-assembly, every rule boolean) independently.  Scale shape: "
+    "the line-dedup shuffles (partial-agg min + AQE-splittable join), "
+    "one doc-keyed join to re-attach (lang, source), the cards as "
+    "map-only column work, ONE final (lang, source) agg — nothing "
+    "new beyond the already-smoked components.",
+    tags=("ext", "pipeline", "capstone", "quality", "dedup"),
+)
+def corpus_curate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    clean = dedup.remove_duplicate_lines(docs, "doc_id", "text")
+    enriched = clean.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    g = text.gopher_rule_columns(F.col("text_clean"))
+    c = text.c4_rule_columns(F.col("text_clean"))
+    flags = enriched.select(
+        "lang",
+        "source",
+        (F.col("text_clean") != "").alias("_nonempty"),
+        g["n_words"].alias("_n_words"),
+        (g["gopher_pass"] & c["c4_keep"]).alias("_ok"),
+    )
+    return flags.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_nonempty").cast("long")).alias("n_nonempty"),
+        F.sum(F.col("_ok").cast("long")).alias("n_pass"),
+        F.sum(F.when(F.col("_ok"), F.col("_n_words")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("words_kept"),
+    )
+
+
+@register(
     "text_repetition_topk",
     oracle=r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

@@ -119,6 +119,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "line_dedup_removed",
     "ann_hard_negatives",
     "ivf_dedup_recall_bounded",
+    "corpus_curate_rules",
 )
 
 
