@@ -107,3 +107,72 @@ def compact_table(
         raise IOError(f"compact_table: rename {tmp} -> {path} failed")
     fs.delete(old_p, True)
     return len(spark.read.format(fmt).load(path).inputFiles())
+
+
+def zorder_key(cols: list, bits: int = 8):
+    """Morton (Z-order) interleave of pre-scaled integer columns: bit b
+    of column i lands at position ``b * len(cols) + i`` of the key, so
+    nearby (x, y, ...) points share key prefixes and range-clustered
+    files stay box-local in EVERY dimension at once — the property
+    linear sort gives only its leading column.  Pure
+    shiftleft/shiftright/AND/OR column arithmetic (no lambdas), so the
+    whole key stays inside whole-stage codegen.  ``cols`` must already
+    be ints in [0, 2**bits); ``bits * len(cols)`` must fit a long."""
+    if bits * len(cols) > 63:
+        raise ValueError("zorder_key: bits * len(cols) must be <= 63")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """OPTIMIZE ZORDER-style write (the Delta Lake data-skipping
+    discipline, re-expressed on plain parquet): scale each
+    ``zorder_cols`` column to [0, 2**bits) by its global min/max (ONE
+    1-row agg — the only driver round-trip), Morton-interleave into a
+    single key, then ``repartitionByRange(n_files, key)`` +
+    ``sortWithinPartitions(key)`` so every file covers one compact
+    Z-curve segment.  Per-file min/max statistics then prune box
+    queries on ANY subset of the z-ordered dimensions — a linear sort
+    prunes only its leading column (a y-only predicate reads EVERY
+    x-sorted file; the regression test pins z-order strictly better
+    on exactly that query).  At 100 TB this is a maintenance-pass
+    rewrite, one full shuffle by design — the payoff is every later
+    scan."""
+    exprs = []
+    for i, c in enumerate(zorder_cols):
+        exprs += [
+            F.min(F.col(c)).alias(f"_mn{i}"),
+            F.max(F.col(c)).alias(f"_mx{i}"),
+        ]
+    row = df.agg(*exprs).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(zorder_cols):
+        mn, mx = row[f"_mn{i}"], row[f"_mx{i}"]
+        span = float(mx - mn) if mx is not None and mx > mn else 1.0
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                (
+                    (F.col(c).cast("double") - float(mn)) / span * (top + 1)
+                ).cast("long"),
+            )
+        )
+    out = (
+        df.withColumn("_z", zorder_key(scaled, bits))
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.format(fmt).mode("overwrite").save(path)

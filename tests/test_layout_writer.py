@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
     write_clustered,
+    write_zordered,
 )
 from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import load_table
 
@@ -125,3 +126,47 @@ def test_compact_table_restores_sort_selectivity(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans
+
+
+def _files_overlapping_ybox(spark, path, y_lo, y_hi):
+    """Count output files whose per-file [min(y), max(y)] intersects
+    the box — exactly the pruning decision a min/max-stats reader
+    makes."""
+    n = 0
+    for f in spark.read.parquet(path).inputFiles():
+        r = spark.read.parquet(f).agg(
+            F.min("y").alias("lo"), F.max("y").alias("hi")
+        ).first()
+        if r.lo <= y_hi and r.hi >= y_lo:
+            n += 1
+    return n
+
+
+def test_zorder_prunes_nonleading_dimension(spark, tmp_path):
+    """The z-order claim, pinned: on a 256x256 grid written as 16
+    files, a y-only box predicate must prune files under the z-order
+    layout and CANNOT prune under the linear x-sort layout (every
+    x-stripe file spans all of y).  Also checks the rewrite is
+    lossless."""
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(grid, zpath, ["x", "y"], n_files=16, bits=8)
+    (
+        grid.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    assert spark.read.parquet(zpath).count() == 256 * 256
+
+    z_hit = _files_overlapping_ybox(spark, zpath, 100, 115)
+    l_hit = _files_overlapping_ybox(spark, lpath, 100, 115)
+    # linear x-sort: every file spans y fully -> zero pruning
+    assert l_hit == len(spark.read.parquet(lpath).inputFiles())
+    # z-order: a 16/256 y-slice touches a bounded fraction of the curve
+    assert z_hit < l_hit
+    assert z_hit <= 8, f"z-order should prune at least half: {z_hit}"
