@@ -316,3 +316,148 @@ def test_dsir_target_domain_ranks_highest(spark):
     assert all(means["en"] > m for k, m in means.items() if k != "en"), means
     top20 = sorted(rows, key=lambda r: (-r.dsir_logw, r.doc_id))[:20]
     assert sum(1 for r in top20 if r.lang == "en") >= 15
+
+
+def _write_docs(spark, tmp_path, texts, name="docs_fixture"):
+    import os
+
+    d = str(tmp_path / name)
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_gopher_repetition_flags_repeated_content(spark, tmp_path):
+    """Directional pins for the repetition card: a two-token loop doc
+    fails the top-2-gram and dup-5-gram screens, a repeated line
+    yields the exact (nl-dl)/nl duplicate-line fraction, and a
+    60-distinct-word doc passes everything."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    loop = "ab cd " * 30  # "ab cd" x30 / "cd ab" x29
+    lines = "\n".join(["same line here", "same line here", "same line here",
+                       "another line", "third line"])
+    diverse = " ".join(f"w{i}" for i in range(60))
+    sf = _write_docs(spark, tmp_path, [loop, lines, diverse])
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_gopher_repetition"].fn(spark, sf).collect()
+    }
+    assert not rows[0].pass_top2gram and not rows[0].pass_dup5gram
+    assert rows[1].dup_line_frac == 0.4  # (5-3)/5
+    assert not rows[1].pass_dup_lines
+    r2 = rows[2]
+    assert r2.repetition_pass and r2.dup5gram_char_frac == 0.0
+
+
+def test_c4_line_filter_counts(spark, tmp_path):
+    """The C4 card's line verdicts, pinned per line: terminal-punct
+    5-word lines survive, short / unterminated / javascript lines
+    die, and 'lorem ipsum' or '{' kill the page."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    good = "\n".join(
+        [
+            "this sentence has five good words.",   # kept (1 sentence)
+            "short line.",                          # < 5 words -> dies
+            "the javascript menu needs enabling please.",  # dies
+            "no terminal punctuation on this line",        # dies
+            "another proper sentence arrives here today!", # kept
+            "and one more full sentence lands here?",      # kept
+        ]
+    )
+    lorem = "a fine page. but lorem ipsum appears. so it dies here. ok."
+    sf = _write_docs(spark, tmp_path, [good, lorem])
+    rows = {
+        r.doc_id: r for r in QUERIES["text_c4_rules"].fn(spark, sf).collect()
+    }
+    g = rows[0]
+    assert g.n_lines == 6 and g.n_lines_kept == 3
+    assert g.n_sentences == 3 and g.c4_keep
+    l = rows[1]
+    assert l.has_lorem_ipsum and not l.c4_keep
+
+
+def test_line_dedup_first_occurrence_wins_and_idempotent(spark):
+    """Corpus-wide line dedup keeps exactly the first (doc_id, pos)
+    occurrence — intra-doc repeats included — and is idempotent: a
+    second pass over the cleaned output changes nothing."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "banner line\nunique alpha\nbanner line"),
+            (1, "banner line\nunique beta"),
+            (2, "unique gamma\nbanner line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_lines(docs, "doc_id").collect()
+    }
+    assert out[0].text_clean == "banner line\nunique alpha"  # intra-doc repeat cut
+    assert out[1].text_clean == "unique beta"
+    assert out[2].text_clean == "unique gamma"
+    assert (out[0].n_removed, out[1].n_removed, out[2].n_removed) == (1, 1, 1)
+
+    cleaned = spark.createDataFrame(
+        [(k, v.text_clean) for k, v in out.items()],
+        "doc_id long, text string",
+    )
+    again = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_lines(cleaned, "doc_id").collect()
+    }
+    assert all(r.n_removed == 0 for r in again.values())
+    assert {k: r.text_clean for k, r in again.items()} == {
+        k: r.text_clean for k, r in out.items()
+    }
+
+
+def test_hard_negatives_matches_numpy_reference(spark):
+    """similarity.hard_negatives == a numpy brute force over the same
+    vectors: per anchor, top-k cross-label by (rounded cosine desc,
+    id asc), never a same-label row."""
+    import numpy as np
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        similarity,
+    )
+
+    rng = np.random.RandomState(9)
+    n, d, k = 40, 8, 3
+    M = rng.randn(n, d).astype("float64")
+    labels = [i % 4 for i in range(n)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]], labels[i]) for i in range(n)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    got = [
+        (r.q_id, r.rank, r.n_id, r.n_label, r.cos)
+        for r in similarity.hard_negatives(emb, qs, k=k)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    expected = []
+    for q in range(5):
+        cand = [
+            (round(float(Mn[q] @ Mn[j]), 6), j)
+            for j in range(n)
+            if labels[j] != labels[q]
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, j) in enumerate(cand[:k], 1):
+            expected.append((q, rank, j, labels[j], cos))
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[:4] == e[:4] and abs(g[4] - e[4]) < 1e-9, (g, e)
+    assert all(labels[g[2]] != labels[g[0]] for g in got)
