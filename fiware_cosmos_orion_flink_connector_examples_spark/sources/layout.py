@@ -159,8 +159,11 @@ def write_zordered(
     top = (1 << bits) - 1
     scaled = []
     for i, c in enumerate(zorder_cols):
-        mn, mx = row[f"_mn{i}"], row[f"_mx{i}"]
-        span = float(mx - mn) if mx is not None and mx > mn else 1.0
+        # empty input: min/max are NULL — write the (empty) frame with
+        # a degenerate constant key instead of crashing
+        mn = row[f"_mn{i}"] if row[f"_mn{i}"] is not None else 0
+        mx = row[f"_mx{i}"] if row[f"_mx{i}"] is not None else 0
+        span = float(mx - mn) if mx > mn else 1.0
         scaled.append(
             F.least(
                 F.lit(top).cast("long"),

@@ -170,3 +170,14 @@ def test_zorder_prunes_nonleading_dimension(spark, tmp_path):
     # z-order: a 16/256 y-slice touches a bounded fraction of the curve
     assert z_hit < l_hit
     assert z_hit <= 8, f"z-order should prune at least half: {z_hit}"
+
+
+def test_zorder_empty_input_writes_empty_table(spark, tmp_path):
+    """Empty input (NULL min/max) degrades to a constant key and an
+    empty table, not a crash."""
+    out = str(tmp_path / "zorder_empty")
+    empty = spark.range(0).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    write_zordered(empty, out, ["x", "y"], n_files=4)
+    assert spark.read.parquet(out).count() == 0
