@@ -1758,3 +1758,86 @@ def remove_duplicate_lines(
         .alias("n_removed"),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
+
+
+def remove_duplicate_lines_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Daily-ingest variant of ``remove_duplicate_lines`` — the
+    production shape (the ``dedup_incremental_batch`` pattern at line
+    granularity): yesterday's corpus is an IMMUTABLE line index, only
+    the new batch streams against it.  A new doc's line occurrence
+    survives iff the normalized line appears in NO old doc AND its
+    (id, pos) is the minimum within the new batch — i.e. the new
+    batch is deduplicated against history first, then within itself,
+    which composes to exactly ``remove_duplicate_lines`` over
+    (old ∪ new) from the new docs' point of view when old ids sort
+    below new ids.
+
+    Output: one row per NEW doc — (id, n_lines, n_removed,
+    text_clean), same contract as the full pass.
+
+    Shape: the old index collapses to DISTINCT norms (one agg —
+    at re-ingest scale this is the stored index, not a recompute),
+    the new batch's first-occurrence detection is the same
+    partial-aggable min(struct) agg, and history filtering is one
+    LEFT ANTI equi-join of new occurrences against the index —
+    O(batch × df) postings work per ingest, never a corpus re-join.
+    """
+    new_docs = new_docs.filter(F.col(text_col).isNotNull())
+
+    def occ_of(df):
+        lines = df.select(
+            id_col, F.posexplode(F.split(text_col, "\n")).alias("pos", "_raw")
+        )
+        return lines.select(
+            id_col, "pos", F.trim(F.col("_raw")).alias("norm")
+        ).filter(F.col("norm") != "")
+
+    new_occ = occ_of(new_docs)
+    old_index = (
+        occ_of(old_docs.filter(F.col(text_col).isNotNull()))
+        .select("norm")
+        .distinct()
+    )
+    firsts = new_occ.groupBy("norm").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first")
+    )
+    kept = (
+        new_occ.join(firsts, "norm")
+        .filter(
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+        .join(old_index, "norm", "left_anti")
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "norm"))),
+                lambda s: s["norm"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    tot = new_docs.select(
+        id_col,
+        F.size(
+            F.filter(
+                F.transform(F.split(text_col, "\n"), F.trim),
+                lambda l: l != "",
+            )
+        ).alias("n_lines"),
+    )
+    return tot.join(clean, id_col, "left").select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )

@@ -3139,6 +3139,67 @@ def line_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "line_dedup_incremental",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    nw AS (SELECT doc_id, text FROM t WHERE doc_id % 10 = 0),
+    old_ls AS (SELECT string_split(text, chr(10)) AS ls FROM t
+               WHERE doc_id % 10 <> 0),
+    old_ix AS (SELECT DISTINCT trim(x.l) AS norm
+               FROM old_ls, unnest(old_ls.ls) AS x(l)
+               WHERE trim(x.l) <> ''),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM nw),
+    l AS (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'norm': trim(ls[i])}
+                         for i in range(1, len(ls) + 1)],
+                        recursive := true)
+          FROM ls),
+    ne AS (SELECT doc_id, pos, norm FROM l WHERE norm <> ''),
+    k AS (SELECT doc_id, pos, norm,
+                 row_number() OVER (PARTITION BY norm
+                                    ORDER BY doc_id, pos) AS rn
+          FROM ne),
+    kept AS (SELECT doc_id, pos, norm FROM k
+             WHERE rn = 1
+               AND NOT EXISTS (SELECT 1 FROM old_ix
+                               WHERE old_ix.norm = k.norm)),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(norm, chr(10) ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM ne GROUP BY 1)
+    SELECT nw.doc_id,
+           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(tot.n_lines, 0) - coalesce(agg.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM nw LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+    doc="X2 INCREMENTAL line dedup — the daily-ingest production shape "
+    "(dedup_incremental_batch's pattern at line granularity, CCNet's "
+    "re-ingest mode): every 10th doc plays the 'new batch'; a new "
+    "line occurrence survives iff it appears in NO old doc (the "
+    "immutable line index — ONE distinct agg standing in for the "
+    "stored index) and is the first (doc_id, pos) within the batch.  "
+    "History filtering is a LEFT ANTI equi-join of batch postings "
+    "against the index — O(batch × df) per ingest, never a corpus "
+    "re-join; the within-batch keep rule is the same partial-aggable "
+    "min(struct) agg as the full pass.  md5-pinned cleaned text.",
+    tags=("ext", "dedup", "X2", "lines", "incremental"),
+)
+def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    out = dedup.remove_duplicate_lines_incremental(new, old, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+@register(
     "corpus_curate_rules",
     oracle=r"""
     WITH t AS (SELECT doc_id, lang, source, text FROM documents

@@ -120,6 +120,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "ann_hard_negatives",
     "ivf_dedup_recall_bounded",
     "corpus_curate_rules",
+    "line_dedup_incremental",
 )
 
 

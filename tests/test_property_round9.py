@@ -461,3 +461,41 @@ def test_hard_negatives_matches_numpy_reference(spark):
     for g, e in zip(got, expected):
         assert g[:4] == e[:4] and abs(g[4] - e[4]) < 1e-9, (g, e)
     assert all(labels[g[2]] != labels[g[0]] for g in got)
+
+
+def test_incremental_line_dedup_composes_to_full_pass(spark):
+    """When every old id sorts below every new id, the incremental
+    path (index anti-join + within-batch firsts) must equal the full
+    remove_duplicate_lines over old ∪ new, restricted to the new
+    docs — the re-ingest correctness contract."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+
+    old = spark.createDataFrame(
+        [(0, "banner line\nold alpha"), (1, "old beta\nbanner line")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "banner line\nnew gamma\nshared new line"),
+            (11, "shared new line\nnew delta"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in dedup.remove_duplicate_lines_incremental(
+            new, old, "doc_id"
+        ).collect()
+    }
+    full = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in dedup.remove_duplicate_lines(
+            old.union(new), "doc_id"
+        ).collect()
+        if r.doc_id >= 10
+    }
+    assert inc == full
+    # and the specifics: banner dies (history), shared line survives
+    # only in doc 10 (within-batch first)
+    assert inc[10][2] == "new gamma\nshared new line"
+    assert inc[11][2] == "new delta"
