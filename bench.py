@@ -81,10 +81,16 @@ def main() -> None:
     # Full artifact to a sidecar file too: the driver's bounded tail
     # capture truncated the single JSON line in round 2 (parsed: null),
     # so a durable on-disk copy guarantees the numbers survive.
-    try:
-        Path(_REPO, "BENCH_local.json").write_text(json.dumps(result) + "\n")
-    except OSError:
-        pass
+    # sf0.1 ONLY: the sidecar is the driver/quiet-box record; sf0.01
+    # verify-loop runs must not clobber it (it is gitignored, so a
+    # clobbered record is unrecoverable).
+    if isinstance(result["sf"], float) and abs(result["sf"] - 0.1) < 1e-9:
+        try:
+            Path(_REPO, "BENCH_local.json").write_text(
+                json.dumps(result) + "\n"
+            )
+        except OSError:
+            pass
     print(json.dumps(result), flush=True)
     # FINAL line is a tiny totals-only record (VERDICT r5 #2): the
     # driver's bounded tail capture truncates the HEAD of the big
