@@ -3139,6 +3139,112 @@ def line_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rules_pass_rates",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, source,
+             regexp_extract_all(text, '\S+') AS toks,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT lang, source,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / greatest(len(toks), 1) AS mwl,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+               / greatest(len(toks), 1) AS sym_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+               AS DOUBLE) / len(lines) AS bullet_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))
+               AS DOUBLE) / len(lines) AS ellipsis_ratio,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS DOUBLE) / greatest(len(toks), 1) AS alpha_ratio,
+             len(list_distinct(regexp_extract_all(lower(text),
+               '\b(the|be|to|of|and|that|have|with)\b'))) AS n_stop_kinds,
+             (coalesce(list_aggregate(list_transform(
+                 list_filter(lines, x ->
+                   regexp_matches(rtrim(x), '[.!?"]$')
+                   AND len(regexp_extract_all(x, '\S+')) >= 5
+                   AND NOT contains(lower(x), 'javascript')),
+                 x -> len(regexp_extract_all(x, '[.!?]'))), 'sum'), 0) >= 3)
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{') AS c4_keep
+      FROM t),
+    b AS (
+      SELECT lang, source,
+             n_words BETWEEN 50 AND 100000 AS p_wc,
+             mwl BETWEEN 3.0 AND 10.0 AS p_mwl,
+             sym_ratio < 0.1 AS p_sym,
+             bullet_ratio < 0.9 AS p_bul,
+             ellipsis_ratio < 0.3 AS p_ell,
+             alpha_ratio > 0.8 AS p_alpha,
+             n_stop_kinds >= 2 AS p_stop,
+             c4_keep
+      FROM m)
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(CASE WHEN p_wc THEN 1 ELSE 0 END), 6)
+             AS rate_word_count,
+           round(avg(CASE WHEN p_mwl THEN 1 ELSE 0 END), 6)
+             AS rate_mean_word_len,
+           round(avg(CASE WHEN p_sym THEN 1 ELSE 0 END), 6)
+             AS rate_symbol_ratio,
+           round(avg(CASE WHEN p_bul THEN 1 ELSE 0 END), 6)
+             AS rate_bullets,
+           round(avg(CASE WHEN p_ell THEN 1 ELSE 0 END), 6)
+             AS rate_ellipsis,
+           round(avg(CASE WHEN p_alpha THEN 1 ELSE 0 END), 6)
+             AS rate_alpha_words,
+           round(avg(CASE WHEN p_stop THEN 1 ELSE 0 END), 6)
+             AS rate_stopwords,
+           round(avg(CASE WHEN p_wc AND p_mwl AND p_sym AND p_bul AND p_ell
+                          AND p_alpha AND p_stop THEN 1 ELSE 0 END), 6)
+             AS rate_gopher_pass,
+           round(avg(CASE WHEN c4_keep THEN 1 ELSE 0 END), 6)
+             AS rate_c4_keep
+    FROM b GROUP BY 1, 2
+    """,
+    doc="X4 per-rule pass-rate report — the filter-tuning table the "
+    "Gopher/CCNet papers publish (per-source hit rate of EVERY rule, "
+    "so a threshold change is simulated from the report without a "
+    "corpus re-scan; the rate each rule REMOVES is 1-rate): the "
+    "shared gopher_rule_columns / c4_rule_columns builders, one "
+    "map-only projection, ONE (lang, source) hash-agg — avg over 0/1 "
+    "ints is an exact rational both engines round identically.  At "
+    "100 TB: the shuffle carries |lang × source| partial rows, "
+    "nothing doc-scale.",
+    tags=("ext", "text", "X4", "quality", "report"),
+)
+def rules_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    g = text.gopher_rule_columns("text")
+    c = text.c4_rule_columns("text")
+    name_map = {
+        "rate_word_count": g["pass_word_count"],
+        "rate_mean_word_len": g["pass_mean_word_len"],
+        "rate_symbol_ratio": g["pass_symbol_ratio"],
+        "rate_bullets": g["pass_bullets"],
+        "rate_ellipsis": g["pass_ellipsis"],
+        "rate_alpha_words": g["pass_alpha_words"],
+        "rate_stopwords": g["pass_stopwords"],
+        "rate_gopher_pass": g["gopher_pass"],
+        "rate_c4_keep": c["c4_keep"],
+    }
+    base = docs.select(
+        "lang", "source", *[col.alias(n) for n, col in name_map.items()]
+    )
+    return base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.avg(F.col(n).cast("int")), 6).alias(n)
+            for n in name_map
+        ],
+    )
+
+
+@register(
     "line_dedup_incremental",
     oracle=r"""
     WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

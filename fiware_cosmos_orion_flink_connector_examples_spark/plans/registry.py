@@ -121,6 +121,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "ivf_dedup_recall_bounded",
     "corpus_curate_rules",
     "line_dedup_incremental",
+    "rules_pass_rates",
 )
 
 
