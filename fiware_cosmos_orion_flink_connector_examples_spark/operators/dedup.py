@@ -1716,19 +1716,42 @@ def remove_duplicate_lines(
     collision-free.
     """
     df = df.filter(F.col(text_col).isNotNull())
+    kept = _line_first_occurrences(_line_occurrences(df, id_col, text_col), id_col)
+    return _line_dedup_output(df, kept, id_col, text_col)
+
+
+def _line_occurrences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, norm) rows: trimmed non-empty lines with position."""
     lines = df.select(
         id_col, F.posexplode(F.split(text_col, "\n")).alias("pos", "_raw")
     )
-    occ = lines.select(
+    return lines.select(
         id_col, "pos", F.trim(F.col("_raw")).alias("norm")
     ).filter(F.col("norm") != "")
+
+
+def _line_first_occurrences(occ: DataFrame, id_col: str) -> DataFrame:
+    """Keep rule shared by the full and incremental passes: an
+    occurrence survives iff its (id, pos) equals the corpus-wide
+    minimum for its normalized line — min(struct) is a partial-aggable
+    AGG (the hot boilerplate line collapses map-side), the join back
+    an AQE-skew-splittable equi-join."""
     firsts = occ.groupBy("norm").agg(
         F.min(F.struct(id_col, "pos")).alias("_first")
     )
-    kept = occ.join(firsts, "norm").filter(
+    return occ.join(firsts, "norm").filter(
         (F.col(id_col) == F.col(f"_first.{id_col}"))
         & (F.col("pos") == F.col("_first.pos"))
     )
+
+
+def _line_dedup_output(
+    df: DataFrame, kept: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Position-order re-assembly + per-doc totals, shared by the full
+    and incremental passes.  n_lines is row-local on the base scan (no
+    explode), so docs with zero surviving (or zero non-empty) lines
+    still emit a row."""
     clean = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n_kept"),
         F.array_join(
@@ -1739,8 +1762,6 @@ def remove_duplicate_lines(
             "\n",
         ).alias("text_clean"),
     )
-    # n_lines is row-local on the base scan (no explode), so docs with
-    # zero surviving (or zero non-empty) lines still emit a row
     tot = df.select(
         id_col,
         F.size(
@@ -1788,56 +1809,15 @@ def remove_duplicate_lines_incremental(
     O(batch × df) postings work per ingest, never a corpus re-join.
     """
     new_docs = new_docs.filter(F.col(text_col).isNotNull())
-
-    def occ_of(df):
-        lines = df.select(
-            id_col, F.posexplode(F.split(text_col, "\n")).alias("pos", "_raw")
-        )
-        return lines.select(
-            id_col, "pos", F.trim(F.col("_raw")).alias("norm")
-        ).filter(F.col("norm") != "")
-
-    new_occ = occ_of(new_docs)
+    new_occ = _line_occurrences(new_docs, id_col, text_col)
     old_index = (
-        occ_of(old_docs.filter(F.col(text_col).isNotNull()))
+        _line_occurrences(
+            old_docs.filter(F.col(text_col).isNotNull()), id_col, text_col
+        )
         .select("norm")
         .distinct()
     )
-    firsts = new_occ.groupBy("norm").agg(
-        F.min(F.struct(id_col, "pos")).alias("_first")
+    kept = _line_first_occurrences(new_occ, id_col).join(
+        old_index, "norm", "left_anti"
     )
-    kept = (
-        new_occ.join(firsts, "norm")
-        .filter(
-            (F.col(id_col) == F.col(f"_first.{id_col}"))
-            & (F.col("pos") == F.col("_first.pos"))
-        )
-        .join(old_index, "norm", "left_anti")
-    )
-    clean = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "norm"))),
-                lambda s: s["norm"],
-            ),
-            "\n",
-        ).alias("text_clean"),
-    )
-    tot = new_docs.select(
-        id_col,
-        F.size(
-            F.filter(
-                F.transform(F.split(text_col, "\n"), F.trim),
-                lambda l: l != "",
-            )
-        ).alias("n_lines"),
-    )
-    return tot.join(clean, id_col, "left").select(
-        id_col,
-        F.col("n_lines").cast("long").alias("n_lines"),
-        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-    )
+    return _line_dedup_output(new_docs, kept, id_col, text_col)

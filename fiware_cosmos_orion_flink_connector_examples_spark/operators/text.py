@@ -96,17 +96,52 @@ def quality_rules(col: Column | str = "text") -> dict[str, Column]:
     }
 
 
-def gopher_rule_columns(col: Column | str = "text") -> dict[str, Column]:
-    """The Gopher quality rule card (Rae et al. 2021, Appendix A5) as
-    name → Column: per-doc pass booleans for word count in [50, 100k],
+GOPHER_RULE_COLS = (
+    "n_words",
+    "pass_word_count",
+    "pass_mean_word_len",
+    "pass_symbol_ratio",
+    "pass_bullets",
+    "pass_ellipsis",
+    "pass_alpha_words",
+    "pass_stopwords",
+    "gopher_pass",
+)
+
+C4_RULE_COLS = (
+    "n_lines",
+    "n_lines_kept",
+    "n_sentences",
+    "kept_char_frac",
+    "has_lorem_ipsum",
+    "has_curly_brace",
+    "c4_keep",
+)
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher quality rule card (Rae et al. 2021, Appendix
+    A5) to ``df``: per-doc pass booleans for word count in [50, 100k],
     mean word length in [3, 10], symbol-to-word ratio < 0.1,
     bullet-started lines < 90%, ellipsis-ended lines < 30%, >= 80%
     words containing an alphabetic char, >= 2 distinct required
-    stopwords — plus ``n_words`` and the conjunctive ``gopher_pass``.
-    Pure per-row JVM column expressions, zero shuffle: the one
-    projection serves the batch query (``text_gopher_rules``) and the
-    stateless streaming gate unchanged."""
-    c = F.col(col) if isinstance(col, str) else col
+    stopwords — plus ``n_words`` and the conjunctive ``gopher_pass``
+    (``GOPHER_RULE_COLS``).  Zero shuffle; one transformer serves the
+    batch queries AND the stateless streaming gate.
+
+    ONE flat projection, measured: the structurally-repeated subtrees
+    here (toks, the ratios re-appearing in gopher_pass) are evaluated
+    UNconditionally, so interpreted-mode subexpression elimination
+    already collapses the big duplications.  A same-session alternating
+    A/B at 2M docs put a layered variant (token/line arrays
+    materialized between Projects) at 4.1–4.6 s vs 4.9–5.0 s flat —
+    a ~10% edge, within the session-to-session swing (5.9–11.2 s
+    observed for identical code), not worth the extra plumbing.
+    Contrast text_gopher_repetition, whose duplicated trees sit under
+    CASE WHEN branches — conditionals are excluded from subexpr
+    elimination, so THAT card layers on purpose and measured a real
+    win."""
+    c = F.col(text_col)
     toks = F.regexp_extract_all(c, F.lit(r"\S+"), 0)
     lines = F.split(c, "\n")
     n_words = F.size(toks)
@@ -145,35 +180,33 @@ def gopher_rule_columns(col: Column | str = "text") -> dict[str, Column]:
     p_ell = ellipsis_ratio < 0.3
     p_alpha = alpha_ratio > 0.8
     p_stop = n_stop_kinds >= 2
-    return {
-        "n_words": n_words.cast("long"),
-        "pass_word_count": p_wc,
-        "pass_mean_word_len": p_mwl,
-        "pass_symbol_ratio": p_sym,
-        "pass_bullets": p_bul,
-        "pass_ellipsis": p_ell,
-        "pass_alpha_words": p_alpha,
-        "pass_stopwords": p_stop,
-        "gopher_pass": p_wc
-        & p_mwl
-        & p_sym
-        & p_bul
-        & p_ell
-        & p_alpha
-        & p_stop,
-    }
+    return df.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        p_wc.alias("pass_word_count"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_sym.alias("pass_symbol_ratio"),
+        p_bul.alias("pass_bullets"),
+        p_ell.alias("pass_ellipsis"),
+        p_alpha.alias("pass_alpha_words"),
+        p_stop.alias("pass_stopwords"),
+        (p_wc & p_mwl & p_sym & p_bul & p_ell & p_alpha & p_stop).alias(
+            "gopher_pass"
+        ),
+    )
 
 
-def c4_rule_columns(col: Column | str = "text") -> dict[str, Column]:
-    """The C4 cleaning rule card (Raffel et al. 2020 §2.2) as name →
-    Column: a line survives iff it ends in terminal punctuation
+def with_c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the C4 cleaning rule card (Raffel et al. 2020 §2.2) to
+    ``df``: a line survives iff it ends in terminal punctuation
     ([.!?\"] after rtrim), has >= 5 words, and does not mention
     'javascript'; the page verdict ``c4_keep`` requires >= 3
     sentence-final marks among kept lines, no 'lorem ipsum', no curly
-    brace.  Row-local higher-order-function work over the line split —
-    one projection, shared verbatim by the batch query
-    (``text_c4_rules``) and the stateless streaming gate."""
-    c = F.col(col) if isinstance(col, str) else col
+    brace (``C4_RULE_COLS``).  One flat projection like
+    ``with_gopher_rules`` (see its measured note): the repeated
+    ``kept`` tree is unconditional, so interpreted-mode subexpression
+    elimination evaluates it once."""
+    c = F.col(text_col)
     lines = F.split(c, "\n")
     kept = F.filter(
         lines,
@@ -200,21 +233,22 @@ def c4_rule_columns(col: Column | str = "text") -> dict[str, Column]:
     )
     has_lorem = F.lower(c).contains("lorem ipsum")
     has_brace = c.contains("{")
-    return {
-        "n_lines": F.size(lines).cast("long"),
-        "n_lines_kept": F.size(kept).cast("long"),
-        "n_sentences": n_sent.cast("long"),
-        "kept_char_frac": F.round(
+    return df.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.round(
             F.when(
                 line_chars > 0,
                 kept_chars.cast("double") / line_chars.cast("double"),
             ).otherwise(F.lit(0.0)),
             6,
-        ),
-        "has_lorem_ipsum": has_lorem,
-        "has_curly_brace": has_brace,
-        "c4_keep": (n_sent >= 3) & ~has_lorem & ~has_brace,
-    }
+        ).alias("kept_char_frac"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        ((n_sent >= 3) & ~has_lorem & ~has_brace).alias("c4_keep"),
+    )
 
 
 # Marker words per language for the n-gram/keyword language-ID

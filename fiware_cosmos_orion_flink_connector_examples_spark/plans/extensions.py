@@ -2736,9 +2736,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    cols = text.gopher_rule_columns("text")
-    return docs.select(
-        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    return text.with_gopher_rules(docs).select(
+        "doc_id", *text.GOPHER_RULE_COLS
     )
 
 
@@ -2856,11 +2855,14 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     # Higher-order lambdas never enter whole-stage codegen (the Project
-    # is interpreted), so every structurally-duplicated subtree is
-    # re-EVALUATED per row.  The layering below materializes each
-    # expensive array exactly once per row — CollapseProject keeps
-    # multi-referenced non-cheap aliases un-inlined — which halved the
-    # 2M-doc smoke time vs the naive inline form.
+    # is interpreted), and the duplicated subtrees here sit under CASE
+    # WHEN guards — conditional expressions are EXCLUDED from the
+    # interpreted subexpression-elimination runtime, so structural
+    # duplication is re-evaluated per row.  The layering below
+    # materializes each expensive array exactly once per row —
+    # CollapseProject keeps multi-referenced non-cheap aliases
+    # un-inlined — measured 109.2 -> 94.0 s at 2M docs vs the naive
+    # inline form.
     a1 = docs.select(
         "doc_id",
         F.greatest(F.length("text"), F.lit(1)).alias("tc"),
@@ -3002,7 +3004,6 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_of(5) / tcd, 6).alias("dup5gram_char_frac"),
         F.round(dup_of(10) / tcd, 6).alias("dup10gram_char_frac"),
     )
-    a3 = a5
     passes = {
         "pass_dup_lines": F.col("dup_line_frac") <= 0.30,
         "pass_dup_paras": F.col("dup_para_frac") <= 0.30,
@@ -3017,7 +3018,7 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_pass = None
     for c in passes.values():
         all_pass = c if all_pass is None else (all_pass & c)
-    return a3.select(
+    return a5.select(
         "*",
         *[c.alias(n) for n, c in passes.items()],
         all_pass.alias("repetition_pass"),
@@ -3080,10 +3081,7 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    cols = text.c4_rule_columns("text")
-    return docs.select(
-        "doc_id", *[c.alias(n) for n, c in cols.items()]
-    )
+    return text.with_c4_rules(docs).select("doc_id", *text.C4_RULE_COLS)
 
 
 @register(
@@ -3208,7 +3206,7 @@ def line_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Gopher/CCNet papers publish (per-source hit rate of EVERY rule, "
     "so a threshold change is simulated from the report without a "
     "corpus re-scan; the rate each rule REMOVES is 1-rate): the "
-    "shared gopher_rule_columns / c4_rule_columns builders, one "
+    "shared with_gopher_rules / with_c4_rules transformers, one "
     "map-only projection, ONE (lang, source) hash-agg — avg over 0/1 "
     "ints is an exact rational both engines round identically.  At "
     "100 TB: the shuffle carries |lang × source| partial rows, "
@@ -3219,27 +3217,23 @@ def rules_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    g = text.gopher_rule_columns("text")
-    c = text.c4_rule_columns("text")
+    carded = text.with_c4_rules(text.with_gopher_rules(docs))
     name_map = {
-        "rate_word_count": g["pass_word_count"],
-        "rate_mean_word_len": g["pass_mean_word_len"],
-        "rate_symbol_ratio": g["pass_symbol_ratio"],
-        "rate_bullets": g["pass_bullets"],
-        "rate_ellipsis": g["pass_ellipsis"],
-        "rate_alpha_words": g["pass_alpha_words"],
-        "rate_stopwords": g["pass_stopwords"],
-        "rate_gopher_pass": g["gopher_pass"],
-        "rate_c4_keep": c["c4_keep"],
+        "rate_word_count": "pass_word_count",
+        "rate_mean_word_len": "pass_mean_word_len",
+        "rate_symbol_ratio": "pass_symbol_ratio",
+        "rate_bullets": "pass_bullets",
+        "rate_ellipsis": "pass_ellipsis",
+        "rate_alpha_words": "pass_alpha_words",
+        "rate_stopwords": "pass_stopwords",
+        "rate_gopher_pass": "gopher_pass",
+        "rate_c4_keep": "c4_keep",
     }
-    base = docs.select(
-        "lang", "source", *[col.alias(n) for n, col in name_map.items()]
-    )
-    return base.groupBy("lang", "source").agg(
+    return carded.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[
-            F.round(F.avg(F.col(n).cast("int")), 6).alias(n)
-            for n in name_map
+            F.round(F.avg(F.col(src).cast("int")), 6).alias(out)
+            for out, src in name_map.items()
         ],
     )
 
@@ -3371,7 +3365,7 @@ def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cleaned text, exactly as Wenzek et al. run it): corpus-wide "
     "duplicate-line removal (dedup.remove_duplicate_lines), then the "
     "Gopher + C4 rule cards evaluated ON THE CLEANED TEXT "
-    "(text.gopher_rule_columns / c4_rule_columns — the same builders "
+    "(text.with_gopher_rules / with_c4_rules — the same transformers "
     "the standalone queries and the streaming gate use), aggregated "
     "to per-(lang, source) counts: docs in, docs surviving dedup "
     "non-empty, docs passing both cards, and words kept — the "
@@ -3390,14 +3384,15 @@ def corpus_curate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = dedup.remove_duplicate_lines(docs, "doc_id", "text")
     enriched = clean.join(docs.select("doc_id", "lang", "source"), "doc_id")
-    g = text.gopher_rule_columns(F.col("text_clean"))
-    c = text.c4_rule_columns(F.col("text_clean"))
-    flags = enriched.select(
+    carded = text.with_c4_rules(
+        text.with_gopher_rules(enriched, "text_clean"), "text_clean"
+    )
+    flags = carded.select(
         "lang",
         "source",
         (F.col("text_clean") != "").alias("_nonempty"),
-        g["n_words"].alias("_n_words"),
-        (g["gopher_pass"] & c["c4_keep"]).alias("_ok"),
+        F.col("n_words").alias("_n_words"),
+        (F.col("gopher_pass") & F.col("c4_keep")).alias("_ok"),
     )
     return flags.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1138,7 +1138,7 @@ def streaming_rule_gate(
     batch Gopher + C4 rule cards (``text_gopher_rules`` /
     ``text_c4_rules``): every arriving doc gets the full per-doc rule
     card in ONE stateless projection (the SAME
-    ``text.gopher_rule_columns`` / ``text.c4_rule_columns`` column
+    ``text.with_gopher_rules`` / ``text.with_c4_rules`` layered
     builders the batch queries select, so replay ≡ batch is equality
     by construction, pytest-pinned).  No join, no aggregation, no
     watermark, no state — append-mode-legal behind any sink, and the
@@ -1148,18 +1148,27 @@ def streaming_rule_gate(
 
     Emits the union of both cards' columns plus ``rules_pass`` =
     gopher_pass AND c4_keep — the caller routes rejects (the
-    multimodal decode-rejects pattern) or filters."""
+    multimodal decode-rejects pattern) or filters.  ``rules_pass`` is
+    derived from the ALIASED card booleans in a final select, never by
+    re-inlining the card trees (interpreted-HOF duplication is real
+    work per row)."""
     from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
-        c4_rule_columns,
-        gopher_rule_columns,
+        C4_RULE_COLS,
+        GOPHER_RULE_COLS,
+        with_c4_rules,
+        with_gopher_rules,
     )
 
-    g = gopher_rule_columns(text_col)
-    c = c4_rule_columns(text_col)
-    return docs.filter(F.col(text_col).isNotNull()).select(
+    carded = with_c4_rules(
+        with_gopher_rules(
+            docs.filter(F.col(text_col).isNotNull()), text_col
+        ),
+        text_col,
+    )
+    return carded.select(
         F.col(id_col),
         *(extra_cols or []),
-        *[col.alias(n) for n, col in g.items()],
-        *[col.alias(n) for n, col in c.items()],
-        (g["gopher_pass"] & c["c4_keep"]).alias("rules_pass"),
+        *GOPHER_RULE_COLS,
+        *C4_RULE_COLS,
+        (F.col("gopher_pass") & F.col("c4_keep")).alias("rules_pass"),
     )

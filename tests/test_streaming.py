@@ -2064,7 +2064,7 @@ def test_streaming_curation_gate_matches_batch_capstone(spark, tmp_path):
 
 def test_streaming_rule_gate_matches_batch_cards(spark, tmp_path):
     """Stream/batch unification for the rule cards: streaming_rule_gate
-    selects the SAME gopher_rule_columns / c4_rule_columns the batch
+    applies the SAME with_gopher_rules / with_c4_rules the batch
     queries select, so an availableNow replay must emit the exact
     union of text_gopher_rules x text_c4_rules rows, and rules_pass
     must equal gopher_pass AND c4_keep row-for-row."""

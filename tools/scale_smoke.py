@@ -340,10 +340,6 @@ def round8b_smoke(spark, n_docs: int = 2_000_000) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def round9_smoke(spark, n_docs: int = 2_000_000) -> None:
     """Round-9 depth additions at ~100x the bench corpus: the KN LM
     ladder (bigram + trigram), the hashed-bigram NB classifier, the
@@ -426,3 +422,7 @@ def round9_smoke(spark, n_docs: int = 2_000_000) -> None:
         run("line_dedup_removed (2M, 1M-hot line)", "line_dedup_removed")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
