@@ -3383,7 +3383,13 @@ def corpus_curate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     clean = dedup.remove_duplicate_lines(docs, "doc_id", "text")
-    enriched = clean.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    # select only (doc_id, text_clean) before the cards: the dedup
+    # output's n_lines would collide with the C4 card's n_lines
+    # (different semantics — AMBIGUOUS_REFERENCE trap for any later
+    # column addition)
+    enriched = clean.select("doc_id", "text_clean").join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
     carded = text.with_c4_rules(
         text.with_gopher_rules(enriched, "text_clean"), "text_clean"
     )
@@ -5870,6 +5876,15 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "sample", "quality", "dsir"),
 )
 def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res, freq = _sample_dsir_frames(spark, sf_dir)
+    return eagerly(res, freq)
+
+
+def _sample_dsir_frames(spark: SparkSession, sf_dir: str):
+    """(result frame, persisted freq table) — split out so the plan
+    test can pin TakeOrderedAndProject / BroadcastHashJoin on the
+    PRE-checkpoint plan (eagerly's localCheckpoint collapses the
+    returned frame to Scan ExistingRDD, hiding the shape)."""
     docs = load_table(spark, sf_dir, "documents")
     pre = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
@@ -5882,7 +5897,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the VOCAB-BOUNDED frequency table (<= 2^20 buckets +
     # unigram vocab rows): it is consumed three times (scalar totals,
     # weight table, and — without the persist — each consumer re-ran
-    # the corpus tokenize+explode; 6.8 s -> ~4.6 s at sf0.1).  ex
+    # the corpus tokenize+explode; 6.8 s -> ~4.3 s at sf0.1).  ex
     # itself is token-scale and deliberately NOT persisted; the
     # irreducible cost is two tokenization passes (distribution
     # estimation, then scoring), exactly the paper's two passes.
@@ -5927,7 +5942,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return eagerly(res, freq)
+    return res, freq
 
 
 def _temperature_draw(

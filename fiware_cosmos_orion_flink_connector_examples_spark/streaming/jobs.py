@@ -1159,9 +1159,16 @@ def streaming_rule_gate(
         with_gopher_rules,
     )
 
+    # narrow to exactly the needed input columns first: an upstream
+    # enrichment that already added a card-named column (n_words,
+    # n_lines, gopher_pass, ...) would otherwise make the final
+    # by-name select AMBIGUOUS_REFERENCE at query start
     carded = with_c4_rules(
         with_gopher_rules(
-            docs.filter(F.col(text_col).isNotNull()), text_col
+            docs.filter(F.col(text_col).isNotNull()).select(
+                id_col, *(extra_cols or []), text_col
+            ),
+            text_col,
         ),
         text_col,
     )

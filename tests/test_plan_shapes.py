@@ -521,8 +521,18 @@ def test_dsir_topk_avoids_global_sort(spark):
     """sample_dsir's selection must be TakeOrderedAndProject
     (per-partition heads merged on the driver), never a global Sort —
     and the broadcast-gated weight join must be a BroadcastHashJoin
-    at fixture vocab size."""
-    plan = plan_of(spark, "sample_dsir")
+    at fixture vocab size.  Pins the PRE-checkpoint frame: the
+    registered query wraps it in eagerly(), whose localCheckpoint
+    collapses the returned plan to Scan ExistingRDD."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        _sample_dsir_frames,
+    )
+
+    res, freq = _sample_dsir_frames(spark, "/root/testdata/sf0.001")
+    try:
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        freq.unpersist()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
 
