@@ -1821,3 +1821,167 @@ def remove_duplicate_lines_incremental(
         old_index, "norm", "left_anti"
     )
     return _line_dedup_output(new_docs, kept, id_col, text_col)
+
+
+def semdedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Semantic dedup representative selection — the SemDeDup keep rule
+    (Abbas et al. 2023): cluster the embedding space, find near-dup
+    pairs WITHIN clusters, and from every duplicate group keep the one
+    member with the LOWEST cosine similarity to its cluster centroid
+    (the most "edge-of-cluster" exemplar — the paper's choice, which
+    preserves diversity where keep-random or keep-first would not).
+    Reference scope: the reference repo has no corpus operators; this
+    is [ext] X2/X3 mandated by BASELINE.json.
+
+    ``pairs`` is the within-block near-dup pair set (``d1``/``d2``,
+    e.g. from ``embedding_dup_pairs`` — label blocks here, the trained
+    IVF variant at 100 TB).  Duplicate groups are the connected
+    components of that graph (``connected_components`` — min-label
+    union-find below the measured 1M-pair crossover, the distributed
+    loop above it).
+
+    Output: one row per non-null vector — (id, block, cluster_id,
+    cos_centroid, is_kept) where cluster_id = the component minimum
+    (own id for singletons), cos_centroid = round(dot(v̂, ĉ), 6) against
+    the block centroid, and is_kept marks the per-component argmin of
+    (cos_centroid, id).  Survivors of the dedup = rows with is_kept.
+
+    Scale shape: the centroid is ONE posexplode + (block, dim) hash
+    aggregate in exact integer micro-units (the embedding_label_centroids
+    / _revenue_cents discipline — float summation is order-dependent
+    across engines and partitionings, integers are not), re-assembled
+    to an array and broadcast back (blocks × dims rows, corpus-size-
+    independent).  Scoring is one map-only JVM fold pass (l2_normalize
+    + dot — strict left-to-right, ≙ DuckDB list_dot_product).  The
+    representative is a partial-aggable min(struct(cos, id)) agg +
+    equi-join — the remove_duplicate_lines discipline, NOT a per-
+    cluster window: a pathological million-member duplicate group
+    collapses map-side instead of sorting in one task.
+    """
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    ex = base.select("_blk", F.posexplode("_v").alias("_pos", "_x"))
+    cent = ex.groupBy("_blk", "_pos").agg(
+        F.sum(F.round(F.col("_x") * 1_000_000).cast("long")).alias("_sm"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # ordered re-assembly: sort_array over (pos, value) structs is the
+    # deterministic array fold used by the line-dedup re-assembly
+    cvec = cent.groupBy("_blk").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_pos").alias("p"),
+                        (F.col("_sm").cast("double") / F.col("_n") / F.lit(1_000_000.0)).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("_cv")
+    )
+    scored = base.join(F.broadcast(cvec), "_blk").select(
+        "_id",
+        "_blk",
+        F.round(dot(l2_normalize(F.col("_v")), l2_normalize(F.col("_cv"))), 6).alias(
+            "cos_centroid"
+        ),
+    )
+    comps = connected_components(pairs).select(
+        F.col("doc_id").alias("_id"), F.col("cluster_id").alias("_comp")
+    )
+    lab = scored.join(comps, "_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("_comp"), F.col("_id"))
+    )
+    rep = lab.groupBy("cluster_id").agg(
+        F.min(F.struct(F.col("cos_centroid").alias("c"), F.col("_id").alias("d"))).alias("_r")
+    )
+    return (
+        lab.join(rep, "cluster_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_blk").alias(block_col),
+            "cluster_id",
+            "cos_centroid",
+            (F.col("_id") == F.col("_r.d")).alias("is_kept"),
+        )
+    )
+
+
+def minhash_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """FUZZY benchmark decontamination — near-duplicate overlap between
+    the train corpus and an eval/benchmark set via MinHash-LSH banding
+    (the whole-word-8-gram `ngram_contamination` catches verbatim
+    leaks; paraphrased or lightly-edited leaks need the jaccard radar).
+
+    Asymmetric by construction (the ngram_jaccard_pairs_incremental
+    discipline): the eval set is TINY relative to train, so its banded
+    signature table broadcasts onto the streamed train bands — the
+    train corpus is never self-joined, per-run cost is O(train bands ×
+    eval band buckets), linear in train.  Candidates from any shared
+    band are verified with exact shingle-set jaccard (array_intersect
+    over the signature table's carried shingle arrays — one scan per
+    side feeds both banding and verify).
+
+    Returns (train_id, eval_id, jaccard) with jaccard ≥ threshold: the
+    train docs to DROP before a release, with the benchmark doc they
+    leak.  At threshold 0.8 with 12 bands × 2 rows banding recall is
+    1-(1-0.64)^12 ≈ 0.999995, so the verified output equals the exact
+    brute-force answer (the dedup_minhash_lsh oracle argument).
+    """
+    from pyspark import StorageLevel
+
+    sig_tr = minhash_signatures(
+        train, id_col, text_col, n, num_hashes, keep_shingles=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_ev = minhash_signatures(
+        eval_df, id_col, text_col, n, num_hashes, keep_shingles=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = (
+        _minhash_bands(sig_tr, id_col, num_hashes, rows_per_band)
+        .alias("a")
+        .join(
+            F.broadcast(_minhash_bands(sig_ev, id_col, num_hashes, rows_per_band)).alias("b"),
+            ["band", "bh"],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("train_id"),
+            F.col(f"b.{id_col}").alias("eval_id"),
+        )
+        .distinct()
+    )
+    s1 = sig_tr.select(F.col(id_col).alias("train_id"), F.col("sh").alias("sh1"))
+    s2 = sig_ev.select(F.col(id_col).alias("eval_id"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    out = (
+        cands.join(s1, "train_id")
+        .join(F.broadcast(s2), "eval_id")
+        .select(
+            "train_id", "eval_id", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
+
+    return eagerly(out, sig_tr, sig_ev)

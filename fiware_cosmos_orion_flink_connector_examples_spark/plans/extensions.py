@@ -6385,3 +6385,303 @@ def text_bigram_logprob_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_trigram_logprob_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.kn_trigram_logprob(docs)
+
+
+# --- round 10: semantic dedup, fuzzy decontamination, curriculum, release ---
+
+_D_QUALITY = """round(0.5 * least(CAST(len(regexp_extract_all({t}, '\\S+')) AS DOUBLE) / 50.0, 1.0)
+               + 0.25 * (CASE WHEN CAST(length({t}) AS DOUBLE)
+                                   / greatest(CAST(len(regexp_extract_all({t}, '\\S+')) AS DOUBLE), 1.0)
+                                   BETWEEN 3.0 AND 9.0
+                              THEN 1.0 ELSE 0.5 END)
+               + 0.25 * (CASE WHEN CAST(len(regexp_extract_all({t}, '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE)
+                                   / greatest(CAST(len(regexp_extract_all({t}, '\\S+')) AS DOUBLE), 1.0) > 0.02
+                              THEN 1.0 ELSE 0.6 END), 4)"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, label,
+             {_D_NORM.format(v='embedding::DOUBLE[]')} AS nv,
+             embedding::DOUBLE[] AS ev
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE {_D_COS_N.format(a='a.nv', b='b.nv')} >= 0.4),
+    edges AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2, d1 FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    e AS (SELECT label, unnest(ev) AS x, generate_subscripts(ev, 1) AS dim FROM v),
+    cm AS (SELECT label, dim,
+                  sum(CAST(round(x * 1000000) AS BIGINT)) AS sm,
+                  count(*) AS n
+           FROM e GROUP BY 1, 2),
+    cv AS (SELECT label, list(CAST(sm AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS c
+           FROM cm GROUP BY 1),
+    sc AS (SELECT v.vec_id, v.label,
+                  coalesce(comp.cluster_id, v.vec_id) AS cluster_id,
+                  round(list_dot_product(v.nv, {_D_NORM.format(v='cv.c')}), 6)
+                    AS cos_centroid
+           FROM v JOIN cv USING (label)
+                  LEFT JOIN comp ON comp.vec_id = v.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY cos_centroid, vec_id) AS rn
+          FROM sc)
+    SELECT vec_id, label, cluster_id, cos_centroid, rn = 1 AS is_kept FROM r
+    """,
+    doc="X2/X3 SEMANTIC dedup — the SemDeDup keep rule (Abbas et al. "
+    "2023): near-dup pairs within embedding-space clusters (the "
+    "oracle-checked label blocking; the trained-IVF variant is the "
+    "100 TB block key) → connected components → keep the ONE member "
+    "per duplicate group with the LOWEST cosine to its cluster "
+    "centroid (the edge-of-cluster exemplar — preserves diversity "
+    "where keep-first would not).  operators/dedup.semdedup_keep: "
+    "centroid = one posexplode + (block, dim) agg in exact integer "
+    "micros (order-free), broadcast back as an array; scoring is a "
+    "map-only strict-fold JVM pass; the representative is a "
+    "partial-aggable min(struct(cos, id)) agg + equi-join — the "
+    "remove_duplicate_lines discipline, NOT a per-cluster window.  "
+    "The oracle re-derives components (recursive CTE), centroids "
+    "(micro-unit sums), every cosine, and the argmin independently.",
+    tags=("ext", "dedup", "X2", "X3", "embedding", "semantic"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_dup_pairs(emb, threshold=0.4)
+    return dedup.semdedup_keep(emb, pairs).select(
+        "vec_id", "label", "cluster_id", "cos_centroid", "is_kept"
+    )
+
+
+@register(
+    "decontaminate_fuzzy_minhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, len(t) - 1)]) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+    inter AS (
+      SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s
+      WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id,
+           round(i / (len(ta.sh) + len(tb.sh) - i), 6) AS jaccard
+    FROM inter JOIN toks ta ON ta.doc_id = train_id
+               JOIN toks tb ON tb.doc_id = eval_id
+    WHERE round(i / (len(ta.sh) + len(tb.sh) - i), 6) >= 0.8
+    """,
+    doc="FUZZY benchmark decontamination — near-dup (not just verbatim) "
+    "train↔eval leaks via MinHash-LSH: every 10th doc plays the "
+    "benchmark (the line_dedup_incremental split convention), the "
+    "rest is the train corpus; operators/dedup.minhash_contamination "
+    "bands both sides' MinHash(24) signatures and BROADCASTS the tiny "
+    "eval band table onto the streamed train bands (the asymmetric "
+    "ngram_jaccard_pairs_incremental shape — the train corpus is "
+    "never self-joined), then verifies candidates with exact "
+    "shingle-set jaccard ≥ 0.8.  The oracle is the brute-force "
+    "eval×train jaccard join: at 0.8 the 12-band×2-row recall is "
+    "1-(1-0.64)^12 ≈ 0.999995, so the verified output equals the "
+    "exact answer (the dedup_minhash_lsh argument; same deterministic "
+    "signature family, pinned by that query's green history).",
+    tags=("ext", "dedup", "decontamination", "lsh"),
+)
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_contamination(tr, ev, "doc_id", threshold=0.8)
+
+
+@register(
+    "curriculum_shard_order",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             {_D_QUALITY.format(t='text')} AS quality
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, n_tokens, quality,
+             {_D_MD5INT.format(x="concat('shard:', CAST(doc_id AS VARCHAR))")} % 8
+               AS shard_id
+      FROM q
+    )
+    SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id, quality, n_tokens,
+           CAST(row_number() OVER (PARTITION BY shard_id
+                                   ORDER BY quality DESC, doc_id) AS BIGINT)
+             AS position
+    FROM s
+    """,
+    doc="Curriculum shard ordering — the training-data SERVING layout: "
+    "docs are hash-assigned to shards (stable under corpus growth, "
+    "the split_train_val_test primitive) and ordered high-quality-"
+    "first WITHIN each shard (quality-curriculum: clean data early in "
+    "an epoch), emitting the per-doc (shard, position) a dataloader "
+    "consumes.  Selection is row-identical to row_number() OVER "
+    "(PARTITION BY shard ORDER BY quality DESC, doc_id) but computed "
+    "with the sample_token_budget two-pass discipline: a coarse "
+    "order-preserving tier key (floor(quality·10)) range-splits each "
+    "shard, pass 1 broadcasts exclusive per-(shard, tier) counts "
+    "(≤ shards × 11 rows), pass 2 sorts only within (shard, tier) — "
+    "no task ever sorts a whole shard.  At 100 TB shard count grows "
+    "with the corpus (shards ≈ tokens / shard budget), so per-"
+    "partition work stays constant while THIS plan shape is "
+    "unchanged.",
+    tags=("ext", "sample", "curriculum", "layout"),
+)
+def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+        F.pmod(
+            md5int64_seeded(F.col("doc_id").cast("string"), "shard"), F.lit(8)
+        ).alias("shard_id"),
+    ).withColumn("_tier", F.floor(F.col("quality") * 10).cast("int"))
+    # Pass 1: per-(shard, tier) doc counts -> exclusive higher-tier
+    # prefix (window over the <= shards x 11-row aggregate only).
+    wt = (
+        Window.partitionBy("shard_id")
+        .orderBy(F.desc("_tier"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = (
+        base.groupBy("shard_id", "_tier")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_prefix", F.coalesce(F.sum("_n").over(wt), F.lit(0)))
+        .select("shard_id", "_tier", "_prefix")
+    )
+    # Pass 2: rank only within (shard, tier); tier is an order-
+    # preserving coarsening of quality, so prefix + within-tier rank
+    # equals the single whole-shard window row-for-row.
+    ww = Window.partitionBy("shard_id", "_tier").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        base.join(F.broadcast(prefixes), ["shard_id", "_tier"])
+        .withColumn(
+            "position",
+            (F.col("_prefix") + F.row_number().over(ww)).cast("long"),
+        )
+        .select("doc_id", "shard_id", "quality", "n_tokens", "position")
+    )
+
+
+@register(
+    "corpus_release_pipeline",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, source, text FROM documents
+                  WHERE text IS NOT NULL),
+    ev AS (SELECT doc_id, text FROM base WHERE doc_id % 10 = 0),
+    tr AS (SELECT * FROM base WHERE doc_id % 10 <> 0),
+    d1 AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY text),
+    sur AS (SELECT tr.* FROM tr JOIN d1 USING (doc_id)),
+    g AS (SELECT doc_id, lang, source,
+                 regexp_extract_all(text, '\\S+') AS toks,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_words,
+                 {_D_QUALITY.format(t='text')} AS q
+          FROM sur),
+    ok AS (SELECT doc_id, lang, source, toks, n_words FROM g
+           WHERE n_words BETWEEN 50 AND 100000 AND q >= 0.8),
+    evg AS (SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
+                                    for i in range(1, len(t) - 6)]) AS gram
+            FROM (SELECT regexp_extract_all(text, '\\S+') AS t FROM ev)),
+    okg AS (SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+                                   for i in range(1, len(toks) - 6)]) AS gram
+            FROM ok),
+    cont AS (SELECT DISTINCT okg.doc_id FROM okg JOIN evg USING (gram)),
+    rel AS (SELECT ok.* FROM ok
+            WHERE NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = ok.doc_id)),
+    spl AS (SELECT lang, source, n_words,
+                   CASE WHEN {_D_MD5INT.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 80
+                        THEN 'train'
+                        WHEN {_D_MD5INT.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 90
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM rel)
+    SELECT lang, source, split,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM spl GROUP BY 1, 2, 3
+    """,
+    doc="The RELEASE capstone — the last mile every published corpus "
+    "walks before tokenization, composing four registered stages end "
+    "to end: exact dedup (min-id survivor per text) → quality gate "
+    "(the Gopher word-count band + the oracle-proven heuristic "
+    "quality_score ≥ 0.8 — the DISCRIMINATING rules on this corpus; "
+    "the full Gopher/C4 English-stopword and sentence-punctuation "
+    "cards reject 100% of the synthetic fixture, which would make "
+    "the capstone a trivially-empty frame, the same reason "
+    "text_langid uses corpus-matched markers) → 8-gram "
+    "DECONTAMINATION against the benchmark slice (every 10th doc "
+    "plays the eval set; contaminated TRAIN docs are dropped, the "
+    "reverse orientation of decontaminate_eval_8gram — a release "
+    "protects the benchmark, not itself) → stable md5 80/10/10 "
+    "split → the per-(lang, source, split) doc/token accounting "
+    "table a release README publishes.  Every stage is the already-"
+    "proven operator (dedup.exact_dedup, text.quality_score, "
+    "dedup.ngram_contamination's semi-join, split_train_val_test's "
+    "bucket map) and the oracle re-derives the ENTIRE chain "
+    "independently.  Scale shape: one text-key shuffle (dedup), "
+    "map-only quality gate, one gram equi-join against the (tiny, "
+    "broadcastable) benchmark gram set, one final (lang, source, "
+    "split) agg — no new shuffle class beyond the smoked components.",
+    tags=("ext", "pipeline", "capstone", "dedup", "decontamination"),
+)
+def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    keep = dedup.exact_dedup(tr, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    sur = tr.join(keep, "doc_id")
+    gated = sur.withColumn(
+        "n_words", text.token_count("text").cast("long")
+    ).withColumn("_q", text.quality_score("text"))
+    ok = gated.filter(
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("_q") >= 0.8)
+    )
+    cont = dedup.ngram_contamination(ev, ok, "doc_id", n=8)
+    rel = ok.join(cont.select("doc_id"), "doc_id", "left_anti")
+    bucket = F.pmod(md5int64(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        rel.select(
+            "lang", "source", split.alias("split"), F.col("n_words").alias("_nw")
+        )
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nw").cast("long").alias("n_tokens"),
+        )
+    )

@@ -122,6 +122,14 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "corpus_curate_rules",
     "line_dedup_incremental",
     "rules_pass_rates",
+    # r10: the r9 entries above stay — no CORRECTNESS_r09.json artifact
+    # landed, so they are still never-driver-checked (class 2 keeps
+    # fronting them from artifact history; this tuple is bookkeeping).
+    # Round-10 registrations:
+    "dedup_semantic_semdedup",
+    "decontaminate_fuzzy_minhash",
+    "curriculum_shard_order",
+    "corpus_release_pipeline",
 )
 
 

@@ -606,3 +606,65 @@ def test_line_dedup_agg_not_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curriculum_rank_is_tier_partitioned(spark):
+    """curriculum_shard_order's position window must partition on
+    (shard_id, _tier) — a row_number over shard_id alone sorts a whole
+    shard in ONE task; the tier key bounds every sort partition.  The
+    only shard-only window allowed is the <= shards x 11-row exclusive
+    prefix sum (a sum, not a row_number)."""
+    import re
+
+    plan = plan_of(spark, "curriculum_shard_order")
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+    assert rn_specs, "curriculum plan lost its rank window"
+    for spec in rn_specs:
+        cols = spec.split(",")
+        assert cols[0].strip().startswith("shard_id"), spec
+        assert cols[1].strip().startswith("_tier"), spec
+    # the prefix table rides a broadcast join back, never a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_centroid_broadcast_no_cartesian(spark):
+    """dedup_semantic_semdedup: the (blocks x dims -> array) centroid
+    table must ride a BROADCAST join back onto the corpus scan, the
+    representative must be the partial-aggable min(struct) agg (no
+    per-cluster window), and nothing may plan a cartesian."""
+    plan = plan_of(spark, "dedup_semantic_semdedup")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_decontamination_broadcasts_eval_bands(spark):
+    """decontaminate_fuzzy_minhash: the eval side (bands AND shingle
+    arrays) must broadcast onto the streamed train side — the train
+    corpus is never self-joined or shuffled against itself.  Pinned on
+    the lazy pair plan (the registered query returns the eagerly
+    checkpointed frame, whose plan is just a scan)."""
+    from pyspark.sql import functions as F
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    sig_tr = dedup.minhash_signatures(tr, "doc_id", keep_shingles=True)
+    sig_ev = dedup.minhash_signatures(ev, "doc_id", keep_shingles=True)
+    cands = (
+        dedup._minhash_bands(sig_tr, "doc_id", 24, 2)
+        .alias("a")
+        .join(
+            F.broadcast(dedup._minhash_bands(sig_ev, "doc_id", 24, 2)).alias("b"),
+            ["band", "bh"],
+        )
+        .select(F.col("a.doc_id").alias("train_id"), F.col("b.doc_id").alias("eval_id"))
+        .distinct()
+    )
+    plan = cands._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,152 @@
+"""Round-10 property pins: SemDeDup keep rule, fuzzy MinHash
+decontamination, curriculum shard ordering, and the release capstone's
+decontamination guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_semdedup_keeps_lowest_centroid_cosine(spark):
+    """The SemDeDup keep rule on a hand-built block where the argmin is
+    provable: v0=[1,0] and v1=[0.96,0.28] (both unit) form a duplicate
+    pair at cos 0.96 ≥ 0.95; v2=[0,1] is a singleton.  The block
+    centroid leans toward v1 (it averages in v2's y-mass), so the
+    edge-of-cluster exemplar — the member SemDeDup keeps — is v0."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.96, 0.28], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = dedup.embedding_dup_pairs(emb, threshold=0.95)
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["is_kept"])
+        for r in dedup.semdedup_keep(emb, pairs).collect()
+    }
+    assert got == {0: (0, True), 1: (0, False), 2: (2, True)}
+
+
+def test_semdedup_one_keeper_per_cluster_on_fixture(spark):
+    """Structural invariants on the real fixture: every cluster keeps
+    EXACTLY one member, every singleton keeps itself, and survivors =
+    n_vectors - (dup-group members - dup groups)."""
+    out = QUERIES["dedup_semantic_semdedup"].fn(spark, SF)
+    rows = out.collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(rows) > 0
+    for cid, members in by_cluster.items():
+        assert sum(1 for m in members if m["is_kept"]) == 1, cid
+        if len(members) == 1:
+            assert members[0]["is_kept"] and members[0]["vec_id"] == cid
+    n_kept = sum(1 for r in rows if r["is_kept"])
+    assert n_kept == len(rows) - sum(
+        len(m) - 1 for m in by_cluster.values() if len(m) > 1
+    )
+
+
+def test_minhash_contamination_equals_bruteforce(spark):
+    """The banded train×eval pair set must equal the brute-force
+    jaccard cross join at threshold 0.8 (the recall-argument pin that
+    lets the oracle be exact SQL), and must contain ONLY cross-split
+    orientations."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    got = {
+        (r["train_id"], r["eval_id"], r["jaccard"])
+        for r in dedup.minhash_contamination(tr, ev, "doc_id", threshold=0.8).collect()
+    }
+    # brute force: every straddling pair from the exact jaccard join
+    brute = {
+        (r["d1"] if r["d1"] % 10 != 0 else r["d2"],
+         r["d2"] if r["d1"] % 10 != 0 else r["d1"],
+         r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8).collect()
+        if (r["d1"] % 10 == 0) != (r["d2"] % 10 == 0)
+    }
+    assert got == brute and len(got) > 0
+    for train_id, eval_id, _ in got:
+        assert train_id % 10 != 0 and eval_id % 10 == 0
+
+
+def test_curriculum_two_pass_equals_single_window(spark):
+    """The (prefix + within-tier rank) position must equal the naive
+    whole-shard ordering: per shard, positions are exactly 1..n when
+    rows are sorted by (quality desc, doc_id)."""
+    rows = QUERIES["curriculum_shard_order"].fn(spark, SF).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert len(by_shard) == 8
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: (-r["quality"], r["doc_id"]))
+        assert [r["position"] for r in members] == list(
+            range(1, len(members) + 1)
+        ), shard
+
+
+def test_release_pipeline_no_eval_gram_survives(spark):
+    """Rebuild the capstone's released-doc set from its public stages
+    and assert the release CONTRACT exhaustively: no released doc
+    shares any whole-word 8-gram with the benchmark slice, released
+    texts are exact-dup-free, and the registered aggregate table
+    equals a re-aggregation of the rebuilt set."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    keep = dedup.exact_dedup(tr, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    sur = tr.join(keep, "doc_id")
+    gated = sur.withColumn(
+        "n_words", text.token_count("text").cast("long")
+    ).withColumn("_q", text.quality_score("text"))
+    ok = gated.filter(
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("_q") >= 0.8)
+    )
+    cont = dedup.ngram_contamination(ev, ok, "doc_id", n=8)
+    rel = ok.join(cont.select("doc_id"), "doc_id", "left_anti")
+
+    # contract 1: zero shared 8-grams remain (re-running the checker
+    # on the released set must return empty)
+    assert dedup.ngram_contamination(ev, rel, "doc_id", n=8).count() == 0
+    # contract 2: released texts are exact-dup-free
+    texts = [r["text"] for r in rel.select("text").collect()]
+    assert len(texts) == len(set(texts))
+    # contract 3: the registered aggregate equals the rebuilt set
+    bucket = F.pmod(md5int64(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    expected = {
+        (r["lang"], r["source"], r["split"]): (r["n_docs"], r["n_tokens"])
+        for r in rel.select("lang", "source", split.alias("split"), "n_words")
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    got = {
+        (r["lang"], r["source"], r["split"]): (r["n_docs"], r["n_tokens"])
+        for r in QUERIES["corpus_release_pipeline"].fn(spark, SF).collect()
+    }
+    assert got == expected and len(got) > 0
