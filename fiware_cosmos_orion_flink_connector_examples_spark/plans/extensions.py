@@ -6685,3 +6685,146 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_nw").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "mixture_epoch_plan",
+    oracle=r"""
+    WITH c AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY 1),
+    den AS (SELECT list_aggregate(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+                                  'sum') AS d
+            FROM c)
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / d, 6) AS weight,
+           CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / d) AS BIGINT)
+             AS target_tokens,
+           round(CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / d)
+                      AS DOUBLE) / n_tokens, 6) AS epochs
+    FROM c CROSS JOIN den
+    """,
+    doc="The mixture EPOCH table — the per-source sampling-weights/"
+    "epochs table LLaMA-style data sections publish: per source, "
+    "available docs and tokens, temperature-weighted target share "
+    "(w ∝ tokens^0.5, T=0.5 — the sample_temperature_mixture "
+    "rebalance applied to TOKENS, the unit training actually "
+    "consumes), target tokens for a 1M-token budget, and epochs = "
+    "target/available (>1 ⟹ the source repeats, the signal data "
+    "engineers act on).  The sqrt denominator folds over a SORTED "
+    "list so the float total is summation-order-free across engines "
+    "(stats_exact_moments discipline).  Scale shape: ONE (source) "
+    "hash-agg with map-side partials (shuffle carries |sources| "
+    "rows), a |sources|-row fold, map-only arithmetic — nothing "
+    "doc-scale past the scan.",
+    tags=("ext", "sample", "mixture", "report"),
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    den = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.sqrt(F.col("n_tokens").cast("double")))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("d")
+    )
+    share = F.sqrt(F.col("n_tokens").cast("double")) / F.col("d")
+    tgt = F.floor(F.lit(1_000_000.0) * share)
+    return counts.crossJoin(F.broadcast(den)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("weight"),
+        tgt.cast("long").alias("target_tokens"),
+        F.round(tgt.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+def _nb_chain_sql() -> str:
+    """The quality_nb_classifier oracle chain, reused verbatim as a
+    subquery so the calibration oracle scores with the EXACT same SQL
+    the classifier hash-proved (one source of truth, no drift)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    return QUERIES["quality_nb_classifier"].oracle
+
+
+@register(
+    "quality_nb_calibration",
+    oracle=f"""
+    WITH sc AS ({_nb_chain_sql()}),
+    b AS (SELECT quantile_cont(nb_score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+            AS bnds
+          FROM sc),
+    d AS (SELECT CAST(len(list_filter(b.bnds, x -> sc.nb_score > x)) AS INTEGER)
+                 AS decile,
+                 sc.label
+          FROM sc CROSS JOIN b)
+    SELECT decile,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unlabeled,
+           CASE WHEN sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN round(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                           / CAST(sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END)
+                                  AS DOUBLE), 6)
+                END AS pos_rate
+    FROM d GROUP BY 1
+    """,
+    doc="Classifier CALIBRATION / reliability table — the eval artifact "
+    "a model-based filter ships with: equi-depth decile-bucket the NB "
+    "scores (exact interpolated boundaries from ONE 9-double agg "
+    "broadcast back — the quality_decile_counts discipline, no ntile "
+    "global sort) and report, per decile, doc count, distant-label "
+    "composition (+1/-1/unlabeled), and the positive rate among "
+    "labeled docs — read it to pick the filter threshold and to see "
+    "whether score order actually tracks label quality (it must rise "
+    "with the decile; property-pinned on the fixture).  Scores come "
+    "from the SAME text.nb_quality_scores pass the classifier query "
+    "proved; the oracle wraps the classifier's proven SQL chain as a "
+    "subquery — one source of truth.  Scale shape: the classifier's "
+    "joins + one 9-double agg + one 10-row group — nothing new.",
+    tags=("ext", "text", "X4", "quality", "classifier", "report"),
+)
+def quality_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sc = text.nb_quality_scores(docs).select("nb_score", "label")
+    bnds = sc.agg(
+        F.percentile(
+            "nb_score", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("bnds")
+    )
+    bucketed = sc.crossJoin(F.broadcast(bnds)).select(
+        F.size(F.filter("bnds", lambda x: F.col("nb_score") > x)).alias("decile"),
+        "label",
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("label") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    labeled = F.col("n_pos") + F.col("n_neg")
+    return agg.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        "n_neg",
+        (F.col("n_docs") - labeled).cast("long").alias("n_unlabeled"),
+        F.when(
+            labeled > 0, F.round(F.col("n_pos") / labeled.cast("double"), 6)
+        ).alias("pos_rate"),
+    )

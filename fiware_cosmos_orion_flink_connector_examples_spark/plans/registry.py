@@ -130,6 +130,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "decontaminate_fuzzy_minhash",
     "curriculum_shard_order",
     "corpus_release_pipeline",
+    "mixture_epoch_plan",
+    "quality_nb_calibration",
 )
 
 

@@ -179,3 +179,154 @@ def write_zordered(
         .drop("_z")
     )
     out.write.format(fmt).mode("overwrite").save(path)
+
+
+def write_keyed(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Write a key-addressed table hive-partitioned by a deterministic
+    hash bucket of ``key_col`` — the layout that makes ``merge_upsert``
+    a partition-pruned copy-on-write instead of a full-table rewrite.
+    One directory per bucket; each bucket clustered into one task's
+    files.  Bucket count is a layout constant: pick it so a bucket
+    (~table/n) fits a rewrite task comfortably, and re-bucket with a
+    fresh write_keyed when the table outgrows it."""
+    out = df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    )
+    (
+        out.repartition(F.col("_bucket"))
+        .write.partitionBy("_bucket")
+        .format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+    # layout sidecar: the bucket count is part of the table's identity
+    # (hash mod must match on every later upsert even if some bucket
+    # directory happens to be empty) — never inferred from listings
+    import json
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_keyed_layout.json")
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    st = fs.create(meta, True)
+    st.write(bytearray(json.dumps({"key_col": key_col, "n_buckets": n_buckets}).encode()))
+    st.close()
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    fmt: str = "parquet",
+) -> int:
+    """MERGE/upsert into a ``write_keyed`` table — the Delta/Iceberg
+    ``MERGE INTO`` shape on plain parquet: rows whose key matches an
+    update are REPLACED, new keys are INSERTED, and only the hash
+    buckets containing updated keys are read or rewritten (copy-on-
+    write at bucket granularity; the filter on ``_bucket`` is classic
+    hive partition pruning, so an upsert touching k of n buckets scans
+    and rewrites k/n of the table).  Returns the rewritten bucket
+    count.
+
+    Updates must be key-unique — MERGE with duplicate source keys has
+    no defined winner, so duplicates raise instead of silently picking
+    one (the Delta MERGE error contract).
+
+    Atomicity is per bucket, via the compact_table two-rename swap:
+    each touched bucket directory flips old→new in one FileSystem
+    rename, so concurrent readers of a bucket see the old or the new
+    files, never a mix.  Cross-bucket atomicity needs a metadata layer
+    (Delta/Iceberg commit log) — out of scope for a plain-parquet
+    lake, and stated here rather than pretended away.
+    """
+    dup = (
+        updates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: duplicate key {dup[0][key_col]!r} in updates — "
+            "MERGE requires a key-unique source"
+        )
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # bucket count is part of the table's IDENTITY (the hash mod must
+    # match the original write even if a bucket directory is empty) —
+    # read the write_keyed sidecar, never infer from listings
+    meta_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_keyed_layout.json")
+    if not fs.exists(meta_p):
+        raise ValueError(f"merge_upsert: {path} is not a write_keyed table")
+    stream = fs.open(meta_p)
+    try:
+        raw = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    meta = json.loads(raw.decode())
+    n_buckets = int(meta["n_buckets"])
+    if meta["key_col"] != key_col:
+        raise ValueError(
+            f"merge_upsert: table is keyed on {meta['key_col']!r}, not {key_col!r}"
+        )
+    upd = updates.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    )
+    touched = sorted(
+        r["_bucket"] for r in upd.select("_bucket").distinct().collect()
+    )  # bounded by n_buckets — a layout constant, never data-scale
+    if not touched:
+        return 0
+    existing = (
+        spark.read.format(fmt)
+        .load(path)
+        .filter(F.col("_bucket").isin(touched))  # partition-pruned scan
+    )
+    keys = upd.select(F.col(key_col))
+    merged = (
+        existing.drop("_bucket")
+        .join(keys, key_col, "left_anti")
+        .unionByName(upd.drop("_bucket"))
+        .withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)),
+        )
+    )
+    tmp = path.rstrip("/") + ".merge.tmp"
+    (
+        merged.repartition(F.col("_bucket"))
+        .write.partitionBy("_bucket")
+        .format(fmt)
+        .mode("overwrite")
+        .save(tmp)
+    )
+    for b in touched:
+        cur = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_bucket={b}")
+        new = jvm.org.apache.hadoop.fs.Path(f"{tmp}/_bucket={b}")
+        old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/._bucket={b}.old")
+        if fs.exists(old):
+            fs.delete(old, True)
+        had_cur = fs.exists(cur)
+        if had_cur and not fs.rename(cur, old):
+            raise IOError(f"merge_upsert: rename {cur} -> {old} failed")
+        if not fs.rename(new, cur):
+            if had_cur:
+                fs.rename(old, cur)  # roll back this bucket
+            raise IOError(f"merge_upsert: rename {new} -> {cur} failed")
+        if had_cur:
+            fs.delete(old, True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return len(touched)

@@ -1179,3 +1179,57 @@ def streaming_rule_gate(
         *C4_RULE_COLS,
         (F.col("gopher_pass") & F.col("c4_keep")).alias("rules_pass"),
     )
+
+
+def streaming_decontaminate_gate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Online benchmark decontamination — the streaming twin of the
+    release capstone's drop-contaminated-train stage
+    (``corpus_release_pipeline`` / ``dedup.ngram_contamination``):
+    every arriving doc emits with ``n_shared_grams`` = how many of its
+    distinct whole-word ``n``-grams appear in the STATIC benchmark
+    set (> 0 ⟹ contaminated; the caller routes or drops before
+    anything downstream tokenizes it).
+
+    Shape — deliberately STATELESS (the streaming_rule_gate
+    discipline): the eval set is a batch frame (benchmarks are
+    versioned artifacts, not streams) distilled once to ONE row
+    holding its distinct-gram array; the stream side builds each
+    doc's distinct gram array row-locally (``dedup.shingles`` — the
+    same arithmetic the batch checker shingles with) and a broadcast
+    1-row cross join + ``array_intersect`` scores every doc in pure
+    per-row column work.  No aggregation, no watermark, no state —
+    append-legal, and replay ≡ batch by construction (the
+    ``filter(n_shared_grams > 0)`` projection equals
+    ``ngram_contamination`` row-for-row, pytest-pinned).
+
+    100 TB path: a benchmark too large for one in-memory array swaps
+    this for ``dedup.bloom_probe_filter`` (stream-static broadcast
+    word-table probes, already streaming-legal) + an idempotent
+    keyed sink collapsing per-gram hit rows — same contract, bounded
+    memory."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.dedup import (
+        shingle_rows,
+        shingles,
+    )
+
+    ev_set = (
+        shingle_rows(eval_docs, id_col, text_col, n, distinct=False)
+        .select("gram")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("gram")).alias("_ev_grams"))
+    )
+    g = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, shingles(text_col, n=n, distinct=True).alias("_grams")
+    )
+    return g.crossJoin(F.broadcast(ev_set)).select(
+        id_col,
+        F.size(F.array_intersect("_grams", "_ev_grams")).cast("long").alias(
+            "n_shared_grams"
+        ),
+    )

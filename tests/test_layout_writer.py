@@ -181,3 +181,63 @@ def test_zorder_empty_input_writes_empty_table(spark, tmp_path):
     )
     write_zordered(empty, out, ["x", "y"], n_files=4)
     assert spark.read.parquet(out).count() == 0
+
+
+def test_merge_upsert_replaces_inserts_and_prunes(spark, tmp_path):
+    """write_keyed + merge_upsert: matched keys are replaced, new keys
+    inserted, untouched buckets keep their exact files (copy-on-write
+    proof — the upsert never rewrote them), and duplicate-key update
+    sources are rejected."""
+    import pytest as _pytest
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    path = str(tmp_path / "keyed")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"
+    )
+    layout.write_keyed(base, path, "k", n_buckets=8)
+
+    before = {f for f in spark.read.parquet(path).inputFiles()}
+    updates = spark.createDataFrame(
+        [(3, "CHANGED"), (777, "NEW")], "k long, v string"
+    )
+    n = layout.merge_upsert(spark, path, updates, "k")
+    assert 1 <= n <= 2
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    expect = {i: f"v{i}" for i in range(200)}
+    expect[3] = "CHANGED"
+    expect[777] = "NEW"
+    assert got == expect
+
+    # copy-on-write: files in untouched buckets are byte-for-byte the
+    # same paths; only the touched bucket dirs changed
+    after = {f for f in spark.read.parquet(path).inputFiles()}
+    touched_dirs = {f.rsplit("/", 1)[0] for f in (before ^ after)}
+    assert len(touched_dirs) <= 2 * n
+    untouched_before = {f for f in before if f.rsplit("/", 1)[0] not in touched_dirs}
+    assert untouched_before <= after
+
+    with _pytest.raises(ValueError, match="duplicate key"):
+        layout.merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string"),
+            "k",
+        )
+
+
+def test_merge_upsert_requires_keyed_table(spark, tmp_path):
+    """A plain (non-write_keyed) parquet dir is rejected instead of
+    silently mis-bucketing."""
+    import pytest as _pytest
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    path = str(tmp_path / "plain")
+    spark.range(10).write.parquet(path)
+    with _pytest.raises(ValueError, match="not a write_keyed"):
+        layout.merge_upsert(
+            spark, path, spark.createDataFrame([(1, "a")], "k long, v string"), "k"
+        )

@@ -150,3 +150,33 @@ def test_release_pipeline_no_eval_gram_survives(spark):
         for r in QUERIES["corpus_release_pipeline"].fn(spark, SF).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_nb_calibration_scores_track_labels(spark):
+    """The reliability claim: the positive-label rate must RISE from
+    the bottom to the top score decile (the classifier orders by the
+    very labels it distilled), the decile populations must be
+    equi-depth (within interpolation ties), and counts must add up."""
+    rows = QUERIES["quality_nb_calibration"].fn(spark, SF).collect()
+    by_dec = {r["decile"]: r for r in rows}
+    total = sum(r["n_docs"] for r in rows)
+    assert total == 500
+    for r in rows:
+        assert r["n_pos"] + r["n_neg"] + r["n_unlabeled"] == r["n_docs"]
+    lo = min(by_dec)
+    hi = max(by_dec)
+    assert by_dec[hi].pos_rate is not None and by_dec[lo].pos_rate is not None
+    assert by_dec[hi].pos_rate > by_dec[lo].pos_rate
+
+
+def test_mixture_epoch_plan_budget_and_identity(spark):
+    """Target tokens must not exceed the 1M budget in total (floor
+    never rounds up), every epoch must equal target/available, and a
+    source with more tokens must never get a smaller target."""
+    rows = QUERIES["mixture_epoch_plan"].fn(spark, SF).collect()
+    assert sum(r["target_tokens"] for r in rows) <= 1_000_000
+    for r in rows:
+        assert abs(r["epochs"] - round(r["target_tokens"] / r["n_tokens"], 6)) < 1e-9
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    for a, b in zip(by_tokens, by_tokens[1:]):
+        assert a["target_tokens"] <= b["target_tokens"]

@@ -2118,3 +2118,46 @@ def test_streaming_rule_gate_matches_batch_cards(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_stream_rgate").collect()
     }
     assert got == expected
+
+
+def test_streaming_decontaminate_gate_matches_batch_checker(spark, tmp_path):
+    """Stream/batch unification for decontamination: the stateless
+    gate's contaminated projection (n_shared_grams > 0) must equal
+    dedup.ngram_contamination row-for-row on an availableNow replay,
+    and every clean doc must emit with n_shared_grams = 0."""
+    from pyspark.sql import functions as SF
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        SF.col("text").isNotNull()
+    )
+    ev = docs.filter(SF.col("doc_id") % 10 == 0)
+    tr = docs.filter(SF.col("doc_id") % 10 != 0)
+    expected = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in dedup.ngram_contamination(ev, tr, "doc_id", n=8).collect()
+    }
+    assert expected, "fixture must produce at least one contaminated doc"
+
+    spool = tmp_path / "decon_spool"
+    spool.mkdir()
+    with open(spool / "docs.jsonl", "w") as f:
+        for r in tr.select("doc_id", "text").collect():
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(spool))
+    gated = jobs.streaming_decontaminate_gate(stream, ev, n=8)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("t_stream_decon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_stream_decon").collect()
+    # every train doc emits exactly once
+    assert len(rows) == tr.count()
+    got = {(r.doc_id, r.n_shared_grams) for r in rows if r.n_shared_grams > 0}
+    assert got == expected

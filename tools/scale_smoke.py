@@ -68,6 +68,7 @@ def main() -> None:
     round6_smoke(spark, m)
     round8b_smoke(spark)
     round9_smoke(spark)
+    round10_smoke(spark)
 
 
 def skewed_dedup_smoke(spark, n_docs: int = 20_000, hot_frac: int = 10) -> None:
@@ -420,6 +421,115 @@ def round9_smoke(spark, n_docs: int = 2_000_000) -> None:
         run("text_gopher_repetition (2M)", "text_gopher_repetition")
         run("text_c4_rules (2M)", "text_c4_rules")
         run("line_dedup_removed (2M, 1M-hot line)", "line_dedup_removed")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def round10_smoke(spark, n_docs: int = 2_000_000) -> None:
+    """Round-10 additions at ~100x the bench corpus: the release
+    capstone and curriculum sharding on 2M synthetic docs (the round-9
+    rich/salad fixture), fuzzy MinHash decontamination with a
+    REALISTIC benchmark size (20k eval docs — published benchmarks are
+    10^3-10^5 docs; the registered %10 split is fixture-fit, the
+    operator is what scales), and SemDeDup over 1M synthetic vectors
+    in ~64-vector blocks (the cell-size discipline the IVF dedup smoke
+    established — block count grows with the corpus)."""
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import dedup
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_r10_")
+    try:
+        rich = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda i: F.concat(
+                    F.lit("the w"),
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000)),
+                    F.lit(" of"),
+                ),
+            ),
+            " ",
+        )
+        salad = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.pmod(F.xxhash64("id", F.lit(9)), F.lit(5)) + 1),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000))
+                ),
+            ),
+            " ",
+        )
+        text = F.when(F.col("id") % 2 == 0, rich).otherwise(salad)
+        src_col = F.pmod(F.xxhash64("id", F.lit(4)), F.lit(16))
+        lang = F.when(F.col("id") % 3 < 2, F.lit("en")).otherwise(F.lit("de"))
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            lang.alias("lang"),
+            F.concat(F.lit("src"), src_col).alias("source"),
+            F.length(text).alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        def run(tag, fn):
+            t = time.time()
+            fn()
+            print(f"{tag:40s} {time.time() - t:.1f}s", flush=True)
+            spark.catalog.clearCache()
+
+        def run_query(tag, name):
+            run(tag, lambda: QUERIES[name].fn(spark, tmp).write.format("noop").mode(
+                "overwrite"
+            ).save())
+
+        print(f"round-10 registered-query smoke: docs={n_docs // 1_000_000}M")
+        run_query("corpus_release_pipeline (2M)", "corpus_release_pipeline")
+        run_query("curriculum_shard_order (2M)", "curriculum_shard_order")
+
+        d = spark.read.parquet(f"{tmp}/documents.parquet")
+        ev = d.filter(F.col("doc_id") % 100 == 0)  # 20k-doc benchmark
+        tr = d.filter(F.col("doc_id") % 100 != 0)
+        run(
+            "minhash_contamination (2M vs 20k)",
+            lambda: dedup.minhash_contamination(tr, ev, "doc_id", threshold=0.8)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+        # SemDeDup at 1M vectors, 16 dims, ~64-vector blocks: half the
+        # corpus is pairwise-duplicated (id and id+1 share a vector
+        # direction), so components and keep-selection do real work
+        n_vec = 1_000_000
+        emb = spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: (
+                    F.pmod(F.xxhash64((F.col("id") / 2).cast("long"), i), F.lit(1000))
+                    / 1000.0
+                    + 0.001
+                ),
+            ).alias("embedding"),
+            F.pmod(F.xxhash64((F.col("id") / 2).cast("long"), F.lit(99)), F.lit(16_384))
+            .cast("int")
+            .alias("label"),
+        )
+        emb.write.mode("overwrite").parquet(f"{tmp}/emb.parquet")
+        e = spark.read.parquet(f"{tmp}/emb.parquet")
+
+        def semdedup():
+            pairs = dedup.embedding_dup_pairs(e, threshold=0.999999)
+            out = dedup.semdedup_keep(e, pairs)
+            n_kept = out.filter("is_kept").count()
+            print(f"  semdedup kept {n_kept} of {n_vec}", flush=True)
+
+        run("semdedup_keep (1M vecs, 16k blocks)", semdedup)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
