@@ -1936,10 +1936,18 @@ def minhash_contamination(
     discipline): the eval set is TINY relative to train, so its banded
     signature table broadcasts onto the streamed train bands — the
     train corpus is never self-joined, per-run cost is O(train bands ×
-    eval band buckets), linear in train.  Candidates from any shared
-    band are verified with exact shingle-set jaccard (array_intersect
-    over the signature table's carried shingle arrays — one scan per
-    side feeds both banding and verify).
+    eval band buckets), linear in train.
+
+    The train side's signature aggregate deliberately does NOT carry
+    shingle arrays (`keep_shingles=False`): materializing every train
+    doc's shingle set through the agg is corpus-scale memory — the
+    2M-doc smoke OOMed an 8g heap doing exactly that.  Instead, the
+    verify step re-shingles ONLY the band-collision candidates
+    (broadcast semi-join of the candidate id set back onto the corpus
+    scan, then the per-row `shingles()` array builder — map-only):
+    candidates are eval-driven and band-selective, orders of magnitude
+    smaller than the corpus.  Eval-side arrays ride its (small)
+    signature table as before.
 
     Returns (train_id, eval_id, jaccard) with jaccard ≥ threshold: the
     train docs to DROP before a release, with the benchmark doc they
@@ -1949,9 +1957,11 @@ def minhash_contamination(
     """
     from pyspark import StorageLevel
 
-    sig_tr = minhash_signatures(
-        train, id_col, text_col, n, num_hashes, keep_shingles=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
+
+    sig_tr = minhash_signatures(train, id_col, text_col, n, num_hashes)
     sig_ev = minhash_signatures(
         eval_df, id_col, text_col, n, num_hashes, keep_shingles=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1967,8 +1977,18 @@ def minhash_contamination(
             F.col(f"b.{id_col}").alias("eval_id"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    s1 = sig_tr.select(F.col(id_col).alias("train_id"), F.col("sh").alias("sh1"))
+    # verify: re-shingle ONLY candidate train docs (map-only array
+    # build on a broadcast-semi-join-filtered scan), never the corpus
+    cand_ids = cands.select(F.col("train_id").alias(id_col)).distinct()
+    s1 = (
+        train.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("train_id"),
+            shingles(text_col, n=n, distinct=True).alias("sh1"),
+        )
+    )
     s2 = sig_ev.select(F.col(id_col).alias("eval_id"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -1980,8 +2000,4 @@ def minhash_contamination(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
-        eagerly,
-    )
-
-    return eagerly(out, sig_tr, sig_ev)
+    return eagerly(out, sig_ev, cands)

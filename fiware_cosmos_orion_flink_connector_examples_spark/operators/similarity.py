@@ -891,3 +891,101 @@ def covariance_moments(
         .crossJoin(F.broadcast(tot))
         .select("i", "j", "n", "s_i", "s_j", "sxx")
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    cache_key: tuple | None = None,
+):
+    """Fit a k-component PCA on the embedding column — the classic
+    dimensionality-reduction step of an embedding pipeline (whitening,
+    storage compression, the OPQ rotation's first half).  Returns
+    (mean: list[float], components: k x dim list rows, explained: k
+    variances), all driver-side model artifacts.
+
+    Distribution discipline: the covariance moments come from the
+    fully-distributed ``covariance_moments`` reduce (shuffle volume =
+    batches × dim² doubles, corpus-row-independent — nothing
+    corpus-sized reaches the driver); only the dim×dim covariance —
+    a model-sized, not data-sized, matrix — is assembled locally and
+    eigendecomposed in numpy (``eigh``: symmetric, deterministic).
+    Sign convention: each component's largest-|coefficient| entry is
+    made positive, so refits are bit-stable (eigenvectors are
+    otherwise sign-ambiguous run to run).  ``cache_key`` memoizes per
+    (session, corpus) like the IVF/PQ quantizers."""
+    import numpy as np
+
+    full_key = None
+    if cache_key is not None:
+        full_key = (*cache_key, "pca", k, vec_col)
+        hit = _PCA_CACHE.get(full_key)
+        if hit is not None:
+            return hit
+    rows = covariance_moments(df, vec_col).collect()  # dim*(dim+1)/2 rows
+    if not rows:
+        out = ([], [], [])
+        if full_key is not None:
+            _PCA_CACHE[full_key] = out
+        return out
+    dim = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    S = np.zeros((dim, dim))
+    s1 = np.zeros(dim)
+    for r in rows:
+        S[r["i"], r["j"]] = S[r["j"], r["i"]] = r["sxx"]
+        s1[r["i"]] = r["s_i"]
+        s1[r["j"]] = r["s_j"]
+    mean = s1 / n
+    cov = (S - np.outer(s1, s1) / n) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k x dim
+    # sign-stabilize: largest-|coeff| entry positive per component
+    for c in comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1
+    out = (mean.tolist(), comps.tolist(), vals[order].tolist())
+    if full_key is not None:
+        _PCA_CACHE[full_key] = out
+    return out
+
+
+_PCA_CACHE: dict = {}
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the fitted components: one Arrow
+    mapInPandas pass computing (X - mean) @ components^T per batch —
+    dense BLAS, the sanctioned Python exception; output is (id,
+    projected array<double>).  Map-only: embarrassingly parallel at
+    any scale, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype="float64")
+    C = np.asarray(components, dtype="float64")
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.asarray(pdf["_v"].tolist(), dtype="float64")
+            P = (M - mu) @ C.T
+            yield pd.DataFrame({"_id": pdf["_id"], "proj": list(P)})
+
+    return base.mapInPandas(part, f"_id {id_type}, proj array<double>").select(
+        F.col("_id").alias(id_col), "proj"
+    )

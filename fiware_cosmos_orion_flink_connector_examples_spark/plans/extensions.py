@@ -6828,3 +6828,86 @@ def quality_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             labeled > 0, F.round(F.col("n_pos") / labeled.cast("double"), 6)
         ).alias("pos_rate"),
     )
+
+
+@register(
+    "embedding_pca_envelope",
+    oracle=r"""
+    WITH v AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings
+               WHERE embedding IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(len(ev)) AS INTEGER) AS dim,
+           8 AS k,
+           TRUE AS proj_var_le_total,
+           TRUE AS proj_var_ge_kdim_share
+    FROM v
+    """,
+    doc="Driver-visible PCA correctness envelope (the "
+    "approx_sketches_bounded lineage, applied to the numpy "
+    "eigendecomposition no SQL engine can re-derive): fit k=8 "
+    "components via similarity.pca_fit (covariance from the "
+    "DISTRIBUTED covariance_moments reduce — shuffle is batches × "
+    "dim² doubles, corpus-row-independent; only the dim×dim model "
+    "matrix reaches the driver; eigh + sign-stabilization make "
+    "refits bit-identical), project every vector with the map-only "
+    "Arrow pass, and emit the two identities exact PCA must satisfy "
+    "— projected variance ≤ total variance, and ≥ the k/dim share "
+    "(top-k eigenvalues ≥ k × mean eigenvalue, always) — as booleans "
+    "the oracle asserts TRUE, beside n_vectors and dim the oracle "
+    "re-derives exactly.  A broken eigensolve, centering bug, or "
+    "projection transpose now hash-fails the driver row: a wrong "
+    "basis loses variance (first boolean) or captures less than the "
+    "uniform share (second).",
+    tags=("ext", "embedding", "X3", "pca", "envelope"),
+)
+def embedding_pca_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _vals = similarity.pca_fit(
+        emb,
+        k=k,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, "embeddings"),
+    )
+    proj = similarity.pca_project(emb, mean, comps)
+    pstats = proj.agg(
+        F.sum(
+            F.aggregate(
+                F.transform("proj", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("pss")
+    )
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("embedding").cast("array<double>").alias("_v")
+    )
+    per_dim = (
+        base.select(F.posexplode("_v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    tv = per_dim.agg(
+        F.sum(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("tv"),
+        F.max("n").cast("long").alias("n_vectors"),
+        (F.max("pos") + 1).cast("int").alias("dim"),
+    )
+    pv = F.col("pss") / (F.col("n_vectors") - 1).cast("double")
+    return pstats.crossJoin(F.broadcast(tv)).select(
+        "n_vectors",
+        "dim",
+        F.lit(k).cast("int").alias("k"),
+        (pv <= F.col("tv") * F.lit(1.0 + 1e-9)).alias("proj_var_le_total"),
+        (
+            pv
+            >= (F.lit(float(k)) / F.col("dim").cast("double"))
+            * F.col("tv")
+            * F.lit(1.0 - 1e-9)
+        ).alias("proj_var_ge_kdim_share"),
+    )

@@ -132,6 +132,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "corpus_release_pipeline",
     "mixture_epoch_plan",
     "quality_nb_calibration",
+    "embedding_pca_envelope",
 )
 
 

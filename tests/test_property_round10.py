@@ -180,3 +180,56 @@ def test_mixture_epoch_plan_budget_and_identity(spark):
     by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
     for a, b in zip(by_tokens, by_tokens[1:]):
         assert a["target_tokens"] <= b["target_tokens"]
+
+
+def test_pca_fit_orthonormal_and_matches_numpy(spark):
+    """pca_fit must return an orthonormal, sign-stabilized basis whose
+    span equals numpy's top-k eigenvectors of the same covariance, and
+    pca_project must equal the (X - mean) @ C.T reference."""
+    import numpy as np
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mean, comps, vals = similarity.pca_fit(emb, k=8)
+    C = np.asarray(comps)
+    assert np.abs(C @ C.T - np.eye(8)).max() < 1e-9
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))  # descending
+    # numpy reference on the collected corpus
+    X = np.asarray(
+        [r["embedding"] for r in emb.filter("embedding is not null").collect()],
+        dtype="float64",
+    )
+    mu = X.mean(axis=0)
+    assert np.abs(np.asarray(mean) - mu).max() < 1e-9
+    cov = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, np.argsort(w)[::-1][:8]]
+    # same subspace: projector equality (basis is sign/rotation-free)
+    P_fit = C.T @ C
+    P_ref = top @ top.T
+    assert np.abs(P_fit - P_ref).max() < 1e-6
+    # projection pass equals the reference
+    got = {
+        r["vec_id"]: np.asarray(r["proj"])
+        for r in similarity.pca_project(emb, mean, comps).collect()
+    }
+    ids = [r["vec_id"] for r in emb.filter("embedding is not null").collect()]
+    ref = (X - mu) @ C.T
+    for i, vid in enumerate(ids):
+        assert np.abs(got[vid] - ref[i]).max() < 1e-9
+
+
+def test_pca_refit_is_deterministic(spark):
+    """Two independent fits (no cache) must return bit-identical
+    components — the sign convention removes eigh's ambiguity."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = similarity.pca_fit(emb, k=4)
+    b = similarity.pca_fit(emb, k=4)
+    assert a == b
