@@ -77,13 +77,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # Everything outside the window holds an r4/r5 proof, so no proof ages
 # past ~3 rounds before rotation re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r9: emptied at round start (r8 entries are history in
-    # CORRECTNESS_r08.json).  Repopulated below as round-9 rewrites
-    # land.
-    # _temperature_draw rewritten to the range-partitioned prefix-sum
-    # rank (VERDICT r8 #1) after both consumers' r8 proofs:
-    "sample_temperature_mixture",
-    "corpus_curate_nb",
+    # r11: emptied at round start (the r9/r10 rewrites are history in
+    # CORRECTNESS_r10.json — both _temperature_draw consumers proved
+    # hash-green in the r10 window).  Repopulate below as round-11
+    # rewrites of oracle-bearing queries land.
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -98,41 +95,11 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    # r9 round hygiene: emptied at round start; repopulated below as
-    # round-9 queries register (class-2 membership still comes from
-    # artifact history, this tuple is bookkeeping for the rotation test).
-    "audio_banding_exact_bounded",
-    "ann_pq_paths_bit_equal",
-    "quality_nb_classifier_bigram",
-    "text_bigram_logprob_kn",
-    "text_trigram_logprob_kn",
-    "ann_mmr_lambda1_equals_brute",
-    "ann_ivf_recall_bounded",
-    "corpus_curate_ccnet",
-    "sample_dsir",
-    "bpe_first_merge_derived",
-    "hll_merge_equals_oneshot",
-    "doc_pack_constraints",
-    "text_gopher_rules",
-    "text_gopher_repetition",
-    "text_c4_rules",
-    "line_dedup_removed",
-    "ann_hard_negatives",
-    "ivf_dedup_recall_bounded",
-    "corpus_curate_rules",
-    "line_dedup_incremental",
-    "rules_pass_rates",
-    # r10: the r9 entries above stay — no CORRECTNESS_r09.json artifact
-    # landed, so they are still never-driver-checked (class 2 keeps
-    # fronting them from artifact history; this tuple is bookkeeping).
-    # Round-10 registrations:
-    "dedup_semantic_semdedup",
-    "decontaminate_fuzzy_minhash",
-    "curriculum_shard_order",
-    "corpus_release_pipeline",
-    "mixture_epoch_plan",
-    "quality_nb_calibration",
-    "embedding_pca_envelope",
+    # r11 round hygiene: emptied at round start — CORRECTNESS_r10.json
+    # landed with every r9/r10 registration hash-green, so last round's
+    # entries are now artifact history.  Repopulated below as round-11
+    # queries register (class-2 membership still comes from artifact
+    # history, this tuple is bookkeeping for the rotation test).
 )
 
 
