@@ -239,33 +239,41 @@ def merge_upsert(
     no defined winner, so duplicates raise instead of silently picking
     one (the Delta MERGE error contract).
 
-    Atomicity is per bucket, via the compact_table two-rename swap:
-    each touched bucket directory flips old→new in one FileSystem
-    rename, so concurrent readers of a bucket see the old or the new
-    files, never a mix.  Cross-bucket atomicity needs a metadata layer
-    (Delta/Iceberg commit log) — out of scope for a plain-parquet
-    lake, and stated here rather than pretended away.
+    Atomicity, precisely (not overstated): each touched bucket flips
+    via TWO FileSystem renames — cur→``._bucket=N.old``, then
+    tmp→cur.  A reader listing the table BETWEEN those two renames
+    sees the bucket directory missing (an empty bucket, not a mix of
+    old and new files); the window is two metadata operations wide.
+    A crash inside the window leaves the bucket's data intact in the
+    hidden ``._bucket=N.old`` directory — run
+    ``recover_merge_upsert(spark, path)`` to restore it.  To make
+    that recovery always possible, ``.old`` directories are kept
+    until EVERY touched bucket has swapped successfully and are
+    deleted only in a final cleanup pass.  Cross-bucket atomicity
+    needs a metadata layer (Delta/Iceberg commit log) — out of scope
+    for a plain-parquet lake, and stated here rather than pretended
+    away: a crash mid-merge can leave some buckets post-merge and
+    others pre-merge (each bucket internally consistent); re-running
+    the SAME merge_upsert is idempotent (MERGE is key-addressed
+    replace), which is the recovery path for partial application.
+
+    Object-store caveat: ``FileSystem.rename`` is atomic on HDFS and
+    posix-like stores but NOT on S3A (it is a copy+delete that can be
+    observed half-done and is O(data)).  On object stores use a real
+    table format's commit log instead of this swap — the bucket
+    layout and MERGE plan shape carry over unchanged.
     """
-    dup = (
-        updates.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"merge_upsert: duplicate key {dup[0][key_col]!r} in updates — "
-            "MERGE requires a key-unique source"
-        )
     import json
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    # bucket count is part of the table's IDENTITY (the hash mod must
-    # match the original write even if a bucket directory is empty) —
-    # read the write_keyed sidecar, never infer from listings
+    # CHEAP validations first (sidecar existence + key identity are
+    # metadata reads) — a wrong-table call must fail before paying any
+    # Spark job (ADVICE r10).  Bucket count is part of the table's
+    # IDENTITY (the hash mod must match the original write even if a
+    # bucket directory is empty) — read the write_keyed sidecar, never
+    # infer from listings.
     meta_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_keyed_layout.json")
     if not fs.exists(meta_p):
         raise ValueError(f"merge_upsert: {path} is not a write_keyed table")
@@ -281,6 +289,18 @@ def merge_upsert(
     if meta["key_col"] != key_col:
         raise ValueError(
             f"merge_upsert: table is keyed on {meta['key_col']!r}, not {key_col!r}"
+        )
+    dup = (
+        updates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: duplicate key {dup[0][key_col]!r} in updates — "
+            "MERGE requires a key-unique source"
         )
     upd = updates.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
@@ -313,12 +333,13 @@ def merge_upsert(
         .mode("overwrite")
         .save(tmp)
     )
+    swapped_olds = []
     for b in touched:
         cur = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_bucket={b}")
         new = jvm.org.apache.hadoop.fs.Path(f"{tmp}/_bucket={b}")
         old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/._bucket={b}.old")
         if fs.exists(old):
-            fs.delete(old, True)
+            fs.delete(old, True)  # stale backup from a CLEANLY finished run
         had_cur = fs.exists(cur)
         if had_cur and not fs.rename(cur, old):
             raise IOError(f"merge_upsert: rename {cur} -> {old} failed")
@@ -327,9 +348,59 @@ def merge_upsert(
                 fs.rename(old, cur)  # roll back this bucket
             raise IOError(f"merge_upsert: rename {new} -> {cur} failed")
         if had_cur:
-            fs.delete(old, True)
+            # keep the backup until EVERY bucket has swapped — a crash
+            # from here on must leave all pre-merge data recoverable
+            swapped_olds.append(old)
+    # cleanup pass: only reached once all touched buckets are live
+    for old in swapped_olds:
+        fs.delete(old, True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     return len(touched)
+
+
+def recover_merge_upsert(spark, path: str) -> dict:
+    """Crash recovery for an interrupted ``merge_upsert``: restore any
+    bucket whose live directory went missing mid-swap and clear
+    leftovers, returning ``{"restored": [...], "cleaned": [...]}``.
+
+    Protocol (driven purely by what's on disk — no journal needed):
+      * ``._bucket=N.old`` present, ``_bucket=N`` MISSING → the crash
+        hit between the two renames; restore old→cur (that bucket
+        returns to its PRE-merge content).
+      * ``._bucket=N.old`` present, ``_bucket=N`` present → the swap
+        completed but the final cleanup pass didn't; the live bucket
+        is post-merge, so the backup is deleted.
+      * a ``<path>.merge.tmp`` staging directory → deleted.
+
+    After recovery the table is readable and internally consistent per
+    bucket, but a crashed merge may be PARTIALLY applied across
+    buckets (some post-merge, restored ones pre-merge) — re-running
+    the same ``merge_upsert`` completes it idempotently, since MERGE
+    is key-addressed replace."""
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    hpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    restored, cleaned = [], []
+    if fs.exists(hpath):
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not (name.startswith("._bucket=") and name.endswith(".old")):
+                continue
+            bucket = name[len("._bucket=") : -len(".old")]
+            cur = jvm.org.apache.hadoop.fs.Path(f"{base}/_bucket={bucket}")
+            if fs.exists(cur):
+                fs.delete(st.getPath(), True)
+                cleaned.append(name)
+            else:
+                if not fs.rename(st.getPath(), cur):
+                    raise IOError(f"recover_merge_upsert: rename {name} failed")
+                restored.append(f"_bucket={bucket}")
+    tmp = jvm.org.apache.hadoop.fs.Path(base + ".merge.tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+        cleaned.append(tmp.getName())
+    return {"restored": sorted(restored), "cleaned": sorted(cleaned)}
 
 
 def write_training_shards(
