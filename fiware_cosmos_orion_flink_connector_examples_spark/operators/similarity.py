@@ -110,11 +110,41 @@ def _assign_udf(centroids: list[list[float]]):
     return assign
 
 
+class _ModelLRU:
+    """Bounded model-artifact memo (ADVICE r10: the module-level dicts
+    were unbounded — a long session touching many corpora/k values
+    accumulated artifacts indefinitely).  Plain LRU over an ordered
+    dict: hits refresh recency, inserts past ``cap`` evict the least
+    recently used.  Entries are tiny (k×dim floats), so the cap bounds
+    count, not bytes."""
+
+    def __init__(self, cap: int = 32):
+        from collections import OrderedDict
+
+        self.cap = cap
+        self._d: "OrderedDict[tuple, object]" = OrderedDict()
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is not None:
+            self._d.move_to_end(key)
+        return hit
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.cap:
+            self._d.popitem(last=False)
+
+    def __len__(self):
+        return len(self._d)
+
+
 # Trained coarse quantizers memoized per (applicationId, corpus tag,
 # hyperparams): VERDICT r2 #3 — dedup_embedding_ivf and
 # ann_topk_ivf_kmeans block on the SAME corpus, so one training serves
 # both (and bench's min-of-N repeats).  Values are tiny (k×dim floats).
-_QUANTIZER_CACHE: dict[tuple, list[list[float]]] = {}
+_QUANTIZER_CACHE = _ModelLRU(cap=32)
 
 
 def kmeans_fit_sample(
@@ -953,7 +983,7 @@ def pca_fit(
     return out
 
 
-_PCA_CACHE: dict = {}
+_PCA_CACHE = _ModelLRU(cap=32)
 
 
 def pca_project(

@@ -6491,17 +6491,29 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs_incremental shape — the train corpus is "
     "never self-joined), then verifies candidates with exact "
     "shingle-set jaccard ≥ 0.8.  The oracle is the brute-force "
-    "eval×train jaccard join: at 0.8 the 12-band×2-row recall is "
-    "1-(1-0.64)^12 ≈ 0.999995, so the verified output equals the "
-    "exact answer (the dedup_minhash_lsh argument; same deterministic "
-    "signature family, pinned by that query's green history).",
+    "eval×train jaccard join — and the equivalence is PROBABILISTIC, "
+    "not structural (ADVICE r10): LSH banding can miss a true pair, "
+    "which would hash-fail against the exact oracle and operationally "
+    "leak a contaminated train doc.  This query therefore runs "
+    "36 hashes / 18 bands × 2 rows: per-pair miss probability at "
+    "exactly j=0.8 is (1-0.64)^18 ≈ 1e-8, and it falls steeply above "
+    "the threshold (j=0.9 → 4e-13) — negligible for any fixture or "
+    "corpus this driver checks, but a caveat a release pipeline "
+    "should know (the signature family is deterministic, so a given "
+    "corpus either always matches or always misses — no flaky runs).",
     tags=("ext", "dedup", "decontamination", "lsh"),
 )
 def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     tr = docs.filter(F.col("doc_id") % 10 != 0)
-    return dedup.minhash_contamination(tr, ev, "doc_id", threshold=0.8)
+    # 36 hashes / 18 bands: drives the at-threshold banding miss
+    # probability to ~1e-8 per true pair (see oracle doc) — the exact
+    # brute-force oracle makes recall a correctness property here, not
+    # just a quality knob
+    return dedup.minhash_contamination(
+        tr, ev, "doc_id", threshold=0.8, num_hashes=36
+    )
 
 
 @register(

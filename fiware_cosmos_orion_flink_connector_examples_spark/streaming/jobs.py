@@ -1218,11 +1218,18 @@ def streaming_decontaminate_gate(
         shingles,
     )
 
+    # materialize the 1-row gram-set frame ONCE (ADVICE r10): the
+    # static side of a stream-static join re-executes per micro-batch,
+    # so without this every batch re-runs the full benchmark
+    # distillation (shingle explode + distinct + collect_list).
+    # localCheckpoint(eager) truncates the lineage to the materialized
+    # partitions — each batch then just rereads one cached row.
     ev_set = (
         shingle_rows(eval_docs, id_col, text_col, n, distinct=False)
         .select("gram")
         .distinct()
         .agg(F.sort_array(F.collect_list("gram")).alias("_ev_grams"))
+        .localCheckpoint(eager=True)
     )
     g = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, shingles(text_col, n=n, distinct=True).alias("_grams")
