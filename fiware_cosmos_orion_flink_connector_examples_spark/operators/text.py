@@ -1507,3 +1507,91 @@ def bigram_logprob(
             F.col("sq").cast("double") / F.col("n_tokens") / F.lit(1e12), 6
         ).alias("avg_logprob"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval scoring (Robertson/Spärck Jones) — the
+    full-text-search ranking function the engine's retrieval pillar is
+    built on (reference has no search surface; this is the [ext]
+    keyword-retrieval counterpart to the ANN stack's vector side).
+
+    ``query_terms`` is a tiny (query_id, term) frame — the query
+    workload — broadcast onto the corpus term stream.  Per (query,
+    doc): score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln(1 + (N − df + ½)/(df + ½)) (the Lucene non-negative
+    variant).
+
+    Scale shape: the exploded token stream is filtered to the QUERY
+    TERMS (broadcast semi-join) BEFORE any shuffle, so tf and df aggs
+    carry posting-list rows only — per-query cost is O(Σ df(term)),
+    never corpus-wide.  Doc length is map-only ``regexp_count`` on the
+    original scan (no explode, no shuffle); the corpus-level (N, Σdl)
+    scalars ride a 1-row broadcast cross join; df (≤ |query terms|
+    rows) broadcasts back onto tf.  The only corpus-keyed shuffle is
+    the doc-id join of posting-bounded tf against the map-side dl
+    frame (unhinted — AQE broadcasts whichever side measures small).
+    Cross-engine determinism: each (query, doc, term) contribution is
+    one double expression quantized to integer picounits, and the
+    per-doc score is the order-free SUM of those int64s (the
+    quantized-sum discipline every LM/NB query uses); ``score_q12``
+    is exposed so callers rank by the exact integer, never a rounded
+    double.
+
+    Returns (query_id, doc_id, score_q12 BIGINT, score DOUBLE).
+    """
+    base = docs.filter(F.col(text_col).isNotNull())
+    qex = base.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).join(F.broadcast(query_terms.select("term").distinct()), "term")
+    tf = qex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qex.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    # docs with zero tokens contribute nothing and are excluded from
+    # N/avgdl (they have no posting rows — the ex-derived convention)
+    dl = base.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    contrib = (
+        tf.join(F.broadcast(query_terms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    c = idf * tf_d * F.lit(k1 + 1.0) / (
+        tf_d
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    return (
+        contrib.select(
+            "query_id",
+            F.col(id_col),
+            F.round(c * F.lit(1e12)).cast("long").alias("cq"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("cq").alias("score_q12"))
+        .select(
+            "query_id",
+            id_col,
+            "score_q12",
+            F.round(F.col("score_q12").cast("double") / F.lit(1e12), 6).alias(
+                "score"
+            ),
+        )
+    )

@@ -6923,3 +6923,333 @@ def embedding_pca_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1.0 - 1e-9)
         ).alias("proj_var_ge_kdim_share"),
     )
+
+
+# --- retrieval pillar (round 11): BM25 + hybrid fusion ----------------------
+
+_D_BM25 = r"""
+  qt(query_id, term) AS (VALUES {qvals}),
+  ex AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+         FROM documents WHERE text IS NOT NULL),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+  dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+  stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+  contrib AS (
+    SELECT qt.query_id, tf.doc_id,
+           CAST(round(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * CAST(dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           * 1e12) AS BIGINT) AS cq
+    FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  ),
+  bm25 AS (SELECT query_id, doc_id, sum(cq) AS sq FROM contrib GROUP BY 1, 2)
+"""
+
+_BM25_QUERIES = [
+    (1, "hash"),
+    (1, "join"),
+    (2, "customer"),
+    (2, "order"),
+    (2, "table"),
+    (3, "vector"),
+    (3, "stream"),
+]
+_D_BM25_QVALS = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_D_BM25.format(qvals=_D_BM25_QVALS)}
+    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+           CAST(rank AS INTEGER) AS rank,
+           round(CAST(sq AS DOUBLE) / 1e12, 6) AS score
+    FROM (SELECT query_id, doc_id, sq,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sq DESC, doc_id) AS rank
+          FROM bm25)
+    WHERE rank <= 10
+    """,
+    doc="X4 BM25 keyword retrieval (k1=1.2, b=0.75, Lucene idf): top-10 "
+    "docs per query for a 3-query literal workload — the lexical half "
+    "of the retrieval pillar beside the ANN stack.  ONE tokenize pass "
+    "feeds tf/dl/df (all partial-aggregable on their own keys); the "
+    "(N, Σdl) scalars ride a 1-row broadcast cross join; query terms "
+    "BROADCAST onto the tf stream, so only posting-list rows of the "
+    "queried terms survive into scoring — per-query cost is "
+    "O(df(term)), never corpus-wide.  Each contribution is quantized "
+    "to integer picounits and summed order-free (the LM/NB "
+    "discipline); ranking orders by the exact int64, so top-k "
+    "membership is engine-stable.  The per-query rank window "
+    "partitions on query_id over posting-bounded rows (the "
+    "ann_topk_bruteforce shape).",
+    tags=("ext", "text", "X4", "retrieval", "bm25"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    scored = text.bm25_scores(docs, qterms)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q12"), F.asc("doc_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "score")
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_D_BM25.format(qvals="(0, 'hash'), (0, 'join')")},
+    lex AS (
+      SELECT doc_id AS id,
+             CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INTEGER)
+               AS rank_lex
+      FROM bm25 QUALIFY rank_lex <= 50
+    ),
+    qv AS (SELECT {_D_NORM.format(v='embedding::DOUBLE[]')} AS qv
+           FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL),
+    scored AS (
+      SELECT vec_id AS id, {_D_COS_N.format(a='qv', b='nv')} AS cos
+      FROM (SELECT vec_id, {_D_NORM.format(v='embedding::DOUBLE[]')} AS nv
+            FROM embeddings WHERE embedding IS NOT NULL AND vec_id != 0)
+           CROSS JOIN qv
+    ),
+    vec AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER)
+               AS rank_vec
+      FROM scored QUALIFY rank_vec <= 50
+    ),
+    fused AS (
+      SELECT coalesce(lex.id, vec.id) AS id, rank_lex, rank_vec,
+             coalesce(1.0 / (60 + rank_lex), 0.0)
+               + coalesce(1.0 / (60 + rank_vec), 0.0) AS rrf
+      FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+    )
+    SELECT id, rank_lex, rank_vec, round(rrf, 9) AS rrf,
+           CAST(fused_rank AS INTEGER) AS fused_rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= 10
+    """,
+    doc="X3/X4 hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of "
+    "the BM25 lexical top-50 (query terms 'hash join') and the "
+    "vector-cosine top-50 (query vector = embedding 0) over the same "
+    "id space: the modern RAG retrieval shape, where neither ranker "
+    "alone wins.  Both candidate lists are top-k-bounded BEFORE the "
+    "fusion full-outer join, so the fused frame holds ≤100 rows at "
+    "any corpus size; rrf = 1/(60+r_lex) + 1/(60+r_vec) is a fixed "
+    "two-term double expression (engine-identical bit-for-bit — no "
+    "variable-order summation), ties broken on id.  Lexical ranks "
+    "order by the exact quantized int64 BM25 sum; vector ranks by "
+    "the rounded normalized dot (the topk_cosine_bruteforce "
+    "contract).",
+    tags=("ext", "similarity", "text", "X3", "X4", "retrieval", "hybrid"),
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame([(0, "hash"), (0, "join")], "query_id int, term string")
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score_q12"), F.asc("doc_id"))
+    lex = (
+        text.bm25_scores(docs, qterms)
+        .select("*", F.row_number().over(wl).alias("rank_lex"))
+        .filter(F.col("rank_lex") <= 50)
+        .select(F.col("doc_id").alias("id"), F.col("rank_lex").cast("int").alias("rank_lex"))
+    )
+    vec = (
+        similarity.topk_cosine_bruteforce(
+            emb, emb.filter(F.col("vec_id") == 0), k=50
+        )
+        .select(F.col("n_id").alias("id"), F.col("rank").cast("int").alias("rank_vec"))
+    )
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_vec")), F.lit(0.0))
+    )
+    fused = lex.join(vec, "id", "full_outer").select(
+        "id", "rank_lex", "rank_vec", rrf.alias("_rrf")
+    )
+    wf = Window.orderBy(F.desc("_rrf"), F.asc("id"))
+    return (
+        fused.select(
+            "id",
+            "rank_lex",
+            "rank_vec",
+            F.round("_rrf", 9).alias("rrf"),
+            F.row_number().over(wf).cast("int").alias("fused_rank"),
+        )
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH ex AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents WHERE text IS NOT NULL),
+    tot AS (SELECT count(*) AS n_tokens FROM ex),
+    exact AS (SELECT term, count(*) AS exact_cnt FROM ex GROUP BY 1),
+    top AS (SELECT term, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, term LIMIT 20),
+    buckets AS (
+      SELECT term, d,
+             {_D_MD5INT.format(x="concat('cms', d, ':', term)")} % 1024 AS bucket
+      FROM ex CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+    ),
+    sketch AS (SELECT d, bucket, count(*) AS c FROM buckets GROUP BY 1, 2),
+    est AS (
+      SELECT t.term, min(s.c) AS cms_est
+      FROM top t
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) dd
+      JOIN sketch s
+        ON s.d = dd.d
+       AND s.bucket = {_D_MD5INT.format(x="concat('cms', dd.d, ':', t.term)")} % 1024
+      GROUP BY 1
+    )
+    SELECT t.term, t.exact_cnt, e.cms_est,
+           TRUE AS est_ge_exact, TRUE AS within_eps
+    FROM top t JOIN est e ON e.term = t.term
+    """,
+    doc="Mergeable count-min sketch + driver-visible error envelope "
+    "(the approx_sketches_bounded discipline): a depth-4 × width-1024 "
+    "CMS over the corpus token stream — per-partition sketches are "
+    "plain (d, bucket) partial counts, so the structure merges by "
+    "addition (the store-and-merge shape HLL daily uses for distinct "
+    "counts, here for FREQUENCIES).  Estimates for the exact top-20 "
+    "tokens (TakeOrderedAndProject candidates — no global sort) are "
+    "min-over-rows lookups against the 4096-row sketch.  The oracle "
+    "re-derives the whole sketch (same seeded md5 buckets) AND "
+    "asserts the two CMS guarantees as literal TRUE booleans: "
+    "est ≥ exact (structural — min of counters that each saw every "
+    "occurrence) and est ≤ exact + 4·N/w (Markov overshoot bound at "
+    "4× the per-row mean, P(violate) ≤ 4⁻⁴ per row independently — "
+    "deterministic on any fixed corpus+seed; verified at sf0.001/"
+    "0.01/0.1).  A broken hash, bucket, or merge hash-fails the row.",
+    tags=("ext", "sketch", "approx", "envelope"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    depth, width = 4, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(text.tokens("text")).alias("term")
+    )
+    bucket_cols = [
+        F.pmod(md5int64_seeded(F.col("term"), f"cms{d}"), F.lit(width))
+        for d in range(depth)
+    ]
+    sketch = (
+        ex.select(F.posexplode(F.array(*bucket_cols)).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ex.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # distributed top-k (TakeOrderedAndProject), then rank the 20-row frame
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20)
+    tot = ex.agg(F.count(F.lit(1)).alias("n_tokens"))
+    probes = top.select(
+        "term",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(md5int64_seeded(F.col("term"), f"cms{d}"), F.lit(width))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["d", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+        (
+            F.col("cms_est")
+            <= F.col("exact_cnt")
+            + (F.lit(4.0) * F.col("n_tokens") / F.lit(float(width))).cast("bigint")
+        ).alias("within_eps"),
+    )
+
+
+@register(
+    "events_decayed_engagement",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS t_ref FROM events),
+    w AS (
+      SELECT user_id,
+             CAST(round(exp(-((epoch_us(t_ref) - epoch_us(ts))
+                              / 86400000000.0) / 7.0) * 1e12) AS BIGINT) AS wq
+      FROM events CROSS JOIN ref
+    ),
+    s AS (SELECT user_id, count(*) AS n_events, sum(wq) AS sq
+          FROM w GROUP BY 1),
+    top AS (SELECT user_id, n_events, sq FROM s
+            ORDER BY sq DESC, user_id LIMIT 20)
+    SELECT user_id, n_events,
+           round(CAST(sq AS DOUBLE) / 1e12, 6) AS decayed_score,
+           CAST(row_number() OVER (ORDER BY sq DESC, user_id) AS INTEGER)
+             AS rank
+    FROM top
+    """,
+    doc="Time-decayed (EWMA-style) engagement score: per user, "
+    "Σ exp(-age/τ) over their events with τ = 7 days, anchored at the "
+    "corpus max timestamp (a 1-row broadcast) — the recency-weighted "
+    "activity feature ranking/abuse systems maintain, mergeable "
+    "because the decay reference is fixed (shift-invariant: re-"
+    "anchoring multiplies every score by one constant).  Each event's "
+    "weight is one double exp() quantized to integer picounits; the "
+    "per-user score is the order-free int64 SUM (the LM/NB "
+    "discipline), so cross-engine top-20 membership and ranking are "
+    "exact.  Map-only weights + ONE user-keyed partial agg + "
+    "distributed top-k (TakeOrderedAndProject) — no global sort, no "
+    "window over the corpus.",
+    tags=("ext", "events", "temporal", "decay"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("t_ref"))
+    age_days = (
+        F.unix_micros(F.col("t_ref")) - F.unix_micros(F.col("ts"))
+    ).cast("double") / F.lit(86400000000.0)
+    w = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.round(F.exp(-age_days / F.lit(7.0)) * F.lit(1e12)).cast("long").alias("wq"),
+    )
+    s = w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("wq").alias("sq")
+    )
+    top = s.orderBy(F.desc("sq"), F.asc("user_id")).limit(20)
+    wr = Window.orderBy(F.desc("sq"), F.asc("user_id"))
+    return top.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sq").cast("double") / F.lit(1e12), 6).alias("decayed_score"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

@@ -100,6 +100,10 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # entries are now artifact history.  Repopulated below as round-11
     # queries register (class-2 membership still comes from artifact
     # history, this tuple is bookkeeping for the rotation test).
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "heavy_hitters_cms",
+    "events_decayed_engagement",
 )
 
 

@@ -27,3 +27,147 @@ def test_model_lru_bounds_and_refreshes():
     # quantizer cache relies on (empty corpus memoizes [])
     lru[("k", "empty")] = []
     assert lru.get(("k", "empty")) == [] and lru.get(("k", "empty")) is not None
+
+
+def test_bm25_tf_and_length_monotonicity(spark):
+    """BM25 axioms on a controlled corpus: more occurrences of the
+    query term ⇒ higher score at equal length; equal tf ⇒ the longer
+    doc scores lower (length normalization)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pear plum grape"),          # tf=1, dl=4
+            (2, "apple apple plum grape"),         # tf=2, dl=4
+            (3, "apple pear plum grape kiwi fig"), # tf=1, dl=6
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "apple")], "query_id int, term string")
+    got = {
+        r["doc_id"]: r["score_q12"]
+        for r in text.bm25_scores(docs, q, "doc_id").collect()
+    }
+    assert got[2] > got[1] > got[3]
+
+
+def test_bm25_disjoint_query_scores_nothing(spark):
+    """Terms absent from the corpus produce no rows (posting-bounded:
+    scoring never touches non-matching docs)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs = spark.createDataFrame([(1, "apple pear")], "doc_id long, text string")
+    q = spark.createDataFrame([(0, "zebra")], "query_id int, term string")
+    assert text.bm25_scores(docs, q, "doc_id").count() == 0
+
+
+def test_hybrid_rrf_both_lists_beat_one(spark):
+    """RRF fixture sanity at sf0.001: every fused row carries at least
+    one rank; any doc present in BOTH lists outscores a doc present in
+    only one at an equal-or-worse single rank."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        hybrid_rrf_topk,
+    )
+
+    rows = hybrid_rrf_topk(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "fused top-10 is empty"
+    for r in rows:
+        assert r["rank_lex"] is not None or r["rank_vec"] is not None
+        assert 0.0 < r["rrf"] <= 2.0 / 61.0 + 1e-12
+    both = [r for r in rows if r["rank_lex"] is not None and r["rank_vec"] is not None]
+    single = [r for r in rows if (r["rank_lex"] is None) != (r["rank_vec"] is None)]
+    for b in both:
+        worst_b = max(b["rank_lex"], b["rank_vec"])
+        for s in single:
+            s_rank = s["rank_lex"] if s["rank_lex"] is not None else s["rank_vec"]
+            if s_rank >= worst_b:
+                assert b["rrf"] > s["rrf"]
+
+
+def test_cms_estimate_dominates_exact_everywhere(spark):
+    """The CMS ≥-exact guarantee is structural for EVERY token, not
+    just the reported top-20: probe 100 arbitrary vocabulary tokens at
+    sf0.001 against the same sketch arithmetic."""
+    from pyspark.sql import functions as F
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ex = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(text.tokens("text")).alias("term")
+    )
+    width = 1024
+    bucket_cols = [
+        F.pmod(md5int64_seeded(F.col("term"), f"cms{d}"), F.lit(width))
+        for d in range(4)
+    ]
+    sketch = (
+        ex.select(F.posexplode(F.array(*bucket_cols)).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ex.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.limit(100).select(
+        "term",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(md5int64_seeded(F.col("term"), f"cms{d}"), F.lit(width))
+                    for d in range(4)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    est = (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("est"))
+        .collect()
+    )
+    assert len(est) == min(100, exact.count())
+    for r in est:
+        assert r["est"] >= r["exact_cnt"], r
+
+
+def test_decayed_engagement_bounds(spark):
+    """Decay weights live in (0, 1]: every user's score is positive,
+    ≤ n_events, and a user whose only event sits AT the anchor gets
+    weight exactly 1."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        events_decayed_engagement,
+    )
+
+    rows = events_decayed_engagement(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["decayed_score"] <= r["n_events"] + 1e-9
+
+    # closed-form check on a hand corpus: anchor event weight 1,
+    # 7-day-old event weight e^-1
+    t0 = datetime.datetime(2026, 1, 8, 0, 0, 0)
+    t7 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    import math
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, t0, 10, "click", 1.0, "{}"), (2, t7, 20, "click", 1.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r["user_id"]: r["decayed_score"]
+            for r in events_decayed_engagement(spark, d).collect()
+        }
+    assert abs(got[10] - 1.0) < 1e-9
+    assert abs(got[20] - math.exp(-1.0)) < 1e-6
