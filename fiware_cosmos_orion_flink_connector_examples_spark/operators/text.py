@@ -1560,6 +1560,25 @@ def bm25_scores(
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    return _bm25_score_parts(tf, dl, dfreq, stats, query_terms, id_col, k1, b)
+
+
+def _bm25_score_parts(
+    tf: DataFrame,
+    dl: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The BM25 scoring core over its four index parts — shared by the
+    from-corpus path (``bm25_scores``) and the from-stored-index path
+    (``bm25_from_index``), so a maintained index provably scores with
+    the identical expression tree.  ``tf``: (id, term, tf);
+    ``dl``: (id, dl); ``dfreq``: (term, df); ``stats``: 1 row
+    (n_docs, sum_dl)."""
     contrib = (
         tf.join(F.broadcast(query_terms), "term")
         .join(F.broadcast(dfreq), "term")
@@ -1595,3 +1614,120 @@ def bm25_scores(
             ),
         )
     )
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the BM25 index as TWO keyed tables under ``path`` —
+    the search-index-maintenance shape (Lucene segment merge /
+    Elasticsearch reindex, done as lake tables):
+
+      * ``<path>/postings`` — (pkey, term, doc id, tf), one row per
+        posting, keyed on ``pkey = term||':'||id`` so an incremental
+        batch MERGEs bucket-pruned (``layout.merge_upsert``: re-adding
+        a changed doc REPLACES its postings for unchanged terms and
+        inserts new ones).
+      * ``<path>/doclen`` — (id, dl), keyed on the doc id.
+
+    df and the (N, Σdl) scalars are NOT stored: they are one
+    partial-aggregable pass over the stored tables at query time
+    (storing them would make every ingest a read-modify-write of
+    global state; deriving them keeps ingest append/merge-only —
+    the same reasoning as the mergeable-sketch rollups).  Query with
+    ``bm25_from_index``; scores are identical to ``bm25_scores`` on
+    the same logical corpus (pytest-pinned) because both feed the
+    same ``_bm25_score_parts`` core."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    base = docs.filter(F.col(text_col).isNotNull())
+    postings = (
+        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            F.concat(F.col("term"), F.lit(":"), F.col(id_col).cast("string")).alias(
+                "pkey"
+            ),
+            "term",
+            id_col,
+            "tf",
+        )
+    )
+    dl = base.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    layout.write_keyed(postings, f"{path.rstrip('/')}/postings", "pkey", n_buckets)
+    layout.write_keyed(dl, f"{path.rstrip('/')}/doclen", id_col, n_buckets)
+
+
+def bm25_index_ingest(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental index maintenance: MERGE a new/changed doc batch
+    into a ``bm25_index_write`` index — only the hash buckets holding
+    the batch's postings/doc-lengths are rewritten (the merge_upsert
+    copy-on-write contract).  NOTE the posting key is (term, doc):
+    re-ingesting a CHANGED doc updates/adds postings but cannot drop
+    a term the new text no longer contains — deletion needs a
+    tombstone or a per-doc key listing, stated rather than pretended
+    (same caveat as every log-structured index before compaction)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    base = new_docs.filter(F.col(text_col).isNotNull())
+    postings = (
+        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            F.concat(F.col("term"), F.lit(":"), F.col(id_col).cast("string")).alias(
+                "pkey"
+            ),
+            "term",
+            id_col,
+            "tf",
+        )
+    )
+    dl = base.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    layout.merge_upsert(spark, f"{path.rstrip('/')}/postings", postings, "pkey")
+    layout.merge_upsert(spark, f"{path.rstrip('/')}/doclen", dl, id_col)
+
+
+def bm25_from_index(
+    spark,
+    path: str,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score queries against a stored ``bm25_index_write`` index: df
+    and the corpus scalars are re-derived in one partial-aggregable
+    pass over the stored tables (posting rows for df are pre-filtered
+    to the query terms — the bm25_scores posting-bounded discipline
+    does not apply to df here because df needs the STORED per-term
+    postings anyway, which is exactly what the term-keyed bucket
+    layout prunes to), then the shared scoring core runs unchanged."""
+    postings = spark.read.parquet(f"{path.rstrip('/')}/postings").drop(
+        "pkey", "_bucket"
+    )
+    dl = spark.read.parquet(f"{path.rstrip('/')}/doclen").drop("_bucket")
+    qt = F.broadcast(query_terms.select("term").distinct())
+    tf = postings.join(qt, "term").select(id_col, "term", "tf")
+    dfreq = (
+        postings.join(qt, "term")
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    return _bm25_score_parts(tf, dl, dfreq, stats, query_terms, id_col, k1, b)

@@ -7253,3 +7253,74 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sq").cast("double") / F.lit(1e12), 6).alias("decayed_score"),
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+@register(
+    "cms_merge_equals_oneshot",
+    oracle=f"""
+    WITH ex AS (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT source, d,
+             {_D_MD5INT.format(x="concat('cms', d, ':', term)")} % 1024 AS bucket
+      FROM ex CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+    ),
+    cells AS (SELECT d, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+    SELECT CAST((SELECT count(DISTINCT source) FROM ex) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c) AS BIGINT) AS total_count,
+           TRUE AS merged_equals_oneshot
+    FROM cells
+    """,
+    doc="Driver-visible mergeability proof for the count-min sketch "
+    "(the hll_merge_equals_oneshot discipline, for FREQUENCIES): "
+    "per-source CMS sketches summed cell-wise must equal the one-shot "
+    "whole-corpus sketch EXACTLY — CMS cells are plain counters, so "
+    "merge is lossless addition (this is what lets 100 TB ingest "
+    "build per-partition/per-day sketches and fold them without "
+    "rescanning).  n_sources / n_cells / total_count are SQL-derived "
+    "(total_count must be 4·N — every token lands in exactly one "
+    "bucket per row); the cell-wise equality rides as an "
+    "oracle-asserted TRUE boolean, so a broken merge, seed drift, or "
+    "lost cell hash-fails the driver row.",
+    tags=("ext", "sketch", "approx", "envelope", "mergeable"),
+)
+def cms_merge_equals_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+
+    depth, width = 4, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(text.tokens("text")).alias("term")
+    )
+    bucket_cols = [
+        F.pmod(md5int64_seeded(F.col("term"), f"cms{d}"), F.lit(width))
+        for d in range(depth)
+    ]
+    cells = ex.select(
+        "source", F.posexplode(F.array(*bucket_cols)).alias("d", "bucket")
+    )
+    per_source = cells.groupBy("source", "d", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    merged = per_source.groupBy("d", "bucket").agg(F.sum("c").alias("mc"))
+    oneshot = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("oc"))
+    cmp = (
+        merged.join(oneshot, ["d", "bucket"], "full_outer")
+        .agg(
+            F.min(
+                F.coalesce(F.col("mc"), F.lit(-1)) == F.coalesce(F.col("oc"), F.lit(-2))
+            ).alias("merged_equals_oneshot"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("oc").alias("total_count"),
+        )
+    )
+    nsrc = ex.agg(F.countDistinct("source").alias("n_sources"))
+    return cmp.crossJoin(F.broadcast(nsrc)).select(
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("total_count").cast("long").alias("total_count"),
+        "merged_equals_oneshot",
+    )

@@ -171,3 +171,52 @@ def test_decayed_engagement_bounds(spark):
         }
     assert abs(got[10] - 1.0) < 1e-9
     assert abs(got[20] - math.exp(-1.0)) < 1e-6
+
+
+def test_bm25_index_roundtrip_and_incremental_merge(spark, tmp_path):
+    """The stored-index path scores IDENTICALLY to the from-corpus
+    path, and an incremental ingest (new docs MERGEd into the keyed
+    tables) equals a full rebuild over the unioned corpus."""
+    from pyspark.sql import functions as F
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    corpus0 = spark.createDataFrame(
+        [
+            (1, "apple pear plum grape"),
+            (2, "apple apple plum grape"),
+            (3, "pear kiwi fig"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(4, "apple fig fig"), (5, "plum plum plum pear")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "apple"), (0, "plum"), (1, "fig")], "query_id int, term string"
+    )
+    idx = str(tmp_path / "bm25idx")
+    text.bm25_index_write(corpus0, idx, n_buckets=4)
+
+    def as_map(df):
+        return {
+            (r["query_id"], r["doc_id"]): r["score_q12"] for r in df.collect()
+        }
+
+    assert as_map(text.bm25_from_index(spark, idx, q)) == as_map(
+        text.bm25_scores(corpus0, q)
+    )
+
+    text.bm25_index_ingest(spark, batch, idx)
+    full = corpus0.unionByName(batch)
+    assert as_map(text.bm25_from_index(spark, idx, q)) == as_map(
+        text.bm25_scores(full, q)
+    )
+
+    # re-ingesting the SAME batch is idempotent (MERGE replaces
+    # matched posting keys, inserts nothing new)
+    text.bm25_index_ingest(spark, batch, idx)
+    assert as_map(text.bm25_from_index(spark, idx, q)) == as_map(
+        text.bm25_scores(full, q)
+    )
