@@ -104,6 +104,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "hybrid_rrf_topk",
     "heavy_hitters_cms",
     "events_decayed_engagement",
+    "cms_merge_equals_oneshot",
 )
 
 
