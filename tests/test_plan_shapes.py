@@ -668,3 +668,48 @@ def test_fuzzy_decontamination_broadcasts_eval_bands(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_posting_bounded_and_scalars_broadcast(spark):
+    """BM25: query terms broadcast onto the token stream BEFORE the
+    tf/df aggs (posting-bounded scoring), doc length map-only (no
+    second explode), the (N, Σdl) scalars a 1-row broadcast, and the
+    final ranking never a corpus-global sort."""
+    plan = plan_of(spark, "bm25_topk")
+    assert plan.count("BroadcastHashJoin") >= 3  # qterms×2, dfreq
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    # one 1-row scalar cross join for stats, nothing else nested-loop
+    # (formatted explain prints each operator in tree AND detail)
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fusion_is_bounded(spark):
+    """Both candidate lists are k-bounded before fusion: the fused
+    top-10 rides TakeOrderedAndProject, never a global Sort of the
+    corpus; the vector side broadcasts the 1-row query."""
+    plan = plan_of(spark, "hybrid_rrf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_cms_sketch_is_partial_agged(spark):
+    """The CMS build is a plain (d, bucket) hash agg — partial counts
+    map-side (mergeable by addition), candidates via
+    TakeOrderedAndProject, probe join broadcast."""
+    plan = plan_of(spark, "heavy_hitters_cms")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × sketch/exact
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_decayed_engagement_no_global_sort(spark):
+    """Decay weights are map-only onto one user-keyed agg; top-20 is
+    TakeOrderedAndProject; the anchor is a 1-row broadcast."""
+    plan = plan_of(spark, "events_decayed_engagement")
+    assert "TakeOrderedAndProject" in plan
+    # the 1-row anchor cross join (tree + detail listing)
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
