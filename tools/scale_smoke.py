@@ -534,5 +534,92 @@ def round10_smoke(spark, n_docs: int = 2_000_000) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round11_smoke(spark, n_docs: int = 2_000_000, n_events: int = 25_000_000) -> None:
+    """Round-11 additions at ~100x the bench corpus: BM25 retrieval
+    with a HOT query term (df = half the corpus — the worst posting
+    list a query can hit), the count-min sketch over the full token
+    stream (~60M tokens -> 250M (d, bucket) rows partial-agged to
+    4096 cells), its merge proof, and decayed engagement over 25M
+    events / 100k users."""
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import (
+        QUERIES,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_r11_")
+    try:
+        rich = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda i: F.concat(
+                    F.lit("the w"),
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000)),
+                    F.lit(" of"),
+                ),
+            ),
+            " ",
+        )
+        salad = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.pmod(F.xxhash64("id", F.lit(9)), F.lit(5)) + 1),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000))
+                ),
+            ),
+            " ",
+        )
+        txt = F.when(F.col("id") % 2 == 0, rich).otherwise(salad)
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            txt.alias("text"),
+            F.when(F.col("id") % 3 < 2, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+            F.concat(F.lit("src"), F.pmod(F.xxhash64("id", F.lit(4)), F.lit(16))).alias("source"),
+            F.length(txt).alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        ev = spark.range(n_events).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2_592_000_000_000))
+            ).alias("ts"),
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 10.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+        def run(tag, fn):
+            t = time.time()
+            fn()
+            print(f"{tag:44s} {time.time() - t:.1f}s", flush=True)
+            spark.catalog.clearCache()
+
+        def run_query(tag, name):
+            run(tag, lambda: QUERIES[name].fn(spark, tmp).write.format("noop").mode(
+                "overwrite"
+            ).save())
+
+        print(f"round-11 smoke: docs={n_docs // 1_000_000}M events={n_events // 1_000_000}M")
+        d = spark.read.parquet(f"{tmp}/documents.parquet")
+        q = spark.createDataFrame(
+            [(0, "of"), (0, "w100"), (1, "w200"), (1, "the")],
+            "query_id int, term string",
+        )
+        run(
+            "bm25_scores (2M docs, df=1M hot term)",
+            lambda: text.bm25_scores(d, q).write.format("noop").mode("overwrite").save(),
+        )
+        run_query("heavy_hitters_cms (2M docs)", "heavy_hitters_cms")
+        run_query("cms_merge_equals_oneshot (2M docs)", "cms_merge_equals_oneshot")
+        run_query("events_decayed_engagement (25M ev)", "events_decayed_engagement")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
