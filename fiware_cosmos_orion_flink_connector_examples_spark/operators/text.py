@@ -1718,10 +1718,7 @@ def bm25_from_index(
     does not apply to df here because df needs the STORED per-term
     postings anyway, which is exactly what the term-keyed bucket
     layout prunes to), then the shared scoring core runs unchanged."""
-    postings = spark.read.parquet(f"{path.rstrip('/')}/postings").drop(
-        "pkey", "_bucket"
-    )
-    dl = spark.read.parquet(f"{path.rstrip('/')}/doclen").drop("_bucket")
+    postings, dl = _bm25_index_tables(spark, path, id_col)
     qt = F.broadcast(query_terms.select("term").distinct())
     tf = postings.join(qt, "term").select(id_col, "term", "tf")
     dfreq = (
@@ -1731,3 +1728,87 @@ def bm25_from_index(
     )
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     return _bm25_score_parts(tf, dl, dfreq, stats, query_terms, id_col, k1, b)
+
+
+def _bm25_index_tables(spark, path: str, id_col: str):
+    """Read the live view of a stored BM25 index: postings + doc
+    lengths with tombstoned docs (bm25_index_delete) anti-joined out —
+    the read-side half of log-structured deletes.  The tombstone set
+    is deletion-sized; broadcast it."""
+    postings = spark.read.parquet(f"{path.rstrip('/')}/postings").drop(
+        "pkey", "_bucket"
+    )
+    dl = spark.read.parquet(f"{path.rstrip('/')}/doclen").drop("_bucket")
+    jvm = spark._jvm
+    t_dir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/tombstones")
+    fs = t_dir.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(t_dir):
+        dead = F.broadcast(
+            spark.read.parquet(f"{path.rstrip('/')}/tombstones").select(id_col)
+        )
+        postings = postings.join(dead, id_col, "left_anti")
+        dl = dl.join(dead, id_col, "left_anti")
+    return postings, dl
+
+
+def bm25_query_model(
+    spark,
+    path: str,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Distill a stored ``bm25_index_write`` index into the tiny
+    serving artifact a STREAMING scorer needs: per-query-term df plus
+    the (N, Σdl) corpus scalars — a handful of integers, refreshed
+    out-of-band whenever the index is re-built/merged (the
+    streaming_quality_gate model-artifact discipline).  Returns
+    ``{"k1", "b", "n_docs", "sum_dl", "terms": [(term, df), ...]}``."""
+    postings, dl = _bm25_index_tables(spark, path, id_col)
+    qt = F.broadcast(query_terms.select("term").distinct())
+    dfreq = (
+        postings.join(qt, "term")
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .collect()
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    return {
+        "k1": k1,
+        "b": b,
+        "n_docs": int(stats["n_docs"]),
+        "sum_dl": int(stats["sum_dl"] or 0),
+        "terms": sorted((r["term"], int(r["df"])) for r in dfreq),
+    }
+
+
+def bm25_index_delete(
+    spark,
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Tombstone deletion for a ``bm25_index_write`` index — the
+    log-structured answer to the ingest caveat (postings are keyed
+    (term, doc), so a changed/removed doc can't drop stale term rows
+    in place): deleted doc ids MERGE into a third keyed table
+    ``<path>/tombstones`` and ``bm25_from_index`` anti-joins them out
+    of BOTH postings and doc lengths at query time.  Re-adding a
+    previously deleted doc = ingest its postings AND delete its
+    tombstone (compaction — rewriting postings minus tombstoned docs
+    and clearing the table — is the same bucket-pruned merge_upsert
+    machinery, run out-of-band)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    t_path = f"{path.rstrip('/')}/tombstones"
+    rows = ids.select(F.col(id_col)).distinct()
+    jvm = spark._jvm
+    fs_p = jvm.org.apache.hadoop.fs.Path(t_path + "/_keyed_layout.json")
+    fs = fs_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(fs_p):
+        layout.merge_upsert(spark, t_path, rows, id_col)
+    else:
+        layout.write_keyed(rows, t_path, id_col, n_buckets=4)

@@ -1240,3 +1240,66 @@ def streaming_decontaminate_gate(
             "n_shared_grams"
         ),
     )
+
+
+def streaming_bm25_gate(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_score: float | None = None,
+) -> DataFrame:
+    """Online BM25 relevance scoring — arriving docs scored against a
+    FROZEN index model (``text.bm25_query_model``: per-term df + the
+    (N, Σdl) scalars, a handful of integers) for a fixed query set:
+    the routing/alerting shape (\"does this doc match my standing
+    queries, how well\").  Entirely ROW-LOCAL: per term, tf =
+    occurrences in the doc's token array (``F.size(F.filter(...))``),
+    dl = the array size, and the BM25 contribution is the SAME
+    double-expression tree as ``_bm25_score_parts`` with df/N/Σdl
+    bound as literals — quantized to picounit int64 per term, summed
+    in fixed literal order.  No join, no state, no watermark;
+    append-legal.  Scores therefore bit-equal the batch scorer run
+    with the same frozen stats (pytest-pinned); docs matching no term
+    score 0 (the batch join emits no row — filter score_q12 != 0 to
+    compare).  Model refresh is out-of-band: rebuild/merge the index,
+    re-distill, restart the query (the streaming_quality_gate
+    discipline)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+        tokens,
+    )
+
+    k1, b = float(model["k1"]), float(model["b"])
+    n_docs, sum_dl = int(model["n_docs"]), int(model["sum_dl"])
+    toks = tokens(text_col)
+    dl_d = F.size(toks).cast("long").cast("double")
+    avgdl = (
+        F.lit(sum_dl).cast("long").cast("double")
+        / F.lit(n_docs).cast("long").cast("double")
+    )
+    denom_norm = F.lit(1.0 - b) + F.lit(b) * dl_d / avgdl
+    cqs = []
+    for term, df in model["terms"]:
+        tf_d = (
+            F.size(F.filter(toks, lambda x: x == F.lit(term)))
+            .cast("long")
+            .cast("double")
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs).cast("long").cast("double") - F.lit(int(df)) + F.lit(0.5))
+            / (F.lit(int(df)).cast("long").cast("double") + F.lit(0.5))
+        )
+        c = idf * tf_d * F.lit(k1 + 1.0) / (tf_d + F.lit(k1) * denom_norm)
+        cqs.append(F.round(c * F.lit(1e12)).cast("long"))
+    score_q12 = cqs[0] if cqs else F.lit(0).cast("long")
+    for c in cqs[1:]:
+        score_q12 = score_q12 + c
+    out = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        score_q12.alias("score_q12"),
+        F.round(score_q12.cast("double") / F.lit(1e12), 6).alias("score"),
+    )
+    if min_score is not None:
+        out = out.withColumn("pass_gate", F.col("score") >= F.lit(min_score))
+    return out

@@ -220,3 +220,108 @@ def test_bm25_index_roundtrip_and_incremental_merge(spark, tmp_path):
     assert as_map(text.bm25_from_index(spark, idx, q)) == as_map(
         text.bm25_scores(full, q)
     )
+
+
+def test_bm25_index_tombstone_delete(spark, tmp_path):
+    """Log-structured deletes: tombstoned docs vanish from stored-index
+    scores AND from the distilled query model (df/N/Σdl), matching a
+    full rebuild without those docs; re-ingest + tombstone-clear via a
+    fresh delete table is out-of-scope here (compaction, stated)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple pear plum grape"),
+            (2, "apple apple plum grape"),
+            (3, "pear kiwi fig"),
+            (4, "apple fig fig"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "apple"), (0, "fig")], "query_id int, term string")
+    idx = str(tmp_path / "idx")
+    text.bm25_index_write(corpus, idx, n_buckets=4)
+    text.bm25_index_delete(
+        spark, spark.createDataFrame([(2,), (4,)], "doc_id long"), idx
+    )
+
+    survivors = corpus.filter("doc_id NOT IN (2, 4)")
+
+    def as_map(df):
+        return {(r["query_id"], r["doc_id"]): r["score_q12"] for r in df.collect()}
+
+    assert as_map(text.bm25_from_index(spark, idx, q)) == as_map(
+        text.bm25_scores(survivors, q)
+    )
+    model = text.bm25_query_model(spark, idx, q)
+    assert model["n_docs"] == 2 and dict(model["terms"])["apple"] == 1
+
+    # deleting MORE ids MERGEs into the existing tombstone table
+    text.bm25_index_delete(spark, spark.createDataFrame([(1,)], "doc_id long"), idx)
+    assert as_map(text.bm25_from_index(spark, idx, q)) == as_map(
+        text.bm25_scores(corpus.filter("doc_id = 3"), q)
+    )
+
+
+def test_streaming_bm25_gate_matches_batch(spark, tmp_path):
+    """Stream/batch unification for BM25 relevance routing: the frozen
+    index model drives a row-local streaming gate whose availableNow
+    replay bit-equals the batch scorer run against the SAME frozen
+    stats (quantized per-term contributions, fixed-order int sums)."""
+    import json as _json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q = spark.createDataFrame(
+        [(0, "hash"), (0, "join"), (0, "table")], "query_id int, term string"
+    )
+    idx = str(tmp_path / "idx")
+    text.bm25_index_write(corpus, idx, n_buckets=4)
+    model = text.bm25_query_model(spark, idx, q)
+
+    # batch comparator: same frozen stats through the shared core
+    dfreq = spark.createDataFrame(model["terms"], "term string, df long")
+    stats = spark.createDataFrame(
+        [(model["n_docs"], model["sum_dl"])], "n_docs long, sum_dl long"
+    )
+    from pyspark.sql import functions as F
+
+    base = corpus.filter(F.col("text").isNotNull())
+    qex = base.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).join(F.broadcast(q.select("term").distinct()), "term")
+    tf = qex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = base.select(
+        "doc_id", text.token_count("text").cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    expected = {
+        (r["doc_id"], r["score_q12"])
+        for r in text._bm25_score_parts(
+            tf, dl, dfreq, stats, q, "doc_id", 1.2, 0.75
+        ).collect()
+    }
+
+    spool = tmp_path / "bm25_spool"
+    spool.mkdir()
+    with open(spool / "docs.jsonl", "w") as f:
+        for r in corpus.collect():
+            f.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(spool))
+    gated = jobs.streaming_bm25_gate(stream, model, min_score=0.5)
+    qy = (
+        gated.writeStream.format("memory")
+        .queryName("t_stream_bm25")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_stream_bm25").collect()
+    got = {(r.doc_id, r.score_q12) for r in rows if r.score_q12 != 0}
+    assert got == expected
+    for r in rows:
+        assert r.pass_gate == (r.score >= 0.5)
