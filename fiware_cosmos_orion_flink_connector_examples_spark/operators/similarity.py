@@ -1019,3 +1019,124 @@ def pca_project(
     return base.mapInPandas(part, f"_id {id_type}, proj array<double>").select(
         F.col("_id").alias(id_col), "proj"
     )
+
+
+def ann_index_write(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as hive-partitioned parquet inverted
+    lists — the vector-DB serving artifact (FAISS's inverted lists as
+    lake partitions): one ``_list=<centroid>`` directory per coarse
+    cell, vectors stored as raw array<double> (normalization happens
+    at search time with the exact same expression the in-memory path
+    uses, so scores are bit-identical).  The trained centroids ride a
+    ``_ivf_index.json`` sidecar — the index is self-contained; a
+    search needs only ``path``.
+
+    Why partitions: a search probes nprobe of k_centroids lists, and
+    the ``_list IN (...)`` filter is classic hive PARTITION PRUNING —
+    at 100 TB the scan physically touches nprobe/k of the corpus
+    files, the same read-scaling the in-memory path gets from its
+    bucket equi-join, but across sessions and engines without
+    re-assigning anything."""
+    import json
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        _assign_udf(centroids)(F.col(vec_col).cast("array<double>")).alias("_list"),
+    )
+    (
+        base.repartition(F.col("_list"))
+        .write.partitionBy("_list")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_ivf_index.json")
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    st = fs.create(meta, True)
+    st.write(
+        bytearray(
+            json.dumps(
+                {"centroids": centroids, "id_col": id_col, "vec_col": vec_col}
+            ).encode()
+        )
+    )
+    st.close()
+
+
+def ann_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a stored ``ann_index_write`` index: probe each query's
+    ``nprobe`` nearest centroids (from the sidecar — no retraining),
+    restrict the scan to the probed inverted lists via the partition
+    column (``_list IN (...)`` → PartitionFilters, files outside the
+    probed cells are never opened), then score/rank with the exact
+    expressions of the in-memory ``topk_cosine_ivf`` — output
+    row-identical to it (pytest-pinned).  The probed-cell set is
+    bounded by k_centroids (a layout constant), so the IN-list and
+    the broadcast probe frame are both tiny at any corpus size."""
+    import json
+
+    jvm = spark._jvm
+    meta_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_ivf_index.json")
+    fs = meta_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(meta_p):
+        raise ValueError(f"ann_index_search: {path} is not an ann_index_write index")
+    stream = fs.open(meta_p)
+    try:
+        raw = bytes(jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream))
+    finally:
+        stream.close()
+    meta = json.loads(raw.decode())
+    centroids, id_col, vec_col = meta["centroids"], meta["id_col"], meta["vec_col"]
+    if not centroids:
+        return topk_cosine_bruteforce(
+            spark.read.parquet(path), queries, k, id_col, vec_col
+        )
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    qraw = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        qraw.alias("qv_raw"),
+        l2_normalize(qraw).alias("qv"),
+    )
+    probes = q.select(
+        "q_id",
+        "qv",
+        F.explode(_probe_udf(centroids, nprobe)(F.col("qv_raw"))).alias("bkt"),
+    ).persist()
+    probed_lists = sorted(
+        r["bkt"] for r in probes.select("bkt").distinct().collect()
+    )  # bounded by k_centroids — a layout constant, never data-scale
+    base = (
+        spark.read.parquet(path)
+        .filter(F.col("_list").isin(probed_lists))  # partition-pruned scan
+        .select(
+            F.col(id_col).alias("n_id"),
+            l2_normalize(F.col(vec_col)).alias("nv"),
+            F.col("_list").cast("int").alias("bkt"),
+        )
+    )
+    scored = (
+        base.join(F.broadcast(probes), ["bkt"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos"))
+    )
+    out = _rank_topk(scored, k).select("q_id", "n_id", "cos", "rank")
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
+
+    return eagerly(out, probes)

@@ -1812,3 +1812,67 @@ def bm25_index_delete(
         layout.merge_upsert(spark, t_path, rows, id_col)
     else:
         layout.write_keyed(rows, t_path, id_col, n_buckets=4)
+
+
+def bm25_index_compact(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> None:
+    """Out-of-band compaction for a tombstoned BM25 index: rewrite
+    postings and doc lengths WITHOUT tombstoned docs as fresh keyed
+    tables, then drop the tombstone table — the log-structured
+    merge/compact step that reclaims space and restores pure
+    bucket-pruned reads (the read-side anti-join disappears until the
+    next delete).  The rewrite goes to a sibling ``.compact.tmp``
+    directory and swaps in with one rename per table (the
+    compact_table / merge_upsert swap discipline — same crash window
+    caveats, recover by re-running compaction)."""
+    import json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    if n_buckets is None:
+        meta_p = jvm.org.apache.hadoop.fs.Path(f"{base}/postings/_keyed_layout.json")
+        stream = fs.open(meta_p)
+        try:
+            raw = bytes(jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream))
+        finally:
+            stream.close()
+        n_buckets = int(json.loads(raw.decode())["n_buckets"])
+    postings, dl = _bm25_index_tables(spark, path, id_col)
+    tmp = base + ".compact.tmp"
+    layout.write_keyed(
+        postings.select(
+            F.concat(F.col("term"), F.lit(":"), F.col(id_col).cast("string")).alias(
+                "pkey"
+            ),
+            "term",
+            id_col,
+            "tf",
+        ),
+        f"{tmp}/postings",
+        "pkey",
+        n_buckets,
+    )
+    layout.write_keyed(dl, f"{tmp}/doclen", id_col, n_buckets)
+    for t in ("postings", "doclen"):
+        cur = jvm.org.apache.hadoop.fs.Path(f"{base}/{t}")
+        old = jvm.org.apache.hadoop.fs.Path(f"{base}/.{t}.old")
+        new = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{t}")
+        if fs.exists(old):
+            fs.delete(old, True)
+        if fs.exists(cur) and not fs.rename(cur, old):
+            raise IOError(f"bm25_index_compact: rename {cur} -> {old} failed")
+        if not fs.rename(new, cur):
+            fs.rename(old, cur)
+            raise IOError(f"bm25_index_compact: rename {new} -> {cur} failed")
+        fs.delete(old, True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/tombstones"), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)

