@@ -7324,3 +7324,159 @@ def cms_merge_equals_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_count").cast("long").alias("total_count"),
         "merged_equals_oneshot",
     )
+
+
+@register(
+    "quantile_histogram_sketch",
+    oracle="""
+    WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+                      count(*) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    binned AS (
+      SELECT e.event_type,
+             CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 256.0)), 255)
+                  AS INTEGER) AS bin,
+             count(*) AS c
+      FROM events e JOIN b USING (event_type)
+      WHERE e.value IS NOT NULL AND b.hi > b.lo
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cb
+      FROM binned
+    ),
+    est AS (
+      SELECT c5.event_type,
+             (SELECT min(b.lo + (c2.bin + (0.5 * b2.n - c2.cb) / c2.c)
+                          * ((b.hi - b.lo) / 256.0))
+              FROM cum c2 JOIN b b2 ON b2.event_type = c2.event_type
+                          JOIN b ON b.event_type = c2.event_type
+              WHERE c2.event_type = c5.event_type
+                AND c2.cb + c2.c >= 0.5 * b2.n AND c2.cb < 0.5 * b2.n)
+               AS est_p50,
+             (SELECT min(b.lo + (c2.bin + (0.95 * b2.n - c2.cb) / c2.c)
+                          * ((b.hi - b.lo) / 256.0))
+              FROM cum c2 JOIN b b2 ON b2.event_type = c2.event_type
+                          JOIN b ON b.event_type = c2.event_type
+              WHERE c2.event_type = c5.event_type
+                AND c2.cb + c2.c >= 0.95 * b2.n AND c2.cb < 0.95 * b2.n)
+               AS est_p95
+      FROM (SELECT DISTINCT event_type FROM cum) c5
+    )
+    SELECT e.event_type, b.n,
+           round(e.est_p50, 6) AS est_p50, round(e.est_p95, 6) AS est_p95,
+           TRUE AS p50_within_binwidth, TRUE AS p95_within_binwidth
+    FROM est e JOIN b USING (event_type)
+    """,
+    doc="Mergeable equi-width histogram quantile sketch + driver-"
+    "visible envelope (the third sketch family beside HLL distincts "
+    "and CMS frequencies): per event_type, 256 integer bin counters "
+    "over the [min, max] value range — per-partition histograms merge "
+    "by ADDITION (store per-day/shard, fold on read; bounds ride the "
+    "sketch).  p50/p95 are estimated by linear interpolation inside "
+    "the covering bin, which structurally bounds the error by ONE BIN "
+    "WIDTH — |est − x_⌈q·n⌉| ≤ (hi−lo)/256 against the DISCRETE "
+    "order statistic (which provably shares the estimate's covering "
+    "bin; the interpolated percentile_cont is NOT a sound comparator "
+    "— it blends order stats across possibly-empty bins) — asserted "
+    "as oracle-TRUE booleans.  Estimates themselves are derived from "
+    "integer counters + the two bound doubles, so the oracle "
+    "re-derives them EXACTLY (hash-verified), unlike an opaque KLL "
+    "blob.  Shape: one (type, bin) partial agg, a ≤256-row-per-type "
+    "cumulative window, bounds via one 3-double agg broadcast back.",
+    tags=("ext", "sketch", "approx", "envelope", "mergeable"),
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    nbins = 256
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_col = (F.col("hi") - F.col("lo")) / F.lit(float(nbins))
+    binned = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / w_col),
+                F.lit(nbins - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = binned.withColumn("cb", F.coalesce(F.sum("c").over(wcum), F.lit(0)))
+
+    def interp(q: float):
+        target = F.lit(q) * F.col("n")
+        inside = (F.col("cb") + F.col("c") >= target) & (F.col("cb") < target)
+        return F.min(
+            F.when(
+                inside,
+                F.col("lo")
+                + (F.col("bin") + (target - F.col("cb")) / F.col("c")) * w_col,
+            )
+        )
+
+    est = (
+        cum.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(interp(0.5).alias("p50_raw"), interp(0.95).alias("p95_raw"))
+    )
+    # the envelope verifier is the DISCRETE order statistic at rank
+    # ⌈q·n⌉: by the covering-bin argument the k-th smallest value and
+    # the interpolated estimate sit in the SAME bin (cb < q·n ≤ k ≤
+    # cb+c), so |est − x_k| ≤ bin width is STRUCTURAL.  The
+    # interpolated percentile_cont is NOT a sound comparator — it
+    # blends adjacent order statistics across possibly-EMPTY bins, so
+    # its distance to the covering bin is unbounded on sparse tails
+    # (observed on the fixture).  Per-type rank is the bounded
+    # verifier companion (the approx_sketches_bounded convention: at
+    # 100 TB run it on a sampled slice).
+    wr = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        ev.select("event_type", "value")
+        .withColumn("rn", F.row_number().over(wr))
+        .join(F.broadcast(bounds.select("event_type", "n")), "event_type")
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("value"))
+        ).alias("x50"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")), F.col("value"))
+        ).alias("x95"),
+    )
+    return (
+        est.join(F.broadcast(bounds), "event_type")
+        .join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("p50_raw", 6).alias("est_p50"),
+            F.round("p95_raw", 6).alias("est_p95"),
+            (
+                F.abs(F.col("p50_raw") - F.col("x50"))
+                <= w_col * F.lit(1.0 + 1e-9)
+            ).alias("p50_within_binwidth"),
+            (
+                F.abs(F.col("p95_raw") - F.col("x95"))
+                <= w_col * F.lit(1.0 + 1e-9)
+            ).alias("p95_within_binwidth"),
+        )
+    )

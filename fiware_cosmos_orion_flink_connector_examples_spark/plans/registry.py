@@ -105,6 +105,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "heavy_hitters_cms",
     "events_decayed_engagement",
     "cms_merge_equals_oneshot",
+    "quantile_histogram_sketch",
 )
 
 
