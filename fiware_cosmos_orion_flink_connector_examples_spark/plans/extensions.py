@@ -7480,3 +7480,64 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95_within_binwidth"),
         )
     )
+
+
+@register(
+    "phrase_match_topk",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
+               FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id, source,
+             len([i for i in range(1, len(t))
+                  if t[i] = 'hash' AND t[i+1] = 'join']) AS n_occurrences
+      FROM t
+    ),
+    top AS (SELECT doc_id, source, n_occurrences FROM c
+            WHERE n_occurrences > 0
+            ORDER BY n_occurrences DESC, doc_id LIMIT 20)
+    SELECT doc_id, source, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM top
+    """,
+    doc="X4 exact PHRASE search ('hash join' as adjacent tokens — the "
+    "quoted-query retrieval primitive BM25's bag-of-words cannot "
+    "express): per doc, count positions i with t[i]='hash' ∧ "
+    "t[i+1]='join' via zip_with over the token array and its 1-shifted "
+    "self — ENTIRELY row-local column arithmetic, zero shuffles before "
+    "the distributed top-20 (TakeOrderedAndProject).  The same count "
+    "over a positional posting index (posexplode + (doc, pos+1) "
+    "equi-join of the two terms' postings) is the stored-index "
+    "variant; row-local wins when the corpus is already being "
+    "scanned, the posting join when an index exists and the scan is "
+    "the cost (the bm25_from_index trade).",
+    tags=("ext", "text", "X4", "retrieval", "phrase"),
+)
+def phrase_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    heads = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    hits = F.zip_with(
+        heads,
+        tails,
+        lambda a, b: ((a == F.lit("hash")) & (b == F.lit("join"))).cast("int"),
+    )
+    cnt = F.aggregate(hits, F.lit(0), lambda acc, x: acc + x).cast("long")
+    scored = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source", cnt.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+    top = scored.orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(20)
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "source",
+        "n_occurrences",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

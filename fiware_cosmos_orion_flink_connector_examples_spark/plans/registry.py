@@ -106,6 +106,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "events_decayed_engagement",
     "cms_merge_equals_oneshot",
     "quantile_histogram_sketch",
+    "phrase_match_topk",
 )
 
 
