@@ -494,3 +494,175 @@ def write_training_shards(
     st.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
     st.close()
     return manifest
+
+
+# --- snapshot-isolated tables (manifest commit log) --------------------------
+#
+# The missing metadata layer merge_upsert's docstring names: plain
+# parquet directories can only swap per-directory, so multi-bucket /
+# multi-partition changes are never atomic as a whole.  A MANIFEST
+# table fixes that the way Iceberg/Delta do, minus the format baggage:
+# data files are immutable and write-once under <path>/data/, each
+# COMMIT writes a new _manifest_v<N>.json listing the table's complete
+# file set, and a 1-line _latest pointer file flips to the new version
+# via a single atomic rename.  Readers resolve _latest (or an explicit
+# version = time travel) and read exactly that file list — they can
+# never observe a half-committed state, because nothing they read is
+# ever mutated.  A crash mid-commit leaves orphaned data files and a
+# stale tmp pointer, both invisible to readers and reclaimable by
+# vacuum_snapshots.  Same caveat as everything rename-based: the
+# pointer flip is atomic on HDFS/posix stores, not on S3A.
+
+
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _read_small(spark, path: str) -> bytes:
+    jvm, fs = _fs(spark, path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        return bytes(jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _write_small(spark, path: str, data: bytes) -> None:
+    jvm, fs = _fs(spark, path)
+    st = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    st.write(bytearray(data))
+    st.close()
+
+
+def snapshot_commit(
+    spark,
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> int:
+    """Commit ``df`` to a snapshot table at ``path`` and return the new
+    version number.  ``mode='overwrite'`` makes the new version exactly
+    ``df``; ``mode='append'`` makes it previous-files + ``df``'s files
+    (append never rewrites data — the manifest just grows).
+
+    Protocol (each step safe to crash after):
+      1. write df's parquet files to ``data/v<N>-<uuid>/`` (write-once,
+         never listed by readers until referenced by a manifest);
+      2. write ``_manifest_v<N>.json`` = the complete file list of the
+         new version (previous files + new for append);
+      3. atomically rename ``_latest.tmp`` → ``_latest`` containing N.
+    Readers between 2 and 3 still resolve version N-1 — the commit is
+    invisible until the single pointer rename."""
+    import json
+    import uuid
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    cur_version = snapshot_latest_version(spark, base)
+    prev_files: list[str] = []
+    if cur_version > 0 and mode == "append":
+        prev = json.loads(_read_small(spark, f"{base}/_manifest_v{cur_version}.json"))
+        prev_files = prev["files"]
+    new_version = cur_version + 1
+    data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("error").parquet(data_dir)
+    new_files = [
+        f
+        for f in (
+            st.getPath().toString()
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
+        )
+        if f.rsplit("/", 1)[-1].startswith("part-")
+    ]
+    manifest = {
+        "version": new_version,
+        "mode": mode,
+        "files": sorted(prev_files + new_files),
+        "schema": df.schema.json(),
+    }
+    _write_small(
+        spark,
+        f"{base}/_manifest_v{new_version}.json",
+        json.dumps(manifest).encode(),
+    )
+    tmp_ptr = f"{base}/_latest.tmp"
+    _write_small(spark, tmp_ptr, str(new_version).encode())
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
+    fs.delete(ptr, False)  # rename-over is not portable; delete+rename
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_ptr), ptr):
+        raise IOError(f"snapshot_commit: pointer flip to v{new_version} failed")
+    return new_version
+
+
+def snapshot_latest_version(spark, path: str) -> int:
+    """Current committed version (0 = no table yet).  Reads only the
+    1-line pointer file — O(1), no listing."""
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
+    if not fs.exists(ptr):
+        return 0
+    return int(_read_small(spark, f"{base}/_latest").decode().strip())
+
+
+def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot table: the latest committed version, or an
+    explicit ``version`` for TIME TRAVEL.  The returned frame reads
+    exactly the manifest's immutable file list — concurrent commits
+    cannot change what this reader sees (snapshot isolation by
+    construction: data files are never mutated, only superseded)."""
+    import json
+
+    base = path.rstrip("/")
+    if version is None:
+        version = snapshot_latest_version(spark, base)
+    if version <= 0:
+        raise ValueError(f"snapshot_read: no committed version at {path}")
+    manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
+    if not manifest["files"]:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
+    return spark.read.parquet(*manifest["files"])
+
+
+def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> dict:
+    """Reclaim storage: drop manifests older than the last
+    ``keep_last`` versions and delete data files no retained manifest
+    references (orphans from crashed commits included).  Time travel
+    reaches only retained versions afterwards — the Iceberg
+    expire-snapshots contract.  Returns {"deleted_files": n,
+    "deleted_manifests": n}."""
+    import json
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    latest = snapshot_latest_version(spark, base)
+    if latest <= 0:
+        return {"deleted_files": 0, "deleted_manifests": 0}
+    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    live: set[str] = set()
+    dropped_manifests = 0
+    for v in range(1, latest + 1):
+        mp = f"{base}/_manifest_v{v}.json"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(mp)):
+            continue
+        if v in keep:
+            live.update(json.loads(_read_small(spark, mp))["files"])
+        else:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(mp), False)
+            dropped_manifests += 1
+    deleted = 0
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{base}/data")
+    if fs.exists(data_root):
+        for vdir in fs.listStatus(data_root):
+            for st in fs.listStatus(vdir.getPath()):
+                f = st.getPath().toString()
+                if f.rsplit("/", 1)[-1].startswith("part-") and f not in live:
+                    fs.delete(st.getPath(), False)
+                    deleted += 1
+            if not fs.listStatus(vdir.getPath()):
+                fs.delete(vdir.getPath(), True)
+    return {"deleted_files": deleted, "deleted_manifests": dropped_manifests}
