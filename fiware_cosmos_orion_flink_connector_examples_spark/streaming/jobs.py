@@ -1303,3 +1303,66 @@ def streaming_bm25_gate(
     if min_score is not None:
         out = out.withColumn("pass_gate", F.col("score") >= F.lit(min_score))
     return out
+
+
+def maintain_cms_rollup(
+    table_path: str,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+):
+    """Continuous count-min sketch maintenance — the frequency twin of
+    ``maintain_hourly_rollup``: keep a (d, bucket) CMS counter TABLE
+    incrementally up to date from a document stream.  Per micro-batch:
+    partially count the batch's token buckets (the exact arithmetic of
+    the batch ``heavy_hitters_cms`` sketch — seeded-md5 buckets), read
+    the current ≤ depth×width-row table, merge by ADDITION (CMS cells
+    are plain counters — the merge is lossless, so the maintained
+    table always EQUALS the one-shot sketch over everything ingested,
+    pytest-pinned), localCheckpoint, overwrite.  The table is
+    model-sized (4096 rows at the defaults) regardless of ingest
+    volume; estimates are min-over-rows lookups against it, exactly as
+    the batch query does.  Returns the function for ``foreachBatch``."""
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+            md5int64_seeded,
+        )
+        from fiware_cosmos_orion_flink_connector_examples_spark.operators.text import (
+            tokens,
+        )
+
+        spark = batch.sparkSession
+        ex = batch.filter(F.col(text_col).isNotNull()).select(
+            F.explode(tokens(text_col)).alias("term")
+        )
+        bucket_cols = [
+            F.pmod(md5int64_seeded(F.col("term"), f"cms{d}"), F.lit(width))
+            for d in range(depth)
+        ]
+        part = (
+            ex.select(F.posexplode(F.array(*bucket_cols)).alias("d", "bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            # the maintain_hourly_rollup probe discipline: only a
+            # MISSING table falls back to batch-only counts — a read
+            # failure must fail the micro-batch so checkpointing
+            # retries instead of silently dropping history
+            existing = spark.read.parquet(table_path).select("d", "bucket", "c")
+            merged = (
+                part.unionByName(existing)
+                .groupBy("d", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = part
+        # sever the read-under-overwrite race; the frame is ≤ depth ×
+        # width rows, so materialization is constant-sized forever
+        merged.localCheckpoint().write.mode("overwrite").parquet(table_path)
+
+    return merge_batch

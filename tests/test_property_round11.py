@@ -392,3 +392,63 @@ def test_ann_index_partition_pruned_search(spark, tmp_path):
     splan = base._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", splan)
     assert m and "_list" in m.group(1)
+
+
+def test_maintain_cms_rollup_equals_oneshot(spark, tmp_path):
+    """The incrementally maintained CMS table equals the one-shot
+    batch sketch over everything ingested — counter addition is
+    lossless, so replay order and batching cannot drift it."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
+        md5int64_seeded,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spool = tmp_path / "cms_spool"
+    spool.mkdir()
+    rows = docs.collect()
+    # two files → at least two micro-batches under availableNow
+    for i, chunk in enumerate((rows[: len(rows) // 2], rows[len(rows) // 2 :])):
+        with open(spool / f"docs{i}.jsonl", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    table = str(tmp_path / "cms_table")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(spool))
+    q = (
+        stream.writeStream.foreachBatch(jobs.maintain_cms_rollup(table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    maintained = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(table).collect()
+    }
+    ex = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(text.tokens("text")).alias("term")
+    )
+    bucket_cols = [
+        F.pmod(md5int64_seeded(F.col("term"), f"cms{d}"), F.lit(1024))
+        for d in range(4)
+    ]
+    oneshot = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in ex.select(
+            F.posexplode(F.array(*bucket_cols)).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert maintained == oneshot and maintained
