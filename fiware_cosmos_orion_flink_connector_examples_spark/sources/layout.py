@@ -666,3 +666,162 @@ def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> dict:
             if not fs.listStatus(vdir.getPath()):
                 fs.delete(vdir.getPath(), True)
     return {"deleted_files": deleted, "deleted_manifests": dropped_manifests}
+
+
+def snapshot_write_keyed(
+    spark,
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = 16,
+) -> int:
+    """Create a KEYED snapshot table: rows hash-bucketed by ``key_col``
+    into one file set per bucket, the bucket map recorded in the
+    manifest — the layout that makes ``snapshot_merge`` a bucket-pruned
+    copy-on-write whose commit is ATOMIC ACROSS BUCKETS (the property
+    plain-directory ``merge_upsert`` cannot give: its per-bucket swaps
+    are individually atomic, the whole merge is not).  Returns the
+    committed version."""
+    import json
+    import uuid
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    if snapshot_latest_version(spark, base) != 0:
+        raise ValueError(f"snapshot_write_keyed: {path} already has commits")
+    data_dir = f"{base}/data/v1-{uuid.uuid4().hex[:8]}"
+    out = df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    )
+    out.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(data_dir)
+    files, buckets = [], {}
+    root = jvm.org.apache.hadoop.fs.Path(data_dir)
+    for bdir in fs.listStatus(root):
+        name = bdir.getPath().getName()
+        if not name.startswith("_bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        for st in fs.listStatus(bdir.getPath()):
+            f = st.getPath().toString()
+            if f.rsplit("/", 1)[-1].startswith("part-"):
+                files.append(f)
+                buckets[f] = b
+    manifest = {
+        "version": 1,
+        "mode": "overwrite",
+        "files": sorted(files),
+        "buckets": buckets,
+        "schema": df.schema.json(),
+        "keyed": {"key_col": key_col, "n_buckets": n_buckets},
+    }
+    _write_small(spark, f"{base}/_manifest_v1.json", json.dumps(manifest).encode())
+    tmp_ptr = f"{base}/_latest.tmp"
+    _write_small(spark, tmp_ptr, b"1")
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
+    fs.delete(ptr, False)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_ptr), ptr):
+        raise IOError("snapshot_write_keyed: pointer flip failed")
+    return 1
+
+
+def snapshot_merge(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+) -> int:
+    """MERGE INTO a keyed snapshot table with FULL-TABLE atomicity:
+    matched keys replaced, new keys inserted, only the buckets holding
+    updated keys re-read/re-written (copy-on-write via the manifest's
+    bucket map — untouched buckets' files carry over BY REFERENCE),
+    and the whole merge becomes visible in ONE pointer rename.  A
+    reader can never see half a merge, a crash anywhere leaves the
+    table at the previous version, and time travel reaches the
+    pre-merge state — the three guarantees the plain-directory
+    ``merge_upsert`` documents as out of its reach.  Returns the new
+    version."""
+    import json
+    import uuid
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    cur = snapshot_latest_version(spark, base)
+    if cur <= 0:
+        raise ValueError(f"snapshot_merge: no committed version at {path}")
+    manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{cur}.json"))
+    keyed = manifest.get("keyed")
+    if not keyed:
+        raise ValueError(f"snapshot_merge: {path} is not a snapshot_write_keyed table")
+    if keyed["key_col"] != key_col:
+        raise ValueError(
+            f"snapshot_merge: table is keyed on {keyed['key_col']!r}, not {key_col!r}"
+        )
+    n_buckets = int(keyed["n_buckets"])
+    dup = (
+        updates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"snapshot_merge: duplicate key {dup[0][key_col]!r} in updates"
+        )
+    upd = updates.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    )
+    touched = sorted(
+        r["_bucket"] for r in upd.select("_bucket").distinct().collect()
+    )  # bounded by n_buckets — a layout constant
+    buckets: dict = manifest.get("buckets", {})
+    touched_files = [f for f in manifest["files"] if buckets.get(f) in touched]
+    untouched = [f for f in manifest["files"] if buckets.get(f) not in touched]
+    keys = upd.select(F.col(key_col))
+    if touched_files:
+        existing = spark.read.parquet(*touched_files)
+        merged = existing.join(keys, key_col, "left_anti").unionByName(
+            upd.drop("_bucket")
+        )
+    else:
+        merged = upd.drop("_bucket")
+    merged = merged.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    )
+    new_version = cur + 1
+    data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
+    merged.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(data_dir)
+    new_files, new_buckets = [], {}
+    for bdir in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir)):
+        name = bdir.getPath().getName()
+        if not name.startswith("_bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        for st in fs.listStatus(bdir.getPath()):
+            f = st.getPath().toString()
+            if f.rsplit("/", 1)[-1].startswith("part-"):
+                new_files.append(f)
+                new_buckets[f] = b
+    all_files = sorted(untouched + new_files)
+    all_buckets = {f: buckets[f] for f in untouched}
+    all_buckets.update(new_buckets)
+    out_manifest = {
+        "version": new_version,
+        "mode": "merge",
+        "files": all_files,
+        "buckets": all_buckets,
+        "schema": manifest["schema"],
+        "keyed": keyed,
+    }
+    _write_small(
+        spark,
+        f"{base}/_manifest_v{new_version}.json",
+        json.dumps(out_manifest).encode(),
+    )
+    tmp_ptr = f"{base}/_latest.tmp"
+    _write_small(spark, tmp_ptr, str(new_version).encode())
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
+    fs.delete(ptr, False)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_ptr), ptr):
+        raise IOError(f"snapshot_merge: pointer flip to v{new_version} failed")
+    return new_version

@@ -401,3 +401,64 @@ def test_snapshot_vacuum_reclaims_orphans(spark, tmp_path):
     } == {(2, "v2")}
     with _pytest.raises(Exception):
         layout.snapshot_read(spark, path, 1).collect()
+
+
+def test_snapshot_merge_atomic_copy_on_write(spark, tmp_path):
+    """Keyed snapshot MERGE: matched keys replaced / new inserted,
+    untouched buckets carried BY REFERENCE (identical file paths in
+    both manifests), pre-merge version still time-travelable, pinned
+    readers unaffected, duplicate-key and wrong-key sources rejected."""
+    import json
+    from pathlib import Path as P
+
+    import pytest as _pytest
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    path = str(tmp_path / "ksnap")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    assert layout.snapshot_write_keyed(spark, base, path, "k", n_buckets=8) == 1
+    pinned = layout.snapshot_read(spark, path, 1)
+
+    updates = spark.createDataFrame([(3, "CHANGED"), (777, "NEW")], "k long, v string")
+    assert layout.snapshot_merge(spark, path, updates, "k") == 2
+
+    got = {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()}
+    expect = {i: f"v{i}" for i in range(100)}
+    expect[3] = "CHANGED"
+    expect[777] = "NEW"
+    assert got == expect
+    # pre-merge state intact: time travel AND the pinned reader
+    v1 = {r["k"]: r["v"] for r in layout.snapshot_read(spark, path, 1).collect()}
+    assert v1 == {i: f"v{i}" for i in range(100)}
+    assert {r["k"]: r["v"] for r in pinned.collect()} == v1
+
+    # copy-on-write by reference: untouched buckets share file paths
+    m1 = json.loads((P(path) / "_manifest_v1.json").read_text())
+    m2 = json.loads((P(path) / "_manifest_v2.json").read_text())
+    touched_buckets = {m2["buckets"][f] for f in m2["files"] if f not in m1["files"]}
+    assert len(touched_buckets) <= 2
+    carried = set(m1["files"]) & set(m2["files"])
+    assert carried and all(m1["buckets"][f] not in touched_buckets for f in carried)
+
+    with _pytest.raises(ValueError, match="duplicate key"):
+        layout.snapshot_merge(
+            spark,
+            path,
+            spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string"),
+            "k",
+        )
+    with _pytest.raises(ValueError, match="keyed on 'k'"):
+        layout.snapshot_merge(
+            spark,
+            path,
+            spark.createDataFrame([(1, "a")], "wrong long, v string"),
+            "wrong",
+        )
+    # a plain (non-keyed) snapshot table is rejected
+    plain = str(tmp_path / "plain")
+    layout.snapshot_commit(spark, base, plain)
+    with _pytest.raises(ValueError, match="not a snapshot_write_keyed"):
+        layout.snapshot_merge(spark, plain, updates, "k")
