@@ -1056,19 +1056,17 @@ def ann_index_write(
         .mode("overwrite")
         .parquet(path)
     )
-    spark = df.sparkSession
-    jvm = spark._jvm
-    meta = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_ivf_index.json")
-    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
-    st = fs.create(meta, True)
-    st.write(
-        bytearray(
-            json.dumps(
-                {"centroids": centroids, "id_col": id_col, "vec_col": vec_col}
-            ).encode()
-        )
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        _write_small,
     )
-    st.close()
+
+    _write_small(
+        df.sparkSession,
+        f"{path.rstrip('/')}/_ivf_index.json",
+        json.dumps(
+            {"centroids": centroids, "id_col": id_col, "vec_col": vec_col}
+        ).encode(),
+    )
 
 
 def ann_index_search(
@@ -1089,17 +1087,16 @@ def ann_index_search(
     the broadcast probe frame are both tiny at any corpus size."""
     import json
 
-    jvm = spark._jvm
-    meta_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_ivf_index.json")
-    fs = meta_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(meta_p):
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        _fs,
+        _read_small,
+    )
+
+    jvm, fs = _fs(spark, path)
+    meta_path = f"{path.rstrip('/')}/_ivf_index.json"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(meta_path)):
         raise ValueError(f"ann_index_search: {path} is not an ann_index_write index")
-    stream = fs.open(meta_p)
-    try:
-        raw = bytes(jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream))
-    finally:
-        stream.close()
-    meta = json.loads(raw.decode())
+    meta = json.loads(_read_small(spark, meta_path).decode())
     centroids, id_col, vec_col = meta["centroids"], meta["id_col"], meta["vec_col"]
     if not centroids:
         return topk_cosine_bruteforce(

@@ -1551,7 +1551,11 @@ def bm25_scores(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).join(F.broadcast(query_terms.select("term").distinct()), "term")
     tf = qex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = qex.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    # df derives from tf — its rows are (doc, term)-unique, so the
+    # per-term row count IS the document frequency; a second agg over
+    # the unmaterialized qex would re-run the corpus scan + explode
+    # (review finding, round 11)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # docs with zero tokens contribute nothing and are excluded from
     # N/avgdl (they have no posting rows — the ex-derived convention)
     dl = base.select(
@@ -1616,6 +1620,33 @@ def _bm25_score_parts(
     )
 
 
+def _posting_key(id_col: str):
+    """The posting row key: term||':'||doc id — ONE definition shared
+    by write/ingest/compact so the key can never silently diverge."""
+    return F.concat(F.col("term"), F.lit(":"), F.col(id_col).cast("string")).alias(
+        "pkey"
+    )
+
+
+def _bm25_index_parts(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doc lengths) for a doc batch — the single source of
+    the index-build arithmetic (write and ingest previously carried
+    verbatim copies; review finding, round 11)."""
+    base = docs.filter(F.col(text_col).isNotNull())
+    postings = (
+        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(_posting_key(id_col), "term", id_col, "tf")
+    )
+    dl = base.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    return postings, dl
+
+
 def bm25_index_write(
     docs: DataFrame,
     path: str,
@@ -1644,23 +1675,7 @@ def bm25_index_write(
     same ``_bm25_score_parts`` core."""
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
 
-    base = docs.filter(F.col(text_col).isNotNull())
-    postings = (
-        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select(
-            F.concat(F.col("term"), F.lit(":"), F.col(id_col).cast("string")).alias(
-                "pkey"
-            ),
-            "term",
-            id_col,
-            "tf",
-        )
-    )
-    dl = base.select(
-        F.col(id_col), token_count(text_col).cast("long").alias("dl")
-    ).filter(F.col("dl") > 0)
+    postings, dl = _bm25_index_parts(docs, id_col, text_col)
     layout.write_keyed(postings, f"{path.rstrip('/')}/postings", "pkey", n_buckets)
     layout.write_keyed(dl, f"{path.rstrip('/')}/doclen", id_col, n_buckets)
 
@@ -1682,23 +1697,7 @@ def bm25_index_ingest(
     (same caveat as every log-structured index before compaction)."""
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
 
-    base = new_docs.filter(F.col(text_col).isNotNull())
-    postings = (
-        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select(
-            F.concat(F.col("term"), F.lit(":"), F.col(id_col).cast("string")).alias(
-                "pkey"
-            ),
-            "term",
-            id_col,
-            "tf",
-        )
-    )
-    dl = base.select(
-        F.col(id_col), token_count(text_col).cast("long").alias("dl")
-    ).filter(F.col("dl") > 0)
+    postings, dl = _bm25_index_parts(new_docs, id_col, text_col)
     layout.merge_upsert(spark, f"{path.rstrip('/')}/postings", postings, "pkey")
     layout.merge_upsert(spark, f"{path.rstrip('/')}/doclen", dl, id_col)
 
@@ -1721,11 +1720,9 @@ def bm25_from_index(
     postings, dl = _bm25_index_tables(spark, path, id_col)
     qt = F.broadcast(query_terms.select("term").distinct())
     tf = postings.join(qt, "term").select(id_col, "term", "tf")
-    dfreq = (
-        postings.join(qt, "term")
-        .groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
-    )
+    # postings are (term, doc)-unique, so df = tf's per-term row count
+    # — deriving it re-reads nothing (review finding, round 11)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     return _bm25_score_parts(tf, dl, dfreq, stats, query_terms, id_col, k1, b)
 
@@ -1826,53 +1823,62 @@ def bm25_index_compact(
     merge/compact step that reclaims space and restores pure
     bucket-pruned reads (the read-side anti-join disappears until the
     next delete).  The rewrite goes to a sibling ``.compact.tmp``
-    directory and swaps in with one rename per table (the
-    compact_table / merge_upsert swap discipline — same crash window
-    caveats, recover by re-running compaction)."""
+    directory and swaps in with one rename per table, keeping every
+    ``.{table}.old`` backup until BOTH tables are live (the
+    merge_upsert deferred-cleanup discipline).  Crash recovery is
+    built in: compaction starts by restoring any table caught inside
+    a previous run's rename window (live dir missing, data in
+    ``.{table}.old``), so "recover by re-running compaction" is a
+    real contract, not a hope (review finding, round 11)."""
     import json
 
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
-
-    jvm = spark._jvm
-    base = path.rstrip("/")
-    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
-        spark._jsc.hadoopConfiguration()
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        _fs,
+        _read_small,
     )
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    # recovery pass FIRST: a prior compact may have died between its
+    # two renames, leaving {base}/{t} only at {base}/.{t}.old
+    for t in ("postings", "doclen"):
+        cur = jvm.org.apache.hadoop.fs.Path(f"{base}/{t}")
+        old = jvm.org.apache.hadoop.fs.Path(f"{base}/.{t}.old")
+        if not fs.exists(cur) and fs.exists(old):
+            if not fs.rename(old, cur):
+                raise IOError(f"bm25_index_compact: recovery of {t} failed")
     if n_buckets is None:
-        meta_p = jvm.org.apache.hadoop.fs.Path(f"{base}/postings/_keyed_layout.json")
-        stream = fs.open(meta_p)
-        try:
-            raw = bytes(jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream))
-        finally:
-            stream.close()
-        n_buckets = int(json.loads(raw.decode())["n_buckets"])
+        n_buckets = int(
+            json.loads(
+                _read_small(spark, f"{base}/postings/_keyed_layout.json").decode()
+            )["n_buckets"]
+        )
     postings, dl = _bm25_index_tables(spark, path, id_col)
     tmp = base + ".compact.tmp"
     layout.write_keyed(
-        postings.select(
-            F.concat(F.col("term"), F.lit(":"), F.col(id_col).cast("string")).alias(
-                "pkey"
-            ),
-            "term",
-            id_col,
-            "tf",
-        ),
+        postings.select(_posting_key(id_col), "term", id_col, "tf"),
         f"{tmp}/postings",
         "pkey",
         n_buckets,
     )
     layout.write_keyed(dl, f"{tmp}/doclen", id_col, n_buckets)
+    swapped = []
     for t in ("postings", "doclen"):
         cur = jvm.org.apache.hadoop.fs.Path(f"{base}/{t}")
         old = jvm.org.apache.hadoop.fs.Path(f"{base}/.{t}.old")
         new = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{t}")
         if fs.exists(old):
-            fs.delete(old, True)
+            fs.delete(old, True)  # stale backup from a CLEAN prior run
         if fs.exists(cur) and not fs.rename(cur, old):
             raise IOError(f"bm25_index_compact: rename {cur} -> {old} failed")
         if not fs.rename(new, cur):
             fs.rename(old, cur)
             raise IOError(f"bm25_index_compact: rename {new} -> {cur} failed")
+        swapped.append(old)
+    # cleanup only after BOTH tables are live — any crash above leaves
+    # every pre-compact table recoverable by the pass at the top
+    for old in swapped:
         fs.delete(old, True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/tombstones"), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)

@@ -502,16 +502,23 @@ def write_training_shards(
 # parquet directories can only swap per-directory, so multi-bucket /
 # multi-partition changes are never atomic as a whole.  A MANIFEST
 # table fixes that the way Iceberg/Delta do, minus the format baggage:
-# data files are immutable and write-once under <path>/data/, each
-# COMMIT writes a new _manifest_v<N>.json listing the table's complete
-# file set, and a 1-line _latest pointer file flips to the new version
-# via a single atomic rename.  Readers resolve _latest (or an explicit
-# version = time travel) and read exactly that file list — they can
-# never observe a half-committed state, because nothing they read is
-# ever mutated.  A crash mid-commit leaves orphaned data files and a
-# stale tmp pointer, both invisible to readers and reclaimable by
-# vacuum_snapshots.  Same caveat as everything rename-based: the
-# pointer flip is atomic on HDFS/posix stores, not on S3A.
+# data files are immutable and write-once under <path>/data/, and each
+# COMMIT is ONE atomic create-style rename of a complete
+# _manifest_v<N>.json (staged as a hidden .tmp, renamed to a
+# destination that must not exist — so two racing committers of the
+# same version conflict instead of clobbering: optimistic
+# concurrency, Iceberg's commit rule).  Readers list the manifests
+# and take the max version (or an explicit version = time travel) and
+# read exactly that file list — they can never observe a
+# half-committed state, because a manifest either exists completely
+# or not at all, and nothing it references is ever mutated.  A crash
+# mid-commit leaves orphaned data files and a stale hidden .tmp
+# manifest, both invisible to readers and reclaimable by
+# vacuum_snapshots.  There is deliberately NO mutable pointer file: a
+# delete+recreate pointer has a reader-visible missing window and a
+# crash there would reset the version counter (review finding, round
+# 11).  Same caveat as everything rename-based: atomic on HDFS/posix
+# stores, not on S3A.
 
 
 def _fs(spark, path: str):
@@ -536,6 +543,26 @@ def _write_small(spark, path: str, data: bytes) -> None:
     st.close()
 
 
+def _commit_manifest(spark, base: str, version: int, manifest: dict) -> None:
+    """Atomically publish _manifest_v<version>.json: stage the full
+    bytes at a hidden .tmp name, then rename to the final name.  The
+    destination must not exist — Hadoop rename returns false then, so
+    a concurrent commit of the same version raises instead of
+    clobbering (optimistic concurrency)."""
+    import json
+
+    jvm, fs = _fs(spark, base)
+    tmp = f"{base}/._manifest_v{version}.json.tmp"
+    _write_small(spark, tmp, json.dumps(manifest).encode())
+    dst = jvm.org.apache.hadoop.fs.Path(f"{base}/_manifest_v{version}.json")
+    if fs.exists(dst) or not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+        raise IOError(
+            f"snapshot commit conflict: version {version} already exists "
+            f"(concurrent committer won); retry from the new latest"
+        )
+
+
 def snapshot_commit(
     spark,
     df: DataFrame,
@@ -550,11 +577,15 @@ def snapshot_commit(
     Protocol (each step safe to crash after):
       1. write df's parquet files to ``data/v<N>-<uuid>/`` (write-once,
          never listed by readers until referenced by a manifest);
-      2. write ``_manifest_v<N>.json`` = the complete file list of the
-         new version (previous files + new for append);
-      3. atomically rename ``_latest.tmp`` → ``_latest`` containing N.
-    Readers between 2 and 3 still resolve version N-1 — the commit is
-    invisible until the single pointer rename."""
+      2. stage the complete ``_manifest_v<N>.json`` at a hidden .tmp
+         name, then atomically rename it into place — THE commit.
+    A crash before step 2's rename leaves only invisible artifacts
+    (readers still resolve N-1); the rename refuses an existing
+    destination, so concurrent committers conflict instead of
+    clobbering.  Committing to a ``snapshot_write_keyed`` table is
+    rejected — a plain commit would drop the bucket map and break
+    ``snapshot_merge`` (use snapshot_merge, or re-key with a fresh
+    snapshot_write_keyed at a new path)."""
     import json
     import uuid
 
@@ -562,9 +593,15 @@ def snapshot_commit(
     jvm, fs = _fs(spark, base)
     cur_version = snapshot_latest_version(spark, base)
     prev_files: list[str] = []
-    if cur_version > 0 and mode == "append":
+    if cur_version > 0:
         prev = json.loads(_read_small(spark, f"{base}/_manifest_v{cur_version}.json"))
-        prev_files = prev["files"]
+        if prev.get("keyed"):
+            raise ValueError(
+                "snapshot_commit: table is keyed (snapshot_write_keyed) — a "
+                "plain commit would drop its bucket map; use snapshot_merge"
+            )
+        if mode == "append":
+            prev_files = prev["files"]
     new_version = cur_version + 1
     data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
@@ -582,29 +619,29 @@ def snapshot_commit(
         "files": sorted(prev_files + new_files),
         "schema": df.schema.json(),
     }
-    _write_small(
-        spark,
-        f"{base}/_manifest_v{new_version}.json",
-        json.dumps(manifest).encode(),
-    )
-    tmp_ptr = f"{base}/_latest.tmp"
-    _write_small(spark, tmp_ptr, str(new_version).encode())
-    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
-    fs.delete(ptr, False)  # rename-over is not portable; delete+rename
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_ptr), ptr):
-        raise IOError(f"snapshot_commit: pointer flip to v{new_version} failed")
+    _commit_manifest(spark, base, new_version, manifest)
     return new_version
 
 
 def snapshot_latest_version(spark, path: str) -> int:
-    """Current committed version (0 = no table yet).  Reads only the
-    1-line pointer file — O(1), no listing."""
+    """Current committed version (0 = no table yet): the max N with a
+    published ``_manifest_vN.json``.  One directory listing of the
+    table root — manifests are tiny and vacuum bounds their count, so
+    this stays O(retained versions); hidden ``.tmp`` stages and data
+    dirs are not consulted."""
+    import re
+
     base = path.rstrip("/")
     jvm, fs = _fs(spark, base)
-    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
-    if not fs.exists(ptr):
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    if not fs.exists(root):
         return 0
-    return int(_read_small(spark, f"{base}/_latest").decode().strip())
+    latest = 0
+    for st in fs.listStatus(root):
+        m = re.fullmatch(r"_manifest_v(\d+)\.json", st.getPath().getName())
+        if m:
+            latest = max(latest, int(m.group(1)))
+    return latest
 
 
 def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
@@ -654,15 +691,34 @@ def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> dict:
         else:
             fs.delete(jvm.org.apache.hadoop.fs.Path(mp), False)
             dropped_manifests += 1
+    # stale hidden manifest stages from crashed commits
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("._manifest_v") and name.endswith(".json.tmp"):
+            fs.delete(st.getPath(), False)
     deleted = 0
     data_root = jvm.org.apache.hadoop.fs.Path(f"{base}/data")
+
+    def _sweep(d):
+        nonlocal deleted
+        for st in fs.listStatus(d):
+            if st.isDirectory():
+                # keyed tables nest one _bucket=<b> level under the
+                # version dir (review finding, round 11: the flat walk
+                # never reclaimed keyed files)
+                _sweep(st.getPath())
+                if not fs.listStatus(st.getPath()):
+                    fs.delete(st.getPath(), True)
+                continue
+            f = st.getPath().toString()
+            if f.rsplit("/", 1)[-1].startswith("part-") and f not in live:
+                fs.delete(st.getPath(), False)
+                deleted += 1
+
     if fs.exists(data_root):
         for vdir in fs.listStatus(data_root):
-            for st in fs.listStatus(vdir.getPath()):
-                f = st.getPath().toString()
-                if f.rsplit("/", 1)[-1].startswith("part-") and f not in live:
-                    fs.delete(st.getPath(), False)
-                    deleted += 1
+            _sweep(vdir.getPath())
             if not fs.listStatus(vdir.getPath()):
                 fs.delete(vdir.getPath(), True)
     return {"deleted_files": deleted, "deleted_manifests": dropped_manifests}
@@ -714,13 +770,7 @@ def snapshot_write_keyed(
         "schema": df.schema.json(),
         "keyed": {"key_col": key_col, "n_buckets": n_buckets},
     }
-    _write_small(spark, f"{base}/_manifest_v1.json", json.dumps(manifest).encode())
-    tmp_ptr = f"{base}/_latest.tmp"
-    _write_small(spark, tmp_ptr, b"1")
-    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
-    fs.delete(ptr, False)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_ptr), ptr):
-        raise IOError("snapshot_write_keyed: pointer flip failed")
+    _commit_manifest(spark, base, 1, manifest)
     return 1
 
 
@@ -813,15 +863,5 @@ def snapshot_merge(
         "schema": manifest["schema"],
         "keyed": keyed,
     }
-    _write_small(
-        spark,
-        f"{base}/_manifest_v{new_version}.json",
-        json.dumps(out_manifest).encode(),
-    )
-    tmp_ptr = f"{base}/_latest.tmp"
-    _write_small(spark, tmp_ptr, str(new_version).encode())
-    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
-    fs.delete(ptr, False)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_ptr), ptr):
-        raise IOError(f"snapshot_merge: pointer flip to v{new_version} failed")
+    _commit_manifest(spark, base, new_version, out_manifest)
     return new_version

@@ -1346,14 +1346,23 @@ def maintain_cms_rollup(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+        base = table_path.rstrip("/")
+        hpath = jvm.org.apache.hadoop.fs.Path(base)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        old_p = jvm.org.apache.hadoop.fs.Path(base + ".old")
+        # crash recovery first: a previous batch that died between the
+        # two swap renames left the table only at <path>.old — restore
+        # it before probing existence, otherwise the fallback branch
+        # below would silently rebuild from this batch alone
+        if not fs.exists(hpath) and fs.exists(old_p):
+            if not fs.rename(old_p, hpath):
+                raise IOError(f"maintain_cms_rollup: recovery rename failed")
         if fs.exists(hpath):
             # the maintain_hourly_rollup probe discipline: only a
             # MISSING table falls back to batch-only counts — a read
             # failure must fail the micro-batch so checkpointing
             # retries instead of silently dropping history
-            existing = spark.read.parquet(table_path).select("d", "bucket", "c")
+            existing = spark.read.parquet(base).select("d", "bucket", "c")
             merged = (
                 part.unionByName(existing)
                 .groupBy("d", "bucket")
@@ -1361,8 +1370,26 @@ def maintain_cms_rollup(
             )
         else:
             merged = part
-        # sever the read-under-overwrite race; the frame is ≤ depth ×
-        # width rows, so materialization is constant-sized forever
-        merged.localCheckpoint().write.mode("overwrite").parquet(table_path)
+        # NEVER overwrite the live table in place (review finding,
+        # round 11: mode("overwrite") truncates before the job commits,
+        # and a failure after truncation silently rebuilds from one
+        # batch).  Write the merged ≤ depth×width-row frame to a
+        # sibling tmp, then two-rename swap with the .old kept until
+        # the new table is live — a crash at any point leaves a
+        # recoverable state (the merge_upsert discipline); idempotent
+        # re-merge on micro-batch retry is safe because checkpointing
+        # replays the SAME batch against the pre-swap table.
+        tmp = base + ".tmp"
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(old_p, True)
+        had_cur = fs.exists(hpath)
+        if had_cur and not fs.rename(hpath, old_p):
+            raise IOError("maintain_cms_rollup: rename cur -> old failed")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+            if had_cur:
+                fs.rename(old_p, hpath)
+            raise IOError("maintain_cms_rollup: rename tmp -> cur failed")
+        fs.delete(old_p, True)
 
     return merge_batch

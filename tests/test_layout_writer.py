@@ -340,10 +340,15 @@ def test_snapshot_commit_read_append_time_travel(spark, tmp_path):
 
 def test_snapshot_isolation_and_crash_invisibility(spark, tmp_path):
     """A reader holding version N sees the SAME rows after later
-    commits (immutable file list), and a crash between manifest write
-    and pointer flip leaves readers on the old version."""
+    commits (immutable file list); a crash BEFORE the manifest rename
+    (data + staged .tmp manifest only) is invisible — readers stay on
+    the old version, the next commit takes the version number, and
+    vacuum clears the stale stage.  A racing duplicate commit of the
+    same version conflicts instead of clobbering."""
     import json
     from pathlib import Path as P
+
+    import pytest as _pytest
 
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
 
@@ -357,26 +362,33 @@ def test_snapshot_isolation_and_crash_invisibility(spark, tmp_path):
     )
     assert {(r["k"], r["v"]) for r in reader_v1.collect()} == {(1, "a")}
 
-    # crash simulation: v3 data + manifest written, pointer never
-    # flipped (snapshot_commit steps 1-2 without step 3)
+    # crash simulation: v3 data written and manifest STAGED at the
+    # hidden .tmp name, never renamed into place — the only crash
+    # window the protocol has
     data_dir = P(path) / "data" / "v3-crashed"
     spark.createDataFrame([(3, "c")], "k long, v string").write.parquet(str(data_dir))
     files = sorted(str(p) for p in data_dir.glob("part-*"))
-    (P(path) / "_manifest_v3.json").write_text(
+    (P(path) / "._manifest_v3.json.tmp").write_text(
         json.dumps({"version": 3, "mode": "overwrite", "files": files, "schema": "{}"})
     )
     assert layout.snapshot_latest_version(spark, path) == 2
     assert {(r["k"], r["v"]) for r in layout.snapshot_read(spark, path).collect()} == {
         (2, "b")
     }
-    # the NEXT commit supersedes the crashed v3 (delete+rewrite of the
-    # manifest; its orphan data files are vacuum's job)
+    # the NEXT commit takes v3; the crashed stage stays invisible and
+    # its orphan data files are vacuum's job
     v = layout.snapshot_commit(
         spark, spark.createDataFrame([(4, "d")], "k long, v string"), path
     )
     assert v == 3 and {
         (r["k"], r["v"]) for r in layout.snapshot_read(spark, path).collect()
     } == {(4, "d")}
+    # optimistic concurrency: a commit that lost the race to v3 raises
+    with _pytest.raises(IOError, match="commit conflict"):
+        layout._commit_manifest(spark, path, 3, {"version": 3, "files": []})
+    out = layout.vacuum_snapshots(spark, path, keep_last=3)
+    assert not (P(path) / "._manifest_v3.json.tmp").exists()
+    assert out["deleted_files"] >= 2  # the crashed v3 orphans
 
 
 def test_snapshot_vacuum_reclaims_orphans(spark, tmp_path):
@@ -462,3 +474,18 @@ def test_snapshot_merge_atomic_copy_on_write(spark, tmp_path):
     layout.snapshot_commit(spark, base, plain)
     with _pytest.raises(ValueError, match="not a snapshot_write_keyed"):
         layout.snapshot_merge(spark, plain, updates, "k")
+    # ...and the converse: a plain commit to a KEYED table is rejected
+    # (it would drop the bucket map and break future merges)
+    with _pytest.raises(ValueError, match="keyed"):
+        layout.snapshot_commit(spark, updates, path)
+
+    # vacuum reclaims superseded KEYED bucket files (they nest one
+    # _bucket=<b> level deeper than flat commits)
+    layout.snapshot_merge(
+        spark, path, spark.createDataFrame([(3, "AGAIN")], "k long, v string"), "k"
+    )
+    out = layout.vacuum_snapshots(spark, path, keep_last=1)
+    assert out["deleted_files"] >= 1
+    got = {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()}
+    expect[3] = "AGAIN"
+    assert got == expect
