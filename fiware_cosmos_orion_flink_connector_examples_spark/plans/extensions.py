@@ -6978,11 +6978,12 @@ _D_BM25_QVALS = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
     """,
     doc="X4 BM25 keyword retrieval (k1=1.2, b=0.75, Lucene idf): top-10 "
     "docs per query for a 3-query literal workload — the lexical half "
-    "of the retrieval pillar beside the ANN stack.  ONE tokenize pass "
-    "feeds tf/dl/df (all partial-aggregable on their own keys); the "
-    "(N, Σdl) scalars ride a 1-row broadcast cross join; query terms "
-    "BROADCAST onto the tf stream, so only posting-list rows of the "
-    "queried terms survive into scoring — per-query cost is "
+    "of the retrieval pillar beside the ANN stack.  Query terms are "
+    "BROADCAST onto the exploded token stream BEFORE any shuffle, so "
+    "tf carries posting-list rows only and df derives from tf's "
+    "(doc, term)-unique rows with no second scan; doc length is "
+    "map-only regexp_count on the raw scan (no explode); the (N, Σdl) "
+    "scalars ride a 1-row broadcast cross join — per-query cost is "
     "O(df(term)), never corpus-wide.  Each contribution is quantized "
     "to integer picounits and summed order-free (the LM/NB "
     "discipline); ranking orders by the exact int64, so top-k "
