@@ -568,6 +568,8 @@ def snapshot_commit(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
+    _extra: dict | None = None,
 ) -> int:
     """Commit ``df`` to a snapshot table at ``path`` and return the new
     version number.  ``mode='overwrite'`` makes the new version exactly
@@ -585,7 +587,15 @@ def snapshot_commit(
     clobbering.  Committing to a ``snapshot_write_keyed`` table is
     rejected — a plain commit would drop the bucket map and break
     ``snapshot_merge`` (use snapshot_merge, or re-key with a fresh
-    snapshot_write_keyed at a new path)."""
+    snapshot_write_keyed at a new path).
+
+    ``stats_cols`` records per-NEW-file min/max of those columns in
+    the manifest (one bounded pass over just-written files, grouped
+    by input_file_name) — the Iceberg-style FILE-SKIPPING metadata
+    ``snapshot_scan`` prunes with; append carries the previous files'
+    stats forward untouched.  ``_extra`` merges extra fields into the
+    manifest (the streaming sink's transaction watermark rides here).
+    """
     import json
     import uuid
 
@@ -613,14 +623,45 @@ def snapshot_commit(
         )
         if f.rsplit("/", 1)[-1].startswith("part-")
     ]
+    stats: dict = {}
+    if cur_version > 0 and mode == "append":
+        stats.update(prev.get("stats", {}))
+    if stats_cols and new_files:
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        rows = (
+            spark.read.parquet(*new_files)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()
+        )  # one row per just-written file — commit-sized, never table-sized
+        for r in rows:
+            stats[_normalize_file_uri(r["_f"])] = {
+                c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stats_cols
+            }
     manifest = {
         "version": new_version,
         "mode": mode,
         "files": sorted(prev_files + new_files),
         "schema": df.schema.json(),
     }
+    if stats:
+        manifest["stats"] = stats
+    if _extra:
+        manifest.update(_extra)
     _commit_manifest(spark, base, new_version, manifest)
     return new_version
+
+
+def _normalize_file_uri(f: str) -> str:
+    """input_file_name() returns a URI (file:///...); the manifest
+    stores FileSystem paths (file:/... or bare).  Normalize the URI
+    form to the Hadoop Path rendering so stats keys match file-list
+    entries."""
+    if f.startswith("file:///"):
+        return "file:/" + f[len("file:///"):]
+    return f
 
 
 def snapshot_latest_version(spark, path: str) -> int:
@@ -865,3 +906,87 @@ def snapshot_merge(
     }
     _commit_manifest(spark, base, new_version, out_manifest)
     return new_version
+
+
+def snapshot_scan(
+    spark,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+):
+    """Stats-pruned range scan of a snapshot table: keep only files
+    whose manifest [min, max] for ``col`` OVERLAPS [lo, hi] (files
+    without recorded stats are conservatively kept), read just those,
+    and apply the exact predicate on top — output identical to
+    filtering a full ``snapshot_read``, but unselective files are
+    never opened (manifest-level data skipping, the metadata twin of
+    parquet row-group pruning).  Returns ``(df, n_files_read,
+    n_files_total)`` so callers — and the regression test — can SEE
+    the pruning."""
+    import json
+
+    base = path.rstrip("/")
+    if version is None:
+        version = snapshot_latest_version(spark, base)
+    if version <= 0:
+        raise ValueError(f"snapshot_scan: no committed version at {path}")
+    manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
+    stats = manifest.get("stats", {})
+    keep = []
+    for f in manifest["files"]:
+        st = stats.get(f, {}).get(col)
+        if st is None or st[0] is None:
+            keep.append(f)  # no stats → cannot prune safely
+        elif not (st[1] < lo or st[0] > hi):
+            keep.append(f)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(manifest["schema"]))
+        )
+        return empty.filter(pred), 0, len(manifest["files"])
+    return (
+        spark.read.parquet(*keep).filter(pred),
+        len(keep),
+        len(manifest["files"]),
+    )
+
+
+def snapshot_append_stream(
+    path: str,
+    stats_cols: list[str] | None = None,
+):
+    """EXACTLY-ONCE streaming append sink on the snapshot commit log —
+    the Delta transactional-sink ``txnVersion`` pattern on plain
+    parquet: each micro-batch becomes one atomic append commit whose
+    manifest records ``last_batch_id``; a RETRIED batch (failure after
+    commit but before the checkpoint advanced) sees its own batch_id
+    already ≤ the table's watermark and skips, so replays cannot
+    double-append.  Structured Streaming delivers batch_ids in
+    increasing order per query, which is exactly what the single
+    watermark needs.  Returns the function for ``foreachBatch``."""
+    import json
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        base = path.rstrip("/")
+        cur = snapshot_latest_version(spark, base)
+        if cur > 0:
+            prev = json.loads(_read_small(spark, f"{base}/_manifest_v{cur}.json"))
+            last = prev.get("last_batch_id")
+            if last is not None and batch_id <= last:
+                return  # retry replay of an already-committed batch
+        snapshot_commit(
+            spark,
+            batch,
+            base,
+            mode="append",
+            stats_cols=stats_cols,
+            _extra={"last_batch_id": batch_id},
+        )
+
+    return commit_batch

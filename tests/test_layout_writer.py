@@ -489,3 +489,83 @@ def test_snapshot_merge_atomic_copy_on_write(spark, tmp_path):
     got = {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()}
     expect[3] = "AGAIN"
     assert got == expect
+
+
+def test_snapshot_scan_prunes_by_stats(spark, tmp_path):
+    """File-skipping: per-file min/max stats recorded at commit prune
+    non-overlapping files from a range scan, results identical to a
+    filtered full read; files committed WITHOUT stats are kept
+    conservatively."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    path = str(tmp_path / "snap")
+    # three disjoint ranges, one commit each → three stats-bearing file sets
+    for lo in (0, 1000, 2000):
+        layout.snapshot_commit(
+            spark,
+            spark.range(lo, lo + 100).select(F.col("id").alias("k")),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+    df, n_read, n_total = layout.snapshot_scan(spark, path, "k", 1010, 1020)
+    assert n_read < n_total
+    got = sorted(r["k"] for r in df.collect())
+    full = sorted(
+        r["k"]
+        for r in layout.snapshot_read(spark, path)
+        .filter("k BETWEEN 1010 AND 1020")
+        .collect()
+    )
+    assert got == full == list(range(1010, 1021))
+
+    # a stats-less commit stays conservatively unpruned
+    layout.snapshot_commit(
+        spark,
+        spark.range(5000, 5010).select(F.col("id").alias("k")),
+        path,
+        mode="append",
+    )
+    _, n_read2, n_total2 = layout.snapshot_scan(spark, path, "k", 1010, 1020)
+    assert n_total2 > n_total and n_read2 > n_read  # new files kept
+
+
+def test_snapshot_append_stream_exactly_once(spark, tmp_path):
+    """The streaming append sink: one atomic commit per micro-batch,
+    and a replayed batch_id is a no-op (the txnVersion watermark)."""
+    import json as _json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    spool = tmp_path / "snap_spool"
+    spool.mkdir()
+    for i in range(3):
+        with open(spool / f"b{i}.jsonl", "w") as f:
+            for k in range(i * 10, i * 10 + 10):
+                f.write(_json.dumps({"k": k}) + "\n")
+    table = str(tmp_path / "snap_table")
+    stream = spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).json(
+        str(spool)
+    )
+    sink = layout.snapshot_append_stream(table, stats_cols=["k"])
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in layout.snapshot_read(spark, table).collect())
+    assert got == list(range(30))
+    v = layout.snapshot_latest_version(spark, table)
+    assert v == 3  # one commit per micro-batch
+
+    # retry replay: re-deliver the LAST batch id → no-op, no duplicates
+    last_batch = spark.createDataFrame([(k,) for k in range(20, 30)], "k long")
+    sink(last_batch, 2)
+    assert layout.snapshot_latest_version(spark, table) == v
+    got2 = sorted(r["k"] for r in layout.snapshot_read(spark, table).collect())
+    assert got2 == list(range(30))
+    # a genuinely NEW batch id appends
+    sink(spark.createDataFrame([(99,)], "k long"), 3)
+    assert 99 in {r["k"] for r in layout.snapshot_read(spark, table).collect()}
