@@ -569,3 +569,46 @@ def test_snapshot_append_stream_exactly_once(spark, tmp_path):
     # a genuinely NEW batch id appends
     sink(spark.createDataFrame([(99,)], "k long"), 3)
     assert 99 in {r["k"] for r in layout.snapshot_read(spark, table).collect()}
+
+
+def test_snapshot_merge_deletes_and_change_feed(spark, tmp_path):
+    """WHEN MATCHED DELETE rides the same atomic commit as upserts,
+    and snapshot_changes reconstructs the exact insert/update/delete
+    feed between any two retained versions."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    path = str(tmp_path / "ksnap")
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string"),
+        path,
+        "k",
+        n_buckets=4,
+    )
+    updates = spark.createDataFrame(
+        [
+            (3, "CHANGED", False),
+            (7, None, True),     # delete
+            (99, "NEW", False),  # insert
+            (55, None, True),    # delete of an ABSENT key: no-op
+        ],
+        "k long, v string, _del boolean",
+    )
+    layout.snapshot_merge(spark, path, updates, "k", delete_col="_del")
+
+    got = {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()}
+    expect = {i: f"v{i}" for i in range(10) if i != 7}
+    expect[3] = "CHANGED"
+    expect[99] = "NEW"
+    assert got == expect
+    assert "_del" not in layout.snapshot_read(spark, path).columns
+
+    changes = {
+        r["k"]: (r["_change"], r["v"])
+        for r in layout.snapshot_changes(spark, path, 1, 2).collect()
+    }
+    assert changes == {
+        3: ("update", "CHANGED"),
+        7: ("delete", "v7"),
+        99: ("insert", "NEW"),
+    }
