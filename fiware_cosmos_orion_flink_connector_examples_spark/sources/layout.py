@@ -599,10 +599,13 @@ def snapshot_commit(
     import json
     import uuid
 
+    from pyspark.sql.types import StructType
+
     base = path.rstrip("/")
     jvm, fs = _fs(spark, base)
     cur_version = snapshot_latest_version(spark, base)
     prev_files: list[str] = []
+    schema = df.schema
     if cur_version > 0:
         prev = json.loads(_read_small(spark, f"{base}/_manifest_v{cur_version}.json"))
         if prev.get("keyed"):
@@ -612,6 +615,25 @@ def snapshot_commit(
             )
         if mode == "append":
             prev_files = prev["files"]
+            # SCHEMA EVOLUTION on append: the committed schema is the
+            # column union (existing order first, new columns after);
+            # a column present in both with a DIFFERENT type is a
+            # contract break and raises — silent coercion corrupts
+            prev_schema = StructType.fromJson(json.loads(prev["schema"]))
+            by_name = {f.name: f for f in df.schema.fields}
+            fields = []
+            for f in prev_schema.fields:
+                nf = by_name.pop(f.name, None)
+                if nf is not None and nf.dataType != f.dataType:
+                    raise ValueError(
+                        f"snapshot_commit: column {f.name!r} changes type "
+                        f"{f.dataType.simpleString()} -> "
+                        f"{nf.dataType.simpleString()} — evolution adds "
+                        "columns, never retypes them"
+                    )
+                fields.append(f)
+            fields.extend(by_name.values())
+            schema = StructType(fields)
     new_version = cur_version + 1
     data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
@@ -644,7 +666,7 @@ def snapshot_commit(
         "version": new_version,
         "mode": mode,
         "files": sorted(prev_files + new_files),
-        "schema": df.schema.json(),
+        "schema": schema.json(),
     }
     if stats:
         manifest["stats"] = stats
@@ -699,11 +721,16 @@ def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
     if version <= 0:
         raise ValueError(f"snapshot_read: no committed version at {path}")
     manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
-    if not manifest["files"]:
-        from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType
 
-        return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
-    return spark.read.parquet(*manifest["files"])
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not manifest["files"]:
+        return spark.createDataFrame([], schema)
+    # the manifest's schema is the table contract for THIS version —
+    # reading with it (not inference off one file) makes appended-
+    # column evolution work: old files yield NULL for new columns,
+    # and time travel to a pre-evolution version shows the old shape
+    return spark.read.schema(schema).parquet(*manifest["files"])
 
 
 def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> dict:

@@ -612,3 +612,36 @@ def test_snapshot_merge_deletes_and_change_feed(spark, tmp_path):
         7: ("delete", "v7"),
         99: ("insert", "NEW"),
     }
+
+
+def test_snapshot_append_schema_evolution(spark, tmp_path):
+    """Appending a frame with a NEW column evolves the table schema
+    (old rows read NULL there), time travel shows the pre-evolution
+    shape, and retyping an existing column is rejected."""
+    import pytest as _pytest
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    path = str(tmp_path / "snap")
+    layout.snapshot_commit(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), path
+    )
+    layout.snapshot_commit(
+        spark,
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"),
+        path,
+        mode="append",
+    )
+    rows = {r["k"]: (r["v"], r["score"]) for r in layout.snapshot_read(spark, path).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert [f.name for f in layout.snapshot_read(spark, path, 1).schema.fields] == [
+        "k",
+        "v",
+    ]
+    with _pytest.raises(ValueError, match="never retypes"):
+        layout.snapshot_commit(
+            spark,
+            spark.createDataFrame([(3, 42)], "k long, v long"),
+            path,
+            mode="append",
+        )
