@@ -1137,3 +1137,39 @@ def ann_index_search(
     )
 
     return eagerly(out, probes)
+
+
+def ann_index_add(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+) -> None:
+    """Incremental ANN index maintenance: assign a new vector batch to
+    the EXISTING coarse cells (the sidecar centroids — never retrain
+    on ingest, exactly FAISS's add-after-train contract) and append
+    its files into the same ``_list=<cell>`` partition directories.
+    Search needs no change: partition pruning and scoring see one
+    logical table.  Centroid drift under sustained ingest is handled
+    by an out-of-band retrain + ``ann_index_write`` rebuild (the BM25
+    compaction analog), stated not hidden."""
+    import json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        _read_small,
+    )
+
+    meta = json.loads(_read_small(spark, f"{path.rstrip('/')}/_ivf_index.json").decode())
+    centroids, id_col, vec_col = meta["centroids"], meta["id_col"], meta["vec_col"]
+    if not centroids:
+        raise ValueError("ann_index_add: index has no trained centroids — rebuild")
+    base = new_vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        _assign_udf(centroids)(F.col(vec_col).cast("array<double>")).alias("_list"),
+    )
+    (
+        base.repartition(F.col("_list"))
+        .write.partitionBy("_list")
+        .mode("append")
+        .parquet(path)
+    )

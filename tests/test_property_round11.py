@@ -486,3 +486,30 @@ def test_bm25_index_compact_recovers_crashed_swap(spark, tmp_path):
     }
     assert got == expect
     assert not (P(idx) / ".postings.old").exists()
+
+
+def test_ann_index_add_equals_rebuild(spark, tmp_path):
+    """Incremental adds against frozen centroids search identically to
+    a full rebuild over the unioned corpus with the SAME centroids."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import similarity
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    head = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    cents = similarity.kmeans_fit_sample(head, k=8)
+
+    inc = str(tmp_path / "inc")
+    similarity.ann_index_write(head, inc, cents)
+    similarity.ann_index_add(spark, batch, inc)
+
+    full = str(tmp_path / "full")
+    similarity.ann_index_write(emb, full, cents)
+
+    qs = emb.filter("vec_id < 4")
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    got = as_set(similarity.ann_index_search(spark, inc, qs, k=5, nprobe=2))
+    want = as_set(similarity.ann_index_search(spark, full, qs, k=5, nprobe=2))
+    assert got == want and got
