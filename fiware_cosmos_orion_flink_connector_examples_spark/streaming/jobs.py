@@ -1393,3 +1393,29 @@ def maintain_cms_rollup(
         fs.delete(old_p, True)
 
     return merge_batch
+
+
+def watermark_drop_report(query) -> dict:
+    """Operational late-data accounting for a running/finished
+    streaming query: fold the per-batch state-operator counters out of
+    ``recentProgress`` — rows DROPPED because they arrived behind the
+    watermark (the silent-loss signal an ingest pipeline must alarm
+    on), current state rows/bytes, and batch count.  Pure driver-side
+    metadata; no extra Spark work.  Pair with an ``observe()`` counter
+    on the input to get dropped/total rates."""
+    totals = {
+        "dropped_by_watermark": 0,
+        "state_rows": 0,
+        "state_bytes": 0,
+        "batches": 0,
+    }
+    for p in query.recentProgress:
+        totals["batches"] += 1
+        for op in p.get("stateOperators", []) or []:
+            totals["dropped_by_watermark"] += op.get("numRowsDroppedByWatermark", 0) or 0
+            # state size is a LEVEL, not a flow: keep the latest batch's
+            totals["state_rows"] = op.get("numRowsTotal", totals["state_rows"])
+            totals["state_bytes"] = op.get(
+                "stateMemory", op.get("memoryUsedBytes", totals["state_bytes"])
+            )
+    return totals
