@@ -1045,17 +1045,7 @@ def ann_index_write(
     re-assigning anything."""
     import json
 
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias(vec_col),
-        _assign_udf(centroids)(F.col(vec_col).cast("array<double>")).alias("_list"),
-    )
-    (
-        base.repartition(F.col("_list"))
-        .write.partitionBy("_list")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    _write_inverted_lists(df, path, centroids, id_col, vec_col, mode="overwrite")
     from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
         _write_small,
     )
@@ -1066,6 +1056,30 @@ def ann_index_write(
         json.dumps(
             {"centroids": centroids, "id_col": id_col, "vec_col": vec_col}
         ).encode(),
+    )
+
+
+def _write_inverted_lists(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    mode: str,
+) -> None:
+    """The one assignment/layout used by BOTH the full rebuild and the
+    incremental add — a divergence here would silently break the
+    add ≡ rebuild equality the pytest pins (review finding, r11)."""
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        _assign_udf(centroids)(F.col(vec_col).cast("array<double>")).alias("_list"),
+    )
+    (
+        base.repartition(F.col("_list"))
+        .write.partitionBy("_list")
+        .mode(mode)
+        .parquet(path)
     )
 
 
@@ -1162,14 +1176,4 @@ def ann_index_add(
     centroids, id_col, vec_col = meta["centroids"], meta["id_col"], meta["vec_col"]
     if not centroids:
         raise ValueError("ann_index_add: index has no trained centroids — rebuild")
-    base = new_vectors.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias(vec_col),
-        _assign_udf(centroids)(F.col(vec_col).cast("array<double>")).alias("_list"),
-    )
-    (
-        base.repartition(F.col("_list"))
-        .write.partitionBy("_list")
-        .mode("append")
-        .parquet(path)
-    )
+    _write_inverted_lists(new_vectors, path, centroids, id_col, vec_col, mode="append")

@@ -553,7 +553,15 @@ def _commit_manifest(spark, base: str, version: int, manifest: dict) -> None:
 
     jvm, fs = _fs(spark, base)
     tmp = f"{base}/._manifest_v{version}.json.tmp"
-    _write_small(spark, tmp, json.dumps(manifest).encode())
+
+    def _json_safe(v):
+        # stats min/max of timestamp/date/decimal columns: serialize as
+        # str — for ISO-8601 temporals lexicographic order IS
+        # chronological order, so snapshot_scan's range comparison
+        # stays correct against string bounds
+        return str(v)
+
+    _write_small(spark, tmp, json.dumps(manifest, default=_json_safe).encode())
     dst = jvm.org.apache.hadoop.fs.Path(f"{base}/_manifest_v{version}.json")
     if fs.exists(dst) or not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
@@ -615,6 +623,13 @@ def snapshot_commit(
             )
         if mode == "append":
             prev_files = prev["files"]
+            # transactional watermarks survive interleaved plain
+            # appends — dropping them would let a crashed stream
+            # double-append after an unrelated batch commit (review
+            # finding, round 11)
+            if prev.get("txn") and not (_extra or {}).get("txn"):
+                _extra = dict(_extra or {})
+                _extra["txn"] = prev["txn"]
             # SCHEMA EVOLUTION on append: the committed schema is the
             # column union (existing order first, new columns after);
             # a column present in both with a DIFFERENT type is a
@@ -677,13 +692,16 @@ def snapshot_commit(
 
 
 def _normalize_file_uri(f: str) -> str:
-    """input_file_name() returns a URI (file:///...); the manifest
-    stores FileSystem paths (file:/... or bare).  Normalize the URI
-    form to the Hadoop Path rendering so stats keys match file-list
-    entries."""
+    """input_file_name() returns a percent-encoded URI (file:///…,
+    %20 for spaces); the manifest stores Hadoop Path renderings
+    (file:/… with raw characters).  Normalize prefix AND decode so
+    stats keys match file-list entries on any path — a silent
+    mismatch would not corrupt results but would disable pruning."""
+    from urllib.parse import unquote
+
     if f.startswith("file:///"):
-        return "file:/" + f[len("file:///"):]
-    return f
+        f = "file:/" + f[len("file:///"):]
+    return unquote(f)
 
 
 def snapshot_latest_version(spark, path: str) -> int:
@@ -969,6 +987,9 @@ def snapshot_scan(
     if version <= 0:
         raise ValueError(f"snapshot_scan: no committed version at {path}")
     manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
     stats = manifest.get("stats", {})
     keep = []
     for f in manifest["files"]:
@@ -979,14 +1000,17 @@ def snapshot_scan(
             keep.append(f)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not keep:
-        from pyspark.sql.types import StructType
-
-        empty = spark.createDataFrame(
-            [], StructType.fromJson(json.loads(manifest["schema"]))
+        return (
+            spark.createDataFrame([], schema).filter(pred),
+            0,
+            len(manifest["files"]),
         )
-        return empty.filter(pred), 0, len(manifest["files"])
+    # bind the MANIFEST schema, exactly as snapshot_read does: after
+    # schema evolution a kept pre-evolution file may sort first, and
+    # footer inference off it would drop the evolved column the
+    # predicate names (review finding, round 11)
     return (
-        spark.read.parquet(*keep).filter(pred),
+        spark.read.schema(schema).parquet(*keep).filter(pred),
         len(keep),
         len(manifest["files"]),
     )
@@ -994,35 +1018,45 @@ def snapshot_scan(
 
 def snapshot_append_stream(
     path: str,
+    txn_app_id: str,
     stats_cols: list[str] | None = None,
 ):
     """EXACTLY-ONCE streaming append sink on the snapshot commit log —
-    the Delta transactional-sink ``txnVersion`` pattern on plain
-    parquet: each micro-batch becomes one atomic append commit whose
-    manifest records ``last_batch_id``; a RETRIED batch (failure after
-    commit but before the checkpoint advanced) sees its own batch_id
-    already ≤ the table's watermark and skips, so replays cannot
-    double-append.  Structured Streaming delivers batch_ids in
-    increasing order per query, which is exactly what the single
-    watermark needs.  Returns the function for ``foreachBatch``."""
+    the Delta transactional-sink pattern on plain parquet, keyed by
+    ``txn_app_id`` exactly as Delta keys by ``txnAppId``: the manifest
+    carries a ``txn`` map {app_id: last_batch_id}, each micro-batch
+    becomes one atomic append commit advancing ITS OWN app's
+    watermark, and a RETRIED batch (failure after commit but before
+    the checkpoint advanced) sees batch_id ≤ its watermark and skips.
+    Keying per app is what makes this safe in the real world: a
+    SECOND stream with its own checkpoint (fresh batch ids from 0)
+    gets its own watermark instead of being silently discarded, and
+    plain batch appends carry every app's watermark forward (both
+    review findings, round 11).  Structured Streaming delivers
+    batch_ids in increasing order per query, which is exactly what a
+    per-app watermark needs.  Returns the function for
+    ``foreachBatch``."""
     import json
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         base = path.rstrip("/")
         cur = snapshot_latest_version(spark, base)
+        txn: dict = {}
         if cur > 0:
             prev = json.loads(_read_small(spark, f"{base}/_manifest_v{cur}.json"))
-            last = prev.get("last_batch_id")
+            txn = dict(prev.get("txn", {}))
+            last = txn.get(txn_app_id)
             if last is not None and batch_id <= last:
                 return  # retry replay of an already-committed batch
+        txn[txn_app_id] = batch_id
         snapshot_commit(
             spark,
             batch,
             base,
             mode="append",
             stats_cols=stats_cols,
-            _extra={"last_batch_id": batch_id},
+            _extra={"txn": txn},
         )
 
     return commit_batch
@@ -1061,9 +1095,17 @@ def snapshot_changes(
     old = snapshot_read(spark, base, from_version)
     new = snapshot_read(spark, base, to_version)
     value_cols = [c for c in new.columns if c != key_col]
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    # schema evolution: a column added between the versions is absent
+    # from the OLD frame — pad it with typed NULLs so the structs line
+    # up (review finding, round 11)
+    old_vals = [
+        F.col(c) if c in old.columns else F.lit(None).cast(new_types[c]).alias(c)
+        for c in value_cols
+    ]
     o = old.select(
         F.col(key_col),
-        F.struct(*[F.col(c) for c in value_cols]).alias("_old"),
+        F.struct(*old_vals).alias("_old"),
     )
     n = new.select(
         F.col(key_col),

@@ -1409,13 +1409,17 @@ def watermark_drop_report(query) -> dict:
         "state_bytes": 0,
         "batches": 0,
     }
-    for p in query.recentProgress:
+    progresses = list(query.recentProgress)
+    for p in progresses:
         totals["batches"] += 1
         for op in p.get("stateOperators", []) or []:
             totals["dropped_by_watermark"] += op.get("numRowsDroppedByWatermark", 0) or 0
-            # state size is a LEVEL, not a flow: keep the latest batch's
-            totals["state_rows"] = op.get("numRowsTotal", totals["state_rows"])
-            totals["state_bytes"] = op.get(
-                "stateMemory", op.get("memoryUsedBytes", totals["state_bytes"])
-            )
+    if progresses:
+        # state size is a LEVEL, not a flow: the latest batch's value,
+        # SUMMED across operators — a multi-operator query (dedup +
+        # windowed agg, stream-stream join + agg) otherwise reports
+        # only its last operator (review finding, round 11)
+        for op in progresses[-1].get("stateOperators", []) or []:
+            totals["state_rows"] += op.get("numRowsTotal", 0) or 0
+            totals["state_bytes"] += op.get("memoryUsedBytes", 0) or 0
     return totals

@@ -547,7 +547,7 @@ def test_snapshot_append_stream_exactly_once(spark, tmp_path):
     stream = spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).json(
         str(spool)
     )
-    sink = layout.snapshot_append_stream(table, stats_cols=["k"])
+    sink = layout.snapshot_append_stream(table, "pipeA", stats_cols=["k"])
     q = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -569,6 +569,22 @@ def test_snapshot_append_stream_exactly_once(spark, tmp_path):
     # a genuinely NEW batch id appends
     sink(spark.createDataFrame([(99,)], "k long"), 3)
     assert 99 in {r["k"] for r in layout.snapshot_read(spark, table).collect()}
+
+    # a SECOND app's low batch ids are NOT discarded (per-app txn
+    # watermarks, the Delta txnAppId shape)
+    sink_b = layout.snapshot_append_stream(table, "pipeB")
+    sink_b(spark.createDataFrame([(500,)], "k long"), 0)
+    assert 500 in {r["k"] for r in layout.snapshot_read(spark, table).collect()}
+    # ...and an interleaved PLAIN append carries every watermark
+    # forward, so a replay of pipeA's batch 3 is still a no-op
+    layout.snapshot_commit(
+        spark, spark.createDataFrame([(600,)], "k long"), table, mode="append"
+    )
+    before = layout.snapshot_latest_version(spark, table)
+    sink(spark.createDataFrame([(99,)], "k long"), 3)
+    assert layout.snapshot_latest_version(spark, table) == before
+    ks = [r["k"] for r in layout.snapshot_read(spark, table).collect()]
+    assert ks.count(99) == 1
 
 
 def test_snapshot_merge_deletes_and_change_feed(spark, tmp_path):
@@ -645,3 +661,54 @@ def test_snapshot_append_schema_evolution(spark, tmp_path):
             path,
             mode="append",
         )
+
+
+def test_snapshot_stats_and_scan_survive_evolution_and_timestamps(spark, tmp_path):
+    """Review-r11 regressions pinned: (a) stats on a TIMESTAMP column
+    serialize and prune (ISO-string bounds — lexicographic order is
+    chronological); (b) a scan on a column added by schema evolution
+    binds the manifest schema instead of crashing on a pre-evolution
+    file's footer; (c) the change feed crosses the evolution boundary
+    with typed NULLs for the added column."""
+    import datetime as dt
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    path = str(tmp_path / "snap")
+    t0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+    for day in range(3):
+        rows = [
+            (day * 10 + i, t0 + dt.timedelta(days=day, hours=i)) for i in range(5)
+        ]
+        layout.snapshot_commit(
+            spark,
+            spark.createDataFrame(rows, "k long, ts timestamp"),
+            path,
+            mode="append",
+            stats_cols=["ts"],
+        )
+    df, n_read, n_total = layout.snapshot_scan(
+        spark, path, "ts", "2026-03-02 00:00:00", "2026-03-02 23:59:59"
+    )
+    assert n_read < n_total
+    assert sorted(r["k"] for r in df.collect()) == [10, 11, 12, 13, 14]
+
+    # (b) evolve with a new column, then scan on it
+    layout.snapshot_commit(
+        spark,
+        spark.createDataFrame(
+            [(100, t0, 7.5)], "k long, ts timestamp, score double"
+        ),
+        path,
+        mode="append",
+        stats_cols=["score"],
+    )
+    df2, _, _ = layout.snapshot_scan(spark, path, "score", 5.0, 10.0)
+    assert [r["k"] for r in df2.collect()] == [100]
+
+    # (c) CDF across the evolution boundary (non-keyed: pass key_col)
+    feed = {
+        r["k"]: (r["_change"], r["score"])
+        for r in layout.snapshot_changes(spark, path, 3, 4, key_col="k").collect()
+    }
+    assert feed == {100: ("insert", 7.5)}
