@@ -513,3 +513,64 @@ def test_ann_index_add_equals_rebuild(spark, tmp_path):
     got = as_set(similarity.ann_index_search(spark, inc, qs, k=5, nprobe=2))
     want = as_set(similarity.ann_index_search(spark, full, qs, k=5, nprobe=2))
     assert got == want and got
+
+
+def test_corpus_release_versioning_with_change_feed(spark, tmp_path):
+    """Training-data governance: each curation run commits its
+    survivor set as one atomic snapshot version (keyed by doc_id), and
+    snapshot_changes answers 'what changed between corpus releases' —
+    new docs in, re-curated docs updated, newly-contaminated docs out
+    — without any write-side logging."""
+    from pyspark.sql import functions as F
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source"
+    )
+    curated = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        text.quality_score("text").alias("quality"),
+        F.md5("text").alias("text_md5"),
+    )
+    release = str(tmp_path / "corpus_releases")
+    v1_set = curated.filter(F.col("quality") >= 0.5)
+    layout.snapshot_write_keyed(spark, v1_set, release, "doc_id", n_buckets=8)
+
+    # release 2: a threshold bump drops some docs (deletes), a doc is
+    # re-curated (update), and a fresh doc arrives (insert)
+    dropped = v1_set.filter(F.col("quality") < 0.8).select("doc_id").limit(3)
+    n_dropped = dropped.count()
+    assert n_dropped > 0, "fixture must have docs in the [0.5, 0.8) band"
+    updates = (
+        v1_set.filter(F.col("quality") >= 0.8).limit(1)  # disjoint from drops
+        .withColumn("quality", F.lit(0.99))
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_000, "srcX", 0.9, "newhash")],
+                "doc_id long, source string, quality double, text_md5 string",
+            )
+        )
+        .withColumn("_del", F.lit(False))
+        .unionByName(dropped.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("double").alias("quality"),
+            F.lit(None).cast("string").alias("text_md5"),
+            F.lit(True).alias("_del"),
+        ))
+    )
+    layout.snapshot_merge(spark, release, updates, "doc_id", delete_col="_del")
+
+    feed = layout.snapshot_changes(spark, release, 1, 2).groupBy("_change").count()
+    by_change = {r["_change"]: r["count"] for r in feed.collect()}
+    assert by_change.get("insert") == 1
+    assert by_change.get("update") == 1
+    assert by_change.get("delete") == n_dropped
+    # prior release remains readable for reproducibility audits
+    assert layout.snapshot_read(spark, release, 1).count() == v1_set.count()
