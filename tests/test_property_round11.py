@@ -574,3 +574,109 @@ def test_corpus_release_versioning_with_change_feed(spark, tmp_path):
     assert by_change.get("delete") == n_dropped
     # prior release remains readable for reproducibility audits
     assert layout.snapshot_read(spark, release, 1).count() == v1_set.count()
+
+
+# --- hypothesis model checks -------------------------------------------------
+
+import math as _math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["apple", "pear", "plum", "kiwi", "fig", "grape"]
+_DOC = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(" ".join)
+
+
+def _bm25_reference(docs, terms, k1=1.2, b=0.75):
+    """Pure-Python BM25 (Lucene idf) — an oracle independent of BOTH
+    Spark and DuckDB."""
+    tok = {i: t.split() for i, t in docs}
+    dl = {i: len(ts) for i, ts in tok.items() if ts}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    out = {}
+    for q_id, term in terms:
+        df = sum(1 for ts in tok.values() if term in ts)
+        if df == 0:
+            continue
+        idf = _math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, ts in tok.items():
+            tf = ts.count(term)
+            if not tf:
+                continue
+            c = idf * tf * (k1 + 1.0) / (
+                tf + k1 * ((1.0 - b) + b * dl[i] / avgdl)
+            )
+            out[(q_id, i)] = out.get((q_id, i), 0) + int(round(c * 1e12))
+    return out
+
+
+@given(st.lists(_DOC, min_size=1, max_size=8), st.sets(st.sampled_from(_VOCAB), min_size=1, max_size=3))
+@settings(max_examples=10, deadline=None)
+def test_bm25_matches_pure_python_reference(spark, texts, qterms):
+    """bm25_scores ≡ a pure-Python reference on random corpora — a
+    third-engine check on top of the DuckDB oracle (same quantized
+    integers, so agreement is exact, not approximate)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import text
+
+    docs_py = list(enumerate(texts))
+    docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(sorted(qterms))], "query_id int, term string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_q12"]
+        for r in text.bm25_scores(docs, q).collect()
+    }
+    want = _bm25_reference(docs_py, [(j, t) for j, t in enumerate(sorted(qterms))])
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),          # key
+            st.sampled_from(["upsert", "delete"]),
+            st.text(alphabet="ab", min_size=1, max_size=3),  # value
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_snapshot_merge_model_based(spark, tmp_path_factory, ops):
+    """Model-based check of the keyed snapshot table: a random op
+    sequence applied both to the table (one merge per step) and to a
+    plain dict must agree at EVERY version — latest content, and time
+    travel reproducing each historical state exactly."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    tmp = tmp_path_factory.mktemp("snapmodel")
+    path = str(tmp / "t")
+    model: dict[int, str] = {0: "init", 7: "init"}
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(sorted(model.items()), "k long, v string"),
+        path,
+        "k",
+        n_buckets=4,
+    )
+    history = [dict(model)]
+    for key, op, val in ops:
+        if op == "upsert":
+            model[key] = val
+        else:
+            model.pop(key, None)
+        upd = spark.createDataFrame(
+            [(key, val if op == "upsert" else None, op == "delete")],
+            "k long, v string, _del boolean",
+        )
+        layout.snapshot_merge(spark, path, upd, "k", delete_col="_del")
+        history.append(dict(model))
+
+    for version, expect in enumerate(history, start=1):
+        got = {
+            r["k"]: r["v"]
+            for r in layout.snapshot_read(spark, path, version).collect()
+        }
+        assert got == expect, f"version {version}"
