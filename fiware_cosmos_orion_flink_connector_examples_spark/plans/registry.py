@@ -77,10 +77,8 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # Everything outside the window holds an r4/r5 proof, so no proof ages
 # past ~3 rounds before rotation re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r11: emptied at round start (the r9/r10 rewrites are history in
-    # CORRECTNESS_r10.json — both _temperature_draw consumers proved
-    # hash-green in the r10 window).  Repopulate below as round-11
-    # rewrites of oracle-bearing queries land.
+    # r12: emptied at round start (round hygiene).  Repopulate below as
+    # round-12 rewrites of oracle-bearing queries land.
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -95,18 +93,11 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    # r11 round hygiene: emptied at round start — CORRECTNESS_r10.json
-    # landed with every r9/r10 registration hash-green, so last round's
-    # entries are now artifact history.  Repopulated below as round-11
-    # queries register (class-2 membership still comes from artifact
-    # history, this tuple is bookkeeping for the rotation test).
-    "bm25_topk",
-    "hybrid_rrf_topk",
-    "heavy_hitters_cms",
-    "events_decayed_engagement",
-    "cms_merge_equals_oneshot",
-    "quantile_histogram_sketch",
-    "phrase_match_topk",
+    # r12 round hygiene: emptied at round start — CORRECTNESS_r11.json
+    # landed with every r11 registration green, so last round's entries
+    # are now artifact history.  Repopulated below as round-12 queries
+    # register (class-2 membership still comes from artifact history,
+    # this tuple is bookkeeping for the rotation test).
 )
 
 
