@@ -509,16 +509,31 @@ def write_training_shards(
 # same version conflict instead of clobbering: optimistic
 # concurrency, Iceberg's commit rule).  Readers list the manifests
 # and take the max version (or an explicit version = time travel) and
-# read exactly that file list — they can never observe a
-# half-committed state, because a manifest either exists completely
-# or not at all, and nothing it references is ever mutated.  A crash
-# mid-commit leaves orphaned data files and a stale hidden .tmp
-# manifest, both invisible to readers and reclaimable by
-# vacuum_snapshots.  There is deliberately NO mutable pointer file: a
-# delete+recreate pointer has a reader-visible missing window and a
-# crash there would reset the version counter (review finding, round
-# 11).  Same caveat as everything rename-based: atomic on HDFS/posix
-# stores, not on S3A.
+# read exactly that manifest's resolved file list — they can never
+# observe a half-committed state, because a manifest either exists
+# completely or not at all, and nothing it references is ever mutated.
+#
+# METADATA SCALING (round 12 — the r11 verdict's one flagged
+# scale-killer): the manifest no longer inlines the table's file list.
+# Each commit writes ONE immutable SEGMENT file under <path>/segments/
+# describing only that commit's delta — files added (plus their
+# per-file stats and bucket assignments), buckets replaced (merge),
+# or a truncate marker (overwrite) — and the manifest is a tiny
+# document holding the ordered segment list (Iceberg's manifest-list /
+# Delta's commit-log shape).  Per-commit metadata cost is therefore
+# O(batch files) + one ~60-byte manifest entry, NOT O(table files):
+# a streaming sink appending micro-batches to a million-file table
+# writes kilobytes of metadata per commit, not a table-sized JSON.
+# Readers replay the segment list to resolve the live file set —
+# O(total segment entries), bounded by compact_metadata(), the
+# rewrite-manifests maintenance analog that collapses history into a
+# single segment.  A crash mid-commit leaves orphaned data files, an
+# orphaned segment, and a stale hidden .tmp manifest, all invisible
+# to readers and reclaimable by vacuum_snapshots.  There is
+# deliberately NO mutable pointer file: a delete+recreate pointer has
+# a reader-visible missing window and a crash there would reset the
+# version counter (review finding, round 11).  Same caveat as
+# everything rename-based: atomic on HDFS/posix stores, not on S3A.
 
 
 def _fs(spark, path: str):
@@ -543,6 +558,17 @@ def _write_small(spark, path: str, data: bytes) -> None:
     st.close()
 
 
+def _json_safe(v):
+    # stats min/max of timestamp/date/decimal columns: serialize as
+    # str.  For ISO-8601 temporals lexicographic order IS chronological
+    # order; decimal strings do NOT order lexicographically — which is
+    # why the segment also records stats_types and snapshot_scan
+    # coerces bounds back to comparable values before pruning (review
+    # finding, round 11: lexicographic '9.5' > '10.2' silently pruned
+    # overlapping files).
+    return str(v)
+
+
 def _commit_manifest(spark, base: str, version: int, manifest: dict) -> None:
     """Atomically publish _manifest_v<version>.json: stage the full
     bytes at a hidden .tmp name, then rename to the final name.  The
@@ -553,14 +579,6 @@ def _commit_manifest(spark, base: str, version: int, manifest: dict) -> None:
 
     jvm, fs = _fs(spark, base)
     tmp = f"{base}/._manifest_v{version}.json.tmp"
-
-    def _json_safe(v):
-        # stats min/max of timestamp/date/decimal columns: serialize as
-        # str — for ISO-8601 temporals lexicographic order IS
-        # chronological order, so snapshot_scan's range comparison
-        # stays correct against string bounds
-        return str(v)
-
     _write_small(spark, tmp, json.dumps(manifest, default=_json_safe).encode())
     dst = jvm.org.apache.hadoop.fs.Path(f"{base}/_manifest_v{version}.json")
     if fs.exists(dst) or not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
@@ -571,6 +589,81 @@ def _commit_manifest(spark, base: str, version: int, manifest: dict) -> None:
         )
 
 
+def _write_segment(spark, base: str, version: int, seg: dict) -> str:
+    """Write one immutable commit-delta segment and return its
+    manifest-relative path.  Segments are write-once under a unique
+    name and only become reachable when a manifest referencing them is
+    atomically renamed into place — a crash between the two leaves an
+    orphan that vacuum reclaims once the version number is no longer
+    in-flight (version-prefixed name, same rule as data dirs)."""
+    import json
+    import uuid
+
+    rel = f"segments/seg-v{version}-{uuid.uuid4().hex[:8]}.json"
+    _write_small(spark, f"{base}/{rel}", json.dumps(seg, default=_json_safe).encode())
+    return rel
+
+
+def _load_manifest_doc(spark, base: str, version: int) -> dict:
+    import json
+
+    return json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
+
+
+def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
+    """Resolve the LOGICAL manifest of a snapshot table version: replay
+    the manifest's ordered immutable segment list into the live state —
+    ``files`` (sorted), ``buckets`` (file → bucket for keyed tables),
+    ``stats`` / ``stats_types`` (file-skipping metadata), plus the
+    table-level fields (``schema``, ``keyed``, ``txn``, ``mode``,
+    ``segments``) and the LAST segment's commit delta
+    (``changelog`` files / ``change_mode`` / ``last_add``) for the
+    change feed.  Replay cost is O(total segment entries) small-file
+    reads — bounded by ``compact_metadata``; per-COMMIT metadata cost
+    stays O(batch) regardless of table size (the round-12 fix for the
+    r11 O(table-files)-per-commit manifest)."""
+    import json
+
+    base = path.rstrip("/")
+    if version is None:
+        version = snapshot_latest_version(spark, base)
+    if version <= 0:
+        raise ValueError(f"snapshot_manifest: no committed version at {path}")
+    doc = _load_manifest_doc(spark, base, version)
+    files: dict[str, int | None] = {}
+    stats: dict = {}
+    stats_types: dict = {}
+    seg: dict = {}
+    for rel in doc.get("segments", []):
+        seg = json.loads(_read_small(spark, f"{base}/{rel}"))
+        if seg.get("truncate"):
+            files.clear()
+            stats.clear()
+        rb = set(seg.get("remove_buckets", []))
+        if rb:
+            files = {f: b for f, b in files.items() if b not in rb}
+            stats = {f: s for f, s in stats.items() if f in files}
+        for f in seg.get("add", []):
+            files[f] = (seg.get("buckets") or {}).get(f)
+        stats.update(seg.get("stats", {}))
+        stats_types.update(seg.get("stats_types", {}))
+    return {
+        "version": version,
+        "mode": doc.get("mode"),
+        "schema": doc["schema"],
+        "files": sorted(files),
+        "buckets": {f: b for f, b in files.items() if b is not None},
+        "stats": stats,
+        "stats_types": stats_types,
+        "keyed": doc.get("keyed"),
+        "txn": dict(doc.get("txn", {})),
+        "segments": list(doc.get("segments", [])),
+        "changelog": seg.get("changelog"),
+        "change_mode": seg.get("change_mode"),
+        "last_add": list(seg.get("add", [])),
+    }
+
+
 def snapshot_commit(
     spark,
     df: DataFrame,
@@ -578,18 +671,22 @@ def snapshot_commit(
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     _extra: dict | None = None,
+    _txn_update: dict | None = None,
 ) -> int:
     """Commit ``df`` to a snapshot table at ``path`` and return the new
     version number.  ``mode='overwrite'`` makes the new version exactly
     ``df``; ``mode='append'`` makes it previous-files + ``df``'s files
-    (append never rewrites data — the manifest just grows).
+    (append never rewrites data OR metadata — the commit writes one
+    O(batch) segment plus a tiny manifest).
 
     Protocol (each step safe to crash after):
       1. write df's parquet files to ``data/v<N>-<uuid>/`` (write-once,
          never listed by readers until referenced by a manifest);
-      2. stage the complete ``_manifest_v<N>.json`` at a hidden .tmp
+      2. write the commit's immutable segment under ``segments/``
+         (only this commit's files + stats — never the table's);
+      3. stage the complete ``_manifest_v<N>.json`` at a hidden .tmp
          name, then atomically rename it into place — THE commit.
-    A crash before step 2's rename leaves only invisible artifacts
+    A crash before step 3's rename leaves only invisible artifacts
     (readers still resolve N-1); the rename refuses an existing
     destination, so concurrent committers conflict instead of
     clobbering.  Committing to a ``snapshot_write_keyed`` table is
@@ -598,11 +695,21 @@ def snapshot_commit(
     snapshot_write_keyed at a new path).
 
     ``stats_cols`` records per-NEW-file min/max of those columns in
-    the manifest (one bounded pass over just-written files, grouped
-    by input_file_name) — the Iceberg-style FILE-SKIPPING metadata
-    ``snapshot_scan`` prunes with; append carries the previous files'
-    stats forward untouched.  ``_extra`` merges extra fields into the
-    manifest (the streaming sink's transaction watermark rides here).
+    the segment (one bounded pass over just-written files, grouped by
+    input_file_name) — the Iceberg-style FILE-SKIPPING metadata
+    ``snapshot_scan`` prunes with — together with each column's Spark
+    type so string-serialized decimal/temporal bounds compare
+    correctly at scan time (review finding, round 11).
+
+    Transaction watermarks: the committed ``txn`` map is ALWAYS the
+    superseded manifest's map (overwrite included — a crashed stream
+    must not double-append after an interleaved batch overwrite, the
+    Delta txnAppId rule) overlaid with ``_txn_update``'s entries.
+    Deriving it from the manifest this commit PROVABLY supersedes (the
+    rename conflict guarantees it) closes the lost-update race where a
+    caller-built map assembled from a stale read regresses another
+    app's just-advanced watermark (review finding, round 11).
+    ``_extra`` merges extra fields into the manifest verbatim.
     """
     import json
     import uuid
@@ -612,24 +719,19 @@ def snapshot_commit(
     base = path.rstrip("/")
     jvm, fs = _fs(spark, base)
     cur_version = snapshot_latest_version(spark, base)
-    prev_files: list[str] = []
     schema = df.schema
+    segments: list[str] = []
+    txn: dict = {}
     if cur_version > 0:
-        prev = json.loads(_read_small(spark, f"{base}/_manifest_v{cur_version}.json"))
+        prev = _load_manifest_doc(spark, base, cur_version)
         if prev.get("keyed"):
             raise ValueError(
                 "snapshot_commit: table is keyed (snapshot_write_keyed) — a "
                 "plain commit would drop its bucket map; use snapshot_merge"
             )
+        txn = dict(prev.get("txn", {}))
         if mode == "append":
-            prev_files = prev["files"]
-            # transactional watermarks survive interleaved plain
-            # appends — dropping them would let a crashed stream
-            # double-append after an unrelated batch commit (review
-            # finding, round 11)
-            if prev.get("txn") and not (_extra or {}).get("txn"):
-                _extra = dict(_extra or {})
-                _extra["txn"] = prev["txn"]
+            segments = list(prev.get("segments", []))
             # SCHEMA EVOLUTION on append: the committed schema is the
             # column union (existing order first, new columns after);
             # a column present in both with a DIFFERENT type is a
@@ -649,6 +751,8 @@ def snapshot_commit(
                 fields.append(f)
             fields.extend(by_name.values())
             schema = StructType(fields)
+    if _txn_update:
+        txn.update(_txn_update)
     new_version = cur_version + 1
     data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
@@ -660,9 +764,11 @@ def snapshot_commit(
         )
         if f.rsplit("/", 1)[-1].startswith("part-")
     ]
-    stats: dict = {}
-    if cur_version > 0 and mode == "append":
-        stats.update(prev.get("stats", {}))
+    seg: dict = {"add": sorted(new_files)}
+    if mode == "append":
+        seg["change_mode"] = "insert"  # appends are pure inserts → free CDF
+    else:
+        seg["truncate"] = True
     if stats_cols and new_files:
         aggs = []
         for c in stats_cols:
@@ -673,18 +779,25 @@ def snapshot_commit(
             .agg(*aggs)
             .collect()
         )  # one row per just-written file — commit-sized, never table-sized
-        for r in rows:
-            stats[_normalize_file_uri(r["_f"])] = {
+        seg["stats"] = {
+            _normalize_file_uri(r["_f"]): {
                 c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stats_cols
             }
+            for r in rows
+        }
+        seg["stats_types"] = {
+            c: df.schema[c].dataType.simpleString() for c in stats_cols
+        }
+    segments.append(_write_segment(spark, base, new_version, seg))
     manifest = {
+        "format": 2,
         "version": new_version,
         "mode": mode,
-        "files": sorted(prev_files + new_files),
         "schema": schema.json(),
+        "segments": segments,
     }
-    if stats:
-        manifest["stats"] = stats
+    if txn:
+        manifest["txn"] = txn
     if _extra:
         manifest.update(_extra)
     _commit_manifest(spark, base, new_version, manifest)
@@ -708,8 +821,8 @@ def snapshot_latest_version(spark, path: str) -> int:
     """Current committed version (0 = no table yet): the max N with a
     published ``_manifest_vN.json``.  One directory listing of the
     table root — manifests are tiny and vacuum bounds their count, so
-    this stays O(retained versions); hidden ``.tmp`` stages and data
-    dirs are not consulted."""
+    this stays O(retained versions); hidden ``.tmp`` stages, segment
+    files, and data dirs are not consulted."""
     import re
 
     base = path.rstrip("/")
@@ -728,17 +841,13 @@ def snapshot_latest_version(spark, path: str) -> int:
 def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
     """Read a snapshot table: the latest committed version, or an
     explicit ``version`` for TIME TRAVEL.  The returned frame reads
-    exactly the manifest's immutable file list — concurrent commits
-    cannot change what this reader sees (snapshot isolation by
+    exactly the manifest's immutable resolved file list — concurrent
+    commits cannot change what this reader sees (snapshot isolation by
     construction: data files are never mutated, only superseded)."""
     import json
 
     base = path.rstrip("/")
-    if version is None:
-        version = snapshot_latest_version(spark, base)
-    if version <= 0:
-        raise ValueError(f"snapshot_read: no committed version at {path}")
-    manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
+    manifest = snapshot_manifest(spark, base, version)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -751,40 +860,115 @@ def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
     return spark.read.schema(schema).parquet(*manifest["files"])
 
 
+def compact_metadata(spark, path: str) -> int:
+    """Metadata maintenance — the Iceberg rewrite-manifests analog:
+    collapse the manifest's accumulated segment history into ONE
+    segment equal to the current resolved state, committed as a new
+    version (``mode='compact-metadata'``, no data change).  Bounds
+    resolve cost back to O(live files) after long append/merge chains;
+    run it on the same cadence as file compaction.  Time travel to
+    pre-compaction versions still works until vacuum expires them."""
+    base = path.rstrip("/")
+    resolved = snapshot_manifest(spark, base)
+    new_version = resolved["version"] + 1
+    seg: dict = {
+        "truncate": True,
+        "add": resolved["files"],
+        "change_mode": "none",  # no data change → the feed skips it
+    }
+    if resolved["buckets"]:
+        seg["buckets"] = resolved["buckets"]
+    if resolved["stats"]:
+        seg["stats"] = resolved["stats"]
+        seg["stats_types"] = resolved["stats_types"]
+    rel = _write_segment(spark, base, new_version, seg)
+    manifest = {
+        "format": 2,
+        "version": new_version,
+        "mode": "compact-metadata",
+        "schema": resolved["schema"],
+        "segments": [rel],
+    }
+    if resolved["keyed"]:
+        manifest["keyed"] = resolved["keyed"]
+    if resolved["txn"]:
+        manifest["txn"] = resolved["txn"]
+    _commit_manifest(spark, base, new_version, manifest)
+    return new_version
+
+
 def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> dict:
     """Reclaim storage: drop manifests older than the last
-    ``keep_last`` versions and delete data files no retained manifest
+    ``keep_last`` versions, delete segments no retained manifest
+    references, and delete data/changelog files no retained segment
     references (orphans from crashed commits included).  Time travel
     reaches only retained versions afterwards — the Iceberg
-    expire-snapshots contract.  Returns {"deleted_files": n,
-    "deleted_manifests": n}."""
+    expire-snapshots contract.
+
+    IN-FLIGHT COMMIT SAFETY (review finding, round 11): a commit
+    writes its data dir, changelog dir, and segment BEFORE the
+    manifest rename, so a concurrent vacuum must not treat them as
+    orphans — every such artifact carries a ``v<N>`` version prefix,
+    and the sweep skips anything with N > the latest committed
+    version at sweep time (the remove-orphan-files grace rule, made
+    deterministic by version numbering).  Returns {"deleted_files": n,
+    "deleted_manifests": n, "deleted_segments": n}."""
     import json
+    import re
 
     base = path.rstrip("/")
     jvm, fs = _fs(spark, base)
     latest = snapshot_latest_version(spark, base)
     if latest <= 0:
-        return {"deleted_files": 0, "deleted_manifests": 0}
+        return {"deleted_files": 0, "deleted_manifests": 0, "deleted_segments": 0}
     keep = set(range(max(1, latest - keep_last + 1), latest + 1))
-    live: set[str] = set()
+    live_files: set[str] = set()
+    live_segments: set[str] = set()
     dropped_manifests = 0
     for v in range(1, latest + 1):
         mp = f"{base}/_manifest_v{v}.json"
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(mp)):
             continue
         if v in keep:
-            live.update(json.loads(_read_small(spark, mp))["files"])
+            # live DATA files are the RESOLVED state of each retained
+            # version (a segment's adds may be superseded by a later
+            # segment's remove_buckets/truncate — the raw union would
+            # keep dead files forever); live SEGMENTS are everything a
+            # retained manifest replays through
+            doc = json.loads(_read_small(spark, mp))
+            live_segments.update(doc.get("segments", []))
+            live_files.update(snapshot_manifest(spark, base, v)["files"])
         else:
             fs.delete(jvm.org.apache.hadoop.fs.Path(mp), False)
             dropped_manifests += 1
+    for rel in live_segments:
+        # change logs stay reachable for the feed as long as their
+        # version's manifest is retained
+        m = re.search(r"seg-v(\d+)-", rel)
+        if m is None or int(m.group(1)) not in keep:
+            continue
+        seg = json.loads(_read_small(spark, f"{base}/{rel}"))
+        live_files.update(seg.get("changelog", []) or [])
     # stale hidden manifest stages from crashed commits
     root = jvm.org.apache.hadoop.fs.Path(base)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if name.startswith("._manifest_v") and name.endswith(".json.tmp"):
             fs.delete(st.getPath(), False)
+    # unreferenced segments (expired history, crashed commits) — skip
+    # in-flight version numbers
+    deleted_segments = 0
+    seg_root = jvm.org.apache.hadoop.fs.Path(f"{base}/segments")
+    if fs.exists(seg_root):
+        for st in fs.listStatus(seg_root):
+            name = st.getPath().getName()
+            m = re.match(r"seg-v(\d+)-", name)
+            if m is None or int(m.group(1)) > latest:
+                continue
+            if f"segments/{name}" not in live_segments:
+                fs.delete(st.getPath(), False)
+                deleted_segments += 1
     deleted = 0
-    data_root = jvm.org.apache.hadoop.fs.Path(f"{base}/data")
 
     def _sweep(d):
         nonlocal deleted
@@ -798,16 +982,26 @@ def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> dict:
                     fs.delete(st.getPath(), True)
                 continue
             f = st.getPath().toString()
-            if f.rsplit("/", 1)[-1].startswith("part-") and f not in live:
+            if f.rsplit("/", 1)[-1].startswith("part-") and f not in live_files:
                 fs.delete(st.getPath(), False)
                 deleted += 1
 
-    if fs.exists(data_root):
-        for vdir in fs.listStatus(data_root):
+    for sub in ("data", "changes"):
+        sub_root = jvm.org.apache.hadoop.fs.Path(f"{base}/{sub}")
+        if not fs.exists(sub_root):
+            continue
+        for vdir in fs.listStatus(sub_root):
+            m = re.match(r"v(\d+)-", vdir.getPath().getName())
+            if m is not None and int(m.group(1)) > latest:
+                continue  # in-flight commit's artifacts — not orphans yet
             _sweep(vdir.getPath())
             if not fs.listStatus(vdir.getPath()):
                 fs.delete(vdir.getPath(), True)
-    return {"deleted_files": deleted, "deleted_manifests": dropped_manifests}
+    return {
+        "deleted_files": deleted,
+        "deleted_manifests": dropped_manifests,
+        "deleted_segments": deleted_segments,
+    }
 
 
 def snapshot_write_keyed(
@@ -819,12 +1013,11 @@ def snapshot_write_keyed(
 ) -> int:
     """Create a KEYED snapshot table: rows hash-bucketed by ``key_col``
     into one file set per bucket, the bucket map recorded in the
-    manifest — the layout that makes ``snapshot_merge`` a bucket-pruned
-    copy-on-write whose commit is ATOMIC ACROSS BUCKETS (the property
-    plain-directory ``merge_upsert`` cannot give: its per-bucket swaps
-    are individually atomic, the whole merge is not).  Returns the
-    committed version."""
-    import json
+    commit's segment — the layout that makes ``snapshot_merge`` a
+    bucket-pruned copy-on-write whose commit is ATOMIC ACROSS BUCKETS
+    (the property plain-directory ``merge_upsert`` cannot give: its
+    per-bucket swaps are individually atomic, the whole merge is not).
+    Returns the committed version."""
     import uuid
 
     base = path.rstrip("/")
@@ -836,9 +1029,25 @@ def snapshot_write_keyed(
         "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
     )
     out.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(data_dir)
-    files, buckets = [], {}
-    root = jvm.org.apache.hadoop.fs.Path(data_dir)
-    for bdir in fs.listStatus(root):
+    files, buckets = _list_bucket_files(jvm, fs, data_dir)
+    seg = {"add": sorted(files), "buckets": buckets, "truncate": True}
+    rel = _write_segment(spark, base, 1, seg)
+    manifest = {
+        "format": 2,
+        "version": 1,
+        "mode": "overwrite",
+        "schema": df.schema.json(),
+        "segments": [rel],
+        "keyed": {"key_col": key_col, "n_buckets": n_buckets},
+    }
+    _commit_manifest(spark, base, 1, manifest)
+    return 1
+
+
+def _list_bucket_files(jvm, fs, data_dir: str) -> tuple[list[str], dict]:
+    files: list[str] = []
+    buckets: dict = {}
+    for bdir in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir)):
         name = bdir.getPath().getName()
         if not name.startswith("_bucket="):
             continue
@@ -848,16 +1057,11 @@ def snapshot_write_keyed(
             if f.rsplit("/", 1)[-1].startswith("part-"):
                 files.append(f)
                 buckets[f] = b
-    manifest = {
-        "version": 1,
-        "mode": "overwrite",
-        "files": sorted(files),
-        "buckets": buckets,
-        "schema": df.schema.json(),
-        "keyed": {"key_col": key_col, "n_buckets": n_buckets},
-    }
-    _commit_manifest(spark, base, 1, manifest)
-    return 1
+    return files, buckets
+
+
+def _change_struct_cols(schema_names: list[str], key_col: str) -> list[str]:
+    return [c for c in schema_names if c != key_col]
 
 
 def snapshot_merge(
@@ -866,32 +1070,47 @@ def snapshot_merge(
     updates: DataFrame,
     key_col: str,
     delete_col: str | None = None,
+    change_log: bool = True,
+    _txn_update: dict | None = None,
 ) -> int:
     """MERGE INTO a keyed snapshot table with FULL-TABLE atomicity:
     matched keys replaced, new keys inserted, only the buckets holding
     updated keys re-read/re-written (copy-on-write via the manifest's
-    bucket map — untouched buckets' files carry over BY REFERENCE),
-    and the whole merge becomes visible in ONE atomic manifest rename.
-    A reader can never see half a merge, a crash anywhere leaves the
-    table at the previous version, and time travel reaches the
-    pre-merge state — the three guarantees the plain-directory
-    ``merge_upsert`` documents as out of its reach.
+    bucket map — untouched buckets' files carry over BY REFERENCE in
+    an O(touched) segment), and the whole merge becomes visible in ONE
+    atomic manifest rename.  A reader can never see half a merge, a
+    crash anywhere leaves the table at the previous version, and time
+    travel reaches the pre-merge state — the three guarantees the
+    plain-directory ``merge_upsert`` documents as out of its reach.
 
     ``delete_col`` names a boolean column in ``updates``: rows where
     it is true DELETE their key (WHEN MATCHED … DELETE; deleting an
     absent key is a no-op), the rest upsert as usual — one atomic
     commit carries inserts, updates, and deletes together.  The
-    column is stripped before writing.  Returns the new version."""
+    column is stripped before writing.
+
+    ``change_log=True`` (default) additionally writes this commit's
+    exact insert/update/delete rows to ``changes/v<N>-<uuid>/`` and
+    references them from the segment — the PER-COMMIT CHANGE LOG that
+    lets ``snapshot_changes`` / ``snapshot_changes_feed`` serve CDC
+    reads in O(changed rows) instead of diffing two full versions
+    (review finding, round 11).  Cost: one extra join over the
+    already-touched buckets — O(touched), never O(table).  The log
+    uses the identical struct-diff semantics as the diff-based feed
+    (no-op updates excluded), pytest-pinned row-identical.
+
+    ``_txn_update`` overlays per-app transaction watermarks exactly as
+    ``snapshot_commit`` does (the streaming MERGE sink rides it); the
+    superseded manifest's ``txn`` map is always carried forward.
+    Returns the new version."""
     import json
     import uuid
 
     base = path.rstrip("/")
     jvm, fs = _fs(spark, base)
-    cur = snapshot_latest_version(spark, base)
-    if cur <= 0:
-        raise ValueError(f"snapshot_merge: no committed version at {path}")
-    manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{cur}.json"))
-    keyed = manifest.get("keyed")
+    resolved = snapshot_manifest(spark, base)
+    cur = resolved["version"]
+    keyed = resolved["keyed"]
     if not keyed:
         raise ValueError(f"snapshot_merge: {path} is not a snapshot_write_keyed table")
     if keyed["key_col"] != key_col:
@@ -916,50 +1135,125 @@ def snapshot_merge(
     touched = sorted(
         r["_bucket"] for r in upd.select("_bucket").distinct().collect()
     )  # bounded by n_buckets — a layout constant
-    buckets: dict = manifest.get("buckets", {})
-    touched_files = [f for f in manifest["files"] if buckets.get(f) in touched]
-    untouched = [f for f in manifest["files"] if buckets.get(f) not in touched]
+    buckets: dict = resolved["buckets"]
+    touched_files = [f for f in resolved["files"] if buckets.get(f) in touched]
+    untouched = [f for f in resolved["files"] if buckets.get(f) not in touched]
+    from pyspark.sql.types import StructType
+
+    tbl_schema = StructType.fromJson(json.loads(resolved["schema"]))
     keys = upd.select(F.col(key_col))
     survivors = upd.drop("_bucket")
     if delete_col is not None:
         survivors = survivors.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
             delete_col
         )
-    if touched_files:
-        existing = spark.read.parquet(*touched_files)
-        merged = existing.join(keys, key_col, "left_anti").unionByName(survivors)
-    else:
-        merged = survivors
+    existing = (
+        spark.read.schema(tbl_schema).parquet(*touched_files)
+        if touched_files
+        else spark.createDataFrame([], tbl_schema)
+    )
+    merged = existing.join(keys, key_col, "left_anti").unionByName(survivors)
     merged = merged.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
     )
     new_version = cur + 1
     data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
     merged.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(data_dir)
-    new_files, new_buckets = [], {}
-    for bdir in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir)):
-        name = bdir.getPath().getName()
-        if not name.startswith("_bucket="):
-            continue
-        b = int(name.split("=", 1)[1])
-        for st in fs.listStatus(bdir.getPath()):
-            f = st.getPath().toString()
-            if f.rsplit("/", 1)[-1].startswith("part-"):
-                new_files.append(f)
-                new_buckets[f] = b
-    all_files = sorted(untouched + new_files)
-    all_buckets = {f: buckets[f] for f in untouched}
-    all_buckets.update(new_buckets)
+    new_files, new_buckets = _list_bucket_files(jvm, fs, data_dir)
+    seg: dict = {
+        "add": sorted(new_files),
+        "buckets": new_buckets,
+        "remove_buckets": touched,
+    }
+    if change_log:
+        value_cols = _change_struct_cols(tbl_schema.names, key_col)
+        del_flag = (
+            F.coalesce(F.col(delete_col), F.lit(False))
+            if delete_col is not None
+            else F.lit(False)
+        )
+        n = upd.select(
+            F.col(key_col),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_new"),
+            del_flag.alias("_del"),
+        )
+        o = existing.select(
+            F.col(key_col), F.struct(*[F.col(c) for c in value_cols]).alias("_old")
+        )
+        changes = (
+            n.join(o, key_col, "left_outer")
+            .select(
+                key_col,
+                F.when(F.col("_del") & F.col("_old").isNotNull(), F.lit("delete"))
+                .when(F.col("_del"), F.lit(None).cast("string"))
+                .when(F.col("_old").isNull(), F.lit("insert"))
+                .otherwise(F.lit("update"))
+                .alias("_change"),
+                "_new",
+                "_old",
+            )
+            .filter(F.col("_change").isNotNull())
+            # the EXACT no-op-update filter snapshot_changes applies to
+            # its full diff — same expression, so log ≡ diff by
+            # construction (pytest-pinned)
+            .filter(
+                F.col("_change").isin("insert", "delete")
+                | (F.col("_new") != F.col("_old"))
+            )
+            .select(
+                key_col,
+                "_change",
+                F.when(F.col("_change") == "delete", F.col("_old"))
+                .otherwise(F.col("_new"))
+                .alias("_row"),
+            )
+            .select(key_col, "_change", "_row.*")
+        )
+        changes_dir = f"{base}/changes/v{new_version}-{uuid.uuid4().hex[:8]}"
+        changes.write.parquet(changes_dir)
+        seg["changelog"] = sorted(
+            f
+            for f in (
+                st.getPath().toString()
+                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(changes_dir))
+            )
+            if f.rsplit("/", 1)[-1].startswith("part-")
+        )
+        seg["change_mode"] = "log"
+    rel = _write_segment(spark, base, new_version, seg)
+    txn = dict(resolved["txn"])
+    if _txn_update:
+        txn.update(_txn_update)
     out_manifest = {
+        "format": 2,
         "version": new_version,
         "mode": "merge",
-        "files": all_files,
-        "buckets": all_buckets,
-        "schema": manifest["schema"],
+        "schema": resolved["schema"],
+        "segments": resolved["segments"] + [rel],
         "keyed": keyed,
     }
+    if txn:
+        out_manifest["txn"] = txn
     _commit_manifest(spark, base, new_version, out_manifest)
     return new_version
+
+
+def _coerce_stat_bound(dtype: str | None, v):
+    """Coerce a manifest-serialized stats bound (or a caller's query
+    bound) back to a comparable value for ``dtype``.  Decimal columns
+    serialize as strings whose LEXICOGRAPHIC order is wrong ('9.5' >
+    '10.2') — compare as Decimal (review finding, round 11); temporal
+    strings parse to datetime/date only when needed (ISO text already
+    orders chronologically, so string-vs-string stays as-is)."""
+    if v is None or dtype is None:
+        return v
+    if dtype.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(str(v))
+    if dtype in ("timestamp", "timestamp_ntz", "date") and not isinstance(v, str):
+        return v  # datetime/date objects compare natively among themselves
+    return v
 
 
 def snapshot_scan(
@@ -976,27 +1270,37 @@ def snapshot_scan(
     and apply the exact predicate on top — output identical to
     filtering a full ``snapshot_read``, but unselective files are
     never opened (manifest-level data skipping, the metadata twin of
-    parquet row-group pruning).  Returns ``(df, n_files_read,
-    n_files_total)`` so callers — and the regression test — can SEE
-    the pruning."""
+    parquet row-group pruning).  Bounds are compared under the
+    column's RECORDED TYPE (decimal strings as Decimal, not
+    lexicographically — review finding, round 11); any incomparable
+    pair keeps the file conservatively rather than mis-pruning.
+    Returns ``(df, n_files_read, n_files_total)`` so callers — and the
+    regression test — can SEE the pruning."""
     import json
 
     base = path.rstrip("/")
-    if version is None:
-        version = snapshot_latest_version(spark, base)
-    if version <= 0:
-        raise ValueError(f"snapshot_scan: no committed version at {path}")
-    manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
+    manifest = snapshot_manifest(spark, base, version)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    stats = manifest.get("stats", {})
+    stats = manifest["stats"]
+    dtype = manifest["stats_types"].get(col)
+    qlo = _coerce_stat_bound(dtype, lo)
+    qhi = _coerce_stat_bound(dtype, hi)
     keep = []
     for f in manifest["files"]:
         st = stats.get(f, {}).get(col)
         if st is None or st[0] is None:
             keep.append(f)  # no stats → cannot prune safely
-        elif not (st[1] < lo or st[0] > hi):
+            continue
+        try:
+            disjoint = (
+                _coerce_stat_bound(dtype, st[1]) < qlo
+                or _coerce_stat_bound(dtype, st[0]) > qhi
+            )
+        except TypeError:
+            disjoint = False  # incomparable bounds → keep conservatively
+        if not disjoint:
             keep.append(f)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not keep:
@@ -1031,35 +1335,98 @@ def snapshot_append_stream(
     Keying per app is what makes this safe in the real world: a
     SECOND stream with its own checkpoint (fresh batch ids from 0)
     gets its own watermark instead of being silently discarded, and
-    plain batch appends carry every app's watermark forward (both
-    review findings, round 11).  Structured Streaming delivers
-    batch_ids in increasing order per query, which is exactly what a
-    per-app watermark needs.  Returns the function for
-    ``foreachBatch``."""
-    import json
+    plain batch appends AND overwrites carry every app's watermark
+    forward (review findings, rounds 11–12).  The watermark overlay
+    happens INSIDE ``snapshot_commit`` against the manifest the commit
+    provably supersedes, and an optimistic-concurrency loss re-reads
+    and retries — two racing apps can interleave commits without one
+    regressing the other's watermark (review finding, round 11).
+    Structured Streaming delivers batch_ids in increasing order per
+    query, which is exactly what a per-app watermark needs.  Returns
+    the function for ``foreachBatch``."""
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         base = path.rstrip("/")
-        cur = snapshot_latest_version(spark, base)
-        txn: dict = {}
-        if cur > 0:
-            prev = json.loads(_read_small(spark, f"{base}/_manifest_v{cur}.json"))
-            txn = dict(prev.get("txn", {}))
-            last = txn.get(txn_app_id)
-            if last is not None and batch_id <= last:
-                return  # retry replay of an already-committed batch
-        txn[txn_app_id] = batch_id
-        snapshot_commit(
-            spark,
-            batch,
-            base,
-            mode="append",
-            stats_cols=stats_cols,
-            _extra={"txn": txn},
+        last_err: Exception | None = None
+        for _ in range(5):
+            cur = snapshot_latest_version(spark, base)
+            if cur > 0:
+                prev = _load_manifest_doc(spark, base, cur)
+                last = (prev.get("txn") or {}).get(txn_app_id)
+                if last is not None and batch_id <= last:
+                    return  # retry replay of an already-committed batch
+            try:
+                snapshot_commit(
+                    spark,
+                    batch,
+                    base,
+                    mode="append",
+                    stats_cols=stats_cols,
+                    _txn_update={txn_app_id: batch_id},
+                )
+                return
+            except IOError as e:  # lost the optimistic-concurrency race
+                last_err = e
+                continue
+        raise IOError(
+            f"snapshot_append_stream: commit kept conflicting for batch "
+            f"{batch_id}: {last_err}"
         )
 
     return commit_batch
+
+
+def snapshot_merge_stream(
+    path: str,
+    key_col: str,
+    txn_app_id: str,
+    delete_col: str | None = None,
+    change_log: bool = True,
+):
+    """EXACTLY-ONCE streaming UPSERT sink — ``snapshot_merge`` composed
+    with the per-app transaction watermark of ``snapshot_append_stream``
+    (the Delta streaming-MERGE shape): each micro-batch becomes one
+    atomic bucket-pruned MERGE commit, a replayed batch_id (crash
+    between sink success and the checkpoint commit) sees batch_id ≤
+    its watermark and skips, and an optimistic-concurrency loss
+    re-reads and retries without regressing any other app's watermark.
+    The batch must be key-unique (aggregate to last-per-key upstream —
+    ``snapshot_merge`` rejects duplicates loudly rather than picking a
+    nondeterministic winner).  Returns the function for
+    ``foreachBatch``."""
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        base = path.rstrip("/")
+        last_err: Exception | None = None
+        for _ in range(5):
+            cur = snapshot_latest_version(spark, base)
+            if cur > 0:
+                prev = _load_manifest_doc(spark, base, cur)
+                last = (prev.get("txn") or {}).get(txn_app_id)
+                if last is not None and batch_id <= last:
+                    return  # retry replay of an already-committed batch
+            try:
+                snapshot_merge(
+                    spark,
+                    base,
+                    batch,
+                    key_col,
+                    delete_col=delete_col,
+                    change_log=change_log,
+                    _txn_update={txn_app_id: batch_id},
+                )
+                return
+            except IOError as e:  # lost the optimistic-concurrency race
+                last_err = e
+                continue
+        raise IOError(
+            f"snapshot_merge_stream: commit kept conflicting for batch "
+            f"{batch_id}: {last_err}"
+        )
+
+    return merge_batch
 
 
 def snapshot_changes(
@@ -1068,30 +1435,42 @@ def snapshot_changes(
     from_version: int,
     to_version: int | None = None,
     key_col: str | None = None,
+    prefer_log: bool = True,
 ) -> DataFrame:
     """CHANGE DATA FEED between two versions of a keyed snapshot
     table: one row per changed key with ``_change ∈ {insert, update,
     delete}`` plus the row's new values (old values for deletes) —
-    the Delta CDF shape, derived entirely from the two immutable
-    manifests (time travel makes the diff exact and repeatable; no
-    write-side change logging needed).
+    the Delta CDF shape.
 
-    Cost note: this reads both versions' files and diffs by key — the
-    honest cost of a log-free CDF.  The copy-on-write layout keeps it
-    proportional to the table, not to history; a per-commit change
-    log (write the survivors/deletes alongside each merge) is the
-    incremental variant, stated not built."""
+    FAST PATH (round 12): when the versions are ADJACENT and the
+    commit recorded its delta — merges write a per-commit change log,
+    appends ARE their change log (pure inserts read straight from the
+    segment's added files) — the feed reads O(changed rows) instead
+    of diffing two full versions (``prefer_log=False`` forces the
+    diff; the pytest pin runs both and asserts row-identity).
+    Multi-version spans and logless commits (overwrites, pre-round-12
+    history) fall back to the manifest diff: reads both versions'
+    files and diffs by key — the honest cost of a log-free CDF,
+    proportional to the table, not to history.  For a strictly
+    incremental multi-commit consumer, use ``snapshot_changes_feed``,
+    which returns the per-commit rows with their version."""
     import json
 
     base = path.rstrip("/")
     if to_version is None:
         to_version = snapshot_latest_version(spark, base)
-    manifest = json.loads(_read_small(spark, f"{base}/_manifest_v{to_version}.json"))
-    keyed = manifest.get("keyed")
+    resolved_to = snapshot_manifest(spark, base, to_version)
+    keyed = resolved_to["keyed"]
     if key_col is None:
         if not keyed:
             raise ValueError("snapshot_changes: pass key_col for non-keyed tables")
         key_col = keyed["key_col"]
+    from pyspark.sql.types import StructType
+
+    if prefer_log and to_version == from_version + 1:
+        log = _commit_change_rows(spark, base, resolved_to, key_col)
+        if log is not None:
+            return log
     old = snapshot_read(spark, base, from_version)
     new = snapshot_read(spark, base, to_version)
     value_cols = [c for c in new.columns if c != key_col]
@@ -1127,3 +1506,83 @@ def snapshot_changes(
         )
         .select(key_col, "_change", "_row.*")
     )
+
+
+def _commit_change_rows(spark, base: str, resolved: dict, key_col: str):
+    """The change rows ONE commit recorded, or None when it kept no
+    delta (overwrite / pre-round-12 history).  ``change_mode='log'``
+    reads the merge's written changelog; ``'insert'`` synthesizes the
+    append's inserts from the segment's added files (zero write-side
+    cost); ``'none'`` (metadata compaction) is an empty delta."""
+    import json
+
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    mode = resolved["change_mode"]
+    schema = StructType.fromJson(json.loads(resolved["schema"]))
+    value_fields = [f for f in schema.fields if f.name != key_col]
+    feed_schema = StructType(
+        [schema[key_col], StructField("_change", StringType(), True)]
+        + value_fields
+    )
+    if mode == "log":
+        files = resolved["changelog"] or []
+        if not files:
+            return spark.createDataFrame([], feed_schema)
+        return spark.read.schema(feed_schema).parquet(*files)
+    if mode == "insert":
+        files = resolved["last_add"]
+        if not files:
+            return spark.createDataFrame([], feed_schema)
+        return spark.read.schema(schema).parquet(*files).select(
+            F.col(key_col),
+            F.lit("insert").alias("_change"),
+            *[F.col(f.name) for f in value_fields],
+        )
+    if mode == "none":
+        return spark.createDataFrame([], feed_schema)
+    return None
+
+
+def snapshot_changes_feed(
+    spark,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """INCREMENTAL change feed — the per-commit CDC stream a real
+    consumer tails (Delta CDF's ``_commit_version`` shape): one row
+    per change PER COMMIT over versions (from_version, to_version],
+    with a ``_version`` column, read entirely from the commits'
+    recorded deltas in O(changed rows) — never a table diff.  Raises
+    if any version in the span kept no delta (an overwrite, or
+    pre-round-12 history); metadata-compaction commits contribute
+    nothing.  Unlike ``snapshot_changes`` (which collapses the span
+    into one net diff), consecutive changes to the same key all
+    appear, each under its version."""
+    base = path.rstrip("/")
+    if to_version is None:
+        to_version = snapshot_latest_version(spark, base)
+    out = None
+    for v in range(from_version + 1, to_version + 1):
+        resolved = snapshot_manifest(spark, base, v)
+        kc = key_col
+        if kc is None:
+            if not resolved["keyed"]:
+                raise ValueError(
+                    "snapshot_changes_feed: pass key_col for non-keyed tables"
+                )
+            kc = resolved["keyed"]["key_col"]
+        rows = _commit_change_rows(spark, base, resolved, kc)
+        if rows is None:
+            raise ValueError(
+                f"snapshot_changes_feed: version {v} recorded no change "
+                "delta (overwrite or pre-segment history) — use "
+                "snapshot_changes for a diff-based span"
+            )
+        rows = rows.select(F.lit(v).alias("_version"), "*")
+        out = rows if out is None else out.unionByName(rows, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("snapshot_changes_feed: empty version span")
+    return out

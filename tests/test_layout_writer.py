@@ -448,8 +448,10 @@ def test_snapshot_merge_atomic_copy_on_write(spark, tmp_path):
     assert {r["k"]: r["v"] for r in pinned.collect()} == v1
 
     # copy-on-write by reference: untouched buckets share file paths
-    m1 = json.loads((P(path) / "_manifest_v1.json").read_text())
-    m2 = json.loads((P(path) / "_manifest_v2.json").read_text())
+    # (resolved through the segment replay — the manifest itself only
+    # holds the segment list since round 12)
+    m1 = layout.snapshot_manifest(spark, path, 1)
+    m2 = layout.snapshot_manifest(spark, path, 2)
     touched_buckets = {m2["buckets"][f] for f in m2["files"] if f not in m1["files"]}
     assert len(touched_buckets) <= 2
     carried = set(m1["files"]) & set(m2["files"])
