@@ -1322,9 +1322,20 @@ def maintain_cms_rollup(
     pytest-pinned), localCheckpoint, overwrite.  The table is
     model-sized (4096 rows at the defaults) regardless of ingest
     volume; estimates are min-over-rows lookups against it, exactly as
-    the batch query does.  Returns the function for ``foreachBatch``."""
+    the batch query does.  Returns the function for ``foreachBatch``.
 
-    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+    EXACTLY-ONCE under retries: foreachBatch is at-least-once — a
+    crash between a completed swap and the streaming checkpoint commit
+    redelivers the SAME batch_id against the post-swap table, which
+    would double-count its tokens (review finding, round 11).  The
+    last committed batch_id therefore rides INSIDE the swapped table
+    directory as ``_last_batch.json`` (written to the tmp dir before
+    the rename, so watermark and counters commit in the same atomic
+    swap; Spark's parquet reader ignores ``_``-prefixed files), and a
+    redelivered batch_id ≤ the watermark is skipped."""
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        import json
         from fiware_cosmos_orion_flink_connector_examples_spark.functions.hashing import (
             md5int64_seeded,
         )
@@ -1357,6 +1368,17 @@ def maintain_cms_rollup(
         if not fs.exists(hpath) and fs.exists(old_p):
             if not fs.rename(old_p, hpath):
                 raise IOError(f"maintain_cms_rollup: recovery rename failed")
+        wm_p = jvm.org.apache.hadoop.fs.Path(base + "/_last_batch.json")
+        if fs.exists(wm_p):
+            stream = fs.open(wm_p)
+            try:
+                wm = json.loads(
+                    bytes(jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream))
+                )
+            finally:
+                stream.close()
+            if batch_id <= wm.get("batch_id", -1):
+                return  # redelivered batch already folded into the table
         if fs.exists(hpath):
             # the maintain_hourly_rollup probe discipline: only a
             # MISSING table falls back to batch-only counts — a read
@@ -1376,12 +1398,19 @@ def maintain_cms_rollup(
         # batch).  Write the merged ≤ depth×width-row frame to a
         # sibling tmp, then two-rename swap with the .old kept until
         # the new table is live — a crash at any point leaves a
-        # recoverable state (the merge_upsert discipline); idempotent
-        # re-merge on micro-batch retry is safe because checkpointing
-        # replays the SAME batch against the pre-swap table.
+        # recoverable state (the merge_upsert discipline).  The batch
+        # watermark is staged into the SAME tmp dir so the swap
+        # commits counters and watermark atomically: a retry after a
+        # completed swap sees batch_id ≤ watermark above and skips
+        # instead of double-merging (review finding, round 11).
         tmp = base + ".tmp"
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
         merged.write.mode("overwrite").parquet(tmp)
+        st_out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(tmp + "/_last_batch.json"), True
+        )
+        st_out.write(bytearray(json.dumps({"batch_id": batch_id}).encode()))
+        st_out.close()
         fs.delete(old_p, True)
         had_cur = fs.exists(hpath)
         if had_cur and not fs.rename(hpath, old_p):

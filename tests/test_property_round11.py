@@ -453,6 +453,24 @@ def test_maintain_cms_rollup_equals_oneshot(spark, tmp_path):
     }
     assert maintained == oneshot and maintained
 
+    # at-least-once REDELIVERY (ADVICE r11 high): a batch_id replayed
+    # after its swap completed (crash before the checkpoint commit)
+    # must be a no-op — the watermark rides inside the swapped table
+    # dir, so the retry sees it even though the sink fn is a fresh
+    # closure.  A genuinely NEW batch id still merges.
+    sink = jobs.maintain_cms_rollup(table)
+    replay = spark.createDataFrame([(0, rows[0].text)], "doc_id long, text string")
+    sink(replay, 1)  # last streamed batch_id was 1
+    after_replay = {
+        (r["d"], r["bucket"]): r["c"] for r in spark.read.parquet(table).collect()
+    }
+    assert after_replay == oneshot
+    sink(replay, 2)
+    after_new = {
+        (r["d"], r["bucket"]): r["c"] for r in spark.read.parquet(table).collect()
+    }
+    assert sum(after_new.values()) > sum(oneshot.values())
+
 
 def test_bm25_index_compact_recovers_crashed_swap(spark, tmp_path):
     """Compaction's built-in recovery: a table caught inside the
