@@ -1177,3 +1177,119 @@ def ann_index_add(
     if not centroids:
         raise ValueError("ann_index_add: index has no trained centroids — rebuild")
     _write_inverted_lists(new_vectors, path, centroids, id_col, vec_col, mode="append")
+
+
+def ann_index_recall(
+    spark,
+    path: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+    max_probe: int = 64,
+) -> dict:
+    """DRIFT MONITOR for a served ``ann_index_write`` index: measured
+    recall@k of the nprobe-bounded search against exact brute force
+    over a BOUNDED probe sample (caller-supplied ``queries``, else a
+    deterministic hash-ordered sample of ≤ ``max_probe`` of the
+    index's own vectors).  ``ann_index_add`` freezes centroids (the
+    FAISS add-after-train contract), so sustained ingest degrades the
+    cell geometry silently — this is the number an operator alarms on
+    and the trigger for ``ann_index_rebuild`` (review finding, round
+    11: the contract was stated but nothing measured it).
+
+    Cost shape: the probe set is ≤ max_probe queries regardless of
+    index size; the brute-force side is max_probe × corpus dot
+    products — the same bounded-sample trade every quality monitor in
+    this repo makes (run it on the maintenance cadence, not per
+    query).  Returns {"recall_at_k", "n_queries", "k", "nprobe"}; a
+    healthy index probed exhaustively measures exactly 1.0 (the
+    search is pinned row-identical to brute force at nprobe=all)."""
+    import json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        _read_small,
+    )
+
+    meta = json.loads(
+        _read_small(spark, f"{path.rstrip('/')}/_ivf_index.json").decode()
+    )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    logical = spark.read.parquet(path.rstrip("/")).select(id_col, vec_col)
+    if queries is None:
+        queries = (
+            logical.orderBy(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)), F.col(id_col)
+            )
+            .limit(max_probe)
+        )
+    served = ann_index_search(spark, path, queries, k=k, nprobe=nprobe).select(
+        "q_id", "n_id"
+    )
+    brute = topk_cosine_bruteforce(logical, queries, k, id_col, vec_col).select(
+        "q_id", "n_id"
+    )
+    hits = served.join(brute, ["q_id", "n_id"]).count()
+    denom = brute.count()
+    n_q = queries.count()
+    return {
+        "recall_at_k": (hits / denom) if denom else 1.0,
+        "n_queries": n_q,
+        "k": k,
+        "nprobe": nprobe,
+    }
+
+
+def ann_index_rebuild(
+    spark,
+    path: str,
+    k_centroids: int | None = None,
+    iters: int = 10,
+) -> None:
+    """Out-of-band RETRAIN + REBUILD — the recovery action
+    ``ann_index_add``'s frozen-centroid docstring promises: retrain
+    the coarse quantizer on the index's CURRENT logical contents
+    (original + every added batch, via the bounded-sample trainer),
+    rewrite the inverted lists under the new centroids to a sibling
+    ``.rebuild.tmp``, and swap with the two-rename / keep-``.old``
+    discipline ``bm25_index_compact`` uses — a crash at any point
+    leaves the pre-rebuild index recoverable (re-running the rebuild
+    performs the recovery), and readers never observe a half-written
+    index."""
+    import json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        _fs,
+        _read_small,
+    )
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    cur = jvm.org.apache.hadoop.fs.Path(base)
+    old = jvm.org.apache.hadoop.fs.Path(base + ".old")
+    # recovery pass first: a prior rebuild may have died between its
+    # two renames, leaving the index only at <path>.old
+    if not fs.exists(cur) and fs.exists(old):
+        if not fs.rename(old, cur):
+            raise IOError("ann_index_rebuild: recovery rename failed")
+    meta = json.loads(_read_small(spark, f"{base}/_ivf_index.json").decode())
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if k_centroids is None:
+        k_centroids = max(1, len(meta["centroids"]))
+    logical = spark.read.parquet(base).select(id_col, vec_col)
+    cents = kmeans_fit_sample(
+        logical, vec_col=vec_col, id_col=id_col, k=k_centroids, iters=iters
+    )
+    tmp = base + ".rebuild.tmp"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    # localCheckpoint the logical contents: the rebuild write must not
+    # lazily re-read <path> mid-swap
+    snap = logical.localCheckpoint(eager=True)
+    ann_index_write(snap, tmp, cents, id_col, vec_col)
+    if fs.exists(old):
+        fs.delete(old, True)  # stale backup from a clean prior run
+    if not fs.rename(cur, old):
+        raise IOError("ann_index_rebuild: rename cur -> old failed")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), cur):
+        fs.rename(old, cur)
+        raise IOError("ann_index_rebuild: rename tmp -> cur failed")
+    fs.delete(old, True)

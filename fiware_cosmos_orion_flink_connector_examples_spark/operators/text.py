@@ -1882,3 +1882,131 @@ def bm25_index_compact(
         fs.delete(old, True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/tombstones"), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+
+def _phrase_index_parts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional postings for a doc batch: one row per (term, doc)
+    holding the SORTED array of 0-based token positions — keyed on the
+    same ``pkey = term||':'||id`` as the BM25 postings so the two
+    indexes share one MERGE maintenance story (a changed doc's batch
+    replaces its rows bucket-pruned)."""
+    base = docs.filter(F.col(text_col).isNotNull())
+    return (
+        base.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term"))
+        .groupBy(id_col, "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .select(_posting_key(id_col), "term", id_col, "positions")
+    )
+
+
+def phrase_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the POSITIONAL posting index at ``<path>/positions``
+    — the stored-index variant ``phrase_match_topk``'s doc names
+    (quoted-phrase search without rescanning the corpus), laid out
+    exactly like the BM25 postings table (``layout.write_keyed`` on
+    pkey) so it can live beside one at the same ``path`` and share its
+    tombstone table.  Positions are the tokenizer's 0-based offsets;
+    adjacency (p2 = p1 + 1) is all phrase matching needs, so the base
+    never leaks into results.  Query with ``phrase_count_from_index``;
+    maintain with ``phrase_index_ingest`` (same caveat as the BM25
+    ingest: re-ingesting a CHANGED doc cannot drop a term the new
+    text no longer contains — deletion needs the tombstone table or
+    compaction)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    layout.write_keyed(
+        _phrase_index_parts(docs, id_col, text_col),
+        f"{path.rstrip('/')}/positions",
+        "pkey",
+        n_buckets,
+    )
+
+
+def phrase_index_ingest(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental positional-index maintenance: MERGE a new/changed
+    doc batch — only the hash buckets holding the batch's (term, doc)
+    keys are rewritten (the merge_upsert copy-on-write contract), and
+    a changed doc's position arrays REPLACE the old ones wholesale
+    because the whole array is the row value (no partial-array merge
+    to get wrong)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    layout.merge_upsert(
+        spark,
+        f"{path.rstrip('/')}/positions",
+        _phrase_index_parts(new_docs, id_col, text_col),
+        "pkey",
+    )
+
+
+def phrase_count_from_index(
+    spark,
+    path: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase occurrence counts served from a stored
+    ``phrase_index_write`` index: start from the first term's position
+    arrays and FOLD the remaining terms in — at step i, keep only
+    first-token positions p whose doc also has term_i at p+i
+    (``F.filter`` + ``array_contains`` over the two arrays: row-local
+    once the per-term rows are doc-joined).  Output: (id, n_occurrences
+    > 0), row-identical to the row-local zip_with counter on the same
+    corpus (pytest-pinned and driver-asserted via the served-equals
+    envelope).
+
+    Scale shape: the scan touches ONLY the phrase's terms' posting
+    rows (term-filtered off the keyed table — Σ df(term_i) rows, never
+    the corpus), then L-1 doc-keyed joins whose inputs shrink
+    monotonically (each step filters to docs still matching the
+    prefix).  Tombstones at ``<path>/tombstones`` (shared with a
+    co-located BM25 index) are anti-joined out, deletion-sized and
+    broadcast."""
+    if not phrase:
+        raise ValueError("phrase_count_from_index: empty phrase")
+    tbl = (
+        spark.read.parquet(f"{path.rstrip('/')}/positions")
+        .drop("pkey", "_bucket")
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import _fs
+
+    jvm, fs = _fs(spark, path)
+    t_dir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/tombstones")
+    if fs.exists(t_dir):
+        dead = F.broadcast(
+            spark.read.parquet(f"{path.rstrip('/')}/tombstones").select(id_col)
+        )
+        tbl = tbl.join(dead, id_col, "left_anti")
+    cur = tbl.filter(F.col("term") == phrase[0]).select(
+        F.col(id_col), F.col("positions").alias("ps")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = tbl.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias("_p_next")
+        )
+        # NOTE the single-arg lambda: F.filter treats a two-parameter
+        # function as (element, array_index) and would shadow the
+        # phrase offset; the offset is baked in via F.lit(i) at
+        # expression-construction time (HOF lambdas run eagerly)
+        step = F.filter(
+            F.col("ps"),
+            lambda p: F.array_contains(F.col("_p_next"), p + F.lit(i)),
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .select(F.col(id_col), step.alias("ps"))
+            .filter(F.size("ps") > 0)
+        )
+    return cur.select(F.col(id_col), F.size("ps").cast("long").alias("n_occurrences"))

@@ -7058,41 +7058,87 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "similarity", "text", "X3", "X4", "retrieval", "hybrid"),
 )
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # round 12: lex-ranking / vec-ranking / RRF fusion now run through
+    # the shared operators.retrieval core — the SAME expressions the
+    # index-served path uses, which is what makes the served-equals
+    # pin (hybrid_rrf_served_equals) a real guarantee
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        retrieval,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     qterms = spark.createDataFrame([(0, "hash"), (0, "join")], "query_id int, term string")
-    wl = Window.partitionBy("query_id").orderBy(F.desc("score_q12"), F.asc("doc_id"))
-    lex = (
-        text.bm25_scores(docs, qterms)
-        .select("*", F.row_number().over(wl).alias("rank_lex"))
-        .filter(F.col("rank_lex") <= 50)
-        .select(F.col("doc_id").alias("id"), F.col("rank_lex").cast("int").alias("rank_lex"))
+    lex = retrieval.rank_lexical(text.bm25_scores(docs, qterms), 50)
+    vec = retrieval.rank_vector(
+        similarity.topk_cosine_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=50),
+        50,
     )
-    vec = (
-        similarity.topk_cosine_bruteforce(
-            emb, emb.filter(F.col("vec_id") == 0), k=50
+    return retrieval.rrf_fuse(lex, vec, k=10).select(
+        "id", "rank_lex", "rank_vec", "rrf", "fused_rank"
+    )
+
+
+@register(
+    "hybrid_rrf_served_equals",
+    oracle="""
+    SELECT CAST(1 AS BOOLEAN) AS served_equal, CAST(10 AS BIGINT) AS n_rows
+    """,
+    doc="X3/X4 retrieval serving pin — the INDEX-SERVED hybrid path "
+    "(bm25_from_index over the stored postings/doclen tables + "
+    "ann_index_search over the partition-pruned IVF inverted lists, "
+    "fused by the shared RRF core) must return EXACTLY the rows of "
+    "the in-memory hash-green hybrid_rrf_topk on the same corpus: "
+    "the query builds both indexes, runs both paths, and emits the "
+    "set-equality as an oracle-asserted TRUE boolean (the envelope "
+    "pattern every rows-only claim in this repo rides).  Equality "
+    "holds because (a) stored-index BM25 scores share "
+    "_bm25_score_parts with the from-corpus path, (b) nprobe=all "
+    "makes IVF search exhaustive and its rounded cosine identical to "
+    "brute force, (c) the RRF expression is one shared function — "
+    "nothing is re-derived.  Scale shape: the served path is the one "
+    "you RUN at 100 TB (posting-bounded + partition-pruned scans); "
+    "this pin is what licenses swapping it in.",
+    tags=("ext", "similarity", "text", "X3", "X4", "retrieval", "hybrid",
+          "envelope"),
+)
+def hybrid_rrf_served_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        retrieval,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame([(0, "hash"), (0, "join")], "query_id int, term string")
+    mem = hybrid_rrf_topk(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="hybrid_served_")
+    try:
+        text.bm25_index_write(docs, f"{tmp}/bm25", n_buckets=4)
+        cents = similarity.kmeans_fit_sample(
+            emb, k=8, cache_key=("hybrid_served", sf_dir)
         )
-        .select(F.col("n_id").alias("id"), F.col("rank").cast("int").alias("rank_vec"))
-    )
-    rrf = (
-        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_vec")), F.lit(0.0))
-    )
-    fused = lex.join(vec, "id", "full_outer").select(
-        "id", "rank_lex", "rank_vec", rrf.alias("_rrf")
-    )
-    wf = Window.orderBy(F.desc("_rrf"), F.asc("id"))
-    return (
-        fused.select(
-            "id",
-            "rank_lex",
-            "rank_vec",
-            F.round("_rrf", 9).alias("rrf"),
-            F.row_number().over(wf).cast("int").alias("fused_rank"),
+        similarity.ann_index_write(emb, f"{tmp}/ivf", cents)
+        served = retrieval.hybrid_rrf_from_indexes(
+            spark,
+            f"{tmp}/bm25",
+            f"{tmp}/ivf",
+            qterms,
+            emb.filter(F.col("vec_id") == 0),
+            k_candidates=50,
+            k=10,
+        ).select("id", "rank_lex", "rank_vec", "rrf", "fused_rank")
+        n_mem = mem.count()
+        equal = (
+            mem.exceptAll(served).count() == 0
+            and served.exceptAll(mem).count() == 0
         )
-        .filter(F.col("fused_rank") <= 10)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(equal), int(n_mem))], "served_equal boolean, n_rows bigint"
     )
 
 
@@ -7541,4 +7587,75 @@ def phrase_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_occurrences",
         F.row_number().over(wr).cast("int").alias("rank"),
+    )
+
+
+@register(
+    "phrase_index_served_equals",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+               FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id,
+             len([i for i in range(1, len(t))
+                  if t[i] = 'hash' AND t[i+1] = 'join']) AS n
+      FROM t
+    )
+    SELECT CAST(1 AS BOOLEAN) AS served_equal,
+           CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS total_occurrences
+    FROM c
+    """,
+    doc="X4 phrase-serving pin — the POSITIONAL POSTING INDEX variant "
+    "phrase_match_topk's doc names, now built: per-(term, doc) sorted "
+    "position arrays stored as a keyed lake table beside the BM25 "
+    "postings (same pkey, same MERGE maintenance), phrase counts "
+    "served by folding each next term in via a doc-keyed join + "
+    "row-local array_contains(p+i) filter — the scan touches only "
+    "the phrase's terms' posting rows (Σ df, never the corpus).  The "
+    "query builds the index, serves 'hash join' counts from it, and "
+    "emits (a) set-equality with the row-local zip_with counter as an "
+    "oracle-asserted TRUE boolean, plus (b) the matched-doc count and "
+    "total occurrences, both verified against DuckDB's independent "
+    "position arithmetic — so the hash match proves the INDEX path's "
+    "numbers, not just the equality claim.",
+    tags=("ext", "text", "X4", "retrieval", "phrase", "envelope"),
+)
+def phrase_index_served_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    heads = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    hits = F.zip_with(
+        heads,
+        tails,
+        lambda a, b: ((a == F.lit("hash")) & (b == F.lit("join"))).cast("int"),
+    )
+    cnt = F.aggregate(hits, F.lit(0), lambda acc, x: acc + x).cast("long")
+    rowlocal = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", cnt.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+    tmp = tempfile.mkdtemp(prefix="phrase_idx_")
+    try:
+        text.phrase_index_write(docs, tmp, n_buckets=4)
+        served = text.phrase_count_from_index(spark, tmp, ["hash", "join"])
+        equal = (
+            served.exceptAll(rowlocal).count() == 0
+            and rowlocal.exceptAll(served).count() == 0
+        )
+        agg = served.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_occurrences"), F.lit(0)).alias("total"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(equal), int(agg["n_docs"]), int(agg["total"]))],
+        "served_equal boolean, n_docs bigint, total_occurrences bigint",
     )

@@ -79,6 +79,7 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 CHANGED_LAST_ROUND: tuple[str, ...] = (
     # r12: emptied at round start (round hygiene).  Repopulate below as
     # round-12 rewrites of oracle-bearing queries land.
+    "hybrid_rrf_topk",  # refactored onto the shared retrieval.rrf core
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -98,6 +99,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # are now artifact history.  Repopulated below as round-12 queries
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
+    "hybrid_rrf_served_equals",
+    "phrase_index_served_equals",
 )
 
 
