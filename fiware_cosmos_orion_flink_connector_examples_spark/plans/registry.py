@@ -99,7 +99,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # are now artifact history.  Repopulated below as round-12 queries
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
-    "hybrid_rrf_served_equals",
+    "hybrid_rrf_served_topk",
     "phrase_index_served_equals",
 )
 
