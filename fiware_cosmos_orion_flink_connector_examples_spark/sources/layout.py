@@ -1586,3 +1586,114 @@ def snapshot_changes_feed(
     if out is None:
         raise ValueError("snapshot_changes_feed: empty version span")
     return out
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_files: int = 8,
+    sort_by: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """DATA-FILE compaction for a snapshot table — the maintenance pass
+    that fixes the streaming small-file problem (every micro-batch
+    append is its own file set; a day of 10 s triggers is ~8 640 file
+    sets) and, with ``sort_by``, restores file-skipping power:
+    ``repartitionByRange(sort_by) + sortWithinPartitions`` clusters
+    the rewrite so per-file [min, max] ranges are DISJOINT, which is
+    what makes ``snapshot_scan`` pruning sharp again after unordered
+    appends blurred it (the Delta OPTIMIZE ZORDER analog, 1-D).
+
+    The rewrite commits as one new version whose segment both
+    truncates-and-readds (so it is ALSO a metadata compaction — the
+    segment list collapses to one) with ``change_mode='none'``: no
+    logical data change, the CDC feed skips it, time travel still
+    reaches pre-compaction versions until vacuum expires them, and
+    transaction watermarks carry forward (a streaming sink keeps its
+    exactly-once guarantee across compactions).  Keyed tables rewrite
+    per bucket (bucket map preserved — later merges stay
+    bucket-pruned); plain tables re-record stats for ``stats_cols``
+    (default: every column that already had stats, so compaction
+    never silently LOSES pruning metadata).  Returns the new
+    version."""
+    import json
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    resolved = snapshot_manifest(spark, base)
+    schema = StructType.fromJson(json.loads(resolved["schema"]))
+    new_version = resolved["version"] + 1
+    data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
+    df = (
+        spark.read.schema(schema).parquet(*resolved["files"])
+        if resolved["files"]
+        else spark.createDataFrame([], schema)
+    )
+    keyed = resolved["keyed"]
+    seg: dict = {"truncate": True, "change_mode": "none"}
+    if keyed:
+        kc, nb = keyed["key_col"], int(keyed["n_buckets"])
+        out = df.withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(kc).cast("string")), F.lit(nb))
+        ).repartition(F.col("_bucket"))
+        if sort_by:
+            out = out.sortWithinPartitions(sort_by)
+        out.write.partitionBy("_bucket").parquet(data_dir)
+        files, buckets = _list_bucket_files(jvm, fs, data_dir)
+        seg["add"] = sorted(files)
+        seg["buckets"] = buckets
+    else:
+        if sort_by:
+            out = df.repartitionByRange(
+                max(1, target_files), F.col(sort_by)
+            ).sortWithinPartitions(sort_by)
+        else:
+            out = df.repartition(max(1, target_files))
+        out.write.parquet(data_dir)
+        files = [
+            f
+            for f in (
+                st.getPath().toString()
+                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
+            )
+            if f.rsplit("/", 1)[-1].startswith("part-")
+        ]
+        seg["add"] = sorted(files)
+        if stats_cols is None:
+            stats_cols = sorted(resolved["stats_types"])
+        if stats_cols and files:
+            aggs = []
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+            rows = (
+                spark.read.schema(schema).parquet(*files)
+                .groupBy(F.input_file_name().alias("_f"))
+                .agg(*aggs)
+                .collect()
+            )  # one row per rewritten file — target_files-bounded
+            seg["stats"] = {
+                _normalize_file_uri(r["_f"]): {
+                    c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stats_cols
+                }
+                for r in rows
+            }
+            seg["stats_types"] = {
+                c: schema[c].dataType.simpleString() for c in stats_cols
+            }
+    rel = _write_segment(spark, base, new_version, seg)
+    manifest = {
+        "format": 2,
+        "version": new_version,
+        "mode": "compact-files",
+        "schema": resolved["schema"],
+        "segments": [rel],
+    }
+    if keyed:
+        manifest["keyed"] = keyed
+    if resolved["txn"]:
+        manifest["txn"] = resolved["txn"]
+    _commit_manifest(spark, base, new_version, manifest)
+    return new_version

@@ -351,3 +351,75 @@ def test_merge_stream_model_based_replay(spark, tmp_path):
             sink(_kv(spark, batches[bid - 1]), bid - 1)  # stale redelivery
     got = {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()}
     assert got == model
+
+
+def test_compact_files_fixes_small_files_and_restores_pruning(spark, tmp_path):
+    """Streaming-append small-file compaction: many tiny unordered
+    append commits → one compact-files pass with sort clustering.
+    Content identical, file count collapses, snapshot_scan pruning
+    gets SHARPER than before (range clustering → disjoint per-file
+    bounds), the CDC feed skips the compaction, txn watermarks
+    survive, and vacuum reclaims the pre-compaction files."""
+    path = str(tmp_path / "snap")
+    sink = layout.snapshot_append_stream(path, "pipe", stats_cols=["k"])
+    import random
+
+    rng = random.Random(7)
+    keys = list(range(400))
+    rng.shuffle(keys)
+    for bid in range(10):  # unordered appends: every file spans ~full range
+        chunk = keys[bid * 40 : (bid + 1) * 40]
+        sink(
+            spark.createDataFrame([(k, f"v{k}") for k in chunk], "k long, v string"),
+            bid,
+        )
+    before_man = layout.snapshot_manifest(spark, path)
+    _, read_before, total_before = layout.snapshot_scan(spark, path, "k", 100, 120)
+    v = layout.compact_files(spark, path, target_files=4, sort_by="k")
+    after_man = layout.snapshot_manifest(spark, path)
+    assert v == 11
+    assert len(after_man["files"]) < len(before_man["files"])
+    assert len(after_man["segments"]) == 1  # metadata compacted too
+    got = {(r["k"], r["v"]) for r in layout.snapshot_read(spark, path).collect()}
+    assert got == {(k, f"v{k}") for k in range(400)}
+    # pruning is sharper: the 21-key range now hits ~1 of 4 files
+    df, read_after, total_after = layout.snapshot_scan(spark, path, "k", 100, 120)
+    assert total_after < total_before
+    assert read_after / total_after < max(read_before, 1) / total_before
+    assert sorted(r["k"] for r in df.collect()) == list(range(100, 121))
+    # change-free for CDC; txn watermark survives (replay still no-op)
+    assert layout.snapshot_changes_feed(spark, path, 10, key_col="k").count() == 0
+    before_v = layout.snapshot_latest_version(spark, path)
+    sink(spark.createDataFrame([(999, "dup")], "k long, v string"), 9)
+    assert layout.snapshot_latest_version(spark, path) == before_v
+    # pre-compaction versions stay time-travelable until vacuumed
+    assert layout.snapshot_read(spark, path, 5).count() == 200
+    out = layout.vacuum_snapshots(spark, path, keep_last=1)
+    assert out["deleted_files"] >= len(before_man["files"])
+    assert layout.snapshot_read(spark, path).count() == 400
+
+
+def test_compact_files_keyed_preserves_merge_contract(spark, tmp_path):
+    """Keyed-table compaction keeps the bucket map: content identical,
+    later merges stay bucket-pruned (files carried by reference), and
+    the per-commit change log keeps working."""
+    path = str(tmp_path / "ksnap")
+    layout.snapshot_write_keyed(
+        spark, _kv(spark, [(i, f"v{i}") for i in range(50)]), path, "k", n_buckets=4
+    )
+    for i in range(3):
+        layout.snapshot_merge(spark, path, _kv(spark, [(i, f"m{i}")]), "k")
+    v = layout.compact_files(spark, path)
+    man = layout.snapshot_manifest(spark, path)
+    assert man["keyed"] and len(man["segments"]) == 1
+    expect = {i: (f"m{i}" if i < 3 else f"v{i}") for i in range(50)}
+    assert {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()} == expect
+    # post-compaction merge: untouched buckets carried by reference
+    layout.snapshot_merge(spark, path, _kv(spark, [(7, "M7")]), "k")
+    man2 = layout.snapshot_manifest(spark, path)
+    carried = set(man["files"]) & set(man2["files"])
+    assert carried
+    feed = layout.snapshot_changes_feed(spark, path, v)
+    assert {(r["k"], r["_change"], r["v"]) for r in feed.collect()} == {
+        (7, "update", "M7")
+    }
