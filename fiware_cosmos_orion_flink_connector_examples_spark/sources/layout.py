@@ -1697,3 +1697,63 @@ def compact_files(
         manifest["txn"] = resolved["txn"]
     _commit_manifest(spark, base, new_version, manifest)
     return new_version
+
+
+def snapshot_tail(
+    spark,
+    path: str,
+    cursor: int | None = None,
+    cursor_path: str | None = None,
+):
+    """POLL-BASED CDC CONSUMER primitive over the per-commit change
+    feed: returns ``(changes_df | None, new_cursor)`` for everything
+    committed after ``cursor`` (a version number).  ``None`` means no
+    new commits — the caller sleeps and polls again.  Each poll costs
+    O(changed rows since cursor), never a table diff, because it reads
+    the commits' recorded deltas (``snapshot_changes_feed``).
+
+    ``cursor_path`` makes the cursor DURABLE: it is read when
+    ``cursor`` is None and atomically advanced (write-tmp + rename)
+    only AFTER the returned frame is materialized by the caller —
+    call ``snapshot_tail_commit(spark, cursor_path, new_cursor)``
+    once downstream processing succeeds, so a crashed consumer
+    re-reads its last window (at-least-once, the Kafka-offset
+    discipline; make downstream idempotent or key it by
+    (_version, key))."""
+    base = path.rstrip("/")
+    if cursor is None and cursor_path is not None:
+        jvm, fs = _fs(spark, cursor_path)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(cursor_path)):
+            cursor = int(_read_small(spark, cursor_path).decode().strip())
+    if cursor is None:
+        cursor = 0
+    latest = snapshot_latest_version(spark, base)
+    if latest <= cursor:
+        return None, cursor
+    if cursor == 0:
+        # bootstrap: version 1 is the initial load — serve it as
+        # inserts via the feed only if it recorded a delta, else the
+        # caller should snapshot_read(version=1) and start from 1
+        try:
+            feed = snapshot_changes_feed(spark, base, 0, latest)
+        except ValueError:
+            feed = snapshot_changes_feed(spark, base, 1, latest)
+            cursor = 1
+            if latest == 1:
+                return None, 1
+    else:
+        feed = snapshot_changes_feed(spark, base, cursor, latest)
+    return feed, latest
+
+
+def snapshot_tail_commit(spark, cursor_path: str, cursor: int) -> None:
+    """Durably advance a ``snapshot_tail`` cursor: write-tmp + atomic
+    rename, called by the consumer AFTER its downstream effects are
+    committed (crash before = re-delivery, never loss)."""
+    jvm, fs = _fs(spark, cursor_path)
+    tmp = cursor_path + ".tmp"
+    _write_small(spark, tmp, str(int(cursor)).encode())
+    dst = jvm.org.apache.hadoop.fs.Path(cursor_path)
+    fs.delete(dst, False)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
+        raise IOError(f"snapshot_tail_commit: rename to {cursor_path} failed")

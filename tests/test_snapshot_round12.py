@@ -423,3 +423,44 @@ def test_compact_files_keyed_preserves_merge_contract(spark, tmp_path):
     assert {(r["k"], r["_change"], r["v"]) for r in feed.collect()} == {
         (7, "update", "M7")
     }
+
+
+def test_snapshot_tail_consumer(spark, tmp_path):
+    """The poll-based CDC consumer: each poll returns exactly the
+    commits after the cursor; a crash before the cursor commit
+    re-delivers (at-least-once); an idle table returns None."""
+    path = str(tmp_path / "ksnap")
+    cur_file = str(tmp_path / "cursor")
+    layout.snapshot_write_keyed(
+        spark, _kv(spark, [(1, "a")]), path, "k", n_buckets=2
+    )
+    layout.snapshot_merge(spark, path, _kv(spark, [(2, "b")]), "k")
+    feed, c = layout.snapshot_tail(spark, path, cursor_path=cur_file)
+    assert c == 2
+    assert {(r["_version"], r["k"], r["_change"]) for r in feed.collect()} == {
+        (2, 2, "insert")
+    }
+    # crash before commit: next poll re-delivers the same window
+    feed2, c2 = layout.snapshot_tail(spark, path, cursor_path=cur_file)
+    assert c2 == 2 and feed2.count() == 1
+    layout.snapshot_tail_commit(spark, cur_file, c2)
+    # nothing new → None
+    feed3, c3 = layout.snapshot_tail(spark, path, cursor_path=cur_file)
+    assert feed3 is None and c3 == 2
+    # two more commits → one poll carries both, tagged by version
+    layout.snapshot_merge(spark, path, _kv(spark, [(2, "B")]), "k")
+    layout.snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame([(1, None, True)], "k long, v string, _del boolean"),
+        "k",
+        delete_col="_del",
+    )
+    feed4, c4 = layout.snapshot_tail(spark, path, cursor_path=cur_file)
+    assert c4 == 4
+    assert {(r["_version"], r["k"], r["_change"]) for r in feed4.collect()} == {
+        (3, 2, "update"),
+        (4, 1, "delete"),
+    }
+    layout.snapshot_tail_commit(spark, cur_file, c4)
+    assert layout.snapshot_tail(spark, path, cursor_path=cur_file)[0] is None
