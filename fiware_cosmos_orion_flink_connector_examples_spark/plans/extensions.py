@@ -7702,3 +7702,118 @@ def phrase_index_served_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(equal), int(n_docs), int(total))],
         "served_equal boolean, n_docs bigint, total_occurrences bigint",
     )
+
+
+@register(
+    "snapshot_upsert_capstone",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+               FROM orders WHERE o_orderkey % 4 = 1),
+    final AS (
+      SELECT k,
+             CASE WHEN k % 10 = 3 THEN pc + 222 ELSE pc END AS pc
+      FROM o WHERE k % 10 != 7
+      UNION ALL
+      SELECT k + 1000000000, CAST(555 AS BIGINT) FROM o WHERE k % 200 = 101
+    )
+    SELECT (SELECT count(*) FROM final)            AS n_rows,
+           (SELECT sum(pc) FROM final)             AS sum_price_c,
+           (SELECT count(*) FROM o)                AS v1_rows,
+           (SELECT count(*) FROM o WHERE k % 100 = 1) AS v2_inserts,
+           (SELECT count(*) FROM o WHERE k % 10 = 3)  AS v2_updates,
+           (SELECT count(*) FROM o WHERE k % 10 = 7)  AS v2_deletes,
+           (SELECT count(*) FROM o WHERE k % 10 = 3)  AS v3_updates,
+           (SELECT count(*) FROM o WHERE k % 200 = 1) AS v3_deletes
+    """,
+    doc="[ext] STORAGE capstone, hash-checked end-to-end against the "
+    "raw input: write the orders table as a KEYED SNAPSHOT TABLE, "
+    "apply two deterministic MERGE commits (updates + inserts + "
+    "conditional deletes derived arithmetically from o_orderkey), "
+    "then report (a) the final table's row count and exact "
+    "integer-cents price sum read back through snapshot_read, (b) "
+    "time travel to v1, and (c) the per-commit CDC feed's "
+    "insert/update/delete counts read from the change logs — every "
+    "number independently recomputed by DuckDB from `orders` alone, "
+    "so the driver hash-proves the merge semantics, snapshot "
+    "isolation, and change-log accounting in one row.  Scale shape: "
+    "the merges are bucket-pruned copy-on-write (cost ∝ touched "
+    "buckets), the feed reads O(changed rows) from the per-commit "
+    "logs, and commit metadata is O(batch) segment manifests — the "
+    "design the 25M-row smoke in SCALING.md measures.",
+    tags=("ext", "storage", "snapshot", "merge", "cdc", "envelope"),
+)
+def snapshot_upsert_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    # quarter-slice keeps the bench cost in band; the semantics the
+    # query proves (merge/CDC/time-travel) are size-independent
+    base = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_capstone_")
+    path = f"{tmp}/t"
+    try:
+        layout.snapshot_write_keyed(spark, base, path, "k", n_buckets=8)
+        upd2 = (
+            base.filter(F.col("k") % 10 == 3)
+            .select("k", (F.col("pc") + 111).alias("pc"), F.lit(False).alias("_del"))
+            .unionByName(
+                base.filter(F.col("k") % 10 == 7).select(
+                    "k", F.lit(None).cast("long").alias("pc"), F.lit(True).alias("_del")
+                )
+            )
+            .unionByName(
+                base.filter(F.col("k") % 100 == 1).select(
+                    (F.col("k") + F.lit(1_000_000_000)).alias("k"),
+                    F.lit(555).cast("long").alias("pc"),
+                    F.lit(False).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, path, upd2, "k", delete_col="_del")
+        upd3 = (
+            base.filter(F.col("k") % 10 == 3)
+            .select("k", (F.col("pc") + 222).alias("pc"), F.lit(False).alias("_del"))
+            .unionByName(
+                base.filter(F.col("k") % 200 == 1).select(
+                    (F.col("k") + F.lit(1_000_000_000)).alias("k"),
+                    F.lit(None).cast("long").alias("pc"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, path, upd3, "k", delete_col="_del")
+        fin = layout.snapshot_read(spark, path).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("pc").alias("s")
+        ).collect()[0]
+        v1_rows = layout.snapshot_read(spark, path, 1).count()
+        feed = {
+            (r["_version"], r["_change"]): r["n"]
+            for r in layout.snapshot_changes_feed(spark, path, 1)
+            .groupBy("_version", "_change")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    row = (
+        int(fin["n"]),
+        int(fin["s"]),
+        int(v1_rows),
+        int(feed.get((2, "insert"), 0)),
+        int(feed.get((2, "update"), 0)),
+        int(feed.get((2, "delete"), 0)),
+        int(feed.get((3, "update"), 0)),
+        int(feed.get((3, "delete"), 0)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows bigint, sum_price_c bigint, v1_rows bigint, v2_inserts bigint, "
+        "v2_updates bigint, v2_deletes bigint, v3_updates bigint, v3_deletes bigint",
+    )

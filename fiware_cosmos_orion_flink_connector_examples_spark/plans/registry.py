@@ -101,6 +101,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # this tuple is bookkeeping for the rotation test).
     "hybrid_rrf_served_topk",
     "phrase_index_served_equals",
+    "snapshot_upsert_capstone",
 )
 
 
