@@ -7817,3 +7817,123 @@ def snapshot_upsert_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, sum_price_c bigint, v1_rows bigint, v2_inserts bigint, "
         "v2_updates bigint, v2_deletes bigint, v3_updates bigint, v3_deletes bigint",
     )
+
+
+@register(
+    "retrieval_mrr_ndcg",
+    oracle=f"""
+    WITH {_D_BM25.format(qvals="(0, 'hash'), (0, 'join')")},
+    t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+          FROM documents WHERE text IS NOT NULL),
+    rel AS (SELECT doc_id,
+                   len([x for x in range(1, len(tk))
+                        if tk[x] = 'hash' AND tk[x+1] = 'join']) > 0 AS r
+            FROM t),
+    topk AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INTEGER) AS rk
+             FROM bm25 QUALIFY rk <= 10),
+    j AS (SELECT rk, coalesce(r, FALSE) AS r
+          FROM topk LEFT JOIN rel USING (doc_id)),
+    s AS (SELECT coalesce(sum(CASE WHEN r THEN
+                   CAST(round(1e12 / log2(rk + 1)) AS BIGINT) END), 0) AS dcg_q,
+                 min(CASE WHEN r THEN rk END) AS first_rel,
+                 coalesce(sum(CASE WHEN r THEN 1 END), 0) AS n_rel_topk
+          FROM j),
+    tot AS (SELECT count(*) FILTER (WHERE r) AS n_rel_total FROM rel),
+    ideal AS (SELECT coalesce(sum(CAST(round(1e12 / log2(i + 1)) AS BIGINT)), 0)
+                       AS idcg_q
+              FROM (SELECT unnest(generate_series(1, least(n_rel_total, 10)))
+                      AS i FROM tot))
+    SELECT round(CASE WHEN first_rel IS NULL THEN 0.0
+                      ELSE 1.0 / first_rel END, 6) AS mrr,
+           round(CASE WHEN idcg_q = 0 THEN 0.0
+                      ELSE CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)
+                 END, 6) AS ndcg_at_10,
+           CAST(n_rel_topk AS BIGINT) AS n_rel_topk,
+           CAST(n_rel_total AS BIGINT) AS n_rel_total
+    FROM s, tot, ideal
+    """,
+    doc="X3/X4 retrieval EVALUATION — the quality loop a retrieval "
+    "stack ships with: MRR and nDCG@10 of the BM25 ranking for query "
+    "'hash join' against a deterministic binary relevance oracle: "
+    "the doc contains the exact PHRASE (adjacent tokens), a STRICTER "
+    "label than BM25's bag-of-words — so the metrics genuinely "
+    "discriminate (bag-of-words hits without adjacency score as "
+    "misses) and the whole chain is SQL-derivable and hash-checked.  Per-rank DCG contributions are "
+    "picounit-quantized int64 before summing (order-free exactness, "
+    "the repo's float-determinism convention); IDCG generates the "
+    "ideal ranks with sequence/range under the same quantization; "
+    "MRR is the exact 1/first-relevant-rank.  Scale shape: top-k is "
+    "TakeOrderedAndProject over the posting-bounded BM25 scores, the "
+    "relevance join is k-bounded, and the corpus-wide label count is "
+    "one map-side-combined agg.",
+    tags=("ext", "text", "X3", "X4", "retrieval", "evaluation"),
+)
+def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        retrieval,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(0, "hash"), (0, "join")], "query_id int, term string"
+    )
+    topk = retrieval.rank_lexical(text.bm25_scores(docs, qterms), 10)
+    toks = text.tokens("text")
+    n = F.size(toks)
+    heads = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    phrase_hits = F.zip_with(
+        heads,
+        tails,
+        lambda a, b: ((a == F.lit("hash")) & (b == F.lit("join"))).cast("int"),
+    )
+    rel = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id"),
+        (F.aggregate(phrase_hits, F.lit(0), lambda acc, x: acc + x) > 0).alias("r"),
+    )
+    j = topk.join(rel, topk["id"] == rel["doc_id"], "left").select(
+        F.col("rank_lex").alias("rk"),
+        F.coalesce(F.col("r"), F.lit(False)).alias("r"),
+    )
+    quant = F.round(F.lit(1e12) / F.log2(F.col("rk") + 1)).cast("long")
+    s = j.agg(
+        F.coalesce(F.sum(F.when(F.col("r"), quant)), F.lit(0)).alias("dcg_q"),
+        F.min(F.when(F.col("r"), F.col("rk"))).alias("first_rel"),
+        F.coalesce(F.sum(F.when(F.col("r"), F.lit(1))), F.lit(0)).alias("n_rel_topk"),
+    )
+    tot = rel.agg(F.sum(F.col("r").cast("long")).alias("n_rel_total"))
+    joined = s.crossJoin(F.broadcast(tot))
+    ideal = joined.select(
+        "*",
+        F.explode_outer(
+            F.when(
+                F.col("n_rel_total") > 0,
+                F.sequence(
+                    F.lit(1), F.least(F.col("n_rel_total"), F.lit(10)).cast("int")
+                ),
+            )
+        ).alias("i"),
+    )
+    iq = F.round(F.lit(1e12) / F.log2(F.col("i") + 1)).cast("long")
+    out = ideal.groupBy("dcg_q", "first_rel", "n_rel_topk", "n_rel_total").agg(
+        F.coalesce(F.sum(F.when(F.col("i").isNotNull(), iq)), F.lit(0)).alias(
+            "idcg_q"
+        )
+    )
+    return out.select(
+        F.round(
+            F.when(F.col("first_rel").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("first_rel")
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.when(F.col("idcg_q") == 0, F.lit(0.0)).otherwise(
+                F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double")
+            ),
+            6,
+        ).alias("ndcg_at_10"),
+        F.col("n_rel_topk").cast("long").alias("n_rel_topk"),
+        F.col("n_rel_total").cast("long").alias("n_rel_total"),
+    )

@@ -102,6 +102,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "hybrid_rrf_served_topk",
     "phrase_index_served_equals",
     "snapshot_upsert_capstone",
+    "retrieval_mrr_ndcg",
 )
 
 
