@@ -1054,7 +1054,12 @@ def ann_index_write(
         df.sparkSession,
         f"{path.rstrip('/')}/_ivf_index.json",
         json.dumps(
-            {"centroids": centroids, "id_col": id_col, "vec_col": vec_col}
+            {
+                "centroids": centroids,
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "schema": df.select(id_col, vec_col).schema.json(),
+            }
         ).encode(),
     )
 
@@ -1070,10 +1075,15 @@ def _write_inverted_lists(
     """The one assignment/layout used by BOTH the full rebuild and the
     incremental add — a divergence here would silently break the
     add ≡ rebuild equality the pytest pins (review finding, r11)."""
+    assign = (
+        _assign_udf(centroids)(F.col(vec_col).cast("array<double>"))
+        if centroids
+        else F.lit(0)  # untrained (empty-corpus) index: single cell
+    )
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
-        _assign_udf(centroids)(F.col(vec_col).cast("array<double>")).alias("_list"),
+        assign.alias("_list"),
     )
     (
         base.repartition(F.col("_list"))
@@ -1113,9 +1123,18 @@ def ann_index_search(
     meta = json.loads(_read_small(spark, meta_path).decode())
     centroids, id_col, vec_col = meta["centroids"], meta["id_col"], meta["vec_col"]
     if not centroids:
-        return topk_cosine_bruteforce(
-            spark.read.parquet(path), queries, k, id_col, vec_col
-        )
+        # untrained index (built from an empty corpus): the dir may
+        # hold zero part files, where parquet schema inference fails —
+        # serve the brute-force fallback off the sidecar's schema
+        from pyspark.sql.types import StructType
+
+        try:
+            stored = spark.read.parquet(path)
+        except Exception:
+            stored = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(meta["schema"]))
+            )
+        return topk_cosine_bruteforce(stored, queries, k, id_col, vec_col)
     queries = queries.filter(F.col(vec_col).isNotNull())
     qraw = F.col(vec_col).cast("array<double>")
     q = queries.select(

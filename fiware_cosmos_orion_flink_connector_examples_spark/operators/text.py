@@ -1676,7 +1676,13 @@ def bm25_index_write(
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
 
     postings, dl = _bm25_index_parts(docs, id_col, text_col)
-    layout.write_keyed(postings, f"{path.rstrip('/')}/postings", "pkey", n_buckets)
+    # postings are keyed on term:doc for MERGE but QUERIED by term —
+    # term-sorted row groups make the per-query lookup row-group-
+    # skippable instead of a full postings scan (round 12)
+    layout.write_keyed(
+        postings, f"{path.rstrip('/')}/postings", "pkey", n_buckets,
+        sort_within="term",
+    )
     layout.write_keyed(dl, f"{path.rstrip('/')}/doclen", id_col, n_buckets)
 
 
@@ -1732,10 +1738,14 @@ def _bm25_index_tables(spark, path: str, id_col: str):
     lengths with tombstoned docs (bm25_index_delete) anti-joined out —
     the read-side half of log-structured deletes.  The tombstone set
     is deletion-sized; broadcast it."""
-    postings = spark.read.parquet(f"{path.rstrip('/')}/postings").drop(
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        read_keyed,
+    )
+
+    postings = read_keyed(spark, f"{path.rstrip('/')}/postings").drop(
         "pkey", "_bucket"
     )
-    dl = spark.read.parquet(f"{path.rstrip('/')}/doclen").drop("_bucket")
+    dl = read_keyed(spark, f"{path.rstrip('/')}/doclen").drop("_bucket")
     jvm = spark._jvm
     t_dir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/tombstones")
     fs = t_dir.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1861,6 +1871,7 @@ def bm25_index_compact(
         f"{tmp}/postings",
         "pkey",
         n_buckets,
+        sort_within="term",
     )
     layout.write_keyed(dl, f"{tmp}/doclen", id_col, n_buckets)
     swapped = []
@@ -1925,6 +1936,7 @@ def phrase_index_write(
         f"{path.rstrip('/')}/positions",
         "pkey",
         n_buckets,
+        sort_within="term",
     )
 
 
@@ -1976,11 +1988,12 @@ def phrase_count_from_index(
     broadcast."""
     if not phrase:
         raise ValueError("phrase_count_from_index: empty phrase")
-    tbl = (
-        spark.read.parquet(f"{path.rstrip('/')}/positions")
-        .drop("pkey", "_bucket")
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        _fs,
+        read_keyed,
     )
-    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import _fs
+
+    tbl = read_keyed(spark, f"{path.rstrip('/')}/positions").drop("pkey", "_bucket")
 
     jvm, fs = _fs(spark, path)
     t_dir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/tombstones")

@@ -7718,7 +7718,7 @@ def phrase_index_served_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k + 1000000000, CAST(555 AS BIGINT) FROM o WHERE k % 200 = 101
     )
     SELECT (SELECT count(*) FROM final)            AS n_rows,
-           (SELECT sum(pc) FROM final)             AS sum_price_c,
+           coalesce((SELECT sum(pc) FROM final), 0) AS sum_price_c,
            (SELECT count(*) FROM o)                AS v1_rows,
            (SELECT count(*) FROM o WHERE k % 100 = 1) AS v2_inserts,
            (SELECT count(*) FROM o WHERE k % 10 = 3)  AS v2_updates,
@@ -7804,7 +7804,7 @@ def snapshot_upsert_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
     row = (
         int(fin["n"]),
-        int(fin["s"]),
+        int(fin["s"] or 0),  # SUM over an empty table is NULL
         int(v1_rows),
         int(feed.get((2, "insert"), 0)),
         int(feed.get((2, "update"), 0)),

@@ -187,6 +187,7 @@ def write_keyed(
     key_col: str,
     n_buckets: int = 16,
     fmt: str = "parquet",
+    sort_within: str | list[str] | None = None,
 ) -> None:
     """Write a key-addressed table hive-partitioned by a deterministic
     hash bucket of ``key_col`` — the layout that makes ``merge_upsert``
@@ -194,13 +195,34 @@ def write_keyed(
     One directory per bucket; each bucket clustered into one task's
     files.  Bucket count is a layout constant: pick it so a bucket
     (~table/n) fits a rewrite task comfortably, and re-bucket with a
-    fresh write_keyed when the table outgrows it."""
+    fresh write_keyed when the table outgrows it.
+
+    ``sort_within`` clusters rows inside each bucket's files by those
+    columns (recorded in the sidecar; ``merge_upsert`` preserves it on
+    every bucket rewrite).  Use it when reads filter on a NON-key
+    column: bucketing by pkey hash gives merge locality but zero read
+    selectivity for that column, while sorted files make parquet
+    row-group min/max stats sharp — e.g. the BM25/phrase posting
+    tables are keyed on term:doc for MERGE but QUERIED by term, and
+    term-sorted row groups turn a per-query posting lookup from a
+    full-file scan into row-group skipping (the at-scale difference
+    between reading Σ df rows and reading the whole postings
+    table)."""
+    sort_cols = (
+        [sort_within] if isinstance(sort_within, str) else list(sort_within or [])
+    )
     out = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
-    )
+    ).repartition(F.col("_bucket"))
+    if sort_cols:
+        # _bucket FIRST: FileFormatWriter requires ordering by the
+        # partition columns and would otherwise insert its own
+        # _bucket-only sort, destroying the clustering; with _bucket
+        # as the prefix our order satisfies the requirement and is
+        # kept verbatim
+        out = out.sortWithinPartitions("_bucket", *sort_cols)
     (
-        out.repartition(F.col("_bucket"))
-        .write.partitionBy("_bucket")
+        out.write.partitionBy("_bucket")
         .format(fmt)
         .mode("overwrite")
         .save(path)
@@ -215,8 +237,42 @@ def write_keyed(
     meta = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_keyed_layout.json")
     fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
     st = fs.create(meta, True)
-    st.write(bytearray(json.dumps({"key_col": key_col, "n_buckets": n_buckets}).encode()))
+    sidecar = {
+        "key_col": key_col,
+        "n_buckets": n_buckets,
+        # schema rides the sidecar so read_keyed can serve an EMPTY
+        # table (zero rows written -> no part files -> parquet schema
+        # inference would fail)
+        "schema": df.schema.json(),
+    }
+    if sort_cols:
+        sidecar["sort_within"] = sort_cols
+    st.write(bytearray(json.dumps(sidecar).encode()))
     st.close()
+
+
+def read_keyed(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a ``write_keyed`` table, INCLUDING the empty case: a table
+    written from zero rows has a sidecar but no part files, where raw
+    ``spark.read.parquet`` fails schema inference — serve an empty
+    frame from the sidecar's recorded schema instead (with a typed
+    NULL ``_bucket`` so partition-column filters still resolve)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    jvm, fs = _fs(spark, path)
+    meta_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_keyed_layout.json")
+    if not fs.exists(meta_p):
+        raise ValueError(f"read_keyed: {path} is not a write_keyed table")
+    try:
+        return spark.read.format(fmt).load(path)
+    except Exception:
+        meta = json.loads(_read_small(spark, f"{path.rstrip('/')}/_keyed_layout.json"))
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        return spark.createDataFrame([], schema).withColumn(
+            "_bucket", F.lit(None).cast("int")
+        )
 
 
 def merge_upsert(
@@ -310,10 +366,8 @@ def merge_upsert(
     )  # bounded by n_buckets — a layout constant, never data-scale
     if not touched:
         return 0
-    existing = (
-        spark.read.format(fmt)
-        .load(path)
-        .filter(F.col("_bucket").isin(touched))  # partition-pruned scan
+    existing = read_keyed(spark, path, fmt).filter(
+        F.col("_bucket").isin(touched)  # partition-pruned scan
     )
     keys = upd.select(F.col(key_col))
     merged = (
@@ -326,9 +380,14 @@ def merge_upsert(
         )
     )
     tmp = path.rstrip("/") + ".merge.tmp"
+    out = merged.repartition(F.col("_bucket"))
+    if meta.get("sort_within"):
+        # preserve the table's declared in-file clustering — a merge
+        # that dropped it would silently degrade read selectivity on
+        # every rewritten bucket (_bucket prefix: see write_keyed)
+        out = out.sortWithinPartitions("_bucket", *meta["sort_within"])
     (
-        merged.repartition(F.col("_bucket"))
-        .write.partitionBy("_bucket")
+        out.write.partitionBy("_bucket")
         .format(fmt)
         .mode("overwrite")
         .save(tmp)

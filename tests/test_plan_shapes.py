@@ -685,11 +685,16 @@ def test_bm25_posting_bounded_and_scalars_broadcast(spark):
 
 
 def test_hybrid_rrf_fusion_is_bounded(spark):
-    """Both candidate lists are k-bounded before fusion: the fused
-    top-10 rides TakeOrderedAndProject, never a global Sort of the
-    corpus; the vector side broadcasts the 1-row query."""
+    """Both candidate lists are k-bounded before fusion and the fused
+    per-query top-10 is rank-limit-pushed (WindowGroupLimit
+    Partial+Final — the per-query analog of TakeOrderedAndProject:
+    each partition keeps ≤10 rows BEFORE the shuffle, never a global
+    sort of the corpus).  The round-12 shared-core refactor moved the
+    final window from a global orderBy to partitionBy(query_id) —
+    the multi-query-scalable shape."""
     plan = plan_of(spark, "hybrid_rrf_topk")
-    assert "TakeOrderedAndProject" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
 
 

@@ -216,3 +216,38 @@ def test_ann_index_drift_monitor_and_rebuild(spark, tmp_path):
     )
     exact = similarity.ann_index_recall(spark, idx, k=5, nprobe=n_cells)
     assert exact["recall_at_k"] == 1.0
+
+
+def test_posting_tables_term_sorted_within_files(spark, tmp_path):
+    """The posting tables' in-file clustering contract: rows inside
+    every file are term-sorted after the initial write AND after a
+    MERGE ingest rewrite (the sidecar carries sort_within, so
+    merge_upsert preserves it) — what makes a query-term lookup
+    row-group-skippable instead of a full postings scan."""
+    docs = load_table(spark, SF, "documents").filter("doc_id < 150")
+    idx = str(tmp_path / "bm25")
+    text.bm25_index_write(docs.filter("doc_id < 100"), idx, n_buckets=4)
+    text.bm25_index_ingest(spark, docs.filter("doc_id >= 100"), idx)
+
+    rows = (
+        spark.read.parquet(f"{idx}/postings")
+        .select(F.input_file_name().alias("f"), "term")
+        .collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["term"])
+    assert len(by_file) > 1
+    for f, terms in by_file.items():
+        assert terms == sorted(terms), f"unsorted file {f}"
+    # and the scores still match the from-corpus path after the ingest
+    q = spark.createDataFrame([(0, "hash"), (0, "join")], "query_id int, term string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_q12"]
+        for r in text.bm25_from_index(spark, idx, q).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_q12"]
+        for r in text.bm25_scores(docs, q).collect()
+    }
+    assert got == want and got
