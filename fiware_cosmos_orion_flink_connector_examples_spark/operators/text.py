@@ -1684,6 +1684,73 @@ def bm25_index_write(
         sort_within="term",
     )
     layout.write_keyed(dl, f"{path.rstrip('/')}/doclen", id_col, n_buckets)
+    _write_docterms(docs, path, id_col, text_col, n_buckets)
+
+
+def _docterms_parts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc term listing: (id, terms array) — the doc-keyed sidecar
+    that lets a changed-doc re-ingest find the terms the NEW text
+    dropped, with a bucket-pruned read instead of a postings scan."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+    )
+
+
+def _write_docterms(docs, path, id_col, text_col, n_buckets):
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    layout.write_keyed(
+        _docterms_parts(docs, id_col, text_col),
+        f"{path.rstrip('/')}/docterms",
+        id_col,
+        n_buckets,
+    )
+
+
+def _stale_posting_keys(spark, path: str, new_docs_terms: DataFrame, id_col: str):
+    """(id, term) pairs present in the stored index for the batch's
+    docs but ABSENT from their new text — the postings a changed-doc
+    re-ingest must drop.  The old-term lookup reads ONLY the batch
+    docs' hash buckets of the doc-keyed ``docterms`` table (manual
+    bucket pruning off the sidecar's n_buckets), never the postings
+    table.  Returns None for a pre-round-12 index with no docterms
+    table (the documented append-only caveat applies there)."""
+    import json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
+        _fs,
+        _read_small,
+        read_keyed,
+    )
+
+    base = f"{path.rstrip('/')}/docterms"
+    jvm, fs = _fs(spark, base)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/_keyed_layout.json")):
+        return None
+    meta = json.loads(_read_small(spark, f"{base}/_keyed_layout.json"))
+    nb = int(meta["n_buckets"])
+    batch_ids = new_docs_terms.select(id_col).distinct()
+    touched = [
+        r["_b"]
+        for r in batch_ids.select(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(nb)).alias("_b")
+        )
+        .distinct()
+        .collect()
+    ]  # bounded by n_buckets — a layout constant
+    old_terms = (
+        read_keyed(spark, base)
+        .filter(F.col("_bucket").isin(touched))
+        .join(F.broadcast(batch_ids), id_col, "semi")
+        .select(F.col(id_col), F.explode("terms").alias("term"))
+    )
+    new_pairs = new_docs_terms.select(
+        F.col(id_col), F.explode("terms").alias("term")
+    )
+    return old_terms.join(new_pairs, [id_col, "term"], "left_anti")
 
 
 def bm25_index_ingest(
@@ -1696,16 +1763,32 @@ def bm25_index_ingest(
     """Incremental index maintenance: MERGE a new/changed doc batch
     into a ``bm25_index_write`` index — only the hash buckets holding
     the batch's postings/doc-lengths are rewritten (the merge_upsert
-    copy-on-write contract).  NOTE the posting key is (term, doc):
-    re-ingesting a CHANGED doc updates/adds postings but cannot drop
-    a term the new text no longer contains — deletion needs a
-    tombstone or a per-doc key listing, stated rather than pretended
-    (same caveat as every log-structured index before compaction)."""
+    copy-on-write contract).
+
+    CHANGED-doc correctness (round 12): a re-ingested doc's new text
+    may have DROPPED terms, whose (term, doc) posting rows would
+    otherwise survive as ghosts.  The per-doc ``docterms`` listing
+    (doc-keyed → its read prunes to the batch docs' buckets) yields
+    those stale keys, which ride the SAME merge as tf=0 SOFT-DELETE
+    rows — readers filter ``tf > 0`` (one shared read path), and
+    ``bm25_index_compact`` rewrites them away physically (the Lucene
+    delete-then-merge lifecycle).  A pre-round-12 index without a
+    docterms table keeps the old append-only behavior, stated not
+    hidden."""
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
 
     postings, dl = _bm25_index_parts(new_docs, id_col, text_col)
+    new_terms = _docterms_parts(new_docs, id_col, text_col)
+    stale = _stale_posting_keys(spark, path, new_terms, id_col)
+    if stale is not None:
+        soft_deletes = stale.select(
+            _posting_key(id_col), "term", id_col, F.lit(0).cast("long").alias("tf")
+        )
+        postings = postings.unionByName(soft_deletes)
     layout.merge_upsert(spark, f"{path.rstrip('/')}/postings", postings, "pkey")
     layout.merge_upsert(spark, f"{path.rstrip('/')}/doclen", dl, id_col)
+    if stale is not None:
+        layout.merge_upsert(spark, f"{path.rstrip('/')}/docterms", new_terms, id_col)
 
 
 def bm25_from_index(
@@ -1742,8 +1825,10 @@ def _bm25_index_tables(spark, path: str, id_col: str):
         read_keyed,
     )
 
-    postings = read_keyed(spark, f"{path.rstrip('/')}/postings").drop(
-        "pkey", "_bucket"
+    postings = (
+        read_keyed(spark, f"{path.rstrip('/')}/postings")
+        .drop("pkey", "_bucket")
+        .filter(F.col("tf") > 0)  # tf=0 = changed-doc soft delete
     )
     dl = read_keyed(spark, f"{path.rstrip('/')}/doclen").drop("_bucket")
     jvm = spark._jvm
@@ -1852,7 +1937,7 @@ def bm25_index_compact(
     jvm, fs = _fs(spark, base)
     # recovery pass FIRST: a prior compact may have died between its
     # two renames, leaving {base}/{t} only at {base}/.{t}.old
-    for t in ("postings", "doclen"):
+    for t in ("postings", "doclen", "docterms"):
         cur = jvm.org.apache.hadoop.fs.Path(f"{base}/{t}")
         old = jvm.org.apache.hadoop.fs.Path(f"{base}/.{t}.old")
         if not fs.exists(cur) and fs.exists(old):
@@ -1874,8 +1959,22 @@ def bm25_index_compact(
         sort_within="term",
     )
     layout.write_keyed(dl, f"{tmp}/doclen", id_col, n_buckets)
+    tables = ["postings", "doclen"]
+    dt_p = jvm.org.apache.hadoop.fs.Path(f"{base}/docterms")
+    if fs.exists(dt_p) or fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{base}/.docterms.old")
+    ):
+        # rebuild the per-doc term listing from the LIVE (tf>0,
+        # tombstone-free) postings so compaction also clears the
+        # soft-delete bookkeeping
+        docterms = (
+            postings.groupBy(id_col)
+            .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+        )
+        layout.write_keyed(docterms, f"{tmp}/docterms", id_col, n_buckets)
+        tables.append("docterms")
     swapped = []
-    for t in ("postings", "doclen"):
+    for t in tables:
         cur = jvm.org.apache.hadoop.fs.Path(f"{base}/{t}")
         old = jvm.org.apache.hadoop.fs.Path(f"{base}/.{t}.old")
         new = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{t}")
@@ -1938,6 +2037,10 @@ def phrase_index_write(
         n_buckets,
         sort_within="term",
     )
+    # per-doc term listing for changed-doc stale-key detection; when
+    # co-located with a BM25 index at the same path the two writes
+    # produce identical content (same tokenizer) — harmless overwrite
+    _write_docterms(docs, path, id_col, text_col, n_buckets)
 
 
 def phrase_index_ingest(
@@ -1952,15 +2055,28 @@ def phrase_index_ingest(
     keys are rewritten (the merge_upsert copy-on-write contract), and
     a changed doc's position arrays REPLACE the old ones wholesale
     because the whole array is the row value (no partial-array merge
-    to get wrong)."""
+    to get wrong).  Terms the new text DROPPED ride the same merge as
+    empty-array soft-delete rows (keys from the doc-keyed ``docterms``
+    listing, bucket-pruned) — the reader filters them, compaction of a
+    co-located BM25 index clears the shared bookkeeping."""
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
 
+    parts = _phrase_index_parts(new_docs, id_col, text_col)
+    new_terms = _docterms_parts(new_docs, id_col, text_col)
+    stale = _stale_posting_keys(spark, path, new_terms, id_col)
+    if stale is not None:
+        empty = F.array().cast("array<int>")
+        parts = parts.unionByName(
+            stale.select(_posting_key(id_col), "term", id_col, empty.alias("positions"))
+        )
     layout.merge_upsert(
         spark,
         f"{path.rstrip('/')}/positions",
-        _phrase_index_parts(new_docs, id_col, text_col),
+        parts,
         "pkey",
     )
+    if stale is not None:
+        layout.merge_upsert(spark, f"{path.rstrip('/')}/docterms", new_terms, id_col)
 
 
 def phrase_count_from_index(
@@ -1993,7 +2109,11 @@ def phrase_count_from_index(
         read_keyed,
     )
 
-    tbl = read_keyed(spark, f"{path.rstrip('/')}/positions").drop("pkey", "_bucket")
+    tbl = (
+        read_keyed(spark, f"{path.rstrip('/')}/positions")
+        .drop("pkey", "_bucket")
+        .filter(F.size("positions") > 0)  # changed-doc soft deletes
+    )
 
     jvm, fs = _fs(spark, path)
     t_dir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/tombstones")

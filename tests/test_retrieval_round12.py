@@ -251,3 +251,77 @@ def test_posting_tables_term_sorted_within_files(spark, tmp_path):
         for r in text.bm25_scores(docs, q).collect()
     }
     assert got == want and got
+
+
+def test_changed_doc_drops_stale_terms(spark, tmp_path):
+    """Round-12 ghost-posting fix: re-ingesting a CHANGED doc whose new
+    text dropped a term soft-deletes the stale (term, doc) posting —
+    stored-index BM25 scores equal the from-corpus scores of the FINAL
+    logical corpus even for the dropped term (previously a documented
+    append-only caveat), the phrase index stops matching the dropped
+    phrase, and compaction clears the soft-delete rows physically."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha delta"),
+            (3, "beta gamma beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    text.bm25_index_write(corpus, idx, n_buckets=4)
+    text.phrase_index_write(corpus, idx, n_buckets=4)
+    # doc 1 changes: loses 'alpha' and the 'beta gamma' adjacency
+    changed = spark.createDataFrame(
+        [(1, "gamma epsilon beta")], "doc_id long, text string"
+    )
+    text.bm25_index_ingest(spark, changed, idx)
+    text.phrase_index_ingest(spark, changed, idx)
+
+    final = corpus.filter("doc_id != 1").unionByName(changed)
+    q = spark.createDataFrame(
+        [(0, "alpha"), (1, "epsilon"), (2, "beta")], "query_id int, term string"
+    )
+
+    def as_map(df):
+        return {(r["query_id"], r["doc_id"]): r["score_q12"] for r in df.collect()}
+
+    got = as_map(text.bm25_from_index(spark, idx, q))
+    want = as_map(text.bm25_scores(final, q))
+    assert got == want
+    assert (0, 1) not in got  # the ghost posting the old ingest kept
+
+    phr = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in text.phrase_count_from_index(spark, idx, ["beta", "gamma"]).collect()
+    }
+    assert phr == {(3, 2)}  # doc 1's old adjacency is gone
+
+    # compaction rewrites the soft deletes away and rebuilds docterms
+    raw_before = (
+        spark.read.parquet(f"{idx}/postings").filter("tf = 0").count()
+    )
+    assert raw_before > 0
+    text.bm25_index_compact(spark, idx)
+    assert spark.read.parquet(f"{idx}/postings").filter("tf = 0").count() == 0
+    assert as_map(text.bm25_from_index(spark, idx, q)) == want
+    dt = {
+        r["doc_id"]: list(r["terms"])
+        for r in spark.read.parquet(f"{idx}/docterms").collect()
+    }
+    assert "alpha" not in dt[1] and "epsilon" in dt[1]
+    # a second changed-doc ingest AFTER compaction still drops cleanly
+    text.bm25_index_ingest(
+        spark,
+        spark.createDataFrame([(2, "delta only")], "doc_id long, text string"),
+        idx,
+    )
+    q2 = spark.createDataFrame([(0, "alpha")], "query_id int, term string")
+    assert as_map(text.bm25_from_index(spark, idx, q2)) == as_map(
+        text.bm25_scores(
+            final.filter("doc_id != 2").unionByName(
+                spark.createDataFrame([(2, "delta only")], "doc_id long, text string")
+            ),
+            q2,
+        )
+    )
