@@ -1069,6 +1069,7 @@ def snapshot_write_keyed(
     path: str,
     key_col: str,
     n_buckets: int = 16,
+    _txn_update: dict | None = None,
 ) -> int:
     """Create a KEYED snapshot table: rows hash-bucketed by ``key_col``
     into one file set per bucket, the bucket map recorded in the
@@ -1099,6 +1100,11 @@ def snapshot_write_keyed(
         "segments": [rel],
         "keyed": {"key_col": key_col, "n_buckets": n_buckets},
     }
+    if _txn_update:
+        # a streaming sink creating its table on batch 0 needs the
+        # watermark on the CREATING commit too, or a replayed batch 0
+        # would hit the already-has-commits guard and crash-loop
+        manifest["txn"] = dict(_txn_update)
     _commit_manifest(spark, base, 1, manifest)
     return 1
 

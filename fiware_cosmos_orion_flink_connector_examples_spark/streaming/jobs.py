@@ -248,6 +248,16 @@ def maintain_hourly_rollup(events: DataFrame, table_path: str):
     At 100 TB this is how a 10-year rollup absorbs a late hour without
     a full recompute.
 
+    DELIVERY CAVEAT (stated, not hidden): this plain-parquet variant is
+    AT-LEAST-ONCE under foreachBatch retries — a batch replayed after
+    its dynamic overwrite completed re-adds its counts, and dynamic
+    partition overwrite is not atomic across partitions, so a crash
+    mid-write can leave some hours post-merge and others pre-merge.
+    ``maintain_hourly_rollup_txn`` is the EXACTLY-ONCE variant on the
+    snapshot commit log (atomic cross-partition commit + per-app
+    batch watermark); use it unless readers require the bare
+    hive-partitioned layout.
+
     Returns the function to pass to ``foreachBatch``.
     """
 
@@ -308,6 +318,111 @@ def maintain_hourly_rollup(events: DataFrame, table_path: str):
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         finally:
             part.unpersist()
+
+    return merge_batch
+
+
+def maintain_hourly_rollup_txn(
+    table_path: str,
+    txn_app_id: str = "hourly-rollup",
+):
+    """EXACTLY-ONCE continuous-aggregate maintenance on the SNAPSHOT
+    layer — the transactional twin of ``maintain_hourly_rollup``:
+    the rollup lives as a keyed snapshot table (key = hour|event_type),
+    each micro-batch becomes ONE atomic manifest commit carrying BOTH
+    the re-summed touched keys and the per-app batch watermark, so
+
+      * a batch replayed after a completed commit sees batch_id ≤ its
+        watermark and skips (no double-count — the defect class the
+        round-12 CMS fix closed, solved here by the commit log instead
+        of a swap);
+      * a crash anywhere before the manifest rename leaves the table
+        at the previous version, and the retry recomputes against that
+        unchanged base (read-modify-write is safe because the read and
+        the watermark commit are the same atomic unit);
+      * cross-hour atomicity is total — no partial dynamic-overwrite
+        states (the plain variant's documented gap).
+
+    Scale shape: the batch partial-agg is map-side combined; the
+    read-modify joins the CURRENT table against the batch's touched
+    keys (broadcast — bounded by hours×types in one batch); a rollup
+    table is hours×types rows, tiny at any corpus size, so the full
+    snapshot_read is metadata-cheap; the merge commit rewrites only
+    the touched keys' hash buckets.  Readers use
+    ``layout.snapshot_read(spark, table_path)`` (time travel and the
+    CDC feed come free).  Returns the function for ``foreachBatch``."""
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        from fiware_cosmos_orion_flink_connector_examples_spark.sources import (
+            layout,
+        )
+
+        spark = batch.sparkSession
+        base = table_path.rstrip("/")
+        part = (
+            batch.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .withColumn(
+                "k",
+                F.concat_ws(
+                    "|", F.col("hour").cast("string"), F.col("event_type")
+                ),
+            )
+            .select("k", "hour", "event_type", "n_events", "sum_value")
+        )
+        last_err = None
+        for _ in range(5):
+            cur = layout.snapshot_latest_version(spark, base)
+            if cur > 0:
+                prev = layout._load_manifest_doc(spark, base, cur)
+                last = (prev.get("txn") or {}).get(txn_app_id)
+                if last is not None and batch_id <= last:
+                    return  # replay of an already-committed batch
+            try:
+                if cur == 0:
+                    layout.snapshot_write_keyed(
+                        spark,
+                        part,
+                        base,
+                        "k",
+                        n_buckets=8,
+                        _txn_update={txn_app_id: batch_id},
+                    )
+                    return
+                existing = layout.snapshot_read(spark, base)
+                merged = (
+                    part.unionByName(
+                        existing.join(
+                            F.broadcast(part.select("k")), "k", "semi"
+                        )
+                    )
+                    .groupBy("k", "hour", "event_type")
+                    .agg(
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("sum_value").alias("sum_value"),
+                    )
+                )
+                layout.snapshot_merge(
+                    spark,
+                    base,
+                    merged,
+                    "k",
+                    _txn_update={txn_app_id: batch_id},
+                )
+                return
+            except IOError as e:  # lost an optimistic-concurrency race
+                last_err = e
+                continue
+        raise IOError(
+            f"maintain_hourly_rollup_txn: commit kept conflicting for "
+            f"batch {batch_id}: {last_err}"
+        )
 
     return merge_batch
 

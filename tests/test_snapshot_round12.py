@@ -520,3 +520,54 @@ def test_merge_stream_e2e_structured_streaming(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert layout.snapshot_latest_version(spark, table) == 1 + len(batches)
+
+
+def test_hourly_rollup_txn_exactly_once(spark, tmp_path):
+    """The transactional continuous aggregate: batches merge additively
+    into a keyed snapshot table; a REPLAYED batch_id is a no-op (the
+    at-least-once double-count the plain dynamic-overwrite variant
+    documents); totals equal the one-shot batch aggregate; time travel
+    reaches every intermediate rollup state."""
+    import datetime as dt
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    t0 = dt.datetime(2026, 5, 1, 10, 0, 0)
+    batches = [
+        [(t0, "click", 1.0), (t0, "view", 2.0)],
+        [(t0, "click", 3.0), (dt.datetime(2026, 5, 1, 11, 0, 0), "click", 5.0)],
+        [(t0, "view", 7.0)],
+    ]
+    table = str(tmp_path / "rollup")
+    sink = jobs.maintain_hourly_rollup_txn(table, "rollupA")
+    for bid, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        sink(b, bid)
+        sink(b, bid)  # immediate redelivery: absorbed
+    # stale redelivery of every batch, out of order
+    for bid, rows in enumerate(batches):
+        sink(
+            spark.createDataFrame(rows, "ts timestamp, event_type string, value double"),
+            bid,
+        )
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in layout.snapshot_read(spark, table).collect()
+    }
+    all_rows = [r for rows in batches for r in rows]
+    expect = {}
+    for ts, et, v in all_rows:
+        hour = ts.replace(minute=0, second=0)
+        n, s = expect.get((hour, et), (0, 0.0))
+        expect[(hour, et)] = (n + 1, s + v)
+    assert got == expect
+    # one commit per APPLIED batch (3 applied + the creation = 3
+    # versions: batch 0 creates v1, batches 1-2 are v2-v3)
+    assert layout.snapshot_latest_version(spark, table) == 3
+    # time travel: after batch 0 the rollup held only its two rows
+    v1 = {
+        (r["hour"], r["event_type"]) for r in layout.snapshot_read(spark, table, 1).collect()
+    }
+    assert v1 == {(t0, "click"), (t0, "view")}
