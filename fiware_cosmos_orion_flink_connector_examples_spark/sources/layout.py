@@ -595,6 +595,20 @@ def write_training_shards(
 # everything rename-based: atomic on HDFS/posix stores, not on S3A.
 
 
+class SnapshotTxnAlreadyApplied(Exception):
+    """Raised by snapshot_commit/snapshot_merge when a _txn_update does
+    not ADVANCE its app's watermark in the manifest the commit would
+    supersede — the transactional-idempotence guard INSIDE the commit
+    protocol.  The sinks' cheap pre-check catches ordinary replays; this
+    guard closes the zombie-writer race (two live instances of the same
+    app: both pass the pre-check, one commits, the other must abort
+    here instead of appending the batch a second time — Delta's
+    txnVersion revalidation).  Because an interleaving foreign commit
+    makes the rename conflict and the retry re-reads the new manifest,
+    this check is always evaluated against the manifest actually
+    superseded."""
+
+
 def _fs(spark, path: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -811,6 +825,12 @@ def snapshot_commit(
             fields.extend(by_name.values())
             schema = StructType(fields)
     if _txn_update:
+        for app, bid in _txn_update.items():
+            if app in txn and bid <= txn[app]:
+                raise SnapshotTxnAlreadyApplied(
+                    f"txn {app!r} batch {bid} already applied "
+                    f"(watermark {txn[app]})"
+                )
         txn.update(_txn_update)
     new_version = cur_version + 1
     data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
@@ -1183,6 +1203,14 @@ def snapshot_merge(
             f"snapshot_merge: table is keyed on {keyed['key_col']!r}, not {key_col!r}"
         )
     n_buckets = int(keyed["n_buckets"])
+    if _txn_update:
+        for app, bid in _txn_update.items():
+            prev_wm = resolved["txn"].get(app)
+            if prev_wm is not None and bid <= prev_wm:
+                raise SnapshotTxnAlreadyApplied(
+                    f"txn {app!r} batch {bid} already applied "
+                    f"(watermark {prev_wm})"
+                )
     dup = (
         updates.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1431,6 +1459,8 @@ def snapshot_append_stream(
                     _txn_update={txn_app_id: batch_id},
                 )
                 return
+            except SnapshotTxnAlreadyApplied:
+                return  # a concurrent instance of THIS app won
             except IOError as e:  # lost the optimistic-concurrency race
                 last_err = e
                 continue
@@ -1483,6 +1513,8 @@ def snapshot_merge_stream(
                     _txn_update={txn_app_id: batch_id},
                 )
                 return
+            except SnapshotTxnAlreadyApplied:
+                return  # a concurrent instance of THIS app won
             except IOError as e:  # lost the optimistic-concurrency race
                 last_err = e
                 continue

@@ -416,6 +416,8 @@ def maintain_hourly_rollup_txn(
                     _txn_update={txn_app_id: batch_id},
                 )
                 return
+            except layout.SnapshotTxnAlreadyApplied:
+                return  # a concurrent instance of THIS app won
             except IOError as e:  # lost an optimistic-concurrency race
                 last_err = e
                 continue

@@ -571,3 +571,57 @@ def test_hourly_rollup_txn_exactly_once(spark, tmp_path):
         (r["hour"], r["event_type"]) for r in layout.snapshot_read(spark, table, 1).collect()
     }
     assert v1 == {(t0, "click"), (t0, "view")}
+
+
+def test_txn_guard_inside_commit_protocol(spark, tmp_path):
+    """The zombie-writer guard: a _txn_update that does not ADVANCE its
+    app's watermark aborts INSIDE snapshot_commit/snapshot_merge (the
+    Delta txnVersion revalidation) — the sinks' cheap pre-check alone
+    cannot stop two live instances of one app from double-applying a
+    batch.  Sinks treat the abort as a replay and skip silently."""
+    path = str(tmp_path / "snap")
+    layout.snapshot_commit(
+        spark, _kv(spark, [(1, "a")]), path, mode="append", _txn_update={"app": 5}
+    )
+    with pytest.raises(layout.SnapshotTxnAlreadyApplied):
+        layout.snapshot_commit(
+            spark,
+            _kv(spark, [(1, "dup")]),
+            path,
+            mode="append",
+            _txn_update={"app": 5},
+        )
+    with pytest.raises(layout.SnapshotTxnAlreadyApplied):
+        layout.snapshot_commit(
+            spark,
+            _kv(spark, [(1, "old")]),
+            path,
+            mode="append",
+            _txn_update={"app": 3},
+        )
+    # advancing is fine; another app's low ids are independent
+    layout.snapshot_commit(
+        spark, _kv(spark, [(2, "b")]), path, mode="append", _txn_update={"app": 6}
+    )
+    layout.snapshot_commit(
+        spark, _kv(spark, [(3, "c")]), path, mode="append", _txn_update={"appB": 0}
+    )
+    assert layout.snapshot_manifest(spark, path)["txn"] == {"app": 6, "appB": 0}
+    # rows from the rejected commits never became visible
+    got = {r["v"] for r in layout.snapshot_read(spark, path).collect()}
+    assert got == {"a", "b", "c"}
+
+    # same guard on the MERGE path
+    kpath = str(tmp_path / "ksnap")
+    layout.snapshot_write_keyed(
+        spark, _kv(spark, [(1, "a")]), kpath, "k", _txn_update={"m": 2}
+    )
+    with pytest.raises(layout.SnapshotTxnAlreadyApplied):
+        layout.snapshot_merge(
+            spark, kpath, _kv(spark, [(1, "dup")]), "k", _txn_update={"m": 2}
+        )
+    assert {r["v"] for r in layout.snapshot_read(spark, kpath).collect()} == {"a"}
+    # the sink swallows the abort as a replay
+    sink = layout.snapshot_merge_stream(kpath, "k", "m")
+    sink(_kv(spark, [(1, "dup2")]), 2)  # pre-check catches it → no-op
+    assert {r["v"] for r in layout.snapshot_read(spark, kpath).collect()} == {"a"}
