@@ -1834,10 +1834,15 @@ def snapshot_tail(
         try:
             feed = snapshot_changes_feed(spark, base, 0, latest)
         except ValueError:
-            feed = snapshot_changes_feed(spark, base, 1, latest)
-            cursor = 1
+            # v1 kept no delta (an initial overwrite/keyed load) — the
+            # consumer bootstraps it via snapshot_read(version=1) and
+            # the feed starts after it.  latest == 1 must short-circuit
+            # BEFORE re-calling the feed: the (1, 1] span is empty and
+            # would raise instead of meaning "nothing new yet".
             if latest == 1:
                 return None, 1
+            feed = snapshot_changes_feed(spark, base, 1, latest)
+            cursor = 1
     else:
         feed = snapshot_changes_feed(spark, base, cursor, latest)
     return feed, latest

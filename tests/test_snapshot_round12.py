@@ -625,3 +625,19 @@ def test_txn_guard_inside_commit_protocol(spark, tmp_path):
     sink = layout.snapshot_merge_stream(kpath, "k", "m")
     sink(_kv(spark, [(1, "dup2")]), 2)  # pre-check catches it → no-op
     assert {r["v"] for r in layout.snapshot_read(spark, kpath).collect()} == {"a"}
+
+
+def test_snapshot_tail_bootstrap_single_version(spark, tmp_path):
+    """A tail on a table holding ONLY its initial load (v1, no delta)
+    means 'nothing to stream yet' — not an error (regression pin for
+    the empty (1, 1] span)."""
+    path = str(tmp_path / "ksnap")
+    layout.snapshot_write_keyed(spark, _kv(spark, [(1, "a")]), path, "k", n_buckets=2)
+    feed, cur = layout.snapshot_tail(spark, path)
+    assert feed is None and cur == 1
+    # the first real commit then flows
+    layout.snapshot_merge(spark, path, _kv(spark, [(2, "b")]), "k")
+    feed2, cur2 = layout.snapshot_tail(spark, path, cursor=cur)
+    assert cur2 == 2 and [
+        (r["_version"], r["k"], r["_change"]) for r in feed2.collect()
+    ] == [(2, 2, "insert")]
