@@ -5308,10 +5308,15 @@ def quality_decile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DAU/WAU stickiness ratio per active day.  The exact trailing "
     "distinct uses the contribution-explode shape: the DISTINCT "
     "(day, user) table (already tiny relative to events) fans each "
-    "row into the 7 report days it contributes to, then a distinct "
-    "count per day — a bounded 7x blowup of the REDUCED table, never "
-    "a self-join of events or a per-day range scan; all exchanges "
-    "are day-keyed.  Integer counts, engine-exact.",
+    "row into the 7 report days it contributes to WITH its offset k, "
+    "then ONE day-keyed aggregation computes both counts — "
+    "wau = distinct contributors, dau = distinct k=0 contributors — "
+    "and dau>0 keeps exactly the active days the old dau⋈wau join "
+    "kept.  Round 12 rewrite: the previous shape consumed the "
+    "unpersisted distinct table twice (two full events-distinct "
+    "passes) and paid a join; this is one distinct pass, one agg, "
+    "no join.  Bounded 7x blowup of the REDUCED table, never a "
+    "self-join of events; integer counts, engine-exact.",
     tags=("ext", "temporal", "engagement"),
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5319,10 +5324,12 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     contrib = du.select(
         "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
-    ).select(F.date_add("day", F.col("k")).alias("day"), "user_id")
-    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
-    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    return dau.join(wau, "day").select(
+    ).select(F.date_add("day", F.col("k")).alias("day"), "user_id", "k")
+    agg = contrib.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("k") == 0, F.col("user_id"))).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )
+    return agg.filter(F.col("dau") > 0).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "dau",
         "wau",

@@ -80,6 +80,7 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
     # r12: emptied at round start (round hygiene).  Repopulate below as
     # round-12 rewrites of oracle-bearing queries land.
     "hybrid_rrf_topk",  # refactored onto the shared retrieval.rrf core
+    "events_dau_wau",  # one-pass dau+wau agg (was two distinct passes + join)
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
