@@ -69,13 +69,14 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #   3. Ascending last-green round (least-recently-proved first), ties by
 #      registration order.
 #
-# Window arithmetic this round (r6): 3 changed (sample_token_budget /
-# sample_weighted_quality / events_type_islands — physically rewritten
-# after their r5 proofs) + the never-checked round-6 queries + the
-# least-recently-green tail (the 13 r3-proven queries VERDICT r5
-# verified front the computed window, then the oldest r4 proofs) = 50.
-# Everything outside the window holds an r4/r5 proof, so no proof ages
-# past ~3 rounds before rotation re-proves it.
+# Window arithmetic this round (r12): 2 changed (hybrid_rrf_topk —
+# refactored onto the shared retrieval.rrf core; events_dau_wau —
+# one-pass agg rewrite) + the never-checked round-12 registrations
+# (hybrid_rrf_served_topk, phrase_index_served_equals,
+# snapshot_upsert_capstone, retrieval_mrr_ndcg) + the
+# least-recently-green tail = 50.  Everything outside the window holds
+# a recent proof, so no proof ages past ~3 rounds before rotation
+# re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
     # r12: emptied at round start (round hygiene).  Repopulate below as
     # round-12 rewrites of oracle-bearing queries land.

@@ -849,21 +849,7 @@ def snapshot_commit(
     else:
         seg["truncate"] = True
     if stats_cols and new_files:
-        aggs = []
-        for c in stats_cols:
-            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-        rows = (
-            spark.read.parquet(*new_files)
-            .groupBy(F.input_file_name().alias("_f"))
-            .agg(*aggs)
-            .collect()
-        )  # one row per just-written file — commit-sized, never table-sized
-        seg["stats"] = {
-            _normalize_file_uri(r["_f"]): {
-                c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stats_cols
-            }
-            for r in rows
-        }
+        seg["stats"] = _file_stats(spark, new_files, stats_cols)
         seg["stats_types"] = {
             c: df.schema[c].dataType.simpleString() for c in stats_cols
         }
@@ -1089,6 +1075,7 @@ def snapshot_write_keyed(
     path: str,
     key_col: str,
     n_buckets: int = 16,
+    stats_cols: list[str] | None = None,
     _txn_update: dict | None = None,
 ) -> int:
     """Create a KEYED snapshot table: rows hash-bucketed by ``key_col``
@@ -1111,6 +1098,15 @@ def snapshot_write_keyed(
     out.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(data_dir)
     files, buckets = _list_bucket_files(jvm, fs, data_dir)
     seg = {"add": sorted(files), "buckets": buckets, "truncate": True}
+    if stats_cols and files:
+        # file-skipping stats on a KEYED table: recorded per commit
+        # exactly like plain commits; snapshot_merge re-derives the
+        # column set from stats_types so every bucket rewrite keeps
+        # the metadata alive (round 12)
+        seg["stats"] = _file_stats(spark, files, stats_cols)
+        seg["stats_types"] = {
+            c: df.schema[c].dataType.simpleString() for c in stats_cols
+        }
     rel = _write_segment(spark, base, 1, seg)
     manifest = {
         "format": 2,
@@ -1147,6 +1143,30 @@ def _list_bucket_files(jvm, fs, data_dir: str) -> tuple[list[str], dict]:
 
 def _change_struct_cols(schema_names: list[str], key_col: str) -> list[str]:
     return [c for c in schema_names if c != key_col]
+
+
+def _file_stats(spark, files: list[str], stats_cols: list[str], schema=None) -> dict:
+    """Per-file min/max of ``stats_cols`` over just-written files — the
+    one bounded pass (one row per file, commit-sized never table-sized)
+    every stats-recording commit shares."""
+    if not files or not stats_cols:
+        return {}
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    rows = (
+        reader.parquet(*files)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    return {
+        _normalize_file_uri(r["_f"]): {
+            c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stats_cols
+        }
+        for r in rows
+    }
 
 
 def snapshot_merge(
@@ -1258,6 +1278,14 @@ def snapshot_merge(
         "buckets": new_buckets,
         "remove_buckets": touched,
     }
+    if resolved["stats_types"]:
+        # the table records file-skipping stats — keep them alive on
+        # every rewritten bucket (untouched files' stats carry by
+        # segment replay); dropping them here would silently turn
+        # future scans unpruned
+        stats_cols2 = sorted(resolved["stats_types"])
+        seg["stats"] = _file_stats(spark, new_files, stats_cols2, tbl_schema)
+        seg["stats_types"] = resolved["stats_types"]
     if change_log:
         value_cols = _change_struct_cols(tbl_schema.names, key_col)
         del_flag = (
@@ -1742,6 +1770,10 @@ def compact_files(
         files, buckets = _list_bucket_files(jvm, fs, data_dir)
         seg["add"] = sorted(files)
         seg["buckets"] = buckets
+        if resolved["stats_types"]:
+            cols = sorted(resolved["stats_types"])
+            seg["stats"] = _file_stats(spark, files, cols, schema)
+            seg["stats_types"] = resolved["stats_types"]
     else:
         if sort_by:
             out = df.repartitionByRange(
@@ -1762,21 +1794,7 @@ def compact_files(
         if stats_cols is None:
             stats_cols = sorted(resolved["stats_types"])
         if stats_cols and files:
-            aggs = []
-            for c in stats_cols:
-                aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-            rows = (
-                spark.read.schema(schema).parquet(*files)
-                .groupBy(F.input_file_name().alias("_f"))
-                .agg(*aggs)
-                .collect()
-            )  # one row per rewritten file — target_files-bounded
-            seg["stats"] = {
-                _normalize_file_uri(r["_f"]): {
-                    c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stats_cols
-                }
-                for r in rows
-            }
+            seg["stats"] = _file_stats(spark, files, stats_cols, schema)
             seg["stats_types"] = {
                 c: schema[c].dataType.simpleString() for c in stats_cols
             }

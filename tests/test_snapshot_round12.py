@@ -641,3 +641,35 @@ def test_snapshot_tail_bootstrap_single_version(spark, tmp_path):
     assert cur2 == 2 and [
         (r["_version"], r["k"], r["_change"]) for r in feed2.collect()
     ] == [(2, 2, "insert")]
+
+
+def test_keyed_table_stats_survive_merges(spark, tmp_path):
+    """File-skipping stats on a KEYED table: recorded at creation,
+    kept alive by every merge's bucket rewrite (untouched files carry
+    theirs by reference), honored by snapshot_scan, and consistent
+    after compact_files."""
+    path = str(tmp_path / "ksnap")
+    rows = [(i, i * 10) for i in range(200)]
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(rows, "k long, v long"),
+        path,
+        "k",
+        n_buckets=8,
+        stats_cols=["v"],
+    )
+    df, n_read, n_total = layout.snapshot_scan(spark, path, "v", 500, 520)
+    assert sorted(r["k"] for r in df.collect()) == [50, 51, 52]
+    layout.snapshot_merge(
+        spark, path, spark.createDataFrame([(50, -1)], "k long, v long"), "k"
+    )
+    man = layout.snapshot_manifest(spark, path)
+    assert set(man["stats"]) == set(man["files"])  # every live file has stats
+    df2, r2, t2 = layout.snapshot_scan(spark, path, "v", 500, 520)
+    assert sorted(r["k"] for r in df2.collect()) == [51, 52]
+    assert r2 <= t2
+    layout.compact_files(spark, path)
+    man3 = layout.snapshot_manifest(spark, path)
+    assert set(man3["stats"]) == set(man3["files"])
+    df3, _, _ = layout.snapshot_scan(spark, path, "v", 500, 520)
+    assert sorted(r["k"] for r in df3.collect()) == [51, 52]
