@@ -673,3 +673,145 @@ def test_keyed_table_stats_survive_merges(spark, tmp_path):
     assert set(man3["stats"]) == set(man3["files"])
     df3, _, _ = layout.snapshot_scan(spark, path, "v", 500, 520)
     assert sorted(r["k"] for r in df3.collect()) == [51, 52]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete", "compact_files", "compact_meta"]),
+            st.integers(min_value=0, max_value=9),
+            st.text(alphabet="xy", min_size=1, max_size=2),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_snapshot_model_with_compactions(spark, tmp_path_factory, ops):
+    """Model-based check with MAINTENANCE interleaved: random merges,
+    file compactions, and metadata compactions — the table must agree
+    with a dict model at EVERY version (compactions are state
+    no-ops), and the per-commit CDC feed must reproduce exactly the
+    model's per-merge diffs (compaction versions contribute nothing)."""
+    tmp = tmp_path_factory.mktemp("snapcompact")
+    path = str(tmp / "t")
+    model = {0: "init", 5: "init"}
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(sorted(model.items()), "k long, v string"),
+        path,
+        "k",
+        n_buckets=4,
+    )
+    history = [dict(model)]
+    expected_changes: dict[int, set] = {}
+    for op, key, val in ops:
+        version = len(history) + 1
+        if op == "upsert":
+            before = dict(model)
+            model[key] = val
+            layout.snapshot_merge(
+                spark,
+                path,
+                spark.createDataFrame([(key, val)], "k long, v string"),
+                "k",
+            )
+            if key not in before:
+                expected_changes[version] = {(key, "insert", val)}
+            elif before[key] != val:
+                expected_changes[version] = {(key, "update", val)}
+            else:
+                expected_changes[version] = set()  # no-op update excluded
+        elif op == "delete":
+            existed = key in model
+            old_val = model.pop(key, None)
+            layout.snapshot_merge(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(key, None, True)], "k long, v string, _del boolean"
+                ),
+                "k",
+                delete_col="_del",
+            )
+            expected_changes[version] = (
+                {(key, "delete", old_val)} if existed else set()
+            )
+        elif op == "compact_files":
+            layout.compact_files(spark, path)
+            expected_changes[version] = set()
+        else:
+            layout.compact_metadata(spark, path)
+            expected_changes[version] = set()
+        history.append(dict(model))
+
+    for version, expect in enumerate(history, start=1):
+        got = {
+            r["k"]: r["v"]
+            for r in layout.snapshot_read(spark, path, version).collect()
+        }
+        assert got == expect, f"version {version}"
+    feed = layout.snapshot_changes_feed(spark, path, 1)
+    got_changes: dict[int, set] = {v: set() for v in expected_changes}
+    for r in feed.collect():
+        got_changes.setdefault(r["_version"], set()).add(
+            (r["k"], r["_change"], r["v"])
+        )
+    assert got_changes == expected_changes
+
+
+def test_hourly_rollup_txn_e2e_structured_streaming(spark, tmp_path):
+    """maintain_hourly_rollup_txn under a real availableNow stream:
+    per-micro-batch atomic commits, totals equal the one-shot batch
+    aggregate, and a checkpointed restart with no new input commits
+    nothing."""
+    import json as _json
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    rows = [
+        ("2026-05-01 10:05:00", "click", 1.0),
+        ("2026-05-01 10:40:00", "view", 2.0),
+        ("2026-05-01 11:10:00", "click", 4.0),
+        ("2026-05-01 10:59:00", "click", 8.0),
+    ]
+    for i, chunk in enumerate((rows[:2], rows[2:])):
+        with open(spool / f"b{i}.jsonl", "w") as f:
+            for ts, et, v in chunk:
+                f.write(_json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+    table = str(tmp_path / "rollup")
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(spool))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                jobs.maintain_hourly_rollup_txn(table, "rollupE2E")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        (str(r["hour"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in layout.snapshot_read(spark, table).collect()
+    }
+    assert got == {
+        ("2026-05-01 10:00:00", "click"): (2, 9.0),
+        ("2026-05-01 10:00:00", "view"): (1, 2.0),
+        ("2026-05-01 11:00:00", "click"): (1, 4.0),
+    }
+    v = layout.snapshot_latest_version(spark, table)
+    run()  # checkpointed restart, no new input → no new commits
+    assert layout.snapshot_latest_version(spark, table) == v
