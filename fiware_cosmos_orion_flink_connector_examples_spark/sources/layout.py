@@ -683,6 +683,26 @@ def _load_manifest_doc(spark, base: str, version: int) -> dict:
     return json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
 
 
+# (base, version) -> resolved manifest.  Sound because a PUBLISHED
+# version is immutable by construction (segments and manifests are
+# write-once; vacuum only deletes whole expired versions, whose reads
+# fail at scan time exactly as they would on a cache miss).  Bounded
+# LRU like _QUANTIZER_CACHE; callers get container copies so no one
+# can mutate the cached entry.
+_MANIFEST_CACHE: dict = {}
+_MANIFEST_CACHE_CAP = 64
+
+
+def _manifest_copy(m: dict) -> dict:
+    out = dict(m)
+    for k in ("files", "segments", "last_add"):
+        out[k] = list(m[k]) if m[k] is not None else None
+    for k in ("buckets", "stats", "stats_types", "txn"):
+        out[k] = dict(m[k])
+    out["changelog"] = list(m["changelog"]) if m["changelog"] else m["changelog"]
+    return out
+
+
 def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
     """Resolve the LOGICAL manifest of a snapshot table version: replay
     the manifest's ordered immutable segment list into the live state —
@@ -702,6 +722,10 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
         version = snapshot_latest_version(spark, base)
     if version <= 0:
         raise ValueError(f"snapshot_manifest: no committed version at {path}")
+    cache_key = (base, version)
+    hit = _MANIFEST_CACHE.get(cache_key)
+    if hit is not None:
+        return _manifest_copy(hit)
     doc = _load_manifest_doc(spark, base, version)
     files: dict[str, int | None] = {}
     stats: dict = {}
@@ -720,7 +744,7 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
             files[f] = (seg.get("buckets") or {}).get(f)
         stats.update(seg.get("stats", {}))
         stats_types.update(seg.get("stats_types", {}))
-    return {
+    resolved = {
         "version": version,
         "mode": doc.get("mode"),
         "schema": doc["schema"],
@@ -735,6 +759,10 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
         "change_mode": seg.get("change_mode"),
         "last_add": list(seg.get("add", [])),
     }
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[cache_key] = _manifest_copy(resolved)
+    return resolved
 
 
 def snapshot_commit(

@@ -815,3 +815,22 @@ def test_hourly_rollup_txn_e2e_structured_streaming(spark, tmp_path):
     v = layout.snapshot_latest_version(spark, table)
     run()  # checkpointed restart, no new input → no new commits
     assert layout.snapshot_latest_version(spark, table) == v
+
+
+def test_manifest_resolve_cache_is_correct_and_immutable(spark, tmp_path):
+    """The resolve memo: repeated reads of one version hit the cache
+    (no behavior change — versions are immutable), later commits get
+    fresh resolutions, and a caller mutating a returned dict cannot
+    poison the cache."""
+    path = str(tmp_path / "snap")
+    layout.snapshot_commit(spark, _kv(spark, [(1, "a")]), path, mode="append")
+    m1 = layout.snapshot_manifest(spark, path, 1)
+    m1["files"].append("poison")
+    m1["txn"]["fake"] = 99
+    m1b = layout.snapshot_manifest(spark, path, 1)
+    assert "poison" not in m1b["files"] and "fake" not in m1b["txn"]
+    layout.snapshot_commit(spark, _kv(spark, [(2, "b")]), path, mode="append")
+    m2 = layout.snapshot_manifest(spark, path)  # new version resolves fresh
+    assert m2["version"] == 2 and len(m2["files"]) > len(m1b["files"])
+    # the cached v1 view is unchanged by the new commit
+    assert layout.snapshot_manifest(spark, path, 1)["files"] == m1b["files"]
