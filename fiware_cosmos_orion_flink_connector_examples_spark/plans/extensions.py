@@ -7725,7 +7725,7 @@ def phrase_index_served_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k + 1000000000, CAST(555 AS BIGINT) FROM o WHERE k % 200 = 101
     )
     SELECT (SELECT count(*) FROM final)            AS n_rows,
-           coalesce((SELECT sum(pc) FROM final), 0) AS sum_price_c,
+           CAST(coalesce((SELECT sum(pc) FROM final), 0) AS BIGINT) AS sum_price_c,
            (SELECT count(*) FROM o)                AS v1_rows,
            (SELECT count(*) FROM o WHERE k % 100 = 1) AS v2_inserts,
            (SELECT count(*) FROM o WHERE k % 10 = 3)  AS v2_updates,

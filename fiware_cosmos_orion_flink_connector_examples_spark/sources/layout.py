@@ -251,12 +251,33 @@ def write_keyed(
     st.close()
 
 
+def _keyed_has_part_files(jvm, fs, path: str) -> bool:
+    """True iff any VISIBLE ``_bucket=N`` directory holds a part file.
+    Hidden ``._bucket=N.old`` swap leftovers and metadata sidecars are
+    ignored — they are invisible to the Spark reader too."""
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith("_bucket="):
+            continue
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().startswith("part-"):
+                return True
+    return False
+
+
 def read_keyed(spark, path: str, fmt: str = "parquet") -> DataFrame:
     """Read a ``write_keyed`` table, INCLUDING the empty case: a table
     written from zero rows has a sidecar but no part files, where raw
     ``spark.read.parquet`` fails schema inference — serve an empty
     frame from the sidecar's recorded schema instead (with a typed
-    NULL ``_bucket`` so partition-column filters still resolve)."""
+    NULL ``_bucket`` so partition-column filters still resolve).
+
+    The empty case is detected EXPLICITLY (zero part files under the
+    visible bucket dirs), never by catching the reader's exception: a
+    real or transient read failure must propagate, because
+    ``merge_upsert`` reads existing rows through here and an
+    empty-frame fallback would silently rewrite touched buckets with
+    only the batch's rows — losing every other key in them."""
     import json
 
     from pyspark.sql.types import StructType
@@ -265,14 +286,13 @@ def read_keyed(spark, path: str, fmt: str = "parquet") -> DataFrame:
     meta_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_keyed_layout.json")
     if not fs.exists(meta_p):
         raise ValueError(f"read_keyed: {path} is not a write_keyed table")
-    try:
+    if _keyed_has_part_files(jvm, fs, path.rstrip("/")):
         return spark.read.format(fmt).load(path)
-    except Exception:
-        meta = json.loads(_read_small(spark, f"{path.rstrip('/')}/_keyed_layout.json"))
-        schema = StructType.fromJson(json.loads(meta["schema"]))
-        return spark.createDataFrame([], schema).withColumn(
-            "_bucket", F.lit(None).cast("int")
-        )
+    meta = json.loads(_read_small(spark, f"{path.rstrip('/')}/_keyed_layout.json"))
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    return spark.createDataFrame([], schema).withColumn(
+        "_bucket", F.lit(None).cast("int")
+    )
 
 
 def merge_upsert(
@@ -609,6 +629,18 @@ class SnapshotTxnAlreadyApplied(Exception):
     superseded."""
 
 
+class SnapshotVersionConflict(IOError):
+    """Raised by ``snapshot_merge(expected_version=...)`` when the
+    manifest it would supersede is no longer the one the caller read
+    its base state from — an optimistic-concurrency check for
+    READ-MODIFY-WRITE callers (e.g. the rollup sink sums the batch
+    into the CURRENT table rows before merging: a foreign-app commit
+    landing between that read and the merge would be silently
+    overwritten for touched keys without this guard).  Subclasses
+    IOError so existing retry loops (``except IOError: re-read and
+    retry``) handle it with no changes."""
+
+
 def _fs(spark, path: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -683,12 +715,19 @@ def _load_manifest_doc(spark, base: str, version: int) -> dict:
     return json.loads(_read_small(spark, f"{base}/_manifest_v{version}.json"))
 
 
-# (base, version) -> resolved manifest.  Sound because a PUBLISHED
-# version is immutable by construction (segments and manifests are
-# write-once; vacuum only deletes whole expired versions, whose reads
-# fail at scan time exactly as they would on a cache miss).  Bounded
-# LRU like _QUANTIZER_CACHE; callers get container copies so no one
-# can mutate the cached entry.
+# (base, version, manifest-file identity) -> resolved manifest.  Sound
+# because a PUBLISHED version is immutable by construction (segments
+# and manifests are write-once; vacuum only deletes whole expired
+# versions, whose reads fail at scan time exactly as they would on a
+# cache miss).  The identity component ((length, modtime) of the
+# manifest file — one getFileStatus RPC, vs O(segments) reads on a
+# miss) guards the ONE way (path, version) can alias: a table deleted
+# and recreated at the same path within a driver session (tempdir
+# reuse, tests, out-of-band cleanup) — the recreated v<N> manifest is
+# a different file, so colliding version numbers miss instead of
+# serving the dead table.  Bounded LRU (move-to-end on hit, evict
+# oldest); callers get container copies so no one can mutate the
+# cached entry.
 _MANIFEST_CACHE: dict = {}
 _MANIFEST_CACHE_CAP = 64
 
@@ -722,9 +761,15 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
         version = snapshot_latest_version(spark, base)
     if version <= 0:
         raise ValueError(f"snapshot_manifest: no committed version at {path}")
-    cache_key = (base, version)
+    jvm, fs = _fs(spark, base)
+    mst = fs.getFileStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{base}/_manifest_v{version}.json")
+    )
+    cache_key = (base, version, mst.getLen(), mst.getModificationTime())
     hit = _MANIFEST_CACHE.get(cache_key)
     if hit is not None:
+        # move-to-end on hit: eviction drops the least-recently USED
+        _MANIFEST_CACHE[cache_key] = _MANIFEST_CACHE.pop(cache_key)
         return _manifest_copy(hit)
     doc = _load_manifest_doc(spark, base, version)
     files: dict[str, int | None] = {}
@@ -1205,6 +1250,7 @@ def snapshot_merge(
     delete_col: str | None = None,
     change_log: bool = True,
     _txn_update: dict | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """MERGE INTO a keyed snapshot table with FULL-TABLE atomicity:
     matched keys replaced, new keys inserted, only the buckets holding
@@ -1235,6 +1281,16 @@ def snapshot_merge(
     ``_txn_update`` overlays per-app transaction watermarks exactly as
     ``snapshot_commit`` does (the streaming MERGE sink rides it); the
     superseded manifest's ``txn`` map is always carried forward.
+
+    ``expected_version`` pins the read-modify-write unit for callers
+    whose ``updates`` were COMPUTED FROM a specific table version
+    (read-current-rows → combine → merge): if the latest version is no
+    longer ``expected_version`` when the merge resolves its base,
+    ``SnapshotVersionConflict`` (an IOError) is raised BEFORE anything
+    is written, and the caller re-reads and retries — otherwise a
+    foreign commit landing between the caller's read and this merge
+    would be silently overwritten for touched keys (lost update).
+    Callers whose updates are self-contained (plain upserts) omit it.
     Returns the new version."""
     import json
     import uuid
@@ -1243,6 +1299,11 @@ def snapshot_merge(
     jvm, fs = _fs(spark, base)
     resolved = snapshot_manifest(spark, base)
     cur = resolved["version"]
+    if expected_version is not None and cur != expected_version:
+        raise SnapshotVersionConflict(
+            f"snapshot_merge: expected to supersede v{expected_version} "
+            f"but latest is v{cur} — re-read base state and retry"
+        )
     keyed = resolved["keyed"]
     if not keyed:
         raise ValueError(f"snapshot_merge: {path} is not a snapshot_write_keyed table")
@@ -1793,7 +1854,11 @@ def compact_files(
             "_bucket", F.pmod(F.xxhash64(F.col(kc).cast("string")), F.lit(nb))
         ).repartition(F.col("_bucket"))
         if sort_by:
-            out = out.sortWithinPartitions(sort_by)
+            # _bucket prefix REQUIRED: FileFormatWriter demands ordering
+            # by the partition column and would otherwise insert its own
+            # _bucket-only sort, silently discarding the clustering
+            # (write_keyed line ~220 documents the same contract)
+            out = out.sortWithinPartitions("_bucket", sort_by)
         out.write.partitionBy("_bucket").parquet(data_dir)
         files, buckets = _list_bucket_files(jvm, fs, data_dir)
         seg["add"] = sorted(files)
@@ -1865,9 +1930,7 @@ def snapshot_tail(
     (_version, key))."""
     base = path.rstrip("/")
     if cursor is None and cursor_path is not None:
-        jvm, fs = _fs(spark, cursor_path)
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(cursor_path)):
-            cursor = int(_read_small(spark, cursor_path).decode().strip())
+        cursor = _read_tail_cursor(spark, cursor_path)
     if cursor is None:
         cursor = 0
     latest = snapshot_latest_version(spark, base)
@@ -1894,14 +1957,68 @@ def snapshot_tail(
     return feed, latest
 
 
-def snapshot_tail_commit(spark, cursor_path: str, cursor: int) -> None:
-    """Durably advance a ``snapshot_tail`` cursor: write-tmp + atomic
-    rename, called by the consumer AFTER its downstream effects are
-    committed (crash before = re-delivery, never loss)."""
+def _tail_cursor_versions(jvm, fs, cursor_path: str) -> list[int]:
+    """Versioned cursor files beside ``cursor_path``: ``<name>.v<N>``
+    in the same directory (the manifest discipline — monotonically
+    named immutable files, reader takes the max)."""
+    p = jvm.org.apache.hadoop.fs.Path(cursor_path)
+    parent, name = p.getParent(), p.getName()
+    if parent is None or not fs.exists(parent):
+        return []
+    out = []
+    for st in fs.listStatus(parent):
+        fname = st.getPath().getName()
+        if fname.startswith(name + ".v"):
+            try:
+                out.append(int(fname[len(name) + 2 :]))
+            except ValueError:
+                continue
+    return out
+
+
+def _read_tail_cursor(spark, cursor_path: str) -> int | None:
+    """Max over the versioned cursor files; falls back to a legacy
+    plain cursor file written by the old delete+rename scheme."""
     jvm, fs = _fs(spark, cursor_path)
-    tmp = cursor_path + ".tmp"
-    _write_small(spark, tmp, str(int(cursor)).encode())
-    dst = jvm.org.apache.hadoop.fs.Path(cursor_path)
-    fs.delete(dst, False)
+    versions = _tail_cursor_versions(jvm, fs, cursor_path)
+    if versions:
+        return max(versions)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(cursor_path)):
+        return int(_read_small(spark, cursor_path).decode().strip())
+    return None
+
+
+def snapshot_tail_commit(spark, cursor_path: str, cursor: int) -> None:
+    """Durably advance a ``snapshot_tail`` cursor, called by the
+    consumer AFTER its downstream effects are committed (crash before
+    = re-delivery, never loss).
+
+    The cursor is a VERSIONED file (``<cursor_path>.v<N>``, reader
+    takes the max) so there is no instant at which no cursor exists:
+    the old delete-then-rename scheme had a crash window between the
+    delete and the rename that re-bootstrapped the consumer from
+    version 0 and re-delivered the entire history — the same
+    delete+recreate pointer window the manifest design bans.  Old
+    cursor files are pruned only after the new one is durably in
+    place (best-effort; stale ones are harmless under max-wins)."""
+    jvm, fs = _fs(spark, cursor_path)
+    cursor = int(cursor)
+    tmp = f"{cursor_path}.tmp-{cursor}"
+    _write_small(spark, tmp, str(cursor).encode())
+    dst = jvm.org.apache.hadoop.fs.Path(f"{cursor_path}.v{cursor:020d}")
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
-        raise IOError(f"snapshot_tail_commit: rename to {cursor_path} failed")
+        # a concurrent/replayed commit already wrote this version —
+        # fine under max-wins, just drop our tmp
+        if fs.exists(dst):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+        else:
+            raise IOError(f"snapshot_tail_commit: rename to {dst} failed")
+    # prune superseded cursors + any legacy plain file (post-commit)
+    for v in _tail_cursor_versions(jvm, fs, cursor_path):
+        if v < cursor:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{cursor_path}.v{v:020d}"), False
+            )
+    legacy = jvm.org.apache.hadoop.fs.Path(cursor_path)
+    if fs.exists(legacy):
+        fs.delete(legacy, False)
