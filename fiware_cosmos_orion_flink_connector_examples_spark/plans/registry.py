@@ -69,19 +69,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #   3. Ascending last-green round (least-recently-proved first), ties by
 #      registration order.
 #
-# Window arithmetic this round (r12): 2 changed (hybrid_rrf_topk —
-# refactored onto the shared retrieval.rrf core; events_dau_wau —
-# one-pass agg rewrite) + the never-checked round-12 registrations
-# (hybrid_rrf_served_topk, phrase_index_served_equals,
-# snapshot_upsert_capstone, retrieval_mrr_ndcg) + the
+# Window arithmetic this round (r14): emptied at round start (r13's
+# entries are artifact history now — CORRECTNESS_r13.json landed fully
+# green); repopulated below as round-14 rewrites of oracle-bearing
+# queries land, plus the never-checked round-14 registrations + the
 # least-recently-green tail = 50.  Everything outside the window holds
 # a recent proof, so no proof ages past ~3 rounds before rotation
 # re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r12: emptied at round start (round hygiene).  Repopulate below as
-    # round-12 rewrites of oracle-bearing queries land.
-    "hybrid_rrf_topk",  # refactored onto the shared retrieval.rrf core
-    "events_dau_wau",  # one-pass dau+wau agg (was two distinct passes + join)
+    # r14: emptied at round start (round hygiene; the r13 capstone
+    # oracle rewrite that skipped this list is green in r13's artifact).
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -96,15 +93,11 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    # r12 round hygiene: emptied at round start — CORRECTNESS_r11.json
-    # landed with every r11 registration green, so last round's entries
-    # are now artifact history.  Repopulated below as round-12 queries
+    # r14 round hygiene: emptied at round start — CORRECTNESS_r13.json
+    # landed with every registration green, so prior rounds' entries
+    # are now artifact history.  Repopulated below as round-14 queries
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
-    "hybrid_rrf_served_topk",
-    "phrase_index_served_equals",
-    "snapshot_upsert_capstone",
-    "retrieval_mrr_ndcg",
 )
 
 

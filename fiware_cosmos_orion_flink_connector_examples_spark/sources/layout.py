@@ -762,9 +762,19 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
     if version <= 0:
         raise ValueError(f"snapshot_manifest: no committed version at {path}")
     jvm, fs = _fs(spark, base)
-    mst = fs.getFileStatus(
-        jvm.org.apache.hadoop.fs.Path(f"{base}/_manifest_v{version}.json")
-    )
+    try:
+        mst = fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{base}/_manifest_v{version}.json")
+        )
+    except Exception as e:  # Py4J wraps java.io.FileNotFoundException
+        if "FileNotFoundException" not in str(e):
+            raise
+        raise FileNotFoundError(
+            f"snapshot_manifest: version {version} of {base} is missing — "
+            f"expired by vacuum_snapshots or never committed "
+            f"(_manifest_v{version}.json not found; latest is "
+            f"{snapshot_latest_version(spark, base)})"
+        ) from None
     cache_key = (base, version, mst.getLen(), mst.getModificationTime())
     hit = _MANIFEST_CACHE.get(cache_key)
     if hit is not None:
@@ -1999,8 +2009,13 @@ def snapshot_tail_commit(spark, cursor_path: str, cursor: int) -> None:
     delete and the rename that re-bootstrapped the consumer from
     version 0 and re-delivered the entire history — the same
     delete+recreate pointer window the manifest design bans.  Old
-    cursor files are pruned only after the new one is durably in
-    place (best-effort; stale ones are harmless under max-wins)."""
+    cursor files AND superseded ``.tmp-*`` stages (a crash between
+    write and rename orphans one) are pruned only after the new
+    cursor is durably in place (best-effort; stale ones are harmless
+    under max-wins).  NON-MONOTONIC commits are a documented no-op:
+    a cursor lower than an existing versioned file is shadowed by
+    max-wins reads — deliberate consumer rewind is a distinct
+    operation, ``snapshot_tail_rewind``."""
     jvm, fs = _fs(spark, cursor_path)
     cursor = int(cursor)
     tmp = f"{cursor_path}.tmp-{cursor}"
@@ -2016,6 +2031,49 @@ def snapshot_tail_commit(spark, cursor_path: str, cursor: int) -> None:
     # prune superseded cursors + any legacy plain file (post-commit)
     for v in _tail_cursor_versions(jvm, fs, cursor_path):
         if v < cursor:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{cursor_path}.v{v:020d}"), False
+            )
+    # orphaned tmp stages from a crash between write and rename: prune
+    # only STRICTLY superseded ones (suffix < cursor) — a concurrent
+    # consumer mid-commit of a HIGHER cursor keeps its in-flight tmp
+    p = jvm.org.apache.hadoop.fs.Path(cursor_path)
+    parent, name = p.getParent(), p.getName()
+    if parent is not None and fs.exists(parent):
+        for st in fs.listStatus(parent):
+            fname = st.getPath().getName()
+            if fname.startswith(name + ".tmp-"):
+                try:
+                    stale = int(fname[len(name) + 5 :]) < cursor
+                except ValueError:
+                    stale = True  # unparseable tmp: ours are always -<int>
+                if stale:
+                    fs.delete(st.getPath(), False)
+    legacy = jvm.org.apache.hadoop.fs.Path(cursor_path)
+    if fs.exists(legacy):
+        fs.delete(legacy, False)
+
+
+def snapshot_tail_rewind(spark, cursor_path: str, cursor: int) -> None:
+    """DELIBERATE consumer rewind — re-deliver the feed from ``cursor``
+    forward.  ``snapshot_tail_commit`` of a lower cursor is a
+    documented no-op (max-wins reads shadow it), so rewind is its own
+    operation: write the target cursor first, THEN delete every higher
+    versioned file — ordered so a crash mid-rewind leaves the consumer
+    at either the old or the new cursor, never cursorless (the
+    re-bootstrap-from-zero window the versioned scheme exists to
+    close).  Re-delivery downstream is at-least-once by contract."""
+    jvm, fs = _fs(spark, cursor_path)
+    cursor = int(cursor)
+    tmp = f"{cursor_path}.tmp-{cursor}"
+    _write_small(spark, tmp, str(cursor).encode())
+    dst = jvm.org.apache.hadoop.fs.Path(f"{cursor_path}.v{cursor:020d}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
+        if not fs.exists(dst):
+            raise IOError(f"snapshot_tail_rewind: rename to {dst} failed")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+    for v in _tail_cursor_versions(jvm, fs, cursor_path):
+        if v > cursor:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(f"{cursor_path}.v{v:020d}"), False
             )

@@ -338,8 +338,15 @@ def maintain_hourly_rollup_txn(
         of a swap);
       * a crash anywhere before the manifest rename leaves the table
         at the previous version, and the retry recomputes against that
-        unchanged base (read-modify-write is safe because the read and
-        the watermark commit are the same atomic unit);
+        unchanged base;
+      * the read-modify-write unit is guarded against FOREIGN writers:
+        the base rows are read at a pinned version and the merge
+        carries ``expected_version=`` that same version, so a foreign
+        commit landing between the read and the merge raises
+        ``SnapshotVersionConflict`` (an IOError — the retry loop
+        re-reads the new latest and recomputes) instead of silently
+        losing the foreign keys' updates (review finding, round 13:
+        the guard existed but was not wired here);
       * cross-hour atomicity is total — no partial dynamic-overwrite
         states (the plain variant's documented gap).
 
@@ -395,7 +402,9 @@ def maintain_hourly_rollup_txn(
                         _txn_update={txn_app_id: batch_id},
                     )
                     return
-                existing = layout.snapshot_read(spark, base)
+                # pin the read to the version the merge will claim to
+                # supersede — read + merge form one optimistic txn
+                existing = layout.snapshot_read(spark, base, version=cur)
                 merged = (
                     part.unionByName(
                         existing.join(
@@ -414,6 +423,7 @@ def maintain_hourly_rollup_txn(
                     merged,
                     "k",
                     _txn_update={txn_app_id: batch_id},
+                    expected_version=cur,
                 )
                 return
             except layout.SnapshotTxnAlreadyApplied:
