@@ -3,14 +3,19 @@ tier composes into (no reference analog; engine-native):
 
   documents → keyed snapshot table (atomic manifest commits) →
   streaming micro-batch UPSERTs (exactly-once MERGE sink, replayed
-  batch is a no-op) → per-commit CDC feed → **CDC-driven incremental
-  search-index sync** (the changed docs MERGE into the BM25 + phrase
-  posting tables — served results equal a from-scratch rebuild of the
-  final corpus) → file+metadata compaction → time travel → vacuum.
+  batch is a no-op) → per-commit CDC feed → **exactly-once CDC-driven
+  index sync** (search_index_sync: the changed docs merge into EVERY
+  sub-table of a VERSIONED BM25+phrase index and publish as ONE atomic
+  index root whose txn watermark is the source-table version consumed
+  — a replayed span is a no-op, served results equal a from-scratch
+  rebuild of the final corpus) → file+metadata compaction → time
+  travel → vacuum.
 
 The CDC→index-sync step is the composition the two pillars exist for:
 a lake table is the system of record, the serving indexes follow it
-incrementally (O(changed docs) per sync, never a corpus rescan), and
+incrementally (O(changed docs) per sync, never a corpus rescan), the
+root publish makes the multi-table index update atomic (round 14; a
+reader can never see postings scored against a stale doclen), and
 the equality check at the end proves no drift.
 
 Run: python examples/lakehouse_pipeline.py [--sf-dir /root/testdata/sf0.001]
@@ -25,7 +30,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import functions as F
 
 
 def main() -> None:
@@ -50,12 +54,12 @@ def main() -> None:
         cursor = f"{tmp}/cdc_cursor"
 
         # 1. system of record: the first 80% of the corpus as a keyed
-        #    snapshot table, and the search index built from it
+        #    snapshot table, and the VERSIONED combined search index
+        #    (BM25 + phrase sub-tables under one atomic root) from it
         head = docs.filter("doc_id % 5 != 0")
         v1 = layout.snapshot_write_keyed(spark, head, table, "doc_id", n_buckets=8)
-        text.bm25_index_write(head, idx, n_buckets=4)
-        text.phrase_index_write(head, idx, n_buckets=4)
-        print(f"v{v1}: snapshot table + indexes over {head.count()} docs")
+        text.search_index_write(head, idx, n_buckets=4)
+        print(f"v{v1}: snapshot table + versioned index over {head.count()} docs")
 
         # 2. streaming UPSERTs: two micro-batches through the
         #    exactly-once MERGE sink — new docs arrive, one doc is
@@ -73,16 +77,18 @@ def main() -> None:
         print(f"v{latest}: {layout.snapshot_read(spark, table).count()} docs "
               "after 2 micro-batch UPSERTs (+1 replay, absorbed)")
 
-        # 3. CDC-driven index sync: the tail consumer reads ONLY the
-        #    changed rows and MERGEs them into both posting tables
-        feed, cur = layout.snapshot_tail(spark, table, cursor_path=cursor)
-        changed = feed.filter(F.col("_change") != "delete").select("doc_id", "text")
-        n_changed = changed.count()
-        text.bm25_index_ingest(spark, changed, idx)
-        text.phrase_index_ingest(spark, changed, idx)
-        layout.snapshot_tail_commit(spark, cursor, cur)
-        print(f"CDC sync: {n_changed} changed docs merged into the indexes "
-              f"(cursor -> v{cur})")
+        # 3. exactly-once CDC index sync: one call tails the feed,
+        #    applies the span's net changes to every index sub-table,
+        #    and publishes ONE root carrying the consumed source
+        #    version as its txn watermark; replaying the same span
+        #    (crashed consumer whose cursor never advanced) is a no-op
+        root_v, cur = text.search_index_sync(spark, table, idx, cursor_path=cursor)
+        replay_v, _ = text.search_index_sync(spark, table, idx, cursor=0)
+        assert replay_v == root_v, "replayed span must be a no-op"
+        root = layout.index_root_resolve(spark, idx)
+        print(f"CDC sync: index root v{root_v} (txn watermark "
+              f"{root['txn']['cdc-index-sync']} = table v{cur}); "
+              "replayed span absorbed")
 
         # 4. no-drift proof: served phrase counts off the synced index
         #    equal a from-scratch index of the table's CURRENT content

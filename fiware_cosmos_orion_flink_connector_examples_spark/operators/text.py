@@ -1820,10 +1820,29 @@ def _bm25_index_tables(spark, path: str, id_col: str):
     """Read the live view of a stored BM25 index: postings + doc
     lengths with tombstoned docs (bm25_index_delete) anti-joined out —
     the read-side half of log-structured deletes.  The tombstone set
-    is deletion-sized; broadcast it."""
+    is deletion-sized; broadcast it.
+
+    A VERSIONED index (``search_index_write``) is auto-detected by its
+    root: every sub-table reads AT THE ROOT'S PINNED VERSION — one
+    consistent cross-table snapshot, immune to concurrent ingests, no
+    tombstones (versioned deletes are real merge deletes)."""
     from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
         read_keyed,
     )
+
+    root = _index_root(spark, path)
+    if root is not None:
+        postings = (
+            _pinned_keyed_read(
+                spark, f"{path.rstrip('/')}/postings", root["tables"]["postings"]
+            )
+            .drop("pkey")
+            .filter(F.col("tf") > 0)
+        )
+        dl = _pinned_keyed_read(
+            spark, f"{path.rstrip('/')}/doclen", root["tables"]["doclen"]
+        )
+        return postings, dl
 
     postings = (
         read_keyed(spark, f"{path.rstrip('/')}/postings")
@@ -2109,19 +2128,31 @@ def phrase_count_from_index(
         read_keyed,
     )
 
-    tbl = (
-        read_keyed(spark, f"{path.rstrip('/')}/positions")
-        .drop("pkey", "_bucket")
-        .filter(F.size("positions") > 0)  # changed-doc soft deletes
-    )
-
-    jvm, fs = _fs(spark, path)
-    t_dir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/tombstones")
-    if fs.exists(t_dir):
-        dead = F.broadcast(
-            spark.read.parquet(f"{path.rstrip('/')}/tombstones").select(id_col)
+    root = _index_root(spark, path)
+    if root is not None:
+        # versioned index: positions pinned to the root's consistent
+        # cross-table snapshot; deletes are real, no tombstone pass
+        tbl = (
+            _pinned_keyed_read(
+                spark, f"{path.rstrip('/')}/positions", root["tables"]["positions"]
+            )
+            .drop("pkey")
+            .filter(F.size("positions") > 0)
         )
-        tbl = tbl.join(dead, id_col, "left_anti")
+    else:
+        tbl = (
+            read_keyed(spark, f"{path.rstrip('/')}/positions")
+            .drop("pkey", "_bucket")
+            .filter(F.size("positions") > 0)  # changed-doc soft deletes
+        )
+
+        jvm, fs = _fs(spark, path)
+        t_dir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/tombstones")
+        if fs.exists(t_dir):
+            dead = F.broadcast(
+                spark.read.parquet(f"{path.rstrip('/')}/tombstones").select(id_col)
+            )
+            tbl = tbl.join(dead, id_col, "left_anti")
     cur = tbl.filter(F.col("term") == phrase[0]).select(
         F.col(id_col), F.col("positions").alias("ps")
     )
@@ -2143,3 +2174,394 @@ def phrase_count_from_index(
             .filter(F.size("ps") > 0)
         )
     return cur.select(F.col(id_col), F.size("ps").cast("long").alias("n_occurrences"))
+
+
+# ---------------------------------------------------------------------------
+# VERSIONED COMBINED SEARCH INDEX — snapshot sub-tables under ONE atomic root
+#
+# The round-13 gap: bm25_index_ingest/phrase_index_ingest update their
+# tables with SEQUENTIAL merges, so a crash or concurrent reader between
+# them sees postings scored against a stale doclen.  The versioned index
+# stores every sub-table (postings, doclen, docterms, positions) as a
+# snapshot table and publishes ONE index root per ingest
+# (layout.index_root_commit): readers pin every sub-table to the root's
+# recorded versions, a crash between sub-merges leaves only dangling
+# unreferenced sub-versions, and re-running the ingest completes it
+# (content-idempotent upserts + root txn watermark).  Deletions are REAL
+# snapshot_merge deletes (no tombstone anti-join on the read path), time
+# travel and CDC come free per sub-table, and a root version is a
+# consistent cross-table snapshot.  Reference: n/a (the reference's only
+# sink is HTTP, Example2.scala:42) — [ext] index-maintenance contract.
+
+
+def _index_root(spark, path: str):
+    """Resolved index root at ``path`` or None (plain directory index)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    v = layout.index_root_latest(spark, path)
+    return layout.index_root_resolve(spark, path, v) if v else None
+
+
+def _pinned_keyed_read(spark, table_path: str, version: int):
+    """snapshot_read at a pinned version (schema from the manifest —
+    no _bucket column leaks; returns an empty typed frame for an
+    empty pinned file set)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    return layout.snapshot_read(spark, table_path, version=version)
+
+
+def _pinned_docterms_pairs(spark, path: str, batch_ids, id_col: str, version: int):
+    """(id, term) pairs stored for the batch's docs in the PINNED
+    docterms version — bucket-pruned off the manifest's bucket map
+    (reads only the batch docs' hash buckets, the versioned analog of
+    _stale_posting_keys' sidecar discipline)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    base = f"{path.rstrip('/')}/docterms"
+    resolved = layout.snapshot_manifest(spark, base, version)
+    nb = int(resolved["keyed"]["n_buckets"])
+    touched = [
+        r["_b"]
+        for r in batch_ids.select(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(nb)).alias("_b")
+        )
+        .distinct()
+        .collect()
+    ]  # bounded by n_buckets — a layout constant
+    files = [
+        f for f in resolved["files"] if resolved["buckets"].get(f) in set(touched)
+    ]
+    schema = StructType.fromJson(_json.loads(resolved["schema"]))
+    old = (
+        spark.read.schema(schema).parquet(*files)
+        if files
+        else spark.createDataFrame([], schema)
+    )
+    return (
+        old.join(F.broadcast(batch_ids), id_col, "semi")
+        .select(F.col(id_col), F.explode("terms").alias("term"))
+    )
+
+
+def search_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    phrase: bool = True,
+) -> int:
+    """Create a VERSIONED combined search index: BM25 postings + doc
+    lengths + the docterms sidecar (+ positional postings when
+    ``phrase``) as snapshot sub-tables, published under one atomic
+    index root.  Serve with ``bm25_from_index`` /
+    ``phrase_count_from_index`` (they auto-detect the root and pin
+    every read); maintain with ``search_index_ingest`` /
+    ``search_index_delete`` / ``search_index_compact``.  Scale shape:
+    identical to the plain index (term-sorted bucket files, posting-
+    bounded serves) plus O(1) root metadata per commit."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    spark = docs.sparkSession
+    base = path.rstrip("/")
+    if layout.index_root_latest(spark, base) != 0:
+        raise ValueError(f"search_index_write: {path} already has an index root")
+    postings, dl = _bm25_index_parts(docs, id_col, text_col)
+    tables = {
+        "postings": layout.snapshot_write_keyed(
+            spark, postings, f"{base}/postings", "pkey", n_buckets,
+            sort_within="term",
+        ),
+        "doclen": layout.snapshot_write_keyed(
+            spark, dl, f"{base}/doclen", id_col, n_buckets
+        ),
+        "docterms": layout.snapshot_write_keyed(
+            spark,
+            _docterms_parts(docs, id_col, text_col),
+            f"{base}/docterms",
+            id_col,
+            n_buckets,
+        ),
+    }
+    if phrase:
+        tables["positions"] = layout.snapshot_write_keyed(
+            spark,
+            _phrase_index_parts(docs, id_col, text_col),
+            f"{base}/positions",
+            "pkey",
+            n_buckets,
+            sort_within="term",
+        )
+    return layout.index_root_commit(spark, base, tables)
+
+
+def _search_index_apply(
+    spark,
+    path: str,
+    upsert_docs: DataFrame | None,
+    delete_ids: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    txn_app: str | None,
+    txn_id: int | None,
+    retries: int,
+    caller: str,
+) -> int:
+    """The ONE read-merge-publish loop behind ingest/delete/sync: build
+    every sub-table's merge batch (upserts with _del=False, dropped or
+    deleted keys as REAL delete rows keyed off the PINNED docterms
+    version, bucket-pruned), merge each sub-table, publish one root.
+    ``upsert_docs`` and ``delete_ids`` must be key-disjoint (the sync
+    resolves last-change-per-key before calling).  A foreign root
+    landing mid-apply raises SnapshotVersionConflict → re-resolve,
+    re-merge (content-idempotent), re-publish; a replayed txn id is a
+    no-op; crash recovery = re-run (dangling sub-versions are merged
+    over, only a root makes anything visible)."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    base = path.rstrip("/")
+    txn = {txn_app: int(txn_id)} if txn_app is not None else None
+    empty_pos = F.array().cast("array<int>")
+    empty_terms = F.array().cast("array<string>")
+    new_pairs = None
+    if upsert_docs is not None:
+        # batch-sized frames, each consumed by SEVERAL merge jobs
+        # (dup-check, touched-bucket resolve, data write, change log)
+        # and by every conflict retry: materialize once instead of
+        # re-tokenizing the batch per job — batches are micro-batch-
+        # sized by contract, so the checkpoint is bounded
+        postings_new, dl_new = _bm25_index_parts(upsert_docs, id_col, text_col)
+        postings_new = postings_new.localCheckpoint(eager=True)
+        dl_new = dl_new.localCheckpoint(eager=True)
+        new_terms = _docterms_parts(upsert_docs, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        new_pairs = new_terms.select(F.col(id_col), F.explode("terms").alias("term"))
+        up_ids = new_terms.select(id_col)
+    del_ids = delete_ids.select(id_col).distinct() if delete_ids is not None else None
+    if upsert_docs is not None and del_ids is not None:
+        all_ids = up_ids.unionByName(del_ids).distinct()
+    elif upsert_docs is not None:
+        all_ids = up_ids
+    elif del_ids is not None:
+        all_ids = del_ids
+    else:
+        raise ValueError(f"{caller}: nothing to apply")
+    last_err = None
+    for _ in range(retries):
+        root = layout.index_root_resolve(spark, base)
+        if txn is not None:
+            wm = root["txn"].get(txn_app)
+            if wm is not None and int(txn_id) <= wm:
+                return root["version"]  # replayed batch: no-op
+        # keys to DROP: every (id, term) stored for the touched docs
+        # that the new text no longer carries (deleted docs carry none)
+        drop = _pinned_docterms_pairs(
+            spark, base, all_ids, id_col, root["tables"]["docterms"]
+        )
+        if new_pairs is not None:
+            drop = drop.join(new_pairs, [id_col, "term"], "left_anti")
+        # consumed by the postings AND positions merges (twice each):
+        # batch-bounded by construction
+        drop = drop.localCheckpoint(eager=True)
+        drop_postings = drop.select(
+            _posting_key(id_col), "term", F.col(id_col),
+            F.lit(0).cast("long").alias("tf"), F.lit(True).alias("_del"),
+        )
+        tables = dict(root["tables"])
+        p_upd = drop_postings
+        if upsert_docs is not None:
+            p_upd = postings_new.withColumn("_del", F.lit(False)).unionByName(
+                drop_postings
+            )
+        tables["postings"] = layout.snapshot_merge(
+            spark, f"{base}/postings", p_upd, "pkey", delete_col="_del"
+        )
+        dl_upd = None
+        if upsert_docs is not None:
+            dl_upd = dl_new.withColumn("_del", F.lit(False))
+        if del_ids is not None:
+            dl_del = del_ids.select(
+                F.col(id_col), F.lit(0).cast("long").alias("dl"),
+                F.lit(True).alias("_del"),
+            )
+            dl_upd = dl_del if dl_upd is None else dl_upd.unionByName(dl_del)
+        tables["doclen"] = layout.snapshot_merge(
+            spark, f"{base}/doclen", dl_upd, id_col, delete_col="_del"
+        )
+        if "positions" in tables:
+            drop_pos = drop.select(
+                _posting_key(id_col), "term", F.col(id_col),
+                empty_pos.alias("positions"), F.lit(True).alias("_del"),
+            )
+            pos_upd = drop_pos
+            if upsert_docs is not None:
+                pos_upd = _phrase_index_parts(
+                    upsert_docs, id_col, text_col
+                ).localCheckpoint(eager=True).withColumn(
+                    "_del", F.lit(False)
+                ).unionByName(drop_pos)
+            tables["positions"] = layout.snapshot_merge(
+                spark, f"{base}/positions", pos_upd, "pkey", delete_col="_del"
+            )
+        dt_upd = None
+        if upsert_docs is not None:
+            dt_upd = new_terms.withColumn("_del", F.lit(False))
+        if del_ids is not None:
+            dt_del = del_ids.select(
+                F.col(id_col), empty_terms.alias("terms"),
+                F.lit(True).alias("_del"),
+            )
+            dt_upd = dt_del if dt_upd is None else dt_upd.unionByName(dt_del)
+        tables["docterms"] = layout.snapshot_merge(
+            spark, f"{base}/docterms", dt_upd, id_col, delete_col="_del"
+        )
+        try:
+            return layout.index_root_commit(
+                spark, base, tables, _txn_update=txn,
+                expected_version=root["version"],
+            )
+        except layout.SnapshotTxnAlreadyApplied:
+            return layout.index_root_latest(spark, base)
+        except layout.SnapshotVersionConflict as e:
+            last_err = e
+            continue
+    raise IOError(f"{caller}: root commit kept conflicting: {last_err}")
+
+
+def search_index_ingest(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    txn_app: str | None = None,
+    txn_id: int | None = None,
+    retries: int = 5,
+    delete_ids: DataFrame | None = None,
+) -> int:
+    """ATOMIC multi-table incremental ingest: merge a new/changed doc
+    batch into every sub-table of a ``search_index_write`` index, then
+    publish ONE root — a reader can never see the batch's postings
+    without its doc lengths (the round-13 sequential-merge gap).
+
+    Changed-doc correctness: terms the new text DROPPED become REAL
+    delete rows in the same merges (keys from the PINNED docterms
+    version, bucket-pruned) — no tf=0 ghosts, no tombstone anti-join.
+    ``delete_ids`` rides document DELETIONS in the SAME per-sub-table
+    merges and the same root publish (ids must be disjoint from the
+    batch's — the CDC sync resolves last-change-per-key first), so one
+    commit carries upserts and deletes together, exactly like
+    snapshot_merge's delete_col at the single-table level.
+
+    Exactly-once under replay: pass ``txn_app``/``txn_id`` (the CDC
+    sync keys them by source-table version) — a replayed id is a
+    no-op at the root, and the zombie-writer race aborts inside
+    ``index_root_commit``.  Crash recovery = re-run.  Returns the root
+    version (the current one when the txn id was already applied)."""
+    return _search_index_apply(
+        spark, path, new_docs, delete_ids, id_col, text_col,
+        txn_app, txn_id, retries, "search_index_ingest",
+    )
+
+
+def search_index_delete(
+    spark,
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    txn_app: str | None = None,
+    txn_id: int | None = None,
+    retries: int = 5,
+) -> int:
+    """ATOMIC document deletion across every sub-table of a versioned
+    index: the docs' stored terms (pinned docterms, bucket-pruned)
+    yield their posting/position keys, which ride REAL delete merges
+    together with the doclen/docterms rows — one root publish, no
+    tombstone table, the read path stays pure pinned reads."""
+    return _search_index_apply(
+        spark, path, None, ids, id_col, "text",
+        txn_app, txn_id, retries, "search_index_delete",
+    )
+
+
+def search_index_sync(
+    spark,
+    table_path: str,
+    index_path: str,
+    cursor_path: str | None = None,
+    cursor: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    txn_app: str = "cdc-index-sync",
+):
+    """PROVABLY EXACTLY-ONCE CDC→index sync — the lakehouse composition
+    (source-of-record snapshot table → change feed → serving index):
+    tail the table's per-commit CDC feed, resolve the LAST change per
+    key in the span (a doc updated then deleted nets to a delete),
+    apply upserts + deletes to every index sub-table in ONE atomic
+    root publish whose txn watermark IS the source-table version
+    consumed, then durably advance the cursor.
+
+    The two-level guarantee: the cursor is at-least-once (crash before
+    ``snapshot_tail_commit`` re-delivers the span), and the replayed
+    span is a no-op at the index root (its txn watermark already
+    carries the span's end version) — at-least-once delivery + an
+    idempotence watermark keyed by the delivery = exactly once, the
+    commit-derived discipline the streaming MERGE sink uses, now
+    spanning MULTIPLE tables atomically.  Cost per sync: O(changed
+    rows) feed read + bucket-pruned merges, never a corpus rescan.
+    Returns (root_version | None, new_cursor)."""
+    from pyspark.sql.window import Window
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    feed, cur = layout.snapshot_tail(
+        spark, table_path, cursor=cursor, cursor_path=cursor_path
+    )
+    if feed is None:
+        return None, cur
+    w = Window.partitionBy(id_col).orderBy(F.desc("_version"))
+    last = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ups = last.filter(F.col("_change") != "delete").select(id_col, text_col)
+    dels = last.filter(F.col("_change") == "delete").select(id_col)
+    v = _search_index_apply(
+        spark, index_path, ups, dels, id_col, text_col,
+        txn_app, cur, 5, "search_index_sync",
+    )
+    if cursor_path is not None:
+        layout.snapshot_tail_commit(spark, cursor_path, cur)
+    return v, cur
+
+
+def search_index_compact(spark, path: str) -> int:
+    """Maintenance for a versioned index: compact_files every sub-table
+    (posting tables re-clustered on term so row-group skipping stays
+    sharp after merge traffic) and publish one root pinning the
+    compacted versions.  A sub-table whose latest version is NOT the
+    pinned one (an in-flight or crashed foreign ingest's dangling
+    merge) is left alone — compacting it would publish half a foreign
+    batch."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    base = path.rstrip("/")
+    root = layout.index_root_resolve(spark, base)
+    tables = dict(root["tables"])
+    for name, pinned in root["tables"].items():
+        sub = f"{base}/{name}"
+        if layout.snapshot_latest_version(spark, sub) != pinned:
+            continue  # dangling foreign merge — not ours to publish
+        sort_by = "term" if name in ("postings", "positions") else None
+        tables[name] = layout.compact_files(spark, sub, sort_by=sort_by)
+    return layout.index_root_commit(
+        spark, base, tables, expected_version=root["version"]
+    )

@@ -7944,3 +7944,177 @@ def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rel_topk").cast("long").alias("n_rel_topk"),
         F.col("n_rel_total").cast("long").alias("n_rel_total"),
     )
+
+
+@register(
+    "search_index_atomic_capstone",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, text FROM documents
+                  WHERE text IS NOT NULL AND doc_id % 4 = 1),
+    mod AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN 'hash join hash join'
+                  ELSE text END AS text
+      FROM base
+      WHERE NOT (doc_id % 11 = 5 AND doc_id % 7 != 3)
+      UNION ALL
+      SELECT 1000000001, 'hash join'
+    ),
+    t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM mod),
+    c AS (
+      SELECT doc_id,
+             len([i for i in range(1, len(t))
+                  if t[i] = 'hash' AND t[i+1] = 'join']) AS n
+      FROM t
+    )
+    SELECT CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS total_occurrences,
+           (SELECT CAST(count(*) AS BIGINT) FROM t WHERE len(t) > 0)
+             AS n_indexed_docs
+    FROM c
+    """,
+    doc="[ext] ATOMIC MULTI-TABLE SERVING-INDEX capstone (round 14, "
+    "VERDICT r13 #2/#3), hash-checked end-to-end against the raw "
+    "corpus (quarter-slice doc_id%4=1 — the snapshot_upsert_capstone "
+    "bench-band discipline; the semantics are slice-independent): "
+    "build the VERSIONED combined search index (search_index_write — "
+    "BM25 postings + doclen + docterms + positional postings as "
+    "snapshot sub-tables under ONE atomic index root), apply a "
+    "deterministic edit batch (docs with doc_id%7=3 rewritten, one "
+    "inserted) TOGETHER WITH a delete batch (doc_id%11=5, unedited) "
+    "as ONE atomic multi-table root commit with a txn watermark, then "
+    "serve 'hash join' phrase counts and the indexed-doc count off "
+    "the PINNED root — every number independently recomputed by "
+    "DuckDB from `documents` alone, so the driver hash-proves the "
+    "root protocol end to end: changed-doc stale-key deletion (no "
+    "ghost postings), real multi-table deletes riding the same "
+    "commit, and cross-table consistency of the served snapshot.  "
+    "Scale shape: merges are bucket-pruned COW on every sub-table, "
+    "the root publish is one O(1) rename, and the serve touches only "
+    "the phrase terms' posting rows (Σ df, never the corpus).",
+    tags=("ext", "storage", "text", "X4", "retrieval", "snapshot", "envelope"),
+)
+def search_index_atomic_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 4 == 1))
+        .select("doc_id", "text")
+        # consumed by 4 sub-table builds + the edit/delete derivations:
+        # materialize the quarter-slice once (slice-bounded by design)
+        .localCheckpoint(eager=True)
+    )
+    edits = docs.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", F.lit("hash join hash join").alias("text")
+    ).unionByName(
+        spark.createDataFrame(
+            [(1000000001, "hash join")], "doc_id long, text string"
+        )
+    )
+    dels = docs.filter(
+        (F.col("doc_id") % 11 == 5) & (F.col("doc_id") % 7 != 3)
+    ).select("doc_id")
+    tmp = tempfile.mkdtemp(prefix="search_idx_capstone_")
+    try:
+        from fiware_cosmos_orion_flink_connector_examples_spark.sources import (
+            layout,
+        )
+
+        text.search_index_write(docs, tmp, n_buckets=2)
+        text.search_index_ingest(
+            spark, edits, tmp, txn_app="edit", txn_id=1, delete_ids=dels
+        )
+        served = {
+            tuple(r)
+            for r in text.phrase_count_from_index(
+                spark, tmp, ["hash", "join"]
+            ).collect()
+        }
+        root = layout.index_root_resolve(spark, tmp)
+        n_indexed = layout.snapshot_read(
+            spark, f"{tmp}/doclen", version=root["tables"]["doclen"]
+        ).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(len(served), int(sum(n for _, n in served)), int(n_indexed))],
+        "n_docs bigint, total_occurrences bigint, n_indexed_docs bigint",
+    )
+
+
+@register(
+    "ann_drift_monitor",
+    oracle=None,  # recall@k of a kmeans-trained IVF index isn't ANSI-SQL-
+    # expressible; rows-only with in-row envelope booleans, the exact
+    # invariants pinned by pytest (test_ext_operators / similarity)
+    doc="[ext] X3 ANN DRIFT MONITOR + ATOMIC REBUILD, driver-registered "
+    "(VERDICT r13 directive #5): train an IVF index on two thirds of "
+    "the embedding corpus, ann_index_add the rest under FROZEN "
+    "centroids (the FAISS add-after-train contract — sustained ingest "
+    "degrades cell geometry silently), then emit the operator's alarm "
+    "numbers: recall@5 probed exhaustively (envelope: exactly 1.0 — "
+    "the search is pinned row-identical to brute force at nprobe=all), "
+    "recall@5 at nprobe=1 before and after ann_index_rebuild retrains "
+    "on the full contents (observability values — bounded-probe recall "
+    "at tiny nprobe is geometry-noisy, so no ordering is claimed), "
+    "plus the rebuild's DETERMINISTIC integrity envelopes: exhaustive "
+    "recall is still exactly 1.0 through the atomic two-rename swap, "
+    "and the rebuilt index holds every vector (no loss through the "
+    "swap).  The probe set is a bounded deterministic sample (<=16 "
+    "queries), so monitor cost is independent of index size — the "
+    "maintenance-cadence economics the 100 TB deployment needs.",
+    tags=("ext", "similarity", "X3", "ann", "envelope"),
+)
+def ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    head = emb.filter(F.col("vec_id") % 3 != 0)
+    tail = emb.filter(F.col("vec_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="ann_drift_")
+    idx = f"{tmp}/ivf"
+    try:
+        cents = similarity.kmeans_fit_sample(
+            head, k=8, cache_key=("ann_drift_head", sf_dir)
+        )
+        similarity.ann_index_write(head, idx, cents)
+        similarity.ann_index_add(spark, tail, idx)
+        n_before = spark.read.parquet(idx).count()
+        full = similarity.ann_index_recall(
+            spark, idx, k=5, nprobe=len(cents), max_probe=16
+        )
+        drifted = similarity.ann_index_recall(
+            spark, idx, k=5, nprobe=1, max_probe=16
+        )
+        similarity.ann_index_rebuild(spark, idx, k_centroids=8)
+        rebuilt = similarity.ann_index_recall(
+            spark, idx, k=5, nprobe=1, max_probe=16
+        )
+        rebuilt_full = similarity.ann_index_recall(
+            spark, idx, k=5, nprobe=8, max_probe=16
+        )
+        n_after = spark.read.parquet(idx).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(full["n_queries"]),
+                round(float(full["recall_at_k"]), 6),
+                bool(full["recall_at_k"] == 1.0),
+                round(float(drifted["recall_at_k"]), 6),
+                round(float(rebuilt["recall_at_k"]), 6),
+                bool(rebuilt_full["recall_at_k"] == 1.0),
+                bool(n_before == n_after),
+            )
+        ],
+        "n_probe_queries bigint, recall_exhaustive double, "
+        "exhaustive_is_exact boolean, recall_drifted double, "
+        "recall_rebuilt double, rebuild_keeps_exact boolean, "
+        "rebuild_preserves_vectors boolean",
+    )

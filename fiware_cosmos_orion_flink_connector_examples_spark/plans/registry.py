@@ -98,6 +98,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # are now artifact history.  Repopulated below as round-14 queries
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
+    "search_index_atomic_capstone",  # versioned multi-table index root
+    "ann_drift_monitor",  # r13 directive #5: drift + rebuild, rows-only
 )
 
 

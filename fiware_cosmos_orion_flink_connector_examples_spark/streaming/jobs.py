@@ -1579,3 +1579,46 @@ def watermark_drop_report(query) -> dict:
             totals["state_rows"] += op.get("numRowsTotal", 0) or 0
             totals["state_bytes"] += op.get("memoryUsedBytes", 0) or 0
     return totals
+
+
+def maintain_search_index(
+    index_path: str,
+    txn_app: str = "search-index-stream",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """EXACTLY-ONCE streaming maintenance of a VERSIONED combined
+    search index (``text.search_index_write``): each micro-batch of
+    (doc id, text) docs — optionally carrying a boolean ``_del``
+    column for deletions — becomes ONE atomic multi-table index-root
+    publish whose txn watermark is the batch id, so a replayed batch
+    is a no-op, a crash mid-apply leaves the previous root serving
+    (dangling sub-versions are merged over on retry), and a reader can
+    never see the batch's postings without its doc lengths.  The
+    streaming twin of ``search_index_sync`` with foreachBatch's
+    batch_id standing in for the CDC source version.  Returns the
+    function for ``writeStream.foreachBatch``."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+            text as _text,
+        )
+
+        if batch.isEmpty():
+            return  # no root publish for an empty trigger
+        dels = None
+        docs = batch.select(id_col, text_col)
+        if "_del" in batch.columns:
+            flag = F.coalesce(F.col("_del"), F.lit(False))
+            dels = batch.filter(flag).select(id_col)
+            docs = batch.filter(~flag).select(id_col, text_col)
+        _text.search_index_ingest(
+            batch.sparkSession,
+            docs,
+            index_path,
+            txn_app=txn_app,
+            txn_id=batch_id,
+            delete_ids=dels,
+        )
+
+    return apply_batch

@@ -183,3 +183,166 @@ def test_tail_cursor_tmp_pruning_rewind_and_nonmonotonic(spark, tmp_path):
     layout.snapshot_tail_rewind(spark, cur, 3)
     assert layout._read_tail_cursor(spark, cur) == 3
     assert layout._tail_cursor_versions(jvm, fs, cur) == [3]
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """VERDICT r13 directive #4a: a MERGE batch may carry NEW columns —
+    the committed schema becomes the column union (append's contract),
+    untouched buckets read as NULL through it, time travel shows the
+    pre-evolution shape, the change log records the evolved struct,
+    and the two contract breaks (retype, missing existing column)
+    raise instead of corrupting."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "snap")
+    layout.snapshot_write_keyed(
+        spark, _kv(spark, [(1, "a"), (2, "b"), (3, "c")]), path, "k", n_buckets=4
+    )
+    # v2: evolve — batch carries new column w
+    layout.snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "b2", 20), (9, "i", 90)], "k long, v string, w long"
+        ),
+        "k",
+    )
+    got = {
+        r["k"]: (r["v"], r["w"])
+        for r in layout.snapshot_read(spark, path).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b2", 20), 3: ("c", None), 9: ("i", 90)}
+    # time travel: v1 has NO w column
+    assert layout.snapshot_read(spark, path, 1).columns == ["k", "v"]
+    # the change log recorded the evolved struct (old side NULL-padded)
+    feed = {
+        (r["k"], r["_change"], r["v"], r["w"])
+        for r in layout.snapshot_changes_feed(spark, path, 1, 2).collect()
+    }
+    assert feed == {(2, "update", "b2", 20), (9, "insert", "i", 90)}
+
+    # post-evolution, a batch missing w raises (upserts are full rows)
+    with pytest.raises(ValueError, match="missing table column 'w'"):
+        layout.snapshot_merge(spark, path, _kv(spark, [(5, "x")]), "k")
+    # retype raises
+    with pytest.raises(ValueError, match="changes type"):
+        layout.snapshot_merge(
+            spark,
+            path,
+            spark.createDataFrame([(5, "x", "oops")], "k long, v string, w string"),
+            "k",
+        )
+    # deletes + evolution in one batch; delete flag itself never evolves
+    layout.snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, None, None, True), (4, "d", 40, False)],
+            "k long, v string, w long, _del boolean",
+        ),
+        "k",
+        delete_col="_del",
+    )
+    final = layout.snapshot_read(spark, path)
+    assert "_del" not in final.columns
+    assert {r["k"] for r in final.filter(F.col("w").isNotNull()).collect()} == {2, 4, 9}
+    assert final.filter(F.col("k") == 3).count() == 0
+
+
+def test_truncate_cdc_marker(spark, tmp_path):
+    """VERDICT r13 directive #4b: an overwrite commit records a
+    truncate marker — the incremental feed FAILS LOUDLY with
+    SnapshotTruncateInFeed (naming the version, telling the consumer
+    to re-bootstrap) instead of a silent full-diff; the explicit
+    net-diff API still serves the span as a diff (its documented
+    honest cost)."""
+    path = str(tmp_path / "snap")
+    layout.snapshot_commit(spark, _kv(spark, [(1, "a")]), path, mode="overwrite")
+    layout.snapshot_commit(spark, _kv(spark, [(2, "b")]), path, mode="append")
+    layout.snapshot_commit(spark, _kv(spark, [(7, "z")]), path, mode="overwrite")
+    layout.snapshot_commit(spark, _kv(spark, [(8, "y")]), path, mode="append")
+
+    with pytest.raises(layout.SnapshotTruncateInFeed, match="v3"):
+        layout.snapshot_changes_feed(spark, path, 1, key_col="k")
+    assert issubclass(layout.SnapshotTruncateInFeed, ValueError)
+    # spans that avoid the truncate still stream from the logs
+    post = {
+        (r["k"], r["_change"])
+        for r in layout.snapshot_changes_feed(spark, path, 3, key_col="k").collect()
+    }
+    assert post == {(8, "insert")}
+    # net-diff API: crossing the truncate is served as an honest diff
+    diff = {
+        (r["k"], r["_change"])
+        for r in layout.snapshot_changes(spark, path, 2, 3, key_col="k").collect()
+    }
+    assert diff == {(1, "delete"), (2, "delete"), (7, "insert")}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.sampled_from(["upsert", "delete"]),
+            st.text(alphabet="ab", min_size=1, max_size=3),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_snapshot_merge_model_based_with_evolution(spark, tmp_path_factory, ops):
+    """The round-11 model-based MERGE check EXTENDED WITH EVOLVING
+    BATCHES (r13 directive #4 done-criterion): halfway through a random
+    op sequence the batches start carrying a new column w — the table
+    and a plain dict must agree at EVERY version, pre-evolution
+    versions keep the 2-column shape, and post-evolution reads show
+    NULL w for never-rewritten keys."""
+    tmp = tmp_path_factory.mktemp("snapevomodel")
+    path = str(tmp / "t")
+    model: dict[int, tuple] = {0: ("init", None), 7: ("init", None)}
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(k, v) for k, (v, _) in sorted(model.items())], "k long, v string"
+        ),
+        path,
+        "k",
+        n_buckets=4,
+    )
+    evolve_at = len(ops) // 2
+    history = [dict(model)]
+    for i, (key, op, val, w) in enumerate(ops):
+        evolved = i >= evolve_at
+        if op == "upsert":
+            model[key] = (val, w if evolved else None)
+        else:
+            model.pop(key, None)
+        if evolved:
+            upd = spark.createDataFrame(
+                [(key, val if op == "upsert" else None,
+                  w if op == "upsert" else None, op == "delete")],
+                "k long, v string, w long, _del boolean",
+            )
+        else:
+            upd = spark.createDataFrame(
+                [(key, val if op == "upsert" else None, op == "delete")],
+                "k long, v string, _del boolean",
+            )
+        layout.snapshot_merge(spark, path, upd, "k", delete_col="_del")
+        history.append(dict(model))
+
+    for version, expect in enumerate(history, start=1):
+        rows = layout.snapshot_read(spark, path, version).collect()
+        pre_evolution = version <= evolve_at + 1
+        if pre_evolution:
+            got = {r["k"]: (r["v"], None) for r in rows}
+            assert "w" not in layout.snapshot_read(spark, path, version).columns
+        else:
+            got = {r["k"]: (r["v"], r["w"]) for r in rows}
+        assert got == expect, f"version {version}"
