@@ -2213,9 +2213,13 @@ def _pinned_keyed_read(spark, table_path: str, version: int):
 
 def _pinned_docterms_pairs(spark, path: str, batch_ids, id_col: str, version: int):
     """(id, term) pairs stored for the batch's docs in the PINNED
-    docterms version — bucket-pruned off the manifest's bucket map
-    (reads only the batch docs' hash buckets, the versioned analog of
-    _stale_posting_keys' sidecar discipline)."""
+    docterms version — two-phase read off the manifest's bucket map:
+    an id-COLUMN-ONLY scan of the batch's hash buckets finds which
+    buckets actually hold batch docs (columnar projection, no terms
+    arrays read), then the full rows load from ONLY those buckets.  A
+    pure-insert batch (no doc previously indexed) therefore never
+    reads a terms array at all — the read that made a 20k-insert
+    ingest cost a corpus scan in the round-14 smoke."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -2225,21 +2229,37 @@ def _pinned_docterms_pairs(spark, path: str, batch_ids, id_col: str, version: in
     base = f"{path.rstrip('/')}/docterms"
     resolved = layout.snapshot_manifest(spark, base, version)
     nb = int(resolved["keyed"]["n_buckets"])
-    touched = [
+    touched = {
         r["_b"]
         for r in batch_ids.select(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(nb)).alias("_b")
         )
         .distinct()
         .collect()
-    ]  # bounded by n_buckets — a layout constant
-    files = [
-        f for f in resolved["files"] if resolved["buckets"].get(f) in set(touched)
-    ]
+    }  # bounded by n_buckets — a layout constant
+    files = [f for f in resolved["files"] if resolved["buckets"].get(f) in touched]
     schema = StructType.fromJson(_json.loads(resolved["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema).select(
+            F.col(id_col), F.explode("terms").alias("term")
+        )
+    present = (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .select(id_col)
+        .join(F.broadcast(batch_ids), id_col, "semi")
+        .select(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(nb)).alias("_b")
+        )
+        .distinct()
+        .collect()
+    )
+    matched_files = [
+        f for f in files if resolved["buckets"].get(f) in {r["_b"] for r in present}
+    ]
     old = (
-        spark.read.schema(schema).parquet(*files)
-        if files
+        spark.read.schema(schema).parquet(*matched_files)
+        if matched_files
         else spark.createDataFrame([], schema)
     )
     return (

@@ -8071,11 +8071,23 @@ def ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    schema = (
+        "n_probe_queries bigint, recall_exhaustive double, "
+        "exhaustive_is_exact boolean, recall_drifted double, "
+        "recall_rebuilt double, rebuild_keeps_exact boolean, "
+        "rebuild_preserves_vectors boolean"
+    )
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     head = emb.filter(F.col("vec_id") % 3 != 0)
     tail = emb.filter(F.col("vec_id") % 3 == 0)
+    if head.isEmpty():
+        # degenerate corpus (empty ingest day): nothing to train on —
+        # a zero-query monitor vacuously reports healthy
+        return spark.createDataFrame(
+            [(0, 1.0, True, 1.0, 1.0, True, True)], schema
+        )
     tmp = tempfile.mkdtemp(prefix="ann_drift_")
     idx = f"{tmp}/ivf"
     try:
@@ -8113,8 +8125,5 @@ def ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(n_before == n_after),
             )
         ],
-        "n_probe_queries bigint, recall_exhaustive double, "
-        "exhaustive_is_exact boolean, recall_drifted double, "
-        "recall_rebuilt double, rebuild_keeps_exact boolean, "
-        "rebuild_preserves_vectors boolean",
+        schema,
     )

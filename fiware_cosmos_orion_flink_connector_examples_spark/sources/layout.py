@@ -1297,14 +1297,17 @@ def snapshot_merge(
     expected_version: int | None = None,
 ) -> int:
     """MERGE INTO a keyed snapshot table with FULL-TABLE atomicity:
-    matched keys replaced, new keys inserted, only the buckets holding
-    updated keys re-read/re-written (copy-on-write via the manifest's
-    bucket map — untouched buckets' files carry over BY REFERENCE in
-    an O(touched) segment), and the whole merge becomes visible in ONE
-    atomic manifest rename.  A reader can never see half a merge, a
-    crash anywhere leaves the table at the previous version, and time
-    travel reaches the pre-merge state — the three guarantees the
-    plain-directory ``merge_upsert`` documents as out of its reach.
+    matched keys replaced, new keys inserted, and only the buckets
+    holding MATCHED keys re-written (copy-on-write via the manifest's
+    bucket map; round 14 made the COW insert-aware — a pure-insert
+    batch APPENDS new files to its buckets and rewrites nothing, so
+    commit write cost is O(batch); untouched and insert-only buckets'
+    files carry over BY REFERENCE in an O(touched) segment), and the
+    whole merge becomes visible in ONE atomic manifest rename.  A
+    reader can never see half a merge, a crash anywhere leaves the
+    table at the previous version, and time travel reaches the
+    pre-merge state — the three guarantees the plain-directory
+    ``merge_upsert`` documents as out of its reach.
 
     ``delete_col`` names a boolean column in ``updates``: rows where
     it is true DELETE their key (WHEN MATCHED … DELETE; deleting an
@@ -1391,7 +1394,6 @@ def snapshot_merge(
     )  # bounded by n_buckets — a layout constant
     buckets: dict = resolved["buckets"]
     touched_files = [f for f in resolved["files"] if buckets.get(f) in touched]
-    untouched = [f for f in resolved["files"] if buckets.get(f) not in touched]
     from pyspark.sql.types import StructType
 
     tbl_schema = StructType.fromJson(json.loads(resolved["schema"]))
@@ -1434,9 +1436,38 @@ def snapshot_merge(
         survivors = survivors.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
             delete_col
         )
-    existing = (
-        spark.read.schema(tbl_schema).parquet(*touched_files)
+    # INSERT-AWARE COW (round 14): only buckets holding MATCHED keys
+    # are rewritten — a pure-insert batch (the dominant CDC shape)
+    # APPENDS new files to its buckets and removes nothing, so commit
+    # write cost is O(batch), not O(touched buckets' bytes).  Match
+    # detection is a KEY-COLUMN-ONLY scan of the touched buckets
+    # (columnar projection — no row payload read); the full-row read
+    # then touches ONLY the matched buckets' files, so a pure-insert
+    # merge never reads a row payload at all.  Matched buckets rewrite
+    # as before: their untouched rows re-written minus the batch's
+    # keys, plus the batch's survivors.  Repeated insert commits
+    # accumulate files per bucket; compact_files restores one file set
+    # per bucket (the Iceberg minor-compaction lifecycle).
+    existing_keys = (
+        spark.read.schema(tbl_schema).parquet(*touched_files).select(key_col)
         if touched_files
+        else spark.createDataFrame([], tbl_schema).select(key_col)
+    )
+    matched = sorted(
+        r["_bucket"]
+        for r in upd.join(existing_keys, key_col, "semi")
+        .select("_bucket")
+        .distinct()
+        .collect()
+    )  # bounded by n_buckets — a layout constant
+    mset = set(matched)
+    rewrite_files = [f for f in touched_files if buckets.get(f) in mset]
+    # matched-bucket rows are ALSO the only possible `_old` rows for
+    # the change log: a key that exists anywhere lives in a matched
+    # bucket by definition, so keys outside read as inserts correctly
+    existing = (
+        spark.read.schema(tbl_schema).parquet(*rewrite_files)
+        if rewrite_files
         else spark.createDataFrame([], tbl_schema)
     )
     merged = existing.join(keys, key_col, "left_anti").unionByName(survivors)
@@ -1450,7 +1481,7 @@ def snapshot_merge(
     seg: dict = {
         "add": sorted(new_files),
         "buckets": new_buckets,
-        "remove_buckets": touched,
+        "remove_buckets": matched,
     }
     if resolved["stats_types"]:
         # the table records file-skipping stats — keep them alive on

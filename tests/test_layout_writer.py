@@ -447,15 +447,31 @@ def test_snapshot_merge_atomic_copy_on_write(spark, tmp_path):
     assert v1 == {i: f"v{i}" for i in range(100)}
     assert {r["k"]: r["v"] for r in pinned.collect()} == v1
 
-    # copy-on-write by reference: untouched buckets share file paths
-    # (resolved through the segment replay — the manifest itself only
-    # holds the segment list since round 12)
+    # copy-on-write by reference: only the MATCHED key's bucket is
+    # rewritten (round 14 insert-aware COW: key 777 is brand new, so
+    # its bucket gains an ADD file while its old files carry), and
+    # every v1 file outside the rewritten bucket survives by path
     m1 = layout.snapshot_manifest(spark, path, 1)
     m2 = layout.snapshot_manifest(spark, path, 2)
-    touched_buckets = {m2["buckets"][f] for f in m2["files"] if f not in m1["files"]}
-    assert len(touched_buckets) <= 2
+    new_files = [f for f in m2["files"] if f not in m1["files"]]
+    new_buckets = {m2["buckets"][f] for f in new_files}
+    assert len(new_buckets) <= 2  # matched bucket + 777's insert bucket
     carried = set(m1["files"]) & set(m2["files"])
-    assert carried and all(m1["buckets"][f] not in touched_buckets for f in carried)
+    rewritten = {b for b in new_buckets if any(
+        m1["buckets"][f] == b for f in m1["files"] if f not in m2["files"]
+    )}
+    assert len(rewritten) <= 1  # only key 3's bucket lost files
+    assert carried and all(m1["buckets"][f] not in rewritten for f in carried)
+    # pure-insert merge: NOTHING is removed — every v2 file carries and
+    # exactly the new key's add-files land (O(batch) commit writes)
+    layout.snapshot_merge(
+        spark, path, spark.createDataFrame([(888, "NEW2")], "k long, v string"), "k"
+    )
+    m3 = layout.snapshot_manifest(spark, path, 3)
+    assert set(m2["files"]) <= set(m3["files"])
+    got3 = {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()}
+    assert got3[888] == "NEW2" and got3[3] == "CHANGED" and len(got3) == 102
+    expect[888] = "NEW2"  # the insert-aware-COW row is table content now
 
     with _pytest.raises(ValueError, match="duplicate key"):
         layout.snapshot_merge(

@@ -188,9 +188,11 @@ def test_changes_feed_append_inserts_free(spark, tmp_path):
         ).collect()
     )
     assert diff == [(2, "insert", "b"), (3, "insert", "c")]
-    # an overwrite keeps no delta → the incremental feed refuses loudly
+    # an overwrite cannot be expressed as row changes → the incremental
+    # feed refuses loudly (round 14 upgraded the refusal to a typed
+    # truncate marker naming the version and the re-bootstrap recipe)
     layout.snapshot_commit(spark, _kv(spark, [(9, "z")]), path)
-    with pytest.raises(ValueError, match="no change"):
+    with pytest.raises(layout.SnapshotTruncateInFeed, match="TRUNCATE"):
         layout.snapshot_changes_feed(spark, path, 2, key_col="k").collect()
 
 

@@ -346,3 +346,65 @@ def test_snapshot_merge_model_based_with_evolution(spark, tmp_path_factory, ops)
         else:
             got = {r["k"]: (r["v"], r["w"]) for r in rows}
         assert got == expect, f"version {version}"
+
+
+def test_merge_insert_aware_cow(spark, tmp_path):
+    """Round-14 insert-aware COW: a pure-insert merge APPENDS files and
+    removes nothing (commit writes O(batch), the Iceberg append shape);
+    a mixed batch rewrites ONLY buckets holding matched keys; the CDC
+    feed classifies both identically; compact_files collapses the
+    accumulated per-bucket files back to one set."""
+    path = str(tmp_path / "snap")
+    layout.snapshot_write_keyed(
+        spark, _kv(spark, [(i, f"v{i}") for i in range(40)]), path, "k", n_buckets=8
+    )
+    m1 = layout.snapshot_manifest(spark, path, 1)
+
+    # pure inserts: every v1 file carries by path
+    layout.snapshot_merge(
+        spark, path, _kv(spark, [(100, "a"), (101, "b"), (102, "c")]), "k"
+    )
+    m2 = layout.snapshot_manifest(spark, path, 2)
+    assert set(m1["files"]) <= set(m2["files"])
+    feed = {
+        (r["k"], r["_change"]) for r in
+        layout.snapshot_changes_feed(spark, path, 1, 2).collect()
+    }
+    assert feed == {(100, "insert"), (101, "insert"), (102, "insert")}
+
+    # mixed: one matched update + one insert — only the matched key's
+    # bucket loses files
+    layout.snapshot_merge(spark, path, _kv(spark, [(5, "V5"), (200, "d")]), "k")
+    m3 = layout.snapshot_manifest(spark, path, 3)
+    removed = [f for f in m2["files"] if f not in m3["files"]]
+    removed_buckets = {m2["buckets"][f] for f in removed}
+    assert len(removed_buckets) == 1  # exactly key 5's bucket
+    got = {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()}
+    expect = {i: f"v{i}" for i in range(40)}
+    expect.update({100: "a", 101: "b", 102: "c", 5: "V5", 200: "d"})
+    assert got == expect
+    # time travel unaffected
+    assert {r["k"] for r in layout.snapshot_read(spark, path, 1).collect()} == set(
+        range(40)
+    )
+
+    # deletes of ABSENT keys rewrite nothing
+    layout.snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame([(999, None, True)], "k long, v string, _del boolean"),
+        "k",
+        delete_col="_del",
+    )
+    m4 = layout.snapshot_manifest(spark, path, 4)
+    assert set(m3["files"]) <= set(m4["files"])
+    assert {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()} == expect
+
+    # compaction collapses the accumulated per-bucket file sets
+    layout.compact_files(spark, path)
+    m5 = layout.snapshot_manifest(spark, path)
+    per_bucket: dict = {}
+    for f, b in m5["buckets"].items():
+        per_bucket.setdefault(b, []).append(f)
+    assert all(len(v) <= 2 for v in per_bucket.values())  # one write set each
+    assert {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()} == expect
