@@ -1798,6 +1798,7 @@ def bm25_from_index(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    root_version: int | None = None,
 ) -> DataFrame:
     """Score queries against a stored ``bm25_index_write`` index: df
     and the corpus scalars are re-derived in one partial-aggregable
@@ -1805,8 +1806,10 @@ def bm25_from_index(
     to the query terms — the bm25_scores posting-bounded discipline
     does not apply to df here because df needs the STORED per-term
     postings anyway, which is exactly what the term-keyed bucket
-    layout prunes to), then the shared scoring core runs unchanged."""
-    postings, dl = _bm25_index_tables(spark, path, id_col)
+    layout prunes to), then the shared scoring core runs unchanged.
+    ``root_version`` (versioned indexes only) serves the index exactly
+    as it stood at that root commit — cross-table time travel."""
+    postings, dl = _bm25_index_tables(spark, path, id_col, root_version)
     qt = F.broadcast(query_terms.select("term").distinct())
     tf = postings.join(qt, "term").select(id_col, "term", "tf")
     # postings are (term, doc)-unique, so df = tf's per-term row count
@@ -1816,7 +1819,7 @@ def bm25_from_index(
     return _bm25_score_parts(tf, dl, dfreq, stats, query_terms, id_col, k1, b)
 
 
-def _bm25_index_tables(spark, path: str, id_col: str):
+def _bm25_index_tables(spark, path: str, id_col: str, root_version: int | None = None):
     """Read the live view of a stored BM25 index: postings + doc
     lengths with tombstoned docs (bm25_index_delete) anti-joined out —
     the read-side half of log-structured deletes.  The tombstone set
@@ -1832,6 +1835,12 @@ def _bm25_index_tables(spark, path: str, id_col: str):
 
     root = _index_root(spark, path)
     if root is not None:
+        if root_version is not None:
+            from fiware_cosmos_orion_flink_connector_examples_spark.sources import (
+                layout,
+            )
+
+            root = layout.index_root_resolve(spark, path, root_version)
         postings = (
             _pinned_keyed_read(
                 spark, f"{path.rstrip('/')}/postings", root["tables"]["postings"]
@@ -1844,6 +1853,11 @@ def _bm25_index_tables(spark, path: str, id_col: str):
         )
         return postings, dl
 
+    if root_version is not None:
+        raise ValueError(
+            "_bm25_index_tables: root_version is only meaningful for a "
+            "versioned (search_index_write) index"
+        )
     postings = (
         read_keyed(spark, f"{path.rstrip('/')}/postings")
         .drop("pkey", "_bucket")
@@ -2103,6 +2117,7 @@ def phrase_count_from_index(
     path: str,
     phrase: list[str],
     id_col: str = "doc_id",
+    root_version: int | None = None,
 ) -> DataFrame:
     """Exact phrase occurrence counts served from a stored
     ``phrase_index_write`` index: start from the first term's position
@@ -2131,13 +2146,26 @@ def phrase_count_from_index(
     root = _index_root(spark, path)
     if root is not None:
         # versioned index: positions pinned to the root's consistent
-        # cross-table snapshot; deletes are real, no tombstone pass
+        # cross-table snapshot; deletes are real, no tombstone pass.
+        # root_version = CROSS-TABLE TIME TRAVEL: serve the index
+        # exactly as it stood at that root commit.
+        if root_version is not None:
+            from fiware_cosmos_orion_flink_connector_examples_spark.sources import (
+                layout,
+            )
+
+            root = layout.index_root_resolve(spark, path, root_version)
         tbl = (
             _pinned_keyed_read(
                 spark, f"{path.rstrip('/')}/positions", root["tables"]["positions"]
             )
             .drop("pkey")
             .filter(F.size("positions") > 0)
+        )
+    elif root_version is not None:
+        raise ValueError(
+            "phrase_count_from_index: root_version is only meaningful for "
+            "a versioned (search_index_write) index"
         )
     else:
         tbl = (

@@ -7966,11 +7966,22 @@ def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
              len([i for i in range(1, len(t))
                   if t[i] = 'hash' AND t[i+1] = 'join']) AS n
       FROM t
+    ),
+    t1 AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM base),
+    c1 AS (
+      SELECT doc_id,
+             len([i for i in range(1, len(t))
+                  if t[i] = 'hash' AND t[i+1] = 'join']) AS n
+      FROM t1
     )
     SELECT CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
            CAST(coalesce(sum(n), 0) AS BIGINT) AS total_occurrences,
            (SELECT CAST(count(*) AS BIGINT) FROM t WHERE len(t) > 0)
-             AS n_indexed_docs
+             AS n_indexed_docs,
+           (SELECT CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) FROM c1)
+             AS n_docs_v1,
+           (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM c1)
+             AS total_occurrences_v1
     FROM c
     """,
     doc="[ext] ATOMIC MULTI-TABLE SERVING-INDEX capstone (round 14, "
@@ -7988,10 +7999,14 @@ def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DuckDB from `documents` alone, so the driver hash-proves the "
     "root protocol end to end: changed-doc stale-key deletion (no "
     "ghost postings), real multi-table deletes riding the same "
-    "commit, and cross-table consistency of the served snapshot.  "
-    "Scale shape: merges are bucket-pruned COW on every sub-table, "
-    "the root publish is one O(1) rename, and the serve touches only "
-    "the phrase terms' posting rows (Σ df, never the corpus).",
+    "commit, cross-table consistency of the served snapshot, AND "
+    "root-level TIME TRAVEL (the same phrase served at root v1 "
+    "reproduces the pre-edit corpus exactly — v1-pinned counts are "
+    "hash-checked against DuckDB over the UNEDITED slice).  Scale "
+    "shape: merges are insert-aware bucket-pruned COW on every "
+    "sub-table, the root publish is one O(1) rename, and the serve "
+    "touches only the phrase terms' posting rows (Σ df, never the "
+    "corpus).",
     tags=("ext", "storage", "text", "X4", "retrieval", "snapshot", "envelope"),
 )
 def search_index_atomic_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8032,6 +8047,15 @@ def search_index_atomic_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, tmp, ["hash", "join"]
             ).collect()
         }
+        # cross-table TIME TRAVEL: the same serve pinned to root v1
+        # reproduces the PRE-EDIT corpus — hash-proven below against
+        # DuckDB arithmetic over the unedited slice
+        served_v1 = {
+            tuple(r)
+            for r in text.phrase_count_from_index(
+                spark, tmp, ["hash", "join"], root_version=1
+            ).collect()
+        }
         root = layout.index_root_resolve(spark, tmp)
         n_indexed = layout.snapshot_read(
             spark, f"{tmp}/doclen", version=root["tables"]["doclen"]
@@ -8039,8 +8063,17 @@ def search_index_atomic_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
-        [(len(served), int(sum(n for _, n in served)), int(n_indexed))],
-        "n_docs bigint, total_occurrences bigint, n_indexed_docs bigint",
+        [
+            (
+                len(served),
+                int(sum(n for _, n in served)),
+                int(n_indexed),
+                len(served_v1),
+                int(sum(n for _, n in served_v1)),
+            )
+        ],
+        "n_docs bigint, total_occurrences bigint, n_indexed_docs bigint, "
+        "n_docs_v1 bigint, total_occurrences_v1 bigint",
     )
 
 

@@ -84,6 +84,24 @@ def test_versioned_ingest_delete_equal_scratch_rebuild(spark, tmp_path):
     text.search_index_write(_docs(spark, final_rows), rebuilt, n_buckets=4)
     assert _bm25_set(spark, idx) == _bm25_set(spark, rebuilt)
     assert _phrase_set(spark, idx) == _phrase_set(spark, rebuilt)
+    # cross-table TIME TRAVEL: root v1 serves the ORIGINAL corpus
+    # (both the phrase and the BM25 paths pin all sub-tables at once)
+    original = str(tmp_path / "original")
+    text.search_index_write(_docs(spark), original, n_buckets=4)
+    v1_phrase = {
+        tuple(r)
+        for r in text.phrase_count_from_index(
+            spark, idx, ["hash", "join"], root_version=1
+        ).collect()
+    }
+    assert v1_phrase == _phrase_set(spark, original)
+    v1_bm25 = {
+        (r["query_id"], r["doc_id"], r["score_q12"])
+        for r in text.bm25_from_index(
+            spark, idx, _qterms(spark), root_version=1
+        ).collect()
+    }
+    assert v1_bm25 == _bm25_set(spark, original)
     # dropped terms are REALLY gone (not filtered ghosts): 'merge' was
     # only in doc 2's old text
     root = layout.index_root_resolve(spark, idx)
