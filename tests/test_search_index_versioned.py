@@ -305,3 +305,60 @@ def test_streaming_index_maintenance_exactly_once(spark, tmp_path):
     assert _bm25_set(spark, idx) == _bm25_set(spark, rebuilt)
     assert _phrase_set(spark, idx) == _phrase_set(spark, rebuilt)
     assert layout.index_root_resolve(spark, idx)["txn"]["stream-app"] == 1
+
+
+def test_search_index_stream_e2e_structured_streaming(spark, tmp_path):
+    """maintain_search_index under a REAL Structured Streaming query
+    (availableNow, one micro-batch per spool file): each batch of doc
+    upserts/deletes lands as one atomic multi-table root publish, the
+    final served results equal a scratch index of the fold, and a
+    checkpointed restart with no new input publishes nothing."""
+    import json as _json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    batches = [
+        [(6, "hash join streamed", False)],
+        [(2, "hash join rewrite", False), (4, None, True)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(spool / f"b{i}.jsonl", "w") as f:
+            for d, t, x in rows:
+                f.write(_json.dumps({"doc_id": d, "text": t, "_del": x}) + "\n")
+
+    idx, rebuilt = str(tmp_path / "idx"), str(tmp_path / "rebuilt")
+    text.search_index_write(_docs(spark), idx, n_buckets=4)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, _del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+    )
+
+    def start():
+        return (
+            stream.writeStream.foreachBatch(
+                jobs.maintain_search_index(idx, "streamE2E")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    start().awaitTermination(120)
+    assert layout.index_root_latest(spark, idx) == 3  # create + 2 batches
+    model = {d: t for d, t in DOCS}
+    for rows in batches:
+        for d, t, x in rows:
+            if x:
+                model.pop(d, None)
+            else:
+                model[d] = t
+    text.search_index_write(_docs(spark, sorted(model.items())), rebuilt, n_buckets=4)
+    assert _bm25_set(spark, idx) == _bm25_set(spark, rebuilt)
+    assert _phrase_set(spark, idx) == _phrase_set(spark, rebuilt)
+
+    # checkpointed restart, no new input: no root movement
+    start().awaitTermination(120)
+    assert layout.index_root_latest(spark, idx) == 3
