@@ -8083,9 +8083,13 @@ def search_index_atomic_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressible; rows-only with in-row envelope booleans, the exact
     # invariants pinned by pytest (test_ext_operators / similarity)
     doc="[ext] X3 ANN DRIFT MONITOR + ATOMIC REBUILD, driver-registered "
-    "(VERDICT r13 directive #5): train an IVF index on two thirds of "
-    "the embedding corpus, ann_index_add the rest under FROZEN "
-    "centroids (the FAISS add-after-train contract — sustained ingest "
+    "(VERDICT r13 directive #5), running on the round-14 VERSIONED ANN "
+    "index (inverted lists as a snapshot table bucketed by coarse "
+    "cell, centroids pinned in the index root — adds are atomic "
+    "merges, rebuild flips centroids+lists in ONE root rename): train "
+    "an IVF index on two thirds of the embedding corpus, add the rest "
+    "under FROZEN centroids (the FAISS add-after-train contract — "
+    "sustained ingest "
     "degrades cell geometry silently), then emit the operator's alarm "
     "numbers: recall@5 probed exhaustively (envelope: exactly 1.0 — "
     "the search is pinned row-identical to brute force at nprobe=all), "
@@ -8123,27 +8127,39 @@ def ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     tmp = tempfile.mkdtemp(prefix="ann_drift_")
     idx = f"{tmp}/ivf"
+    def _n_vectors():
+        from fiware_cosmos_orion_flink_connector_examples_spark.sources import (
+            layout,
+        )
+
+        root = layout.index_root_resolve(spark, idx)
+        (name, ver), = root["tables"].items()
+        return layout.snapshot_read(spark, f"{idx}/{name}", version=ver).count()
+
     try:
         cents = similarity.kmeans_fit_sample(
             head, k=8, cache_key=("ann_drift_head", sf_dir)
         )
-        similarity.ann_index_write(head, idx, cents)
-        similarity.ann_index_add(spark, tail, idx)
-        n_before = spark.read.parquet(idx).count()
+        # round 14: the VERSIONED index — the driver row proves the
+        # snapshot-backed ANN serving path (atomic add + root-flip
+        # rebuild), not just the monitor arithmetic
+        similarity.ann_index_write_versioned(head, idx, cents)
+        similarity.ann_index_add_versioned(spark, tail, idx)
+        n_before = _n_vectors()
         full = similarity.ann_index_recall(
             spark, idx, k=5, nprobe=len(cents), max_probe=16
         )
         drifted = similarity.ann_index_recall(
             spark, idx, k=5, nprobe=1, max_probe=16
         )
-        similarity.ann_index_rebuild(spark, idx, k_centroids=8)
+        similarity.ann_index_rebuild_versioned(spark, idx, k_centroids=8)
         rebuilt = similarity.ann_index_recall(
             spark, idx, k=5, nprobe=1, max_probe=16
         )
         rebuilt_full = similarity.ann_index_recall(
             spark, idx, k=5, nprobe=8, max_probe=16
         )
-        n_after = spark.read.parquet(idx).count()
+        n_after = _n_vectors()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(

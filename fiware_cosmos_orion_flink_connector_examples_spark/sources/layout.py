@@ -1185,6 +1185,7 @@ def snapshot_write_keyed(
     stats_cols: list[str] | None = None,
     _txn_update: dict | None = None,
     sort_within: str | None = None,
+    bucket_col: str | None = None,
 ) -> int:
     """Create a KEYED snapshot table: rows hash-bucketed by ``key_col``
     into one file set per bucket, the bucket map recorded in the
@@ -1196,17 +1197,33 @@ def snapshot_write_keyed(
     write_keyed row-group-skip trick — posting tables sort on term);
     later merges rewrite touched buckets unsorted, so run
     ``compact_files(sort_by=...)`` to restore clustering after heavy
-    merge traffic.  Returns the committed version."""
+    merge traffic.
+
+    ``bucket_col`` (round 14) makes the bucket assignment PLUGGABLE: an
+    int column of ``df`` (caller-computed — e.g. an IVF cell id) places
+    each row instead of the key hash, so reads can prune files by a
+    SEMANTIC partition (probed cells) straight off the manifest's
+    bucket map while merges stay key-correct (a re-upserted key whose
+    bucket value changed MOVES — the old row is dropped from its old
+    bucket, the new row lands in the new one).  The column stays in
+    the schema as ordinary data.  Returns the committed version."""
     import uuid
 
     base = path.rstrip("/")
     jvm, fs = _fs(spark, base)
     if snapshot_latest_version(spark, base) != 0:
         raise ValueError(f"snapshot_write_keyed: {path} already has commits")
+    if bucket_col is not None and bucket_col not in df.columns:
+        raise ValueError(
+            f"snapshot_write_keyed: bucket_col {bucket_col!r} not in df"
+        )
     data_dir = f"{base}/data/v1-{uuid.uuid4().hex[:8]}"
-    out = df.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
-    ).repartition(F.col("_bucket"))
+    bucket_expr = (
+        F.col(bucket_col).cast("int")
+        if bucket_col is not None
+        else F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    )
+    out = df.withColumn("_bucket", bucket_expr).repartition(F.col("_bucket"))
     if sort_within:
         # _bucket prefix REQUIRED (see compact_files): FileFormatWriter
         # demands ordering by the partition column and would otherwise
@@ -1231,7 +1248,11 @@ def snapshot_write_keyed(
         "mode": "overwrite",
         "schema": df.schema.json(),
         "segments": [rel],
-        "keyed": {"key_col": key_col, "n_buckets": n_buckets},
+        "keyed": (
+            {"key_col": key_col, "n_buckets": n_buckets, "bucket_col": bucket_col}
+            if bucket_col is not None
+            else {"key_col": key_col, "n_buckets": n_buckets}
+        ),
     }
     if _txn_update:
         # a streaming sink creating its table on batch 0 needs the
@@ -1386,14 +1407,26 @@ def snapshot_merge(
         raise ValueError(
             f"snapshot_merge: duplicate key {dup[0][key_col]!r} in updates"
         )
-    upd = updates.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    bucket_col = keyed.get("bucket_col")
+    bucket_expr = (
+        F.col(bucket_col).cast("int")
+        if bucket_col
+        else F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
     )
+    upd = updates.withColumn("_bucket", bucket_expr)
     touched = sorted(
         r["_bucket"] for r in upd.select("_bucket").distinct().collect()
     )  # bounded by n_buckets — a layout constant
     buckets: dict = resolved["buckets"]
-    touched_files = [f for f in resolved["files"] if buckets.get(f) in touched]
+    # files to PROBE for key matches: a hash-bucketed key can only live
+    # in its hash bucket; a bucket_col table must probe EVERY file (a
+    # key's stored cell may differ from the batch's new cell — the
+    # probe is still a two-thin-column scan, never a row-payload read)
+    probe_files = (
+        list(resolved["files"])
+        if bucket_col
+        else [f for f in resolved["files"] if buckets.get(f) in touched]
+    )
     from pyspark.sql.types import StructType
 
     tbl_schema = StructType.fromJson(json.loads(resolved["schema"]))
@@ -1448,20 +1481,32 @@ def snapshot_merge(
     # keys, plus the batch's survivors.  Repeated insert commits
     # accumulate files per bucket; compact_files restores one file set
     # per bucket (the Iceberg minor-compaction lifecycle).
-    existing_keys = (
-        spark.read.schema(tbl_schema).parquet(*touched_files).select(key_col)
-        if touched_files
-        else spark.createDataFrame([], tbl_schema).select(key_col)
+    probe_cols = [key_col] + ([bucket_col] if bucket_col else [])
+    existing_probe = (
+        spark.read.schema(tbl_schema).parquet(*probe_files).select(*probe_cols)
+        if probe_files
+        else spark.createDataFrame([], tbl_schema).select(*probe_cols)
     )
-    matched = sorted(
-        r["_bucket"]
-        for r in upd.join(existing_keys, key_col, "semi")
-        .select("_bucket")
-        .distinct()
-        .collect()
-    )  # bounded by n_buckets — a layout constant
+    if bucket_col:
+        # matched = the STORED cells of the batch's keys (where the old
+        # rows live — possibly different from the batch's new cells)
+        matched = sorted(
+            r["_mb"]
+            for r in existing_probe.join(upd.select(key_col), key_col, "semi")
+            .select(F.col(bucket_col).cast("int").alias("_mb"))
+            .distinct()
+            .collect()
+        )
+    else:
+        matched = sorted(
+            r["_bucket"]
+            for r in upd.join(existing_probe, key_col, "semi")
+            .select("_bucket")
+            .distinct()
+            .collect()
+        )  # bounded by n_buckets — a layout constant
     mset = set(matched)
-    rewrite_files = [f for f in touched_files if buckets.get(f) in mset]
+    rewrite_files = [f for f in probe_files if buckets.get(f) in mset]
     # matched-bucket rows are ALSO the only possible `_old` rows for
     # the change log: a key that exists anywhere lives in a matched
     # bucket by definition, so keys outside read as inserts correctly
@@ -1471,9 +1516,7 @@ def snapshot_merge(
         else spark.createDataFrame([], tbl_schema)
     )
     merged = existing.join(keys, key_col, "left_anti").unionByName(survivors)
-    merged = merged.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
-    )
+    merged = merged.withColumn("_bucket", bucket_expr)
     new_version = cur + 1
     data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
     merged.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(data_dir)
@@ -1982,9 +2025,13 @@ def compact_files(
     seg: dict = {"truncate": True, "change_mode": "none"}
     if keyed:
         kc, nb = keyed["key_col"], int(keyed["n_buckets"])
-        out = df.withColumn(
-            "_bucket", F.pmod(F.xxhash64(F.col(kc).cast("string")), F.lit(nb))
-        ).repartition(F.col("_bucket"))
+        bc = keyed.get("bucket_col")
+        bucket_expr = (
+            F.col(bc).cast("int")
+            if bc
+            else F.pmod(F.xxhash64(F.col(kc).cast("string")), F.lit(nb))
+        )
+        out = df.withColumn("_bucket", bucket_expr).repartition(F.col("_bucket"))
         if sort_by:
             # _bucket prefix REQUIRED: FileFormatWriter demands ordering
             # by the partition column and would otherwise insert its own
@@ -2275,6 +2322,7 @@ def index_root_resolve(spark, path: str, version: int | None = None) -> dict:
         "version": int(doc["version"]),
         "tables": {k: int(v) for k, v in doc["tables"].items()},
         "txn": dict(doc.get("txn", {})),
+        "extra": dict(doc.get("extra", {})),
     }
 
 
@@ -2284,9 +2332,15 @@ def index_root_commit(
     tables: dict,
     _txn_update: dict | None = None,
     expected_version: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Atomically publish a new index root pinning ``tables``
-    ({name: snapshot version}).  Semantics mirror the table-level
+    ({name: snapshot version}).  ``extra`` is an opaque JSON object
+    riding the root — index-level metadata whose swap must be ATOMIC
+    WITH the table pins (the versioned ANN index stores its trained
+    centroids here, so a rebuild flips centroids and inverted lists in
+    one rename); omitted ⇒ the superseded root's extra carries
+    forward, passed ⇒ replaced.  Semantics mirror the table-level
     commit protocol: the superseded root's ``txn`` map carries
     forward; ``_txn_update`` must ADVANCE its app's watermark or
     ``SnapshotTxnAlreadyApplied`` aborts (zombie-writer guard);
@@ -2306,8 +2360,11 @@ def index_root_commit(
             f"{expected_version} but latest is v{cur} — re-resolve and retry"
         )
     txn: dict = {}
+    prev_extra: dict = {}
     if cur > 0:
-        txn = index_root_resolve(spark, base, cur)["txn"]
+        prev = index_root_resolve(spark, base, cur)
+        txn = prev["txn"]
+        prev_extra = prev["extra"]
     if _txn_update:
         for app, bid in _txn_update.items():
             wm = txn.get(app)
@@ -2326,6 +2383,9 @@ def index_root_commit(
     }
     if txn:
         doc["txn"] = txn
+    final_extra = prev_extra if extra is None else extra
+    if final_extra:
+        doc["extra"] = final_extra
     tmp = f"{base}/._idxroot_v{new_version}.json.tmp"
     _write_small(spark, tmp, json.dumps(doc).encode())
     dst = jvm.org.apache.hadoop.fs.Path(f"{base}/_idxroot_v{new_version}.json")
