@@ -8176,3 +8176,81 @@ def ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+
+
+@register(
+    "snapshot_zorder_scan",
+    oracle="""
+    SELECT TRUE AS scan_correct,
+           TRUE AS pruned,
+           count(*) AS n_rows,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS sum_vc
+    FROM events
+    WHERE user_id BETWEEN 3 AND 7
+      AND CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 12000
+    """,
+    doc="[ext] STORAGE data-skipping capstone (the Delta OPTIMIZE "
+    "ZORDER analog, proven end-to-end through the snapshot manifest): "
+    "write events as a snapshot table, Z-ORDER compact it on "
+    "(user_id, value-cents) via compact_files(zorder_by=...), then "
+    "answer a 2-D box predicate through snapshot_scan_multi — the "
+    "multi-column stats-pruned scan that ANDs per-file [min,max] "
+    "skipping decisions across dimensions.  Emits (a) an "
+    "oracle-asserted boolean that the pruned scan's rows EQUAL the "
+    "full-read filter (correctness regardless of layout), (b) a "
+    "boolean that files were actually skipped (the clustering is "
+    "real, not a silent no-op — the round-13 compact_files lesson), "
+    "and (c) the box's row count and exact integer-cents sum, "
+    "independently recomputed by DuckDB from raw events — so the "
+    "driver hash-proves the skipping path returns exactly the right "
+    "data.  Scale shape: the compaction is one maintenance-pass "
+    "shuffle; every later box scan opens only curve-local files "
+    "(manifest-level skipping, the metadata twin of row-group "
+    "pruning).",
+    tags=("ext", "storage", "snapshot", "zorder", "scan", "envelope"),
+)
+def snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    box = {"user_id": (3, 7), "vc": (2000, 12000)}
+    tmp = tempfile.mkdtemp(prefix="zorder_scan_")
+    path = f"{tmp}/t"
+    try:
+        layout.snapshot_commit(spark, ev, path, stats_cols=["user_id", "vc"])
+        layout.compact_files(
+            spark, path, target_files=16, zorder_by=["user_id", "vc"]
+        )
+        df, n_read, n_total = layout.snapshot_scan_multi(spark, path, box)
+        got = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("s"),
+        ).collect()[0]
+        full = (
+            layout.snapshot_read(spark, path)
+            .filter(
+                F.col("user_id").between(3, 7) & F.col("vc").between(2000, 12000)
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s"))
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    row = (
+        bool(got["n"] == full["n"] and (got["s"] or 0) == (full["s"] or 0)),
+        bool(n_read < n_total),
+        int(got["n"]),
+        int(got["s"] or 0),
+    )
+    return spark.createDataFrame(
+        [row],
+        "scan_correct boolean, pruned boolean, n_rows bigint, sum_vc bigint",
+    )

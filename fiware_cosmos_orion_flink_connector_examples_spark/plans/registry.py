@@ -100,6 +100,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # this tuple is bookkeeping for the rotation test).
     "search_index_atomic_capstone",  # versioned multi-table index root
     "ann_drift_monitor",  # r13 directive #5: drift + rebuild, rows-only
+    "snapshot_zorder_scan",  # zorder compaction + multi-col pruned scan
 )
 
 

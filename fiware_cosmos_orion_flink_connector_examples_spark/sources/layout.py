@@ -128,6 +128,38 @@ def zorder_key(cols: list, bits: int = 8):
     return z
 
 
+def _scaled_zorder_key(df: DataFrame, zorder_cols: list[str], bits: int = 8):
+    """Build the Morton key COLUMN for ``zorder_cols`` of ``df``: scale
+    each column to [0, 2**bits) by its global min/max (ONE 1-row agg —
+    the only driver round-trip), then interleave with ``zorder_key``.
+    Shared by ``write_zordered`` (plain parquet) and
+    ``compact_files(zorder_by=...)`` (snapshot tables)."""
+    exprs = []
+    for i, c in enumerate(zorder_cols):
+        exprs += [
+            F.min(F.col(c)).alias(f"_mn{i}"),
+            F.max(F.col(c)).alias(f"_mx{i}"),
+        ]
+    row = df.agg(*exprs).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(zorder_cols):
+        # empty input: min/max are NULL — degrade to a constant key
+        # (the caller writes the empty frame) instead of crashing
+        mn = row[f"_mn{i}"] if row[f"_mn{i}"] is not None else 0
+        mx = row[f"_mx{i}"] if row[f"_mx{i}"] is not None else 0
+        span = float(mx - mn) if mx > mn else 1.0
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                (
+                    (F.col(c).cast("double") - float(mn)) / span * (top + 1)
+                ).cast("long"),
+            )
+        )
+    return zorder_key(scaled, bits)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -149,31 +181,8 @@ def write_zordered(
     on exactly that query).  At 100 TB this is a maintenance-pass
     rewrite, one full shuffle by design — the payoff is every later
     scan."""
-    exprs = []
-    for i, c in enumerate(zorder_cols):
-        exprs += [
-            F.min(F.col(c)).alias(f"_mn{i}"),
-            F.max(F.col(c)).alias(f"_mx{i}"),
-        ]
-    row = df.agg(*exprs).first()
-    top = (1 << bits) - 1
-    scaled = []
-    for i, c in enumerate(zorder_cols):
-        # empty input: min/max are NULL — write the (empty) frame with
-        # a degenerate constant key instead of crashing
-        mn = row[f"_mn{i}"] if row[f"_mn{i}"] is not None else 0
-        mx = row[f"_mx{i}"] if row[f"_mx{i}"] is not None else 0
-        span = float(mx - mn) if mx > mn else 1.0
-        scaled.append(
-            F.least(
-                F.lit(top).cast("long"),
-                (
-                    (F.col(c).cast("double") - float(mn)) / span * (top + 1)
-                ).cast("long"),
-            )
-        )
     out = (
-        df.withColumn("_z", zorder_key(scaled, bits))
+        df.withColumn("_z", _scaled_zorder_key(df, zorder_cols, bits))
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
@@ -1635,45 +1644,79 @@ def snapshot_scan(
     hi,
     version: int | None = None,
 ):
-    """Stats-pruned range scan of a snapshot table: keep only files
-    whose manifest [min, max] for ``col`` OVERLAPS [lo, hi] (files
-    without recorded stats are conservatively kept), read just those,
-    and apply the exact predicate on top — output identical to
-    filtering a full ``snapshot_read``, but unselective files are
-    never opened (manifest-level data skipping, the metadata twin of
-    parquet row-group pruning).  Bounds are compared under the
-    column's RECORDED TYPE (decimal strings as Decimal, not
-    lexicographically — review finding, round 11); any incomparable
-    pair keeps the file conservatively rather than mis-pruning.
-    Returns ``(df, n_files_read, n_files_total)`` so callers — and the
-    regression test — can SEE the pruning."""
+    """Stats-pruned range scan of a snapshot table on ONE column —
+    sugar for ``snapshot_scan_multi(spark, path, {col: (lo, hi)})``;
+    see that function for semantics."""
+    return snapshot_scan_multi(spark, path, {col: (lo, hi)}, version)
+
+
+def snapshot_scan_multi(
+    spark,
+    path: str,
+    preds: dict,
+    version: int | None = None,
+):
+    """Stats-pruned BOX scan of a snapshot table: ``preds`` maps column
+    name -> (lo, hi); keep only files whose manifest [min, max] for
+    EVERY predicate column OVERLAPS its range (a file disjoint on ANY
+    dimension cannot contain a matching row — per-column skipping
+    decisions AND together, which is what makes multi-column pruning
+    sound regardless of layout).  Files without recorded stats for a
+    column are conservatively kept for that column.  Read just the
+    surviving files and apply the exact conjunctive predicate on top —
+    output identical to filtering a full ``snapshot_read``, but
+    unselective files are never opened (manifest-level data skipping,
+    the metadata twin of parquet row-group pruning).  After a
+    ``compact_files(zorder_by=[...])`` rewrite the per-file boxes are
+    Z-curve segments, so a box predicate on ANY subset of the
+    z-ordered dimensions prunes — a linear sort prunes only its
+    leading column.  Bounds are compared under each column's RECORDED
+    TYPE (decimal strings as Decimal, not lexicographically — review
+    finding, round 11); any incomparable pair keeps the file
+    conservatively rather than mis-pruning.  Returns ``(df,
+    n_files_read, n_files_total)`` so callers — and the regression
+    tests — can SEE the pruning."""
     import json
 
+    if not preds:
+        raise ValueError("snapshot_scan_multi: preds must be non-empty")
     base = path.rstrip("/")
     manifest = snapshot_manifest(spark, base, version)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     stats = manifest["stats"]
-    dtype = manifest["stats_types"].get(col)
-    qlo = _coerce_stat_bound(dtype, lo)
-    qhi = _coerce_stat_bound(dtype, hi)
+    bounds = {}
+    for col, (lo, hi) in preds.items():
+        dtype = manifest["stats_types"].get(col)
+        bounds[col] = (
+            dtype,
+            _coerce_stat_bound(dtype, lo),
+            _coerce_stat_bound(dtype, hi),
+        )
     keep = []
     for f in manifest["files"]:
-        st = stats.get(f, {}).get(col)
-        if st is None or st[0] is None:
-            keep.append(f)  # no stats → cannot prune safely
-            continue
-        try:
-            disjoint = (
-                _coerce_stat_bound(dtype, st[1]) < qlo
-                or _coerce_stat_bound(dtype, st[0]) > qhi
-            )
-        except TypeError:
-            disjoint = False  # incomparable bounds → keep conservatively
+        fstats = stats.get(f, {})
+        disjoint = False
+        for col, (dtype, qlo, qhi) in bounds.items():
+            st = fstats.get(col)
+            if st is None or st[0] is None:
+                continue  # no stats for this column → cannot prune on it
+            try:
+                if (
+                    _coerce_stat_bound(dtype, st[1]) < qlo
+                    or _coerce_stat_bound(dtype, st[0]) > qhi
+                ):
+                    disjoint = True
+                    break
+            except TypeError:
+                continue  # incomparable bounds → keep conservatively
         if not disjoint:
             keep.append(f)
-    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    pred = None
+    for col, (lo, hi) in preds.items():
+        p = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        pred = p if pred is None else (pred & p)
     if not keep:
         return (
             spark.createDataFrame([], schema).filter(pred),
@@ -1983,6 +2026,9 @@ def compact_files(
     target_files: int = 8,
     sort_by: str | None = None,
     stats_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
+    max_records_per_file: int | None = None,
 ) -> int:
     """DATA-FILE compaction for a snapshot table — the maintenance pass
     that fixes the streaming small-file problem (every micro-batch
@@ -1992,6 +2038,20 @@ def compact_files(
     the rewrite so per-file [min, max] ranges are DISJOINT, which is
     what makes ``snapshot_scan`` pruning sharp again after unordered
     appends blurred it (the Delta OPTIMIZE ZORDER analog, 1-D).
+
+    ``zorder_by=[c1, c2, ...]`` is the full OPTIMIZE ZORDER analog:
+    cluster the rewrite along the Morton curve of the named numeric
+    columns (``_scaled_zorder_key``) so every file covers one compact
+    Z-curve segment — per-file [min, max] boxes are then tight in
+    EVERY listed dimension at once, and ``snapshot_scan_multi`` box
+    queries prune on any subset of them (a linear ``sort_by`` prunes
+    only its leading column).  Mutually exclusive with ``sort_by``.
+    Stats for the z-ordered columns are ALWAYS recorded (clustering
+    without the stats that exploit it would be a silent no-op — the
+    round-13 ``compact_files`` lesson applied at design time).  On a
+    keyed table the curve clusters WITHIN each bucket (bucket map
+    preserved — merges stay bucket-pruned; scans prune files inside
+    every bucket).
 
     The rewrite commits as one new version whose segment both
     truncates-and-readds (so it is ALSO a metadata compaction — the
@@ -2010,6 +2070,8 @@ def compact_files(
 
     from pyspark.sql.types import StructType
 
+    if sort_by and zorder_by:
+        raise ValueError("compact_files: sort_by and zorder_by are exclusive")
     base = path.rstrip("/")
     jvm, fs = _fs(spark, base)
     resolved = snapshot_manifest(spark, base)
@@ -2023,6 +2085,17 @@ def compact_files(
     )
     keyed = resolved["keyed"]
     seg: dict = {"truncate": True, "change_mode": "none"}
+    if zorder_by:
+        # compute the curve key BEFORE the bucket/range shuffle so the
+        # min/max agg reads the pre-shuffle files once
+        df = df.withColumn("_z", _scaled_zorder_key(df, zorder_by, zorder_bits))
+        # z-ordered columns must carry stats or the clustering is a
+        # silent no-op for every reader
+        stats_types = dict(resolved["stats_types"])
+        for c in zorder_by:
+            stats_types.setdefault(c, schema[c].dataType.simpleString())
+    else:
+        stats_types = resolved["stats_types"]
     if keyed:
         kc, nb = keyed["key_col"], int(keyed["n_buckets"])
         bc = keyed.get("bucket_col")
@@ -2032,22 +2105,37 @@ def compact_files(
             else F.pmod(F.xxhash64(F.col(kc).cast("string")), F.lit(nb))
         )
         out = df.withColumn("_bucket", bucket_expr).repartition(F.col("_bucket"))
-        if sort_by:
+        if sort_by or zorder_by:
             # _bucket prefix REQUIRED: FileFormatWriter demands ordering
             # by the partition column and would otherwise insert its own
             # _bucket-only sort, silently discarding the clustering
             # (write_keyed line ~220 documents the same contract)
-            out = out.sortWithinPartitions("_bucket", sort_by)
-        out.write.partitionBy("_bucket").parquet(data_dir)
+            out = out.sortWithinPartitions("_bucket", sort_by or "_z")
+        if zorder_by:
+            out = out.drop("_z")
+        writer = out.write
+        if max_records_per_file:
+            # a keyed table writes ONE file per bucket partition;
+            # chunking along the in-partition sort order is what turns
+            # within-bucket clustering into multiple prunable files —
+            # each file one contiguous sort/Z-curve segment
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("_bucket").parquet(data_dir)
         files, buckets = _list_bucket_files(jvm, fs, data_dir)
         seg["add"] = sorted(files)
         seg["buckets"] = buckets
-        if resolved["stats_types"]:
-            cols = sorted(resolved["stats_types"])
+        if stats_types:
+            cols = sorted(stats_types)
             seg["stats"] = _file_stats(spark, files, cols, schema)
-            seg["stats_types"] = resolved["stats_types"]
+            seg["stats_types"] = stats_types
     else:
-        if sort_by:
+        if zorder_by:
+            out = (
+                df.repartitionByRange(max(1, target_files), F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
             out = df.repartitionByRange(
                 max(1, target_files), F.col(sort_by)
             ).sortWithinPartitions(sort_by)
@@ -2064,7 +2152,9 @@ def compact_files(
         ]
         seg["add"] = sorted(files)
         if stats_cols is None:
-            stats_cols = sorted(resolved["stats_types"])
+            stats_cols = sorted(stats_types)
+        elif zorder_by:
+            stats_cols = sorted(set(stats_cols) | set(zorder_by))
         if stats_cols and files:
             seg["stats"] = _file_stats(spark, files, stats_cols, schema)
             seg["stats_types"] = {
