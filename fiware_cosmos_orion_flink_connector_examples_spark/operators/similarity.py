@@ -1428,13 +1428,18 @@ def ann_index_add_versioned(
     txn_app: str | None = None,
     txn_id: int | None = None,
     retries: int = 5,
+    delete_ids: DataFrame | None = None,
 ) -> int:
     """Atomic incremental add: assign the batch to the FROZEN root
     centroids (the FAISS add-after-train contract) and MERGE it into
     the lists snapshot table — a re-added vector id REPLACES its old
     row even when its cell changed (the plain-path append would
     duplicate it), and the root publish carries an optional txn
-    watermark for exactly-once replay."""
+    watermark for exactly-once replay.  ``delete_ids`` (a frame whose
+    ``id_col`` column names vectors to remove) rides the SAME merge
+    commit, so an upsert-plus-delete batch is one atomic root publish;
+    an id must not appear in both sides of one batch (the merge's
+    duplicate-key guard rejects it)."""
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
 
     base = path.rstrip("/")
@@ -1457,9 +1462,22 @@ def ann_index_add_versioned(
         rows = _ann_assigned(
             new_vectors, meta["centroids"], meta["id_col"], meta["vec_col"]
         )
+        delete_col = None
+        if delete_ids is not None:
+            # a delete row never places a new vector: its _list is a
+            # placeholder (the merge locates the OLD row by key probe
+            # across cells; only survivors are re-placed by cell)
+            dels = delete_ids.select(
+                F.col(meta["id_col"]),
+                F.lit(None).cast("array<double>").alias(meta["vec_col"]),
+                F.lit(0).cast("int").alias("_list"),
+                F.lit(True).alias("_del"),
+            )
+            rows = rows.withColumn("_del", F.lit(False)).unionByName(dels)
+            delete_col = "_del"
         tables = dict(root["tables"])
         tables[name] = layout.snapshot_merge(
-            spark, f"{base}/{name}", rows, meta["id_col"]
+            spark, f"{base}/{name}", rows, meta["id_col"], delete_col=delete_col
         )
         try:
             return layout.index_root_commit(

@@ -1622,3 +1622,50 @@ def maintain_search_index(
         )
 
     return apply_batch
+
+
+def maintain_ann_index(
+    index_path: str,
+    txn_app: str = "ann-index-stream",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """EXACTLY-ONCE streaming maintenance of a VERSIONED IVF index
+    (``similarity.ann_index_write_versioned``): each micro-batch of
+    (vector id, embedding) rows — optionally carrying a boolean
+    ``_del`` column for removals — becomes ONE atomic merge into the
+    lists snapshot table plus a root publish whose txn watermark is
+    the batch id, so a replayed batch is a no-op, a crash mid-apply
+    leaves the previous root serving (the dangling lists sub-version
+    is merged over on retry), and a searcher can never see a batch's
+    vectors under centroids that didn't place them (adds assign to the
+    FROZEN root centroids; retraining is ``ann_index_rebuild_versioned``,
+    a separate atomic root flip).  The ANN twin of
+    ``maintain_search_index`` — together they make every serving index
+    (BM25/phrase/ANN) maintainable from a stream with the same
+    exactly-once contract.  Returns the function for
+    ``writeStream.foreachBatch``."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+            similarity as _sim,
+        )
+
+        if batch.isEmpty():
+            return  # no root publish for an empty trigger
+        dels = None
+        vecs = batch.select(id_col, vec_col)
+        if "_del" in batch.columns:
+            flag = F.coalesce(F.col("_del"), F.lit(False))
+            dels = batch.filter(flag).select(id_col)
+            vecs = batch.filter(~flag).select(id_col, vec_col)
+        _sim.ann_index_add_versioned(
+            batch.sparkSession,
+            vecs,
+            index_path,
+            txn_app=txn_app,
+            txn_id=batch_id,
+            delete_ids=dels,
+        )
+
+    return apply_batch

@@ -164,3 +164,148 @@ def test_versioned_untrained_empty_corpus(spark, tmp_path):
     similarity.ann_index_write_versioned(_emb(spark, []), idx, [])
     out = similarity.ann_index_search(spark, idx, _emb(spark, VECS[:2]), k=3)
     assert out.count() == 0
+
+
+def test_add_versioned_with_deletes_is_one_atomic_commit(spark, tmp_path):
+    """delete_ids rides the SAME merge commit as the adds: one root
+    publish covers upsert + delete, the removed id is gone from the
+    lists table, and exhaustive search equals brute force over the
+    folded corpus."""
+    emb = _emb(spark)
+    cents = similarity.kmeans_fit_sample(emb, k=4, iters=3)
+    idx = str(tmp_path / "idx")
+    similarity.ann_index_write_versioned(emb, idx, cents)
+
+    adds = _emb(spark, [(100, [9.0, 9.0, 9.0, 9.0])])
+    dels = spark.createDataFrame([(3,), (5,)], "vec_id long")
+    similarity.ann_index_add_versioned(
+        spark, adds, idx, txn_app="d", txn_id=1, delete_ids=dels
+    )
+    assert layout.index_root_latest(spark, idx) == 2  # ONE publish
+    root = layout.index_root_resolve(spark, idx)
+    lists = layout.snapshot_read(
+        spark, f"{idx}/lists", version=root["tables"]["lists"]
+    )
+    assert lists.filter(F.col("vec_id").isin(3, 5)).count() == 0
+    assert lists.count() == 39  # 40 - 2 + 1
+
+    final = [(i, v) for i, v in VECS if i not in (3, 5)] + [
+        (100, [9.0, 9.0, 9.0, 9.0])
+    ]
+    q = _emb(spark, VECS[:5])
+    got = _res(similarity.ann_index_search(spark, idx, q, k=3, nprobe=4))
+    brute = {
+        tuple(r)
+        for r in similarity.topk_cosine_bruteforce(_emb(spark, final), q, 3).collect()
+    }
+    assert got == brute
+
+
+def test_maintain_ann_index_exactly_once(spark, tmp_path):
+    """maintain_ann_index: each micro-batch (adds + _del rows) is ONE
+    atomic root publish keyed by batch id — immediate and stale replays
+    absorbed, empty batches publish nothing, final index equals brute
+    force over the folded corpus."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    emb = _emb(spark)
+    cents = similarity.kmeans_fit_sample(emb, k=4, iters=3)
+    idx = str(tmp_path / "idx")
+    similarity.ann_index_write_versioned(emb, idx, cents)
+    sink = jobs.maintain_ann_index(idx, "stream-app")
+
+    b0 = spark.createDataFrame(
+        [(100, [8.0, 8.0, 8.0, 8.0], False), (2, None, True)],
+        "vec_id long, embedding array<double>, _del boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(7, [0.5, 0.5, 0.5, 0.5], False)],
+        "vec_id long, embedding array<double>, _del boolean",
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # immediate redelivery: absorbed at the root watermark
+    sink(b1, 1)
+    sink(b0, 0)  # stale replay after a later batch: absorbed
+    sink(spark.createDataFrame([], b0.schema), 2)  # empty: no publish
+    assert layout.index_root_latest(spark, idx) == 3  # create + b0 + b1
+    assert layout.index_root_resolve(spark, idx)["txn"]["stream-app"] == 1
+
+    final = [(i, v) for i, v in VECS if i not in (2, 7)] + [
+        (100, [8.0, 8.0, 8.0, 8.0]),
+        (7, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    q = _emb(spark, VECS[:5])
+    got = _res(similarity.ann_index_search(spark, idx, q, k=3, nprobe=4))
+    brute = {
+        tuple(r)
+        for r in similarity.topk_cosine_bruteforce(_emb(spark, final), q, 3).collect()
+    }
+    assert got == brute
+
+
+def test_ann_stream_e2e_structured_streaming(spark, tmp_path):
+    """maintain_ann_index under a REAL Structured Streaming query
+    (availableNow, one micro-batch per spool file): each batch lands as
+    one atomic root publish, exhaustive search equals brute force over
+    the fold, and a checkpointed restart with no new input publishes
+    nothing."""
+    import json as _json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    batches = [
+        [(100, [8.0, 8.0, 8.0, 8.0], False)],
+        [(7, [0.5, 0.5, 0.5, 0.5], False), (2, None, True)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(spool / f"b{i}.jsonl", "w") as f:
+            for vid, vec, x in rows:
+                f.write(
+                    _json.dumps({"vec_id": vid, "embedding": vec, "_del": x}) + "\n"
+                )
+
+    emb = _emb(spark)
+    cents = similarity.kmeans_fit_sample(emb, k=4, iters=3)
+    idx = str(tmp_path / "idx")
+    similarity.ann_index_write_versioned(emb, idx, cents)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, _del boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+    )
+
+    def start():
+        return (
+            stream.writeStream.foreachBatch(jobs.maintain_ann_index(idx, "annE2E"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    start().awaitTermination(120)
+    assert layout.index_root_latest(spark, idx) == 3  # create + 2 batches
+
+    model = dict(VECS)
+    for rows in batches:
+        for vid, vec, x in rows:
+            if x:
+                model.pop(vid, None)
+            else:
+                model[vid] = vec
+    q = _emb(spark, VECS[:5])
+    got = _res(similarity.ann_index_search(spark, idx, q, k=3, nprobe=4))
+    brute = {
+        tuple(r)
+        for r in similarity.topk_cosine_bruteforce(
+            _emb(spark, sorted(model.items())), q, 3
+        ).collect()
+    }
+    assert got == brute
+
+    # checkpointed restart, no new input: no root movement
+    start().awaitTermination(120)
+    assert layout.index_root_latest(spark, idx) == 3
