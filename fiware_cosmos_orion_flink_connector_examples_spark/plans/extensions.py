@@ -8254,3 +8254,89 @@ def snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         [row],
         "scan_correct boolean, pruned boolean, n_rows bigint, sum_vc bigint",
     )
+
+
+@register(
+    "snapshot_bloom_lookup",
+    oracle="""
+    WITH t AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+               FROM orders WHERE o_orderkey % 4 != 2)
+    SELECT (SELECT min(k) FROM t WHERE k % 4 = 1)  AS found_key,
+           (SELECT pc FROM t
+            WHERE k = (SELECT min(k) FROM t WHERE k % 4 = 1)) AS price_c,
+           TRUE AS pruned,
+           TRUE AS absent_zero
+    """,
+    doc="[ext] STORAGE equality-skipping capstone: write orders (minus "
+    "the k%4=2 stripe) as THREE interleaved single-file appends with a "
+    "per-file BLOOM sidecar on the key (declared on the first commit, "
+    "auto-maintained by the appends), then (a) point-look-up a key "
+    "that lives in exactly one file — the bloom must skip at least one "
+    "file where min/max stats cannot (every chunk spans the whole key "
+    "range), and (b) probe a key that is INSIDE every file's range but "
+    "absent from the table (the excluded stripe's smallest key) — the "
+    "bloom reads ZERO files, the skipping range stats can never "
+    "provide.  The found key and its exact integer-cents price are "
+    "independently recomputed by DuckDB, so the driver hash-proves the "
+    "pruned path returns the right row, and the two booleans are "
+    "oracle-asserted TRUE.  Bitmaps are sized ~16 bits per key "
+    "(fpp<0.2%%, deterministic per dataset — xxhash64 positions).  "
+    "Scale shape: lookups read O(bloom-positive files), never the "
+    "table; bitmaps ride the commit's O(batch) segment metadata.",
+    tags=("ext", "storage", "snapshot", "bloom", "lookup", "envelope"),
+)
+def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    base = orders.filter(F.col("k") % 4 != 2)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(F.col("k") % 4 == 1, F.col("k"))).alias("present"),
+    ).collect()[0]
+    absent = (
+        orders.filter(F.col("k") % 4 == 2).agg(F.min("k").alias("m")).collect()
+    )[0]["m"]
+    per_file = max(1, int(agg["n"]) // 3)
+    bits = 1 << max(14, (per_file * 16 - 1).bit_length())
+    tmp = tempfile.mkdtemp(prefix="bloom_lookup_")
+    path = f"{tmp}/t"
+    try:
+        first = True
+        for r in (0, 1, 3):
+            chunk = base.filter(F.col("k") % 4 == r).coalesce(1)
+            layout.snapshot_commit(
+                spark,
+                chunk,
+                path,
+                mode="overwrite" if first else "append",
+                stats_cols=["k"],
+                bloom_cols=["k"] if first else None,
+                bloom_bits=bits,
+            )
+            first = False
+        hit, n1, t1 = layout.snapshot_point_lookup(
+            spark, path, "k", int(agg["present"])
+        )
+        row = hit.collect()
+        miss, n2, _ = layout.snapshot_point_lookup(spark, path, "k", int(absent))
+        n_miss = miss.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = (
+        int(row[0]["k"]),
+        int(row[0]["pc"]),
+        bool(len(row) == 1 and n1 < t1),
+        bool(n_miss == 0 and n2 == 0),
+    )
+    return spark.createDataFrame(
+        [out],
+        "found_key bigint, price_c bigint, pruned boolean, absent_zero boolean",
+    )

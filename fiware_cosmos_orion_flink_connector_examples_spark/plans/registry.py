@@ -101,6 +101,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "search_index_atomic_capstone",  # versioned multi-table index root
     "ann_drift_monitor",  # r13 directive #5: drift + rebuild, rows-only
     "snapshot_zorder_scan",  # zorder compaction + multi-col pruned scan
+    "snapshot_bloom_lookup",  # per-file bloom sidecars + point lookup
 )
 
 

@@ -764,7 +764,7 @@ def _manifest_copy(m: dict) -> dict:
     out = dict(m)
     for k in ("files", "segments", "last_add"):
         out[k] = list(m[k]) if m[k] is not None else None
-    for k in ("buckets", "stats", "stats_types", "txn"):
+    for k in ("buckets", "stats", "stats_types", "txn", "bloom", "bloom_meta"):
         out[k] = dict(m[k])
     out["changelog"] = list(m["changelog"]) if m["changelog"] else m["changelog"]
     return out
@@ -813,20 +813,26 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
     files: dict[str, int | None] = {}
     stats: dict = {}
     stats_types: dict = {}
+    bloom: dict = {}
+    bloom_meta: dict = {}
     seg: dict = {}
     for rel in doc.get("segments", []):
         seg = json.loads(_read_small(spark, f"{base}/{rel}"))
         if seg.get("truncate"):
             files.clear()
             stats.clear()
+            bloom.clear()
         rb = set(seg.get("remove_buckets", []))
         if rb:
             files = {f: b for f, b in files.items() if b not in rb}
             stats = {f: s for f, s in stats.items() if f in files}
+            bloom = {f: s for f, s in bloom.items() if f in files}
         for f in seg.get("add", []):
             files[f] = (seg.get("buckets") or {}).get(f)
         stats.update(seg.get("stats", {}))
         stats_types.update(seg.get("stats_types", {}))
+        bloom.update(seg.get("bloom", {}))
+        bloom_meta.update(seg.get("bloom_meta", {}))
     resolved = {
         "version": version,
         "mode": doc.get("mode"),
@@ -835,6 +841,8 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
         "buckets": {f: b for f, b in files.items() if b is not None},
         "stats": stats,
         "stats_types": stats_types,
+        "bloom": bloom,
+        "bloom_meta": bloom_meta,
         "keyed": doc.get("keyed"),
         "txn": dict(doc.get("txn", {})),
         "segments": list(doc.get("segments", [])),
@@ -854,6 +862,9 @@ def snapshot_commit(
     path: str,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 16384,
+    bloom_hashes: int = 5,
     _extra: dict | None = None,
     _txn_update: dict | None = None,
 ) -> int:
@@ -969,6 +980,20 @@ def snapshot_commit(
         seg["stats_types"] = {
             c: df.schema[c].dataType.simpleString() for c in stats_cols
         }
+    # BLOOM sidecars (round 14): once a table declares bloom columns,
+    # appends keep them alive automatically — a new file without its
+    # bitmap is conservatively unprunable, which silently degrades
+    # every later point lookup (the stats-maintenance lesson applied
+    # to equality skipping).  An overwrite starts fresh: only the
+    # commit's own ``bloom_cols`` declare bitmaps for the new table.
+    bmeta: dict = {}
+    if mode == "append" and cur_version > 0:
+        bmeta.update(snapshot_manifest(spark, base, cur_version)["bloom_meta"])
+    for c in bloom_cols or ():
+        bmeta[c] = {"bits": int(bloom_bits), "hashes": int(bloom_hashes)}
+    if bmeta and new_files:
+        seg["bloom"] = _file_blooms(spark, new_files, bmeta, schema)
+        seg["bloom_meta"] = bmeta
     segments.append(_write_segment(spark, base, new_version, seg))
     manifest = {
         "format": 2,
@@ -1062,6 +1087,10 @@ def compact_metadata(spark, path: str) -> int:
     if resolved["stats"]:
         seg["stats"] = resolved["stats"]
         seg["stats_types"] = resolved["stats_types"]
+    if resolved["bloom"]:
+        seg["bloom"] = resolved["bloom"]
+    if resolved["bloom_meta"]:
+        seg["bloom_meta"] = resolved["bloom_meta"]
     rel = _write_segment(spark, base, new_version, seg)
     manifest = {
         "format": 2,
@@ -1316,6 +1345,70 @@ def _file_stats(spark, files: list[str], stats_cols: list[str], schema=None) -> 
     }
 
 
+def _bloom_position_exprs(col_expr, bits: int, hashes: int) -> list:
+    """The k bit positions of one value: k independently SEEDED
+    xxhash64 hashes of the value's string form (seeding by an extra
+    literal column, not by hash arithmetic — h1 + i*h2 overflows a
+    long and would raise under ANSI mode), each pmod'ed into [0, bits).
+    The SAME expression computes write-side bitmaps and lookup-side
+    probes, so engine hashing can never disagree with itself."""
+    s = col_expr.cast("string")
+    return [
+        F.pmod(F.xxhash64(s, F.lit(i)), F.lit(bits)).cast("int")
+        for i in range(hashes)
+    ]
+
+
+def _file_blooms(spark, files: list[str], meta: dict, schema=None) -> dict:
+    """Per-file Bloom bitmaps for the columns in ``meta`` ({col:
+    {"bits": m, "hashes": k}}) over just-written files — the
+    equality-lookup twin of ``_file_stats`` min/max.  SIZING: with
+    k=5 hashes, ~1% false positives needs bits ≈ 10 × the file's
+    DISTINCT values (the default 16384 covers ~1.6k values/file; a
+    128 MB file of short rows wants ~2**23 bits ≈ 1 MB bitmap —
+    declare accordingly, the bitmap rides the commit's segment JSON
+    base64'd at bits/6 bytes).  An over-full bitmap never returns
+    wrong rows; it just stops pruning.  One bounded
+    distributed pass per column: distinct (file, bit) pairs are
+    collected (≤ files × bits — commit-sized metadata, never row
+    data), packed into bitmaps driver-side, and serialized base64 for
+    the segment JSON.  A file whose column is entirely NULL gets the
+    empty bitmap — definitely-not for every probe (an equality
+    predicate can never match NULL)."""
+    import base64
+
+    if not files or not meta:
+        return {}
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    src = reader.parquet(*files)
+    out: dict[str, dict[str, str]] = {
+        f: {} for f in (_normalize_file_uri(f) for f in files)
+    }
+    for c, m in meta.items():
+        bits, hashes = int(m["bits"]), int(m["hashes"])
+        pos = F.explode(
+            F.array(*_bloom_position_exprs(F.col(c), bits, hashes))
+        ).alias("_p")
+        rows = (
+            src.filter(F.col(c).isNotNull())
+            .select(F.input_file_name().alias("_f"), pos)
+            .distinct()
+            .groupBy("_f")
+            .agg(F.collect_list("_p").alias("_ps"))
+            .collect()
+        )
+        bitmaps = {
+            _normalize_file_uri(r["_f"]): r["_ps"] for r in rows
+        }
+        nbytes = (bits + 7) // 8
+        for f in out:
+            bm = bytearray(nbytes)
+            for p in bitmaps.get(f, ()):
+                bm[p >> 3] |= 1 << (p & 7)
+            out[f][c] = base64.b64encode(bytes(bm)).decode("ascii")
+    return out
+
+
 def snapshot_merge(
     spark,
     path: str,
@@ -1543,6 +1636,13 @@ def snapshot_merge(
         stats_cols2 = sorted(resolved["stats_types"])
         seg["stats"] = _file_stats(spark, new_files, stats_cols2, tbl_schema)
         seg["stats_types"] = resolved["stats_types"]
+    if resolved["bloom_meta"]:
+        # same contract for bloom sidecars: every file this merge adds
+        # gets its bitmaps, untouched files' bitmaps carry by replay
+        seg["bloom"] = _file_blooms(
+            spark, new_files, resolved["bloom_meta"], tbl_schema
+        )
+        seg["bloom_meta"] = resolved["bloom_meta"]
     if change_log:
         value_cols = _change_struct_cols(tbl_schema.names, key_col)
         del_flag = (
@@ -1727,6 +1827,89 @@ def snapshot_scan_multi(
     # schema evolution a kept pre-evolution file may sort first, and
     # footer inference off it would drop the evolved column the
     # predicate names (review finding, round 11)
+    return (
+        spark.read.schema(schema).parquet(*keep).filter(pred),
+        len(keep),
+        len(manifest["files"]),
+    )
+
+
+def snapshot_point_lookup(
+    spark,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+):
+    """BLOOM + min/max pruned EQUALITY lookup on a snapshot table: keep
+    only files whose bitmap (declared via ``bloom_cols`` on
+    ``snapshot_commit`` / ``compact_files`` and auto-maintained by
+    appends, merges, and compactions) says the value MIGHT be present
+    — a bloom "definitely not" skips the file outright, which is what
+    range stats cannot do for a needle inside a wide [min, max] (a
+    point probe on an unclustered column overlaps almost every file's
+    range but almost no file's bitmap).  Range stats, when recorded,
+    prune first (both checks AND).  Files without a bitmap are
+    conservatively kept; false positives cost an extra file read,
+    never a wrong row — the exact equality predicate applies on top.
+    The probe's bit positions come from the SAME Spark expression the
+    write side used (one 1-row job), so engine hashing can never
+    disagree with itself.  ``value`` must be non-NULL (equality never
+    matches NULL) and in the column's native type.  Returns ``(df,
+    n_files_read, n_files_total)``."""
+    import base64
+    import json
+
+    if value is None:
+        raise ValueError("snapshot_point_lookup: value must be non-NULL")
+    base = path.rstrip("/")
+    manifest = snapshot_manifest(spark, base, version)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    positions = None
+    meta = manifest["bloom_meta"].get(col)
+    if meta is not None:
+        bits, hashes = int(meta["bits"]), int(meta["hashes"])
+        # cast to the COLUMN's type first: the write side hashed the
+        # column's own string rendering (decimal "10.20", not "10.2")
+        # — a raw literal's rendering differing by one character would
+        # mis-prune every file containing the value
+        exprs = _bloom_position_exprs(
+            F.lit(value).cast(schema[col].dataType), bits, hashes
+        )
+        row = spark.range(1).select(
+            *[e.alias(f"_p{i}") for i, e in enumerate(exprs)]
+        ).first()
+        positions = [row[f"_p{i}"] for i in range(hashes)]
+    dtype = manifest["stats_types"].get(col)
+    qv = _coerce_stat_bound(dtype, value)
+    keep = []
+    for f in manifest["files"]:
+        st = manifest["stats"].get(f, {}).get(col)
+        if st is not None and st[0] is not None:
+            try:
+                if (
+                    _coerce_stat_bound(dtype, st[1]) < qv
+                    or _coerce_stat_bound(dtype, st[0]) > qv
+                ):
+                    continue
+            except TypeError:
+                pass  # incomparable bounds → fall through to the bloom
+        if positions is not None:
+            b64 = manifest["bloom"].get(f, {}).get(col)
+            if b64 is not None:
+                bm = base64.b64decode(b64)
+                if not all(bm[p >> 3] & (1 << (p & 7)) for p in positions):
+                    continue  # definitely not in this file
+        keep.append(f)
+    pred = F.col(col) == F.lit(value)
+    if not keep:
+        return (
+            spark.createDataFrame([], schema).filter(pred),
+            0,
+            len(manifest["files"]),
+        )
     return (
         spark.read.schema(schema).parquet(*keep).filter(pred),
         len(keep),
@@ -2029,6 +2212,9 @@ def compact_files(
     zorder_by: list[str] | None = None,
     zorder_bits: int = 8,
     max_records_per_file: int | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 16384,
+    bloom_hashes: int = 5,
 ) -> int:
     """DATA-FILE compaction for a snapshot table — the maintenance pass
     that fixes the streaming small-file problem (every micro-batch
@@ -2160,6 +2346,17 @@ def compact_files(
             seg["stats_types"] = {
                 c: schema[c].dataType.simpleString() for c in stats_cols
             }
+    # BLOOM sidecars: keep the table's declared bitmap columns alive
+    # across the rewrite (same never-silently-lose rule as stats), and
+    # let the maintenance pass DECLARE new ones (the Delta "OPTIMIZE
+    # with bloom index" shape)
+    bmeta = dict(resolved["bloom_meta"])
+    for c in bloom_cols or ():
+        bmeta[c] = {"bits": int(bloom_bits), "hashes": int(bloom_hashes)}
+    if bmeta:
+        if files:
+            seg["bloom"] = _file_blooms(spark, files, bmeta, schema)
+        seg["bloom_meta"] = bmeta  # declaration survives an empty table
     rel = _write_segment(spark, base, new_version, seg)
     manifest = {
         "format": 2,

@@ -1,0 +1,145 @@
+"""Per-file Bloom sidecars on snapshot tables: equality-lookup file
+skipping that range stats cannot provide (a needle on an unclustered
+column overlaps almost every file's [min, max] but almost no file's
+bitmap).  Declared once (snapshot_commit(bloom_cols=...) or
+compact_files(bloom_cols=...)), then auto-maintained by appends,
+merges, and both compactions — the never-silently-lose rule the stats
+path follows.  False positives cost an extra file read, never a wrong
+row; a missing bitmap is conservatively kept.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+
+def _chunk(spark, lo, hi, step):
+    # interleaved key chunks: every chunk spans ~the whole key range,
+    # so min/max stats CANNOT prune a point probe — only the bloom can
+    return spark.range(lo, hi).select(
+        (F.col("id") * step).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+    )
+
+
+def test_point_lookup_prunes_where_stats_cannot(spark, tmp_path):
+    base = str(tmp_path / "t")
+    # 3 appends, each 1 file, all spanning ~[0, 3000): stats overlap
+    layout.snapshot_commit(
+        spark, _chunk(spark, 0, 1000, 3).coalesce(1), base,
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    layout.snapshot_commit(
+        spark, _chunk(spark, 0, 1000, 3).select(F.col("k") + 1, "payload")
+        .toDF("k", "payload").coalesce(1), base, mode="append",
+    )
+    layout.snapshot_commit(
+        spark, _chunk(spark, 0, 1000, 3).select(F.col("k") + 2, "payload")
+        .toDF("k", "payload").coalesce(1), base, mode="append",
+    )
+    m = layout.snapshot_manifest(spark, base)
+    assert len(m["files"]) == 3
+    # appends auto-maintained the declared bloom column
+    assert all("k" in m["bloom"].get(f, {}) for f in m["files"])
+
+    # k=900 lives ONLY in the first chunk (k ≡ 0 mod 3)
+    df, n_read, n_total = layout.snapshot_point_lookup(spark, base, "k", 900)
+    rows = df.collect()
+    assert [r["k"] for r in rows] == [900]
+    assert n_total == 3
+    assert n_read == 1, f"bloom should skip the other chunks: {n_read}"
+
+    # absent value inside every file's [min, max]: stats keep all 3,
+    # the bloom reads zero files
+    df2, n2, _ = layout.snapshot_point_lookup(spark, base, "k", 2998 * 1000)
+    assert df2.count() == 0 and n2 == 0
+
+
+def test_lookup_correct_without_blooms_and_rejects_null(spark, tmp_path):
+    base = str(tmp_path / "t")
+    layout.snapshot_commit(spark, _chunk(spark, 0, 100, 1), base)
+    df, n_read, n_total = layout.snapshot_point_lookup(spark, base, "k", 7)
+    assert [r["k"] for r in df.collect()] == [7]
+    assert n_read == n_total  # no bitmaps → conservative full read
+    with pytest.raises(ValueError, match="non-NULL"):
+        layout.snapshot_point_lookup(spark, base, "k", None)
+
+
+def test_bloom_survives_merge_on_keyed_table(spark, tmp_path):
+    base = str(tmp_path / "t")
+    df = _chunk(spark, 0, 400, 1)
+    layout.snapshot_write_keyed(spark, df, base, "k", n_buckets=4)
+    layout.compact_files(spark, base, bloom_cols=["payload"])
+    m = layout.snapshot_manifest(spark, base)
+    assert m["bloom_meta"] == {"payload": {"bits": 16384, "hashes": 5}}
+
+    upd = spark.createDataFrame(
+        [(1000, "needle"), (2, "v2x")], "k long, payload string"
+    )
+    layout.snapshot_merge(spark, base, upd, "k")
+    m2 = layout.snapshot_manifest(spark, base)
+    # merge-added files carry fresh bitmaps
+    new_files = set(m2["files"]) - set(m["files"])
+    assert new_files and all("payload" in m2["bloom"][f] for f in new_files)
+
+    df1, n_read, n_total = layout.snapshot_point_lookup(
+        spark, base, "payload", "needle"
+    )
+    assert [(r["k"], r["payload"]) for r in df1.collect()] == [(1000, "needle")]
+    assert n_read < n_total
+    # the pre-merge payload of a REPLACED key: its old file was
+    # rewritten, so the stale value is gone and its bloom with it
+    df2, _, _ = layout.snapshot_point_lookup(spark, base, "payload", "v2")
+    assert df2.count() == 0
+
+
+def test_bloom_survives_both_compactions_and_time_travel(spark, tmp_path):
+    base = str(tmp_path / "t")
+    layout.snapshot_commit(
+        spark, _chunk(spark, 0, 300, 1), base, bloom_cols=["k"],
+        bloom_bits=2048, bloom_hashes=4,
+    )
+    layout.snapshot_commit(
+        spark, _chunk(spark, 300, 600, 1), base, mode="append"
+    )
+    layout.compact_metadata(spark, base)
+    m = layout.snapshot_manifest(spark, base)
+    assert m["bloom_meta"] == {"k": {"bits": 2048, "hashes": 4}}
+    assert all("k" in m["bloom"].get(f, {}) for f in m["files"])
+
+    v = layout.compact_files(spark, base, target_files=4, sort_by="k")
+    df, n_read, n_total = layout.snapshot_point_lookup(spark, base, "k", 450)
+    assert [r["k"] for r in df.collect()] == [450]
+    assert n_read == 1 and n_total == 4  # sorted files: stats + bloom agree
+    # time travel: the pre-compaction version still serves its blooms
+    df0, r0, t0 = layout.snapshot_point_lookup(spark, base, "k", 450, version=v - 1)
+    assert [r["k"] for r in df0.collect()] == [450]
+    assert r0 <= t0
+
+
+def test_all_null_column_file_is_definitely_not(spark, tmp_path):
+    base = str(tmp_path / "t")
+    withval = spark.createDataFrame([(1, "a")], "k long, payload string")
+    nullonly = spark.createDataFrame(
+        [(2, None), (3, None)], "k long, payload string"
+    )
+    layout.snapshot_commit(
+        spark, withval.coalesce(1), base, bloom_cols=["payload"]
+    )
+    layout.snapshot_commit(spark, nullonly.coalesce(1), base, mode="append")
+    df, n_read, n_total = layout.snapshot_point_lookup(
+        spark, base, "payload", "a"
+    )
+    assert [r["k"] for r in df.collect()] == [1]
+    assert n_total == 2 and n_read == 1  # all-NULL file: empty bitmap skips
+
+
+def test_overwrite_drops_declaration_fresh_commit_redeclares(spark, tmp_path):
+    base = str(tmp_path / "t")
+    layout.snapshot_commit(spark, _chunk(spark, 0, 50, 1), base, bloom_cols=["k"])
+    layout.snapshot_commit(spark, _chunk(spark, 0, 50, 1), base)  # overwrite
+    m = layout.snapshot_manifest(spark, base)
+    assert m["bloom_meta"] == {} and m["bloom"] == {}
