@@ -1658,7 +1658,7 @@ def snapshot_merge(
         o = existing.select(
             F.col(key_col), F.struct(*[F.col(c) for c in value_cols]).alias("_old")
         )
-        changes = (
+        tagged = (
             n.join(o, key_col, "left_outer")
             .select(
                 key_col,
@@ -1678,15 +1678,28 @@ def snapshot_merge(
                 F.col("_change").isin("insert", "delete")
                 | (F.col("_new") != F.col("_old"))
             )
-            .select(
-                key_col,
-                "_change",
-                F.when(F.col("_change") == "delete", F.col("_old"))
-                .otherwise(F.col("_new"))
-                .alias("_row"),
-            )
-            .select(key_col, "_change", "_row.*")
         )
+        changes = tagged.select(
+            key_col,
+            "_change",
+            F.when(F.col("_change") == "delete", F.col("_old"))
+            .otherwise(F.col("_new"))
+            .alias("_row"),
+        )
+        # UPDATE PRE-IMAGES (round 14, the Delta CDF update_preimage
+        # analog): each real update ALSO records its old row under
+        # _change='update_pre', in the SAME changelog write — the _old
+        # struct is already in hand, so pre-images cost zero extra
+        # joins or jobs.  Default feed reads filter them out
+        # (_commit_change_rows); snapshot_update_preimages serves them
+        # — the piece that makes downstream aggregates INCREMENTALLY
+        # maintainable (an update is -old +new, not a group recompute).
+        pre = tagged.filter(F.col("_change") == "update").select(
+            key_col,
+            F.lit("update_pre").alias("_change"),
+            F.col("_old").alias("_row"),
+        )
+        changes = changes.unionByName(pre).select(key_col, "_change", "_row.*")
         changes_dir = f"{base}/changes/v{new_version}-{uuid.uuid4().hex[:8]}"
         changes.write.parquet(changes_dir)
         seg["changelog"] = sorted(
@@ -2136,7 +2149,14 @@ def _commit_change_rows(spark, base: str, resolved: dict, key_col: str):
         files = resolved["changelog"] or []
         if not files:
             return spark.createDataFrame([], feed_schema)
-        return spark.read.schema(feed_schema).parquet(*files)
+        # update PRE-IMAGE rows ride the same files; the default feed
+        # is the Delta CDF post-image shape — serve pre-images only
+        # through snapshot_update_preimages
+        return (
+            spark.read.schema(feed_schema)
+            .parquet(*files)
+            .filter(F.col("_change") != "update_pre")
+        )
     if mode == "insert":
         files = resolved["last_add"]
         if not files:
@@ -2157,6 +2177,47 @@ def _commit_change_rows(spark, base: str, resolved: dict, key_col: str):
             f"there"
         )
     return None
+
+
+def snapshot_update_preimages(
+    spark, path: str, version: int, key_col: str | None = None
+) -> DataFrame:
+    """The OLD rows of the keys a commit UPDATED — the Delta CDF
+    ``update_preimage`` twin of ``snapshot_changes_feed``'s post-image
+    rows, read in O(changed rows) from the same per-commit changelog
+    the merge wrote (pre-images rode the write; this costs no extra
+    commit work).  Empty for commits that recorded no log or updated
+    nothing.  With post-images (+new) and pre-images (-old), a
+    downstream aggregate becomes INCREMENTALLY maintainable: an update
+    applies as subtract-old-add-new instead of a group recompute —
+    see ``operators/ivm.py``."""
+    import json
+
+    from pyspark.sql.types import StructField, StringType, StructType
+
+    base = path.rstrip("/")
+    resolved = snapshot_manifest(spark, base, version)
+    if key_col is None:
+        if not resolved["keyed"]:
+            raise ValueError(
+                "snapshot_update_preimages: pass key_col for non-keyed tables"
+            )
+        key_col = resolved["keyed"]["key_col"]
+    schema = StructType.fromJson(json.loads(resolved["schema"]))
+    value_fields = [f for f in schema.fields if f.name != key_col]
+    feed_schema = StructType(
+        [schema[key_col], StructField("_change", StringType(), True)]
+        + value_fields
+    )
+    files = resolved["changelog"] or []
+    if resolved["change_mode"] != "log" or not files:
+        return spark.createDataFrame([], feed_schema).drop("_change")
+    return (
+        spark.read.schema(feed_schema)
+        .parquet(*files)
+        .filter(F.col("_change") == "update_pre")
+        .drop("_change")
+    )
 
 
 def snapshot_changes_feed(
@@ -2215,6 +2276,7 @@ def compact_files(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 16384,
     bloom_hashes: int = 5,
+    n_buckets: int | None = None,
 ) -> int:
     """DATA-FILE compaction for a snapshot table — the maintenance pass
     that fixes the streaming small-file problem (every micro-batch
@@ -2238,6 +2300,16 @@ def compact_files(
     keyed table the curve clusters WITHIN each bucket (bucket map
     preserved — merges stay bucket-pruned; scans prune files inside
     every bucket).
+
+    ``n_buckets`` RESCALES a hash-keyed table's bucket count (the
+    Iceberg bucket-evolution move, done as one atomic rewrite): every
+    row re-hashes into the new layout, the committed ``keyed`` contract
+    carries the new count, and later merges bucket-prune against it —
+    the maintenance answer when a table outgrew its creation-time
+    bucket sizing (or was over-bucketed into small files).  Rejected
+    on ``bucket_col`` tables (their bucket values are data-defined —
+    re-cell via the owning index's rebuild) and on plain tables.
+    Time travel to pre-rescale versions serves the OLD layout intact.
 
     The rewrite commits as one new version whose segment both
     truncates-and-readds (so it is ALSO a metadata compaction — the
@@ -2282,8 +2354,17 @@ def compact_files(
             stats_types.setdefault(c, schema[c].dataType.simpleString())
     else:
         stats_types = resolved["stats_types"]
+    if n_buckets is not None and (not keyed or keyed.get("bucket_col")):
+        raise ValueError(
+            "compact_files: n_buckets rescale applies only to hash-keyed "
+            "tables (plain tables have no bucket contract; bucket_col "
+            "tables re-cell via their owning index's rebuild)"
+        )
     if keyed:
         kc, nb = keyed["key_col"], int(keyed["n_buckets"])
+        if n_buckets is not None:
+            nb = int(n_buckets)
+            keyed = {**keyed, "n_buckets": nb}
         bc = keyed.get("bucket_col")
         bucket_expr = (
             F.col(bc).cast("int")

@@ -408,3 +408,48 @@ def test_merge_insert_aware_cow(spark, tmp_path):
         per_bucket.setdefault(b, []).append(f)
     assert all(len(v) <= 2 for v in per_bucket.values())  # one write set each
     assert {r["k"]: r["v"] for r in layout.snapshot_read(spark, path).collect()} == expect
+
+
+def test_bucket_rescale_atomic_rewrite(spark, tmp_path):
+    """compact_files(n_buckets=N): a hash-keyed table re-buckets in one
+    atomic commit — contents identical, the new keyed contract drives
+    later merges (bucket-pruned against the NEW map), time travel
+    serves the old layout, and misuse (plain / bucket_col tables)
+    raises."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "snap")
+    rows = [(i, f"v{i}") for i in range(200)]
+    layout.snapshot_write_keyed(spark, _kv(spark, rows), path, "k", n_buckets=2)
+    layout.snapshot_merge(spark, path, _kv(spark, [(5, "v5x")]), "k")
+
+    v = layout.compact_files(spark, path, n_buckets=8)
+    m = layout.snapshot_manifest(spark, path)
+    assert int(m["keyed"]["n_buckets"]) == 8
+    assert set(m["buckets"].values()) <= set(range(8))
+    assert len(set(m["buckets"].values())) > 2  # actually spread out
+    got = {(r["k"], r["v"]) for r in layout.snapshot_read(spark, path).collect()}
+    assert got == {(k, "v5x" if k == 5 else f"v{k}") for k in range(200)}
+
+    # merge after rescale: key-correct, and only NEW-layout buckets move
+    layout.snapshot_merge(spark, path, _kv(spark, [(7, "v7x"), (1000, "new")]), "k")
+    after = layout.snapshot_read(spark, path)
+    assert after.count() == 201
+    assert after.filter(F.col("k") == 7).collect()[0]["v"] == "v7x"
+    # time travel: pre-rescale version still reads under the OLD layout
+    assert int(layout.snapshot_manifest(spark, path, v - 1)["keyed"]["n_buckets"]) == 2
+    assert layout.snapshot_read(spark, path, v - 1).count() == 200
+
+    # misuse raises
+    plain = str(tmp_path / "plain")
+    layout.snapshot_commit(spark, _kv(spark, rows[:10]), plain)
+    with pytest.raises(ValueError, match="hash-keyed"):
+        layout.compact_files(spark, plain, n_buckets=4)
+    cellp = str(tmp_path / "cell")
+    cell = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k long, v string, cell int"
+    )
+    layout.snapshot_write_keyed(spark, cell, cellp, "k", n_buckets=2,
+                                bucket_col="cell")
+    with pytest.raises(ValueError, match="bucket_col"):
+        layout.compact_files(spark, cellp, n_buckets=4)
