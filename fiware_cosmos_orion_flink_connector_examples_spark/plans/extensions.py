@@ -8340,3 +8340,115 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [out],
         "found_key bigint, price_c bigint, pruned boolean, absent_zero boolean",
     )
+
+
+@register(
+    "incremental_view_capstone",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+               FROM orders WHERE o_orderkey % 4 = 1),
+    final AS (
+      SELECT CASE WHEN k % 50 = 3 THEN 99 ELSE k % 10 END AS g,
+             CASE WHEN k % 10 = 3 THEN pc + 222 ELSE pc END AS pc
+      FROM o WHERE k % 10 != 7
+      UNION ALL
+      SELECT 55 AS g, CAST(555 AS BIGINT) AS pc
+      FROM o WHERE k % 200 = 101 AND k % 400 != 101
+    )
+    SELECT g, count(*) AS n_rows,
+           CAST(sum(pc) AS BIGINT) AS sum_pc
+    FROM final GROUP BY g ORDER BY g
+    """,
+    doc="[ext] INCREMENTAL VIEW MAINTENANCE capstone, hash-checked "
+    "end-to-end against the raw input: write the orders quarter-slice "
+    "as a keyed snapshot table with a group column, materialize a "
+    "count/sum GROUP BY view (operators/ivm.py), then drive TWO merge "
+    "commits through it — value updates, GROUP-MOVING updates (rows "
+    "relocating to group 99 must leave their old group's totals), "
+    "inserts into a brand-new group, and deletes that empty part of "
+    "it — syncing the view INCREMENTALLY after each commit via CDC "
+    "post-images + update pre-images (never recomputing a group; the "
+    "delta merge and the consumed-source watermark are one atomic "
+    "view commit, exactly-once).  The final view contents — every "
+    "group's maintained row count and integer-cents sum — are "
+    "independently recomputed by DuckDB from `orders` alone, so the "
+    "driver hash-proves the maintenance algebra (+new/-pre/-old) "
+    "across moves, deletes, and multi-round increments.  Scale shape: "
+    "each sync reads O(changed rows) from the commit logs, one "
+    "delta aggregation shuffle, one bucket-pruned COW merge — the "
+    "source is never rescanned after materialization.",
+    tags=("ext", "storage", "snapshot", "ivm", "cdc", "envelope"),
+)
+def incremental_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 10).alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    newg = F.when(F.col("k") % 50 == 3, F.lit(99)).otherwise(F.col("k") % 10)
+    tmp = tempfile.mkdtemp(prefix="ivm_capstone_")
+    src, view = f"{tmp}/src", f"{tmp}/view"
+    try:
+        layout.snapshot_write_keyed(spark, base, src, "k", n_buckets=8)
+        ivm.agg_view_create(spark, src, view, ["g"], ["pc"], n_buckets=4)
+        upd2 = (
+            base.filter(F.col("k") % 10 == 3)
+            .select("k", newg.alias("g"), (F.col("pc") + 111).alias("pc"),
+                    F.lit(False).alias("_del"))
+            .unionByName(
+                base.filter(F.col("k") % 10 == 7).select(
+                    "k", F.lit(None).cast("long").alias("g"),
+                    F.lit(None).cast("long").alias("pc"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+            .unionByName(
+                base.filter(F.col("k") % 200 == 101).select(
+                    (F.col("k") + F.lit(1_000_000_000)).alias("k"),
+                    F.lit(55).cast("long").alias("g"),
+                    F.lit(555).cast("long").alias("pc"),
+                    F.lit(False).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, src, upd2, "k", delete_col="_del")
+        ivm.agg_view_sync(spark, src, view, ["g"], ["pc"])
+        upd3 = (
+            base.filter(F.col("k") % 10 == 3)
+            .select("k", newg.alias("g"), (F.col("pc") + 222).alias("pc"),
+                    F.lit(False).alias("_del"))
+            .unionByName(
+                base.filter(F.col("k") % 400 == 101).select(
+                    (F.col("k") + F.lit(1_000_000_000)).alias("k"),
+                    F.lit(None).cast("long").alias("g"),
+                    F.lit(None).cast("long").alias("pc"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, src, upd3, "k", delete_col="_del")
+        ivm.agg_view_sync(spark, src, view, ["g"], ["pc"])
+        out = (
+            ivm.agg_view_read(spark, view)
+            .select(
+                F.col("g").cast("long").alias("g"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col("sum_pc").cast("long").alias("sum_pc"),
+            )
+            .orderBy("g")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["g"]), int(r["n_rows"]), int(r["sum_pc"])) for r in out],
+        "g bigint, n_rows bigint, sum_pc bigint",
+    )

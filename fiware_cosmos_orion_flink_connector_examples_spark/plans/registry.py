@@ -102,6 +102,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "ann_drift_monitor",  # r13 directive #5: drift + rebuild, rows-only
     "snapshot_zorder_scan",  # zorder compaction + multi-col pruned scan
     "snapshot_bloom_lookup",  # per-file bloom sidecars + point lookup
+    "incremental_view_capstone",  # CDC-driven IVM with update pre-images
 )
 
 
