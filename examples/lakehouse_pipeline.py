@@ -109,11 +109,57 @@ def main() -> None:
         print(f"no-drift proof: {len(synced)} phrase-matching docs identical "
               "between CDC-synced and rebuilt indexes")
 
-        # 5. maintenance: compact data+metadata, time-travel, vacuum
+        # 5. incremental aggregate view (round 14): a count/sum GROUP BY
+        #    view follows the SAME commit log — synced in O(changed
+        #    rows) via CDC post-images + update pre-images, never a
+        #    recompute; its watermark is the consumed table version
+        from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+        from pyspark.sql import functions as F
+
+        view = f"{tmp}/len_by_bucket_view"
+        lens = f"{tmp}/docs_lens"
+        base_len = layout.snapshot_read(spark, table, v1).select(
+            "doc_id",
+            (F.col("doc_id") % 3).alias("g"),
+            F.length("text").cast("long").alias("chars"),
+        )
+        layout.snapshot_write_keyed(spark, base_len, lens, "doc_id", n_buckets=4)
+        ivm.agg_view_create(spark, lens, view, ["g"], ["chars"])
+        delta = layout.snapshot_read(spark, table).select(
+            "doc_id",
+            (F.col("doc_id") % 3).alias("g"),
+            F.length("text").cast("long").alias("chars"),
+        ).subtract(base_len)
+        layout.snapshot_merge(spark, lens, delta, "doc_id")
+        ivm.agg_view_sync(spark, lens, view, ["g"], ["chars"])
+        expect = {
+            (r["g"], r["n"], r["s"])
+            for r in layout.snapshot_read(spark, lens)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("chars").alias("s"))
+            .collect()
+        }
+        got = {
+            (r["g"], r["_n"], r["sum_chars"])
+            for r in ivm.agg_view_read(spark, view).collect()
+        }
+        assert got == expect, "view drift!"
+        print(f"incremental view: {len(got)} groups follow the commit log, "
+              "view == recompute")
+
+        # 6. maintenance: compact data+metadata (z-order the lens table
+        #    on its two query dimensions), time-travel, vacuum, and a
+        #    bloom-pruned point lookup on the compacted table
         layout.compact_files(spark, table)
+        layout.compact_files(
+            spark, lens, zorder_by=["g", "chars"], bloom_cols=["doc_id"],
+            max_records_per_file=256,
+        )
+        _, n_read, n_total = layout.snapshot_point_lookup(spark, lens, "doc_id", 3)
         assert layout.snapshot_read(spark, table, v1).count() == head.count()
         out = layout.vacuum_snapshots(spark, table, keep_last=2)
-        print(f"maintenance: compacted; vacuum reclaimed "
+        print(f"maintenance: compacted (+zorder/bloom on lens: point lookup "
+              f"read {n_read}/{n_total} files); vacuum reclaimed "
               f"{out['deleted_files']} files / {out['deleted_segments']} segments; "
               f"final table still {layout.snapshot_read(spark, table).count()} docs")
 

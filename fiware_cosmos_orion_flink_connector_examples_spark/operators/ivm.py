@@ -24,9 +24,11 @@ happened entirely or not at all (``SnapshotTxnAlreadyApplied`` absorbs
 redelivery), the ``search_index_sync`` contract applied to aggregates.
 
 Scale shape: per sync, read O(changed rows) from the span's change
-logs, one shuffle to aggregate deltas by group, one broadcast-sized
-join against the view's touched groups, one bucket-pruned COW merge.
-Nothing scans the source table after the initial materialization.
+logs, one shuffle to aggregate deltas by group, one BUCKET-PRUNED read
+of the view's touched groups (the touched keys hash to ≤ n_buckets
+bucket ids — view-side cost tracks the delta, not the view), one
+bucket-pruned COW merge.  Nothing scans the source table after the
+initial materialization.
 
 Limits (stated, not hidden): count/sum only — min/max are not
 incrementally maintainable under deletes without per-group recompute;
@@ -139,6 +141,46 @@ def _span_deltas(
     return out
 
 
+def _touched_view_rows(
+    spark, view_path: str, view_version: int, agg: DataFrame, sum_cols: list[str]
+) -> DataFrame:
+    """Current totals of the groups the delta touches, read
+    BUCKET-PRUNED: the touched group keys hash to ≤ n_buckets bucket
+    ids (one bounded collect — a layout constant, never group count),
+    and only those buckets' files are opened — the sync's view-side
+    cost tracks the delta, not the view (a billion-group view whose
+    day touched 3 buckets reads 3 buckets)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    manifest = layout.snapshot_manifest(spark, view_path, view_version)
+    keyed = manifest["keyed"]
+    nb = int(keyed["n_buckets"])
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    touched = {
+        r["_b"]
+        for r in agg.select(
+            F.pmod(F.xxhash64(F.col(_GKEY).cast("string")), F.lit(nb)).alias("_b")
+        )
+        .distinct()
+        .collect()
+    }
+    files = [
+        f for f in manifest["files"] if manifest["buckets"].get(f) in touched
+    ]
+    src = (
+        spark.read.schema(schema).parquet(*files)
+        if files
+        else spark.createDataFrame([], schema)
+    )
+    return src.select(
+        _GKEY,
+        F.col(_NROWS).alias("_cur_n"),
+        *[F.col(_sum_name(c)).alias(f"_cur_{c}") for c in sum_cols],
+    )
+
+
 def agg_view_sync(
     spark,
     source_path: str,
@@ -179,12 +221,8 @@ def agg_view_sync(
             F.sum("_dn").alias("_dn"),
             *[F.sum(_sum_name(c)).alias(f"_d_{c}") for c in sum_cols],
         )
-        cur = layout.snapshot_read(spark, view_path, view_cur).select(
-            _GKEY,
-            F.col(_NROWS).alias("_cur_n"),
-            *[F.col(_sum_name(c)).alias(f"_cur_{c}") for c in sum_cols],
-        )
         agg = agg.select(_group_key(group_cols), *agg.columns)
+        cur = _touched_view_rows(spark, view_path, view_cur, agg, sum_cols)
         upd = (
             agg.join(cur, _GKEY, "left_outer")
             .select(

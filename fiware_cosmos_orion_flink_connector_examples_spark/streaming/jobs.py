@@ -1669,3 +1669,52 @@ def maintain_ann_index(
         )
 
     return apply_batch
+
+
+def maintain_agg_view(
+    source_path: str,
+    view_path: str,
+    key_col: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    txn_app: str = "agg-view-stream",
+):
+    """EXACTLY-ONCE streaming pipeline sink: each micro-batch of keyed
+    upserts (optional boolean ``_del`` column) MERGEs into the source
+    snapshot table (source txn watermark = batch id, so a replayed
+    batch is absorbed before it can double-apply), then the
+    incremental count/sum view follows the source's commit log
+    (``ivm.agg_view_sync`` — its own watermark is the consumed source
+    version, so the view leg is idempotent independently of the source
+    leg; a crash between the two legs just re-runs the sync).  The
+    lakehouse "always-fresh aggregate" twin of ``maintain_search_index``
+    / ``maintain_ann_index``.  Returns the function for
+    ``writeStream.foreachBatch``."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+            ivm as _ivm,
+        )
+        from fiware_cosmos_orion_flink_connector_examples_spark.sources import (
+            layout as _layout,
+        )
+
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        try:
+            _layout.snapshot_merge(
+                spark,
+                source_path,
+                batch,
+                key_col,
+                delete_col="_del" if "_del" in batch.columns else None,
+                _txn_update={f"{txn_app}-src": batch_id},
+            )
+        except _layout.SnapshotTxnAlreadyApplied:
+            pass  # replayed batch — the source already has it
+        _ivm.agg_view_sync(
+            spark, source_path, view_path, group_cols, sum_cols, txn_app=txn_app
+        )
+
+    return apply_batch

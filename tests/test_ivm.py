@@ -179,3 +179,35 @@ def test_randomized_view_equals_recompute(spark, tmp_path):
         for r in layout.snapshot_read(spark, source).collect()
     }
     assert got == {(k, g, x) for k, (g, x) in rows.items()}
+
+
+def test_maintain_agg_view_streaming_sink_exactly_once(spark, tmp_path):
+    """maintain_agg_view: each micro-batch merges into the source
+    (batch-id watermark) and the view follows the commit log — replays
+    of either leg are absorbed, the final view equals a recompute."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(i, "ab"[i % 2], i) for i in range(20)]), source, "k"
+    )
+    ivm.agg_view_create(spark, source, view, ["g"], ["x"], txn_app="s")
+    sink = jobs.maintain_agg_view(source, view, "k", ["g"], ["x"], txn_app="s")
+
+    b0 = spark.createDataFrame(
+        [(0, "b", 100, False), (1, None, None, True), (50, "c", 7, False)],
+        "k long, g string, x long, _del boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(2, "c", 5, False)], "k long, g string, x long, _del boolean"
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # immediate replay: source absorbed, view sync no-op
+    sink(b1, 1)
+    sink(b0, 0)  # stale replay after a later batch
+    sink(spark.createDataFrame([], b0.schema), 2)  # empty: nothing moves
+    assert layout.snapshot_latest_version(spark, source) == 3  # v1 + 2 merges
+    assert _view(spark, view) == _recompute(spark, source)
+    # replay left no double-applied deltas: totals for the moved keys
+    got = {r["g"]: (r["_n"], r["sum_x"]) for r in ivm.agg_view_read(spark, view).collect()}
+    assert got["c"] == (2, 12)
