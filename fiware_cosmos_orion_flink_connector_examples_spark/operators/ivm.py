@@ -265,3 +265,71 @@ def agg_view_read(spark, view_path: str, version: int | None = None) -> DataFram
     ``sum_*`` totals — the internal ``_gkey`` dropped), time-travelable
     like any snapshot table."""
     return layout.snapshot_read(spark, view_path, version).drop(_GKEY)
+
+
+# --- EXACT COUNT-DISTINCT views --------------------------------------------
+#
+# The classic IVM reduction: COUNT(DISTINCT d) GROUP BY g is exactly a
+# count view grouped by (g, d) — the signed algebra maintains one row
+# per LIVE (group, value) pair (a pair whose row count reaches zero is
+# deleted), and the distinct count is the pair count per group, read in
+# O(live pairs).  Deletes and value-moving updates work for free, which
+# no sketch (HLL) can do.  NULL values never count (SQL COUNT(DISTINCT)
+# semantics): the reader filters them; a group with ONLY NULL values
+# reads as absent, not zero — stated, not hidden.
+
+
+def distinct_view_create(
+    spark,
+    source_path: str,
+    view_path: str,
+    group_cols: list[str],
+    distinct_col: str,
+    txn_app: str = "distinct-view",
+    n_buckets: int = 8,
+) -> int:
+    """Materialize an exact COUNT(DISTINCT ``distinct_col``) view: the
+    stored table is the (group, value)-pair count view; read it with
+    ``distinct_view_read``, advance it with ``distinct_view_sync``."""
+    return agg_view_create(
+        spark, source_path, view_path, group_cols + [distinct_col], [],
+        txn_app, n_buckets,
+    )
+
+
+def distinct_view_sync(
+    spark,
+    source_path: str,
+    view_path: str,
+    group_cols: list[str],
+    distinct_col: str,
+    txn_app: str = "distinct-view",
+    retries: int = 5,
+) -> tuple[int | None, int]:
+    """Advance the pair view over every source commit since its
+    watermark — same exactly-once contract as ``agg_view_sync``."""
+    return agg_view_sync(
+        spark, source_path, view_path, group_cols + [distinct_col], [],
+        txn_app, retries,
+    )
+
+
+def distinct_view_read(
+    spark,
+    view_path: str,
+    group_cols: list[str],
+    distinct_col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Per-group exact distinct count off the maintained pair view:
+    ``n_distinct_<col>`` plus ``_n`` (total non-NULL source rows) —
+    one aggregation over O(live pairs), never the source."""
+    v = agg_view_read(spark, view_path, version)
+    return (
+        v.filter(F.col(distinct_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}"),
+            F.sum(_NROWS).alias(_NROWS),
+        )
+    )

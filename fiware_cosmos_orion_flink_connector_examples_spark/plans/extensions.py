@@ -8304,6 +8304,12 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent = (
         orders.filter(F.col("k") % 4 == 2).agg(F.min("k").alias("m")).collect()
     )[0]["m"]
+    schema = (
+        "found_key bigint, price_c bigint, pruned boolean, absent_zero boolean"
+    )
+    if agg["present"] is None or absent is None:
+        # empty ingest day: no probe targets exist — vacuously healthy
+        return spark.createDataFrame([(0, 0, True, True)], schema)
     per_file = max(1, int(agg["n"]) // 3)
     bits = 1 << max(14, (per_file * 16 - 1).bit_length())
     tmp = tempfile.mkdtemp(prefix="bloom_lookup_")
@@ -8336,10 +8342,7 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(len(row) == 1 and n1 < t1),
         bool(n_miss == 0 and n2 == 0),
     )
-    return spark.createDataFrame(
-        [out],
-        "found_key bigint, price_c bigint, pruned boolean, absent_zero boolean",
-    )
+    return spark.createDataFrame([out], schema)
 
 
 @register(
@@ -8451,4 +8454,83 @@ def incremental_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(r["g"]), int(r["n_rows"]), int(r["sum_pc"])) for r in out],
         "g bigint, n_rows bigint, sum_pc bigint",
+    )
+
+
+@register(
+    "distinct_view_capstone",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+                      o_custkey AS cust
+               FROM orders WHERE o_orderkey % 4 = 1),
+    final AS (
+      SELECT prio,
+             CASE WHEN k % 10 = 3 THEN cust + 1000000 ELSE cust END AS cust
+      FROM o WHERE k % 10 != 7
+    )
+    SELECT prio, count(DISTINCT cust) AS n_distinct_cust,
+           count(*) AS n_rows
+    FROM final GROUP BY prio ORDER BY prio
+    """,
+    doc="[ext] EXACT COUNT-DISTINCT view capstone: the classic IVM "
+    "reduction — COUNT(DISTINCT customer) per priority maintained as a "
+    "(group, value)-pair count view over the snapshot CDC feed, so "
+    "value-MOVING updates (a merge relocates k%10=3 orders to synthetic "
+    "customers) and deletes (k%10=7 removed) adjust the distinct count "
+    "EXACTLY — the operation no mergeable sketch (HLL) supports.  One "
+    "merge commit drives the maintenance; the view's per-group distinct "
+    "counts and row totals are recomputed independently by DuckDB from "
+    "`orders` alone, so the driver hash-proves the pair-view algebra "
+    "end-to-end.  Scale shape: the sync reads O(changed rows) from the "
+    "commit log, maintains O(live pairs) state, and the read is one "
+    "aggregation over the pairs — the source is never rescanned.",
+    tags=("ext", "storage", "snapshot", "ivm", "distinct", "envelope"),
+)
+def distinct_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("cust"),
+    )
+    tmp = tempfile.mkdtemp(prefix="distinct_view_")
+    src, view = f"{tmp}/src", f"{tmp}/view"
+    try:
+        layout.snapshot_write_keyed(spark, base, src, "k", n_buckets=8)
+        ivm.distinct_view_create(spark, src, view, ["prio"], "cust", n_buckets=4)
+        upd = (
+            base.filter(F.col("k") % 10 == 3)
+            .select("k", "prio", (F.col("cust") + 1_000_000).alias("cust"),
+                    F.lit(False).alias("_del"))
+            .unionByName(
+                base.filter(F.col("k") % 10 == 7).select(
+                    "k", F.lit(None).cast("string").alias("prio"),
+                    F.lit(None).cast("long").alias("cust"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, src, upd, "k", delete_col="_del")
+        ivm.distinct_view_sync(spark, src, view, ["prio"], "cust")
+        out = (
+            ivm.distinct_view_read(spark, view, ["prio"], "cust")
+            .select(
+                "prio",
+                F.col("n_distinct_cust").cast("long").alias("n_distinct_cust"),
+                F.col("_n").cast("long").alias("n_rows"),
+            )
+            .orderBy("prio")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["prio"], int(r["n_distinct_cust"]), int(r["n_rows"])) for r in out],
+        "prio string, n_distinct_cust bigint, n_rows bigint",
     )

@@ -103,6 +103,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "snapshot_zorder_scan",  # zorder compaction + multi-col pruned scan
     "snapshot_bloom_lookup",  # per-file bloom sidecars + point lookup
     "incremental_view_capstone",  # CDC-driven IVM with update pre-images
+    "distinct_view_capstone",  # exact COUNT(DISTINCT) pair-view IVM
 )
 
 
