@@ -333,3 +333,30 @@ def distinct_view_read(
             F.sum(_NROWS).alias(_NROWS),
         )
     )
+
+
+def extremes_view_read(
+    spark,
+    view_path: str,
+    group_cols: list[str],
+    value_col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Per-group MIN/MAX off a maintained pair view — the aggregate
+    plain delta-IVM cannot keep (a delete of the current extremum
+    forces a group recompute) becomes a read over O(live pairs): the
+    pair view retains EVERY live value with its row count, so when the
+    extremum's count reaches zero its pair row dies and the next value
+    takes over automatically.  Build the view with
+    ``distinct_view_create(group_cols, value_col)`` and sync as usual;
+    distinct counts and extremes serve off the SAME state."""
+    v = agg_view_read(spark, view_path, version)
+    return (
+        v.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias(f"min_{value_col}"),
+            F.max(value_col).alias(f"max_{value_col}"),
+            F.sum(_NROWS).alias(_NROWS),
+        )
+    )

@@ -8469,21 +8469,26 @@ def incremental_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o WHERE k % 10 != 7
     )
     SELECT prio, count(DISTINCT cust) AS n_distinct_cust,
-           count(*) AS n_rows
+           count(*) AS n_rows,
+           min(cust) AS min_cust, max(cust) AS max_cust
     FROM final GROUP BY prio ORDER BY prio
     """,
-    doc="[ext] EXACT COUNT-DISTINCT view capstone: the classic IVM "
-    "reduction — COUNT(DISTINCT customer) per priority maintained as a "
-    "(group, value)-pair count view over the snapshot CDC feed, so "
-    "value-MOVING updates (a merge relocates k%10=3 orders to synthetic "
-    "customers) and deletes (k%10=7 removed) adjust the distinct count "
-    "EXACTLY — the operation no mergeable sketch (HLL) supports.  One "
-    "merge commit drives the maintenance; the view's per-group distinct "
-    "counts and row totals are recomputed independently by DuckDB from "
-    "`orders` alone, so the driver hash-proves the pair-view algebra "
-    "end-to-end.  Scale shape: the sync reads O(changed rows) from the "
-    "commit log, maintains O(live pairs) state, and the read is one "
-    "aggregation over the pairs — the source is never rescanned.",
+    doc="[ext] EXACT COUNT-DISTINCT + MIN/MAX view capstone: the "
+    "classic IVM reduction — COUNT(DISTINCT customer) per priority "
+    "maintained as a (group, value)-pair count view over the snapshot "
+    "CDC feed, so value-MOVING updates (a merge relocates k%10=3 "
+    "orders to synthetic customers) and deletes (k%10=7 removed) "
+    "adjust the distinct count EXACTLY — the operation no mergeable "
+    "sketch (HLL) supports.  The SAME pair state serves per-group "
+    "MIN/MAX (extremes_view_read): an extremum whose last row dies "
+    "falls back to the next live value — the aggregate plain "
+    "delta-IVM cannot keep.  One merge commit drives the maintenance; "
+    "every number is recomputed independently by DuckDB from `orders` "
+    "alone, so the driver hash-proves the pair-view algebra "
+    "end-to-end.  Scale shape: the sync reads O(changed rows) from "
+    "the commit log, maintains O(live pairs) state, and both reads "
+    "are one aggregation over the pairs — the source is never "
+    "rescanned.",
     tags=("ext", "storage", "snapshot", "ivm", "distinct", "envelope"),
 )
 def distinct_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8518,12 +8523,18 @@ def distinct_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         layout.snapshot_merge(spark, src, upd, "k", delete_col="_del")
         ivm.distinct_view_sync(spark, src, view, ["prio"], "cust")
+        dv = ivm.distinct_view_read(spark, view, ["prio"], "cust")
+        ev = ivm.extremes_view_read(spark, view, ["prio"], "cust").select(
+            "prio", "min_cust", "max_cust"
+        )
         out = (
-            ivm.distinct_view_read(spark, view, ["prio"], "cust")
+            dv.join(ev, "prio")
             .select(
                 "prio",
                 F.col("n_distinct_cust").cast("long").alias("n_distinct_cust"),
                 F.col("_n").cast("long").alias("n_rows"),
+                F.col("min_cust").cast("long").alias("min_cust"),
+                F.col("max_cust").cast("long").alias("max_cust"),
             )
             .orderBy("prio")
             .collect()
@@ -8531,6 +8542,16 @@ def distinct_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
-        [(r["prio"], int(r["n_distinct_cust"]), int(r["n_rows"])) for r in out],
-        "prio string, n_distinct_cust bigint, n_rows bigint",
+        [
+            (
+                r["prio"],
+                int(r["n_distinct_cust"]),
+                int(r["n_rows"]),
+                int(r["min_cust"]),
+                int(r["max_cust"]),
+            )
+            for r in out
+        ],
+        "prio string, n_distinct_cust bigint, n_rows bigint, "
+        "min_cust bigint, max_cust bigint",
     )

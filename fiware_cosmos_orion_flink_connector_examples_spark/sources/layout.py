@@ -2454,6 +2454,106 @@ def compact_files(
     return new_version
 
 
+def maintenance_report(
+    spark,
+    path: str,
+    max_segments: int = 8,
+    max_files_per_bucket: int = 4,
+    min_avg_file_bytes: int = 8 << 20,
+    max_avg_bucket_bytes: int = 1 << 30,
+) -> dict:
+    """LAYOUT-HEALTH inspection — the OPTIMIZE advisor: one manifest
+    resolve plus one ``getFileStatus`` per live file (O(live files)
+    metadata RPCs, never a data read) yields the numbers every
+    maintenance decision needs, and turns them into concrete
+    recommendations:
+
+      - ``compact_metadata`` when the segment chain exceeds
+        ``max_segments`` (resolve cost grows with history);
+      - ``compact_files`` when a keyed table averages more than
+        ``max_files_per_bucket`` files per bucket, or a plain table's
+        mean file size falls under ``min_avg_file_bytes`` (the
+        streaming small-file problem);
+      - ``compact_files(n_buckets=...)`` rescale when a hash-keyed
+        table's mean bucket exceeds ``max_avg_bucket_bytes`` (suggests
+        the next power of two that brings it under);
+      - ``compact_files(stats/bloom refresh)`` when declared skipping
+        metadata covers less than every live file (appends that
+        skipped ``stats_cols`` silently blunt pruning — the round-13
+        lesson surfaced as a report instead of a surprise).
+
+    Pure read-only: returns the report dict, never mutates the table."""
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    resolved = snapshot_manifest(spark, base)
+    files = resolved["files"]
+    sizes = []
+    for f in files:
+        try:
+            sizes.append(
+                fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+            )
+        except Exception:
+            sizes.append(0)  # racing vacuum/rewrite: report best-effort
+    total_bytes = int(sum(sizes))
+    n_files = len(files)
+    keyed = resolved["keyed"]
+    stats_cov = {
+        c: (
+            sum(
+                1
+                for f in files
+                if resolved["stats"].get(f, {}).get(c) is not None
+            )
+            / n_files
+            if n_files
+            else 1.0
+        )
+        for c in resolved["stats_types"]
+    }
+    bloom_cov = {
+        c: (
+            sum(1 for f in files if c in resolved["bloom"].get(f, {})) / n_files
+            if n_files
+            else 1.0
+        )
+        for c in resolved["bloom_meta"]
+    }
+    recs: list[str] = []
+    if len(resolved["segments"]) > max_segments:
+        recs.append("compact_metadata")
+    if keyed:
+        nb = int(keyed["n_buckets"])
+        if n_files > max_files_per_bucket * nb:
+            recs.append("compact_files")
+        if not keyed.get("bucket_col") and nb and total_bytes / nb > max_avg_bucket_bytes:
+            want = nb
+            while total_bytes / want > max_avg_bucket_bytes:
+                want *= 2
+            recs.append(f"compact_files(n_buckets={want})")
+    elif n_files and total_bytes / n_files < min_avg_file_bytes and n_files > 1:
+        recs.append("compact_files")
+    if any(v < 1.0 for v in stats_cov.values()) or any(
+        v < 1.0 for v in bloom_cov.values()
+    ):
+        recs.append("compact_files(refresh skipping metadata)")
+    return {
+        "version": resolved["version"],
+        "n_files": n_files,
+        "total_bytes": total_bytes,
+        "avg_file_bytes": total_bytes // n_files if n_files else 0,
+        "n_segments": len(resolved["segments"]),
+        "keyed": bool(keyed),
+        "n_buckets": int(keyed["n_buckets"]) if keyed else None,
+        "files_per_bucket": (
+            n_files / int(keyed["n_buckets"]) if keyed else None
+        ),
+        "stats_coverage": stats_cov,
+        "bloom_coverage": bloom_cov,
+        "recommendations": recs,
+    }
+
+
 def snapshot_tail(
     spark,
     path: str,

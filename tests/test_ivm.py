@@ -260,3 +260,35 @@ def test_distinct_view_follows_moves_and_deletes(spark, tmp_path):
     ivm.distinct_view_sync(spark, source, view, ["g"], "x")
     assert view_counts() == recompute()
     assert ("c", 1) not in view_counts()  # group c is gone entirely
+
+
+def test_extremes_view_survives_extremum_deletion(spark, tmp_path):
+    """MIN/MAX off the pair view: deleting the rows that carry a
+    group's current max retires its pair row, and the next value takes
+    over — the case plain delta-IVM cannot maintain."""
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    base = [(1, "a", 10), (2, "a", 99), (3, "a", 99), (4, "b", 5)]
+    layout.snapshot_write_keyed(spark, _src(spark, base), source, "k")
+    ivm.distinct_view_create(spark, source, view, ["g"], "x")
+
+    def extremes():
+        return {
+            (r["g"], r["min_x"], r["max_x"])
+            for r in ivm.extremes_view_read(spark, view, ["g"], "x").collect()
+        }
+
+    assert extremes() == {("a", 10, 99), ("b", 5, 5)}
+    # delete ONE of the two rows carrying 99: max must stay 99
+    d1 = spark.createDataFrame(
+        [(2, None, None, True)], "k long, g string, x long, _del boolean"
+    )
+    layout.snapshot_merge(spark, source, d1, "k", delete_col="_del")
+    ivm.distinct_view_sync(spark, source, view, ["g"], "x")
+    assert extremes() == {("a", 10, 99), ("b", 5, 5)}
+    # delete the LAST 99: the pair dies, max falls back to 10
+    d2 = spark.createDataFrame(
+        [(3, None, None, True)], "k long, g string, x long, _del boolean"
+    )
+    layout.snapshot_merge(spark, source, d2, "k", delete_col="_del")
+    ivm.distinct_view_sync(spark, source, view, ["g"], "x")
+    assert extremes() == {("a", 10, 10), ("b", 5, 5)}

@@ -453,3 +453,57 @@ def test_bucket_rescale_atomic_rewrite(spark, tmp_path):
                                 bucket_col="cell")
     with pytest.raises(ValueError, match="bucket_col"):
         layout.compact_files(spark, cellp, n_buckets=4)
+
+
+def test_maintenance_report_recommends_and_clears(spark, tmp_path):
+    """maintenance_report: a merge-churned keyed table with stale
+    skipping metadata draws the right recommendations; after the
+    compaction it recommends, the report comes back clean."""
+    path = str(tmp_path / "snap")
+    layout.snapshot_write_keyed(
+        spark, _kv(spark, [(i, f"v{i}") for i in range(100)]), path, "k",
+        n_buckets=2,
+    )
+    layout.compact_files(spark, path, bloom_cols=["v"])  # declare blooms
+    # churn: 10 pure-INSERT merges — insert-aware COW appends O(batch)
+    # files per commit without rewriting buckets, which is exactly the
+    # small-file accumulation the report exists to flag
+    for j in range(10):
+        layout.snapshot_merge(
+            spark, path, _kv(spark, [(200 + j, "new"), (300 + j, "new2")]), "k"
+        )
+    rep = layout.maintenance_report(spark, path)
+    assert rep["keyed"] and rep["n_buckets"] == 2
+    assert rep["files_per_bucket"] > 4
+    assert "compact_files" in rep["recommendations"]
+    assert "compact_metadata" in rep["recommendations"]
+    # blooms were auto-maintained by the merges: coverage stays full
+    assert rep["bloom_coverage"] == {"v": 1.0}
+
+    layout.compact_files(spark, path)
+    layout.compact_metadata(spark, path)
+    rep2 = layout.maintenance_report(spark, path)
+    assert rep2["recommendations"] == []
+    assert rep2["n_segments"] == 1
+    assert rep2["bloom_coverage"] == {"v": 1.0}
+
+
+def test_maintenance_report_flags_stale_stats_and_small_files(spark, tmp_path):
+    """A plain table whose later appends skipped stats_cols gets the
+    refresh recommendation; many tiny appends get compact_files."""
+    path = str(tmp_path / "t")
+    layout.snapshot_commit(
+        spark, _kv(spark, [(1, "a")]).coalesce(1), path, stats_cols=["k"]
+    )
+    for i in range(3):  # appends WITHOUT stats: coverage decays
+        layout.snapshot_commit(
+            spark, _kv(spark, [(10 + i, "b")]).coalesce(1), path, mode="append"
+        )
+    rep = layout.maintenance_report(spark, path)
+    assert rep["stats_coverage"]["k"] < 1.0
+    assert "compact_files(refresh skipping metadata)" in rep["recommendations"]
+    assert "compact_files" in rep["recommendations"]  # tiny files
+    layout.compact_files(spark, path, target_files=1, sort_by="k")
+    rep2 = layout.maintenance_report(spark, path)
+    assert rep2["stats_coverage"]["k"] == 1.0
+    assert "compact_files(refresh skipping metadata)" not in rep2["recommendations"]
