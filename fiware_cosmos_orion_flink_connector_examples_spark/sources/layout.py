@@ -1679,27 +1679,36 @@ def snapshot_merge(
                 | (F.col("_new") != F.col("_old"))
             )
         )
-        changes = tagged.select(
-            key_col,
-            "_change",
+        # UPDATE PRE-IMAGES (round 14, the Delta CDF update_preimage
+        # analog): each real update ALSO records its old row under
+        # _change='update_pre', in the SAME changelog write — emitted
+        # by EXPLODING one-or-two rows per change in a single pass
+        # over the join (a unionByName of two selects would execute
+        # the join twice; the quiet-box bench measured that as +50%
+        # on merge-heavy paths).  Default feed reads filter them out
+        # (_commit_change_rows); snapshot_update_preimages serves them
+        # — the piece that makes downstream aggregates INCREMENTALLY
+        # maintainable (an update is -old +new, not a group recompute).
+        post = F.struct(
+            F.col("_change").alias("_change"),
             F.when(F.col("_change") == "delete", F.col("_old"))
             .otherwise(F.col("_new"))
             .alias("_row"),
         )
-        # UPDATE PRE-IMAGES (round 14, the Delta CDF update_preimage
-        # analog): each real update ALSO records its old row under
-        # _change='update_pre', in the SAME changelog write — the _old
-        # struct is already in hand, so pre-images cost zero extra
-        # joins or jobs.  Default feed reads filter them out
-        # (_commit_change_rows); snapshot_update_preimages serves them
-        # — the piece that makes downstream aggregates INCREMENTALLY
-        # maintainable (an update is -old +new, not a group recompute).
-        pre = tagged.filter(F.col("_change") == "update").select(
-            key_col,
-            F.lit("update_pre").alias("_change"),
-            F.col("_old").alias("_row"),
+        pre = F.struct(
+            F.lit("update_pre").alias("_change"), F.col("_old").alias("_row")
         )
-        changes = changes.unionByName(pre).select(key_col, "_change", "_row.*")
+        changes = (
+            tagged.select(
+                key_col,
+                F.explode(
+                    F.when(
+                        F.col("_change") == "update", F.array(post, pre)
+                    ).otherwise(F.array(post))
+                ).alias("_e"),
+            )
+            .select(key_col, F.col("_e._change").alias("_change"), "_e._row.*")
+        )
         changes_dir = f"{base}/changes/v{new_version}-{uuid.uuid4().hex[:8]}"
         changes.write.parquet(changes_dir)
         seg["changelog"] = sorted(
