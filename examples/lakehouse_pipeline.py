@@ -163,6 +163,49 @@ def main() -> None:
               f"{out['deleted_files']} files / {out['deleted_segments']} segments; "
               f"final table still {layout.snapshot_read(spark, table).count()} docs")
 
+        # 7. PIPELINE-ATOMIC upgrade (round 15): steps 2-5 above are
+        #    each exactly-once but commit independently — a reader
+        #    between them sees a fresh source with a stale view.  The
+        #    catalog root closes that window: source merge + view sync
+        #    + index sync publish as ONE rename; a crash before the
+        #    publish leaves the previous coherent root serving, and
+        #    the retry completes the same batch.
+        from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+            pipeline,
+        )
+
+        cat = f"{tmp}/catalog"
+        pdocs = docs.select(
+            "doc_id", "text", (F.col("doc_id") % 3).alias("g"),
+            F.length("text").cast("long").alias("chars"),
+        )
+        pipeline.pipeline_create(
+            spark, cat, pdocs, f"{tmp}/p_src", f"{tmp}/p_view", f"{tmp}/p_idx",
+            group_cols=["g"], sum_cols=["chars"], n_buckets=4,
+        )
+        batch = spark.createDataFrame(
+            [(3, "hash join rewritten again", 0, 25, False)],
+            "doc_id long, text string, g long, chars long, _del boolean",
+        )
+        try:
+            pipeline.pipeline_apply(
+                spark, cat, batch, 1, group_cols=["g"], sum_cols=["chars"],
+                delete_col="_del", _crash_before_publish=True,
+            )
+        except RuntimeError:
+            pass  # crashed mid-pipeline: sub-commits dangle, root serves v1
+        assert layout.catalog_resolve(spark, cat)["version"] == 1
+        v = pipeline.pipeline_apply(
+            spark, cat, batch, 1, group_cols=["g"], sum_cols=["chars"],
+            delete_col="_del",
+        )
+        res = layout.catalog_resolve(spark, cat)
+        print(f"pipeline-atomic: crash left catalog v1 serving the old "
+              f"coherent pipeline; retry published v{v} pinning source "
+              f"v{res['tables']['source']['version']} + view "
+              f"v{res['tables']['view']['version']} + index root "
+              f"v{res['tables']['search']['version']} in ONE rename")
+
     print("lakehouse pipeline OK")
 
 

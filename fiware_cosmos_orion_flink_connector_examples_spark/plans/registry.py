@@ -69,16 +69,15 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #   3. Ascending last-green round (least-recently-proved first), ties by
 #      registration order.
 #
-# Window arithmetic this round (r14): emptied at round start (r13's
-# entries are artifact history now — CORRECTNESS_r13.json landed fully
-# green); repopulated below as round-14 rewrites of oracle-bearing
-# queries land, plus the never-checked round-14 registrations + the
+# Window arithmetic this round (r15): emptied at round start (r14's
+# entries are artifact history now — CORRECTNESS_r14.json landed fully
+# green); repopulated below as round-15 rewrites of oracle-bearing
+# queries land, plus the never-checked round-15 registrations + the
 # least-recently-green tail = 50.  Everything outside the window holds
 # a recent proof, so no proof ages past ~3 rounds before rotation
 # re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r14: emptied at round start (round hygiene; the r13 capstone
-    # oracle rewrite that skipped this list is green in r13's artifact).
+    # r15: emptied at round start (round hygiene).
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -93,17 +92,14 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    # r14 round hygiene: emptied at round start — CORRECTNESS_r13.json
+    # r15 round hygiene: emptied at round start — CORRECTNESS_r14.json
     # landed with every registration green, so prior rounds' entries
-    # are now artifact history.  Repopulated below as round-14 queries
+    # are now artifact history.  Repopulated below as round-15 queries
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
-    "search_index_atomic_capstone",  # versioned multi-table index root
-    "ann_drift_monitor",  # r13 directive #5: drift + rebuild, rows-only
-    "snapshot_zorder_scan",  # zorder compaction + multi-col pruned scan
-    "snapshot_bloom_lookup",  # per-file bloom sidecars + point lookup
-    "incremental_view_capstone",  # CDC-driven IVM with update pre-images
-    "distinct_view_capstone",  # exact COUNT(DISTINCT) pair-view IVM
+    "join_view_capstone",  # r15 directive #5: delta-join IVM + avg reader
+    "pipeline_atomic_capstone",  # r15 directive #4: catalog-level txn
+    "maintenance_report",  # r15 directive #7: advisor driver row, rows-only
 )
 
 

@@ -1677,19 +1677,24 @@ def maintain_agg_view(
     key_col: str,
     group_cols: list[str],
     sum_cols: list[str],
-    txn_app: str = "agg-view-stream",
+    txn_app: str = "agg-view",
 ):
     """EXACTLY-ONCE streaming pipeline sink: each micro-batch of keyed
     upserts (optional boolean ``_del`` column) MERGEs into the source
-    snapshot table (source txn watermark = batch id, so a replayed
-    batch is absorbed before it can double-apply), then the
-    incremental count/sum view follows the source's commit log
-    (``ivm.agg_view_sync`` — its own watermark is the consumed source
-    version, so the view leg is idempotent independently of the source
-    leg; a crash between the two legs just re-runs the sync).  The
-    lakehouse "always-fresh aggregate" twin of ``maintain_search_index``
-    / ``maintain_ann_index``.  Returns the function for
-    ``writeStream.foreachBatch``."""
+    snapshot table (source txn watermark = ``{txn_app}-src`` keyed by
+    batch id, so a replayed batch is absorbed before it can
+    double-apply), then the incremental count/sum view follows the
+    source's commit log (``ivm.agg_view_sync`` — its own watermark is
+    the consumed source version, so the view leg is idempotent
+    independently of the source leg; a crash between the two legs just
+    re-runs the sync).  PAIRING CONTRACT: ``txn_app`` must be the SAME
+    string the view was created with (``ivm.agg_view_create``'s
+    ``txn_app``, default ``"agg-view"`` — the defaults now match;
+    ADVICE r14: the old ``"agg-view-stream"`` default raised 'carries
+    no watermark' on the first micro-batch of a default-created view).
+    The lakehouse "always-fresh aggregate" twin of
+    ``maintain_search_index`` / ``maintain_ann_index``.  Returns the
+    function for ``writeStream.foreachBatch``."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         from fiware_cosmos_orion_flink_connector_examples_spark.operators import (

@@ -292,3 +292,246 @@ def test_extremes_view_survives_extremum_deletion(spark, tmp_path):
     layout.snapshot_merge(spark, source, d2, "k", delete_col="_del")
     ivm.distinct_view_sync(spark, source, view, ["g"], "x")
     assert extremes() == {("a", 10, 10), ("b", 5, 5)}
+
+
+def test_long_backlog_sync_bounded_plan(spark, tmp_path):
+    """VERDICT r14 #3: a view syncing across a 200+ commit backlog must
+    build an O(1)-size plan (the span served from ONE changelog scan,
+    not O(span) per-commit unions) and still equal a recompute.  The
+    wall bound is deliberately generous — the old per-commit-union
+    path died in driver plan analysis, not in small constants."""
+    import time
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(i, "ab"[i % 2], i) for i in range(20)]),
+        source, "k", n_buckets=4,
+    )
+    ivm.agg_view_create(spark, source, view, ["g"], ["x"], n_buckets=4)
+    # 210 commits: value updates, group moves, inserts, deletes cycling.
+    # One-row merges are pure fixed overhead — drop shuffle width for
+    # the commit loop so the backlog builds in test-suite time (the
+    # subject under test is the SYNC, which runs at the suite width)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        for j in range(210):
+            m = j % 4
+            if m == 0:
+                rows = [(j % 20, "ab"[j % 2], 1000 + j, False)]
+            elif m == 1:
+                rows = [(j % 20, "cd"[j % 2], j, False)]  # group move
+            elif m == 2:
+                rows = [(10_000 + j, "e", j, False)]  # insert
+            else:
+                rows = [(10_000 + j - 1, None, None, True)]  # delete last
+            layout.snapshot_merge(
+                spark,
+                source,
+                spark.createDataFrame(
+                    rows, "k long, g string, x long, _del boolean"
+                ),
+                "k",
+                delete_col="_del",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    t0 = time.perf_counter()
+    v, consumed = ivm.agg_view_sync(spark, source, view, ["g"], ["x"])
+    elapsed = time.perf_counter() - t0
+    assert consumed == 211
+    assert _view(spark, view) == _recompute(spark, source)
+    assert elapsed < 60, f"210-commit sync took {elapsed:.1f}s — span scan regressed"
+
+
+def test_sync_guards_against_missing_preimages(spark, tmp_path):
+    """ADVICE r14: a changelog written by pre-pre-image merge code
+    (mixed-version writers) must FAIL the sync loudly instead of
+    silently double-counting its updates into the view."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(1, "a", 10), (2, "b", 20)]), source, "k"
+    )
+    ivm.agg_view_create(spark, source, view, ["g"], ["x"])
+    upd = spark.createDataFrame(
+        [(1, "a", 11, False)], "k long, g string, x long, _del boolean"
+    )
+    layout.snapshot_merge(spark, source, upd, "k", delete_col="_del")
+    # surgically strip the update_pre rows from the commit's changelog —
+    # exactly what a writer predating the pre-image change produces
+    import os
+
+    files = layout.snapshot_manifest(spark, source, 2)["changelog"]
+    for f in files:
+        local = f.replace("file:", "")
+        t = pq.read_table(local)
+        stripped = t.filter(
+            __import__("pyarrow").compute.not_equal(t["_change"], "update_pre")
+        )
+        pq.write_table(stripped, local + ".tmp")
+        os.replace(local + ".tmp", local)
+        # drop the Hadoop .crc sidecar — the rewritten bytes would fail
+        # the local-FS checksum before the guard can even see the rows
+        crc = os.path.join(
+            os.path.dirname(local), "." + os.path.basename(local) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+    with pytest.raises(ValueError, match="update pre-images"):
+        ivm.agg_view_sync(spark, source, view, ["g"], ["x"])
+
+
+def test_maintain_agg_view_default_txn_app_pairs_with_create(spark, tmp_path):
+    """ADVICE r14: a view created with agg_view_create DEFAULTS must be
+    maintainable by maintain_agg_view DEFAULTS — the first micro-batch
+    used to raise 'carries no watermark' because the two txn_app
+    defaults diverged."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(1, "a", 10), (2, "b", 20)]), source, "k"
+    )
+    ivm.agg_view_create(spark, source, view, ["g"], ["x"])  # default txn_app
+    sink = jobs.maintain_agg_view(source, view, "k", ["g"], ["x"])  # defaults
+    batch = spark.createDataFrame(
+        [(1, "b", 100, False)], "k long, g string, x long, _del boolean"
+    )
+    sink(batch, 0)  # must not raise
+    assert _view(spark, view) == _recompute(spark, source)
+
+
+def test_sync_loser_reports_winning_watermark(spark, tmp_path):
+    """ADVICE r14: on SnapshotTxnAlreadyApplied the sync must report
+    the watermark the WINNING sync consumed, not its own stale
+    src_latest resolve."""
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(1, "a", 10)]), source, "k"
+    )
+    ivm.agg_view_create(spark, source, view, ["g"], ["x"])
+    upd = spark.createDataFrame(
+        [(2, "b", 5, False)], "k long, g string, x long, _del boolean"
+    )
+    layout.snapshot_merge(spark, source, upd, "k", delete_col="_del")
+    ivm.agg_view_sync(spark, source, view, ["g"], ["x"])  # winner consumed v2
+    # replay (the loser's stale view of the world): must report v2
+    assert ivm.agg_view_sync(spark, source, view, ["g"], ["x"]) == (None, 2)
+
+
+# --- incremental JOIN views (round 15, VERDICT r14 #5) ----------------------
+
+
+def _join_recompute(spark, a, b, join_col, group_cols, sum_col):
+    j = layout.snapshot_read(spark, a).join(layout.snapshot_read(spark, b), join_col)
+    return {
+        (tuple(r[g] for g in group_cols), r["_n"], r["s"])
+        for r in j.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce(F.col(sum_col), F.lit(0))).alias("s"),
+        )
+        .collect()
+    }
+
+
+def _join_view(spark, view, group_cols, sum_col):
+    return {
+        (tuple(r[g] for g in group_cols), r["_n"], r[f"sum_{sum_col}"])
+        for r in ivm.agg_view_read(spark, view).collect()
+    }
+
+
+def test_join_view_follows_both_sides(spark, tmp_path):
+    """Delta-join rule dA x B_new + A_old x dB: fact updates/inserts/
+    deletes, dimension attribute moves (regrouping EVERY matching fact
+    row), dimension deletes (dropping joined rows), and simultaneous
+    changes on BOTH sides before one sync — after every sync the view
+    equals a from-scratch join recompute."""
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    # facts: k -> fk j, measure x.  dims: j -> region g (the group col
+    # comes from the DIMENSION side — the cross-table case)
+    facts = [(i, i % 4, i * 10) for i in range(20)]
+    dims = [(j, "rs"[j % 2]) for j in range(4)]
+    layout.snapshot_write_keyed(
+        spark, spark.createDataFrame(facts, "k long, j long, x long"), a, "k",
+        n_buckets=4,
+    )
+    # dimension keyed BY the join column -> its delta-side reads prune
+    layout.snapshot_write_keyed(
+        spark, spark.createDataFrame(dims, "j long, g string"), b, "j",
+        n_buckets=2,
+    )
+    ivm.join_view_create(spark, a, b, view, "j", ["g"], ["x"], n_buckets=2)
+    assert _join_view(spark, view, ["g"], "x") == _join_recompute(
+        spark, a, b, "j", ["g"], "x"
+    )
+
+    # fact-side only: value update, fk MOVE, insert, delete
+    upd_a = spark.createDataFrame(
+        [
+            (0, 0, 999, False),   # value update
+            (1, 2, 11, False),    # fk move j 1 -> 2 (crosses g groups)
+            (100, 3, 7, False),   # insert
+            (2, None, None, True),  # delete
+        ],
+        "k long, j long, x long, _del boolean",
+    )
+    layout.snapshot_merge(spark, a, upd_a, "k", delete_col="_del")
+    v, (ca, cb) = ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"])
+    assert (ca, cb) == (2, 1)
+    assert _join_view(spark, view, ["g"], "x") == _join_recompute(
+        spark, a, b, "j", ["g"], "x"
+    )
+
+    # dim-side only: attribute move (every j=3 fact regroups) + delete
+    # of dim j=0 (all its joined facts leave the view)
+    upd_b = spark.createDataFrame(
+        [(3, "t", False), (0, None, True)], "j long, g string, _del boolean"
+    )
+    layout.snapshot_merge(spark, b, upd_b, "j", delete_col="_del")
+    ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"])
+    assert _join_view(spark, view, ["g"], "x") == _join_recompute(
+        spark, a, b, "j", ["g"], "x"
+    )
+
+    # BOTH sides before one sync, incl. a new fact matching a new dim
+    # (the dA x dB corner the identity folds into dA x B_new)
+    layout.snapshot_merge(
+        spark, a,
+        spark.createDataFrame(
+            [(200, 9, 50, False), (3, 9, 1, False)],
+            "k long, j long, x long, _del boolean",
+        ),
+        "k", delete_col="_del",
+    )
+    layout.snapshot_merge(
+        spark, b,
+        spark.createDataFrame([(9, "z", False)], "j long, g string, _del boolean"),
+        "j", delete_col="_del",
+    )
+    ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"])
+    assert _join_view(spark, view, ["g"], "x") == _join_recompute(
+        spark, a, b, "j", ["g"], "x"
+    )
+
+    # replay: nothing new, reports the consumed watermarks
+    got = ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"])
+    assert got[0] is None and got[1] == (3, 3)
+
+
+def test_avg_view_read_derives_from_existing_state(spark, tmp_path):
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 7)]),
+        source, "k",
+    )
+    ivm.agg_view_create(spark, source, view, ["g"], ["x"])
+    got = {
+        (r["g"], r["avg_x"])
+        for r in ivm.avg_view_read(spark, view, ["x"]).collect()
+    }
+    assert got == {("a", 15.0), ("b", 7.0)}
