@@ -35,7 +35,9 @@ reader (``avg_view_read`` — sum/count off existing state), exact
 COUNT(DISTINCT) + MIN/MAX via the pair-view reduction
 (``distinct_view_*`` / ``extremes_view_read``), and two-table JOIN
 views via the delta-join rule dA⋈B_new + A_old⋈dB (``join_view_*``,
-round 15).
+round 15) — inner AND left-outer (null-extension maintenance:
+match-count flips re-home rows between the null-extended and matched
+states, see ``join_view_sync``'s docstring).
 
 Limits (stated, not hidden): direct min/max aggregates are not
 incrementally maintainable under deletes without per-group recompute
@@ -560,6 +562,20 @@ def _pruned_join_side(
     return spark.read.schema(schema).parquet(*files)
 
 
+def _b_null_exprs(spark, b_path: str, version: int, cols: list[str]) -> dict:
+    """Typed-NULL expressions for B-side columns — what a LEFT join's
+    null extension produces for unmatched A rows."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(
+        json.loads(layout.snapshot_manifest(spark, b_path, version)["schema"])
+    )
+    by_name = {f.name: f.dataType for f in schema.fields}
+    return {c: F.lit(None).cast(by_name[c]) for c in cols if c in by_name}
+
+
 def join_view_create(
     spark,
     a_path: str,
@@ -570,21 +586,25 @@ def join_view_create(
     sum_cols: list[str],
     txn_app: str = "join-view",
     n_buckets: int = 8,
+    how: str = "inner",
 ) -> int:
-    """Materialize a count/sum GROUP BY view over ``A INNER JOIN B ON
-    join_col`` from both tables' CURRENT versions, stamping BOTH
-    consumed versions as the view's watermarks (``<txn_app>.a`` /
-    ``<txn_app>.b``) — ``join_view_sync`` picks up exactly after them.
-    Non-join column names must be disjoint across the two tables
-    (the joined row is A's columns + B's columns).  NULL join keys
-    never match (SQL inner-join semantics).  Read it with
-    ``agg_view_read`` / ``avg_view_read``."""
+    """Materialize a count/sum GROUP BY view over ``A JOIN B ON
+    join_col`` (``how`` ∈ {"inner", "left"}) from both tables' CURRENT
+    versions, stamping BOTH consumed versions as the view's watermarks
+    (``<txn_app>.a`` / ``<txn_app>.b``) — ``join_view_sync`` (called
+    with the SAME ``how``) picks up exactly after them.  Non-join
+    column names must be disjoint across the two tables (the joined
+    row is A's columns + B's columns).  NULL join keys never match
+    (SQL semantics; under "left" they survive null-extended).  Read it
+    with ``agg_view_read`` / ``avg_view_read``."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"join_view_create: how={how!r} (inner|left)")
     va = layout.snapshot_latest_version(spark, a_path)
     vb = layout.snapshot_latest_version(spark, b_path)
     if va <= 0 or vb <= 0:
         raise ValueError("join_view_create: both sources must be committed")
     joined = layout.snapshot_read(spark, a_path, va).join(
-        layout.snapshot_read(spark, b_path, vb), join_col
+        layout.snapshot_read(spark, b_path, vb), join_col, how
     )
     rows = joined.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(_NROWS),
@@ -614,6 +634,7 @@ def join_view_sync(
     sum_cols: list[str],
     txn_app: str = "join-view",
     retries: int = 5,
+    how: str = "inner",
 ) -> tuple[int | None, tuple[int, int]]:
     """Advance the join view over every commit BOTH sources made since
     their watermarks, in ONE atomic view merge: signed delta rows of
@@ -624,7 +645,27 @@ def join_view_sync(
     consumed versions as watermarks.  Returns ``(view_version | None,
     (a_consumed, b_consumed))``.  Exactly-once under replay and safe
     under concurrent foreign view writers — the ``agg_view_sync``
-    contract, spanning two sources."""
+    contract, spanning two sources.
+
+    ``how="left"`` (round 15) maintains a LEFT OUTER join view — the
+    null-extension algebra on top of the inner delta:
+
+        anti(A,B) = nullext(A restricted to join keys with no B match)
+        Δanti = nullext(dA with no match in B_new)                 [T3]
+              + nullext(A_old at keys whose B match count FLIPPED)  [T4]
+                 (+1 where it flipped positive→0, −1 where 0→positive)
+
+    T4's match-count flips come from dB's per-key signed row counts
+    against B_old's counts at just those keys (bucket-pruned when B is
+    keyed by the join column) — so a dimension insert that suddenly
+    matches a million facts retracts exactly those facts' null-extended
+    contributions (their inner contributions arrive via A_old x dB in
+    the same merge), and a dimension delete re-extends them.  NULL
+    join keys never flip (they can never match) and stay
+    null-extended.  Cost: two extra key-bounded aggregations +
+    A_old reads pruned to flipped keys."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"join_view_sync: how={how!r} (inner|left)")
     a_latest = layout.snapshot_latest_version(spark, a_path)
     b_latest = layout.snapshot_latest_version(spark, b_path)
     last_err: Exception | None = None
@@ -640,27 +681,89 @@ def join_view_sync(
             )
         if a_latest <= a_consumed and b_latest <= b_consumed:
             return None, (a_consumed, b_consumed)
-        sign = F.col("_sign")
+
+        b_nulls = (
+            _b_null_exprs(
+                spark, b_path, max(b_latest, b_consumed),
+                group_cols + sum_cols,
+            )
+            if how == "left"
+            else {}
+        )
+
+        def _project(df: DataFrame, sign) -> DataFrame:
+            """Uniform (group_cols, _dn, signed sums) shape; columns the
+            frame lacks (B side of a null-extended row) become typed
+            NULLs — exactly what the left join's null extension
+            produces."""
+            gcols = [
+                (F.col(g) if g in df.columns else b_nulls[g]).alias(g)
+                for g in group_cols
+            ]
+            scols = [
+                (
+                    (F.coalesce(F.col(c), F.lit(0)) * sign)
+                    if c in df.columns
+                    else F.lit(0) * sign
+                ).alias(_sum_name(c))
+                for c in sum_cols
+            ]
+            return df.select(*gcols, sign.alias("_dn"), *scols)
+
         parts = []
+        da = None
         if a_latest > a_consumed:
             da = _span_signed_rows(spark, a_path, a_consumed, a_latest)
             b_new = _pruned_join_side(
                 spark, b_path, max(b_latest, b_consumed), join_col, da
             )
-            parts.append(da.join(b_new, join_col))
+            parts.append(_project(da.join(b_new, join_col), F.col("_sign")))
+            if how == "left":
+                # T3: delta-A rows with no match in B_new survive
+                # null-extended, carrying their own sign
+                anti = da.join(
+                    b_new.select(join_col), join_col, "left_anti"
+                )
+                parts.append(_project(anti, F.col("_sign")))
         if b_latest > b_consumed:
             db = _span_signed_rows(spark, b_path, b_consumed, b_latest)
             a_old = _pruned_join_side(spark, a_path, a_consumed, join_col, db)
-            parts.append(a_old.join(db, join_col))
-        deltas = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        deltas = deltas.select(
-            *group_cols,
-            sign.alias("_dn"),
-            *[
-                (F.coalesce(F.col(c), F.lit(0)) * sign).alias(_sum_name(c))
-                for c in sum_cols
-            ],
-        )
+            parts.append(_project(a_old.join(db, join_col), F.col("_sign")))
+            if how == "left":
+                # T4: keys whose B match count flips 0↔positive re-home
+                # A_old's rows between null-extended and matched
+                db_cnt = (
+                    db.filter(F.col(join_col).isNotNull())
+                    .groupBy(join_col)
+                    .agg(F.sum("_sign").alias("_dcnt"))
+                )
+                b_old = _pruned_join_side(
+                    spark, b_path, b_consumed, join_col, db_cnt
+                )
+                old_cnt = b_old.groupBy(join_col).agg(
+                    F.count(F.lit(1)).alias("_ocnt")
+                )
+                o = F.coalesce(F.col("_ocnt"), F.lit(0))
+                n = o + F.col("_dcnt")
+                flips = (
+                    db_cnt.join(old_cnt, join_col, "left_outer")
+                    .select(
+                        join_col,
+                        F.when((o == 0) & (n > 0), F.lit(-1))
+                        .when((o > 0) & (n == 0), F.lit(1))
+                        .alias("_fsign"),
+                    )
+                    .filter(F.col("_fsign").isNotNull())
+                )
+                a_flip = _pruned_join_side(
+                    spark, a_path, a_consumed, join_col, flips
+                )
+                parts.append(
+                    _project(a_flip.join(flips, join_col), F.col("_fsign"))
+                )
+        deltas = parts[0]
+        for p in parts[1:]:
+            deltas = deltas.unionByName(p)
         txn_update = {}
         if a_latest > a_consumed:
             txn_update[f"{txn_app}.a"] = a_latest

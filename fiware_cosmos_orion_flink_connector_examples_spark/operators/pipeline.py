@@ -80,6 +80,9 @@ def pipeline_create(
         text_col=text_col,
         n_buckets=n_buckets,
     )
+    # no watermark on the bootstrap root: the first applied batch may
+    # carry ANY id (Structured Streaming starts at batch 0) — replay
+    # protection begins with the first pipeline_apply stamp
     return layout.catalog_commit(
         spark,
         catalog_path,
@@ -88,7 +91,6 @@ def pipeline_create(
             "view": (view_path, v_view),
             "search": (index_path, root_v, "index_root"),
         },
-        _txn_update={_CAT_APP: 0},
     )
 
 

@@ -8990,3 +8990,127 @@ def maintenance_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chain_grew boolean, clean_after boolean, data_preserved boolean, "
         "stats_coverage_full boolean, files_before bigint, files_after bigint",
     )
+
+
+@register(
+    "left_join_view_capstone",
+    oracle="""
+    WITH f0 AS (SELECT o_orderkey AS k, o_custkey AS j,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                FROM orders WHERE o_orderkey % 4 = 1),
+    f1 AS (SELECT k,
+                  CASE WHEN k % 20 = 6 THEN k % 150 ELSE j END AS j,
+                  CASE WHEN k % 10 = 3 THEN pc + 111 ELSE pc END AS pc
+           FROM f0 WHERE k % 10 != 7),
+    d0 AS (SELECT c_custkey AS j, c_mktsegment AS seg FROM customer
+           WHERE c_custkey % 3 != 1),
+    d1 AS (SELECT j, seg FROM d0 WHERE j % 17 != 2
+           UNION ALL
+           SELECT c_custkey, 'RESTORED' FROM customer WHERE c_custkey % 9 = 1)
+    SELECT seg, count(*) AS n_rows, CAST(sum(pc) AS BIGINT) AS sum_pc
+    FROM f1 LEFT JOIN d1 USING (j)
+    GROUP BY seg ORDER BY seg
+    """,
+    doc="[ext] LEFT OUTER JOIN VIEW capstone (round 15): the "
+    "null-extension algebra on top of the inner delta-join — orders "
+    "LEFT JOIN a customer dimension that is MISSING a third of its "
+    "keys, so unmatched orders aggregate under the NULL segment.  One "
+    "fact-side merge (price updates, FK moves between matched and "
+    "unmatched keys, deletes) and one dimension-side merge (restoring "
+    "absent customers — every fact at those keys must LEAVE the NULL "
+    "group exactly once, the 0-to-positive match-count flip — plus "
+    "customer deletes flipping facts back) each advance the view in "
+    "one atomic commit; the final per-segment counts and exact "
+    "integer-cents sums, including the NULL-segment row, are "
+    "recomputed independently by DuckDB with a raw LEFT JOIN over "
+    "orders+customer.  Scale shape: flips are computed from per-key "
+    "signed counts of the dimension delta against the dimension's "
+    "OLD pinned version (bucket-pruned to just the delta's keys), and "
+    "the re-homed facts read pruned to flipped keys — a dimension "
+    "insert matching a million facts costs those facts, never a "
+    "re-join.  Build-once fixture cache: repeats measure view serve.",
+    tags=("ext", "storage", "snapshot", "ivm", "join", "envelope"),
+)
+def left_join_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    facts = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("j"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    dims = cust.filter(F.col("c_custkey") % 3 != 1).select(
+        F.col("c_custkey").alias("j"), F.col("c_mktsegment").alias("seg")
+    )
+
+    def build(path: str) -> None:
+        a, b, view = f"{path}/facts", f"{path}/dims", f"{path}/view"
+        layout.snapshot_write_keyed(spark, facts, a, "k", n_buckets=8)
+        layout.snapshot_write_keyed(spark, dims, b, "j", n_buckets=4)
+        ivm.join_view_create(
+            spark, a, b, view, "j", ["seg"], ["pc"], n_buckets=4, how="left"
+        )
+        upd_a = (
+            facts.filter(F.col("k") % 10 == 3)
+            .select(
+                "k",
+                F.when(F.col("k") % 20 == 6, F.col("k") % 150)
+                .otherwise(F.col("j"))
+                .alias("j"),
+                (F.col("pc") + 111).alias("pc"),
+                F.lit(False).alias("_del"),
+            )
+            .unionByName(
+                facts.filter((F.col("k") % 20 == 6) & (F.col("k") % 10 != 3))
+                .select(
+                    "k",
+                    (F.col("k") % 150).alias("j"),
+                    "pc",
+                    F.lit(False).alias("_del"),
+                )
+            )
+            .unionByName(
+                facts.filter(F.col("k") % 10 == 7).select(
+                    "k",
+                    F.lit(None).cast("long").alias("j"),
+                    F.lit(None).cast("long").alias("pc"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, a, upd_a, "k", delete_col="_del")
+        ivm.join_view_sync(spark, a, b, view, "j", ["seg"], ["pc"], how="left")
+        upd_b = (
+            cust.filter(F.col("c_custkey") % 9 == 1)
+            .select(
+                F.col("c_custkey").alias("j"),
+                F.lit("RESTORED").alias("seg"),
+                F.lit(False).alias("_del"),
+            )
+            .unionByName(
+                dims.filter(F.col("j") % 17 == 2).select(
+                    "j", F.lit(None).cast("string").alias("seg"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, b, upd_b, "j", delete_col="_del")
+        ivm.join_view_sync(spark, a, b, view, "j", ["seg"], ["pc"], how="left")
+
+    base = _capstone_cache(
+        "left_join_view",
+        _sf_print(spark, sf_dir, "orders", "customer") + ":v1",
+        build,
+    )
+    return (
+        ivm.agg_view_read(spark, f"{base}/view")
+        .select(
+            "seg",
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col("sum_pc").cast("long").alias("sum_pc"),
+        )
+        .orderBy("seg")
+    )

@@ -77,7 +77,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # a recent proof, so no proof ages past ~3 rounds before rotation
 # re-proves it.
 CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r15: emptied at round start (round hygiene).
+    # r15: emptied at round start (round hygiene), then repopulated —
+    # these oracle-bearing capstones were physically rewritten onto the
+    # build-once fixture cache (VERDICT r14 #2) after their r14 proof,
+    # so their hashes must re-prove in the r15 window:
+    "snapshot_upsert_capstone",
+    "search_index_atomic_capstone",
+    "snapshot_zorder_scan",
+    "snapshot_bloom_lookup",
+    "incremental_view_capstone",
+    "distinct_view_capstone",
 )
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
@@ -98,6 +107,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
     "join_view_capstone",  # r15 directive #5: delta-join IVM + avg reader
+    "left_join_view_capstone",  # r15: LEFT join views (null-extension IVM)
     "pipeline_atomic_capstone",  # r15 directive #4: catalog-level txn
     "maintenance_report",  # r15 directive #7: advisor driver row, rows-only
 )

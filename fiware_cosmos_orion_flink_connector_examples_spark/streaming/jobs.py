@@ -1723,3 +1723,47 @@ def maintain_agg_view(
         )
 
     return apply_batch
+
+
+def maintain_pipeline(
+    catalog_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """PIPELINE-ATOMIC streaming sink (round 15): each micro-batch of
+    keyed doc upserts (optional boolean ``_del`` column) flows through
+    ``operators.pipeline.pipeline_apply`` — source MERGE + incremental
+    agg-view sync + CDC search-index sync, published as ONE catalog
+    root rename per batch, the batch id riding the root as its txn
+    watermark.  This upgrades ``maintain_agg_view``'s per-leg
+    exactly-once to WHOLE-PIPELINE atomicity: a reader resolving
+    through the catalog can never see a batch's source rows without
+    its view delta or its postings, a replayed batch id is absorbed at
+    every leg AND at the root, and a crash mid-batch leaves the
+    previous coherent root serving (the retry completes the same
+    batch).  Member paths come from the catalog itself — create it
+    with ``pipeline.pipeline_create`` first.  Returns the function for
+    ``writeStream.foreachBatch``."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+            pipeline as _pipeline,
+        )
+
+        if batch.isEmpty():
+            return  # no root publish for an empty trigger
+        _pipeline.pipeline_apply(
+            batch.sparkSession,
+            catalog_path,
+            batch,
+            batch_id,
+            group_cols=group_cols,
+            sum_cols=sum_cols,
+            key_col=key_col,
+            text_col=text_col,
+            delete_col="_del" if "_del" in batch.columns else None,
+        )
+
+    return apply_batch

@@ -535,3 +535,125 @@ def test_avg_view_read_derives_from_existing_state(spark, tmp_path):
         for r in ivm.avg_view_read(spark, view, ["x"]).collect()
     }
     assert got == {("a", 15.0), ("b", 7.0)}
+
+
+def test_left_join_view_null_extension_flips(spark, tmp_path):
+    """LEFT OUTER join view (round 15): unmatched facts survive
+    null-extended; a dimension INSERT that starts matching them
+    retracts the null-extended contributions and re-homes the rows
+    (flip 0->positive), a dimension DELETE re-extends them (positive->0),
+    partial dim deletes (2 rows -> 1) don't flip, and NULL join keys
+    stay null-extended forever.  After every sync the view equals a
+    from-scratch LEFT JOIN recompute."""
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+
+    def recompute():
+        j = layout.snapshot_read(spark, a).join(
+            layout.snapshot_read(spark, b), "j", "left"
+        )
+        return {
+            (r["g"], r["_n"], r["s"])
+            for r in j.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.coalesce(F.col("x"), F.lit(0))).alias("s"),
+            )
+            .collect()
+        }
+
+    def view_rows():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in ivm.agg_view_read(spark, view).collect()
+        }
+
+    # facts: j in {0..5} plus one NULL-key fact; dim key 9 duplicated
+    facts = [(i, i % 6, i * 10) for i in range(24)] + [(100, None, 7)]
+    dims = [(0, "r"), (1, "s"), (2, "r"), (9, "dup"), (9, "dup")]
+    # dims 3,4,5 ABSENT -> those facts are unmatched (null-extended)
+    layout.snapshot_write_keyed(
+        spark, spark.createDataFrame(facts, "k long, j long, x long"), a, "k",
+        n_buckets=4,
+    )
+    # dim NOT keyed by a unique j (duplicate 9) -> keyed by synthetic id
+    dim_rows = [(i, j, g) for i, (j, g) in enumerate(dims)]
+    layout.snapshot_write_keyed(
+        spark, spark.createDataFrame(dim_rows, "d long, j long, g string"),
+        b, "d", n_buckets=2,
+    )
+    ivm.join_view_create(spark, a, b, view, "j", ["g"], ["x"], how="left")
+    assert view_rows() == recompute()
+
+    # dim INSERT matching previously-unmatched facts (flip 0->pos for
+    # j=3) + dim DELETE of the only j=0 row (flip pos->0) + partial
+    # delete of ONE j=9 dup (no flip) + attr move on j=1 (no flip)
+    upd_b = spark.createDataFrame(
+        [
+            (10, 3, "t", False),   # insert: j=3 facts re-home to 't'
+            (0, None, None, True),  # delete the only j=0 dim
+            (3, None, None, True),  # delete ONE of two j=9 dups
+            (1, 1, "moved", False),  # attr move, count unchanged
+        ],
+        "d long, j long, g string, _del boolean",
+    )
+    layout.snapshot_merge(spark, b, upd_b, "d", delete_col="_del")
+    ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"], how="left")
+    assert view_rows() == recompute()
+
+    # fact churn: insert unmatched, insert matched, move a fact from a
+    # matched key to an unmatched one, delete the NULL-key fact
+    upd_a = spark.createDataFrame(
+        [
+            (200, 7, 5, False),    # insert, no dim 7 -> null-extended
+            (201, 1, 6, False),    # insert, matched
+            (1, 4, 10, False),     # move j 1 -> 4 (matched -> unmatched)
+            (100, None, None, True),  # delete the NULL-key fact
+        ],
+        "k long, j long, x long, _del boolean",
+    )
+    layout.snapshot_merge(spark, a, upd_a, "k", delete_col="_del")
+    ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"], how="left")
+    assert view_rows() == recompute()
+
+    # BOTH sides in one sync: dim re-insert of j=0 (flip 0->pos, must
+    # also cover the fact inserted at j=0 in the SAME span) + that
+    # fact insert + a dup-completing delete of the last j=9 row
+    layout.snapshot_merge(
+        spark, a,
+        spark.createDataFrame(
+            [(202, 0, 9, False)], "k long, j long, x long, _del boolean"
+        ),
+        "k", delete_col="_del",
+    )
+    layout.snapshot_merge(
+        spark, b,
+        spark.createDataFrame(
+            [(20, 0, "back", False), (4, None, None, True)],
+            "d long, j long, g string, _del boolean",
+        ),
+        "d", delete_col="_del",
+    )
+    ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"], how="left")
+    assert view_rows() == recompute()
+
+
+def test_pruned_join_side_reads_only_touched_buckets(spark, tmp_path):
+    """join_view_sync's dimension read opens only the buckets the
+    delta's join keys hash to (file-level pruning, the 100 TB shape);
+    a side not keyed by the join column falls back to a full pinned
+    read."""
+    b = str(tmp_path / "dims")
+    rows = [(j, f"s{j}") for j in range(64)]
+    layout.snapshot_write_keyed(
+        spark, spark.createDataFrame(rows, "j long, g string"), b, "j",
+        n_buckets=8,
+    )
+    total_files = len(layout.snapshot_manifest(spark, b)["files"])
+    assert total_files >= 8
+    delta = spark.createDataFrame([(3,)], "j long")
+    pruned = ivm._pruned_join_side(spark, b, 1, "j", delta)
+    assert 0 < len(pruned.inputFiles()) < total_files
+    assert [r["g"] for r in pruned.filter("j = 3").collect()] == ["s3"]
+    # not keyed by the join column -> honest full read
+    full = ivm._pruned_join_side(spark, b, 1, "g", delta.select(F.lit("s3").alias("g")))
+    assert len(full.inputFiles()) == total_files

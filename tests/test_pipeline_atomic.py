@@ -188,3 +188,40 @@ def test_foreign_catalog_commit_conflicts_cleanly(spark, tmp_path):
     layout.catalog_commit(spark, cat, pins)  # foreign root lands
     with pytest.raises(layout.SnapshotVersionConflict):
         layout.catalog_commit(spark, cat, pins, expected_version=res["version"])
+
+
+def test_maintain_pipeline_streaming_sink(spark, tmp_path):
+    """maintain_pipeline: micro-batches (ids starting at 0, the
+    Structured Streaming contract) each publish one catalog root;
+    replays of any batch id are absorbed whole-pipeline; the final
+    catalog serves view == recompute and index == final corpus."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    cat, paths = _create(spark, tmp_path)
+    sink = jobs.maintain_pipeline(cat, group_cols=["source"], sum_cols=["n_chars"])
+
+    b0 = spark.createDataFrame(BATCH, BATCH_SCHEMA)
+    b1 = spark.createDataFrame(
+        [(7, "hash join streamed", "new", 18, False)], BATCH_SCHEMA
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # immediate replay: absorbed at every leg and the root
+    sink(b1, 1)
+    sink(b0, 0)  # stale replay after a later batch
+    sink(spark.createDataFrame([], b0.schema), 2)  # empty: nothing moves
+    res, view_rows, phrase, n_src = _state(spark, cat)
+    assert res["version"] == 3  # create + 2 real batches, replays absorbed
+    assert n_src == 6
+    assert (7, 1) in phrase and (3, 2) not in phrase  # doc 3 deleted in b0
+    expect = {
+        (r["source"], r["n"], r["s"])
+        for r in layout.snapshot_read(
+            spark,
+            res["tables"]["source"]["path"],
+            res["tables"]["source"]["version"],
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    assert view_rows == expect
