@@ -145,3 +145,29 @@ def test_zorder_compaction_is_cdc_silent_and_time_travels(spark, tmp_path):
     assert feed.count() == 0
     # pre-compaction version still readable
     assert layout.snapshot_read(spark, base, v - 1).count() == 32 * 32
+
+
+def test_compact_files_max_records_applies_to_plain_tables(spark, tmp_path):
+    """ADVICE r14: max_records_per_file was silently ignored on
+    non-keyed tables — a caller capping file sizes on a plain
+    z-ordered table got no chunking.  Now each range/Z partition
+    splits into contiguous files under the cap."""
+    base = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    layout.snapshot_commit(spark, df, base, stats_cols=["a"])
+    layout.compact_files(
+        spark, base, target_files=2, sort_by="a", max_records_per_file=100
+    )
+    m = layout.snapshot_manifest(spark, base)
+    assert len(m["files"]) >= 10  # 1000 rows / 100-row cap
+    got = layout.snapshot_read(spark, base).count()
+    assert got == 1000
+    # chunking preserved the clustering contract: per-file [min,max]
+    # ranges stay disjoint along the sort column
+    spans = sorted(
+        (m["stats"][f]["a"][0], m["stats"][f]["a"][1]) for f in m["files"]
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
