@@ -35,9 +35,10 @@ reader (``avg_view_read`` — sum/count off existing state), exact
 COUNT(DISTINCT) + MIN/MAX via the pair-view reduction
 (``distinct_view_*`` / ``extremes_view_read``), and two-table JOIN
 views via the delta-join rule dA⋈B_new + A_old⋈dB (``join_view_*``,
-round 15) — inner AND left-outer (null-extension maintenance:
+round 15) — inner, LEFT and FULL OUTER (null-extension maintenance:
 match-count flips re-home rows between the null-extended and matched
-states, see ``join_view_sync``'s docstring).
+states, symmetric on both sides under FULL; a RIGHT join is LEFT with
+the tables swapped — see ``join_view_sync``'s docstring).
 
 Limits (stated, not hidden): direct min/max aggregates are not
 incrementally maintainable under deletes without per-group recompute
@@ -589,16 +590,17 @@ def join_view_create(
     how: str = "inner",
 ) -> int:
     """Materialize a count/sum GROUP BY view over ``A JOIN B ON
-    join_col`` (``how`` ∈ {"inner", "left"}) from both tables' CURRENT
-    versions, stamping BOTH consumed versions as the view's watermarks
-    (``<txn_app>.a`` / ``<txn_app>.b``) — ``join_view_sync`` (called
-    with the SAME ``how``) picks up exactly after them.  Non-join
-    column names must be disjoint across the two tables (the joined
-    row is A's columns + B's columns).  NULL join keys never match
-    (SQL semantics; under "left" they survive null-extended).  Read it
-    with ``agg_view_read`` / ``avg_view_read``."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"join_view_create: how={how!r} (inner|left)")
+    join_col`` (``how`` ∈ {"inner", "left", "full"}) from both tables'
+    CURRENT versions, stamping BOTH consumed versions as the view's
+    watermarks (``<txn_app>.a`` / ``<txn_app>.b``) — ``join_view_sync``
+    (called with the SAME ``how``) picks up exactly after them.
+    Non-join column names must be disjoint across the two tables (the
+    joined row is A's columns + B's columns).  NULL join keys never
+    match (SQL semantics; under "left"/"full" they survive
+    null-extended).  A RIGHT join is ``how="left"`` with the tables
+    swapped.  Read it with ``agg_view_read`` / ``avg_view_read``."""
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"join_view_create: how={how!r} (inner|left|full)")
     va = layout.snapshot_latest_version(spark, a_path)
     vb = layout.snapshot_latest_version(spark, b_path)
     if va <= 0 or vb <= 0:
@@ -663,9 +665,15 @@ def join_view_sync(
     the same merge), and a dimension delete re-extends them.  NULL
     join keys never flip (they can never match) and stay
     null-extended.  Cost: two extra key-bounded aggregations +
-    A_old reads pruned to flipped keys."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"join_view_sync: how={how!r} (inner|left)")
+    A_old reads pruned to flipped keys.
+
+    ``how="full"`` adds the SYMMETRIC terms for unmatched-B rows
+    (FULL OUTER): nullext-A(dB with no match in A_new) and
+    nullext-A(B_old at keys whose A match count flipped, signs
+    mirrored) — the same algebra with the roles of A and B swapped,
+    so unmatched rows on EITHER side are maintained exactly."""
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"join_view_sync: how={how!r} (inner|left|full)")
     a_latest = layout.snapshot_latest_version(spark, a_path)
     b_latest = layout.snapshot_latest_version(spark, b_path)
     last_err: Exception | None = None
@@ -682,22 +690,29 @@ def join_view_sync(
         if a_latest <= a_consumed and b_latest <= b_consumed:
             return None, (a_consumed, b_consumed)
 
-        b_nulls = (
-            _b_null_exprs(
-                spark, b_path, max(b_latest, b_consumed),
-                group_cols + sum_cols,
+        nulls: dict = {}
+        if how in ("left", "full"):
+            nulls.update(
+                _b_null_exprs(
+                    spark, b_path, max(b_latest, b_consumed),
+                    group_cols + sum_cols,
+                )
             )
-            if how == "left"
-            else {}
-        )
+        if how == "full":
+            nulls.update(
+                _b_null_exprs(
+                    spark, a_path, max(a_latest, a_consumed),
+                    group_cols + sum_cols,
+                )
+            )
 
         def _project(df: DataFrame, sign) -> DataFrame:
             """Uniform (group_cols, _dn, signed sums) shape; columns the
-            frame lacks (B side of a null-extended row) become typed
-            NULLs — exactly what the left join's null extension
+            frame lacks (the absent side of a null-extended row) become
+            typed NULLs — exactly what the outer join's null extension
             produces."""
             gcols = [
-                (F.col(g) if g in df.columns else b_nulls[g]).alias(g)
+                (F.col(g) if g in df.columns else nulls[g]).alias(g)
                 for g in group_cols
             ]
             scols = [
@@ -710,56 +725,78 @@ def join_view_sync(
             ]
             return df.select(*gcols, sign.alias("_dn"), *scols)
 
+        def _flip_term(d, own_path, own_consumed, other_path, other_consumed):
+            """T4/T4b: keys whose OWN-side match count flips 0↔positive
+            under delta ``d`` re-home the OTHER side's old rows between
+            null-extended and matched (−1 on 0→positive, +1 on
+            positive→0) — both reads pruned to the flipped keys."""
+            d_cnt = (
+                d.filter(F.col(join_col).isNotNull())
+                .groupBy(join_col)
+                .agg(F.sum("_sign").alias("_dcnt"))
+            )
+            own_old = _pruned_join_side(
+                spark, own_path, own_consumed, join_col, d_cnt
+            )
+            old_cnt = own_old.groupBy(join_col).agg(
+                F.count(F.lit(1)).alias("_ocnt")
+            )
+            o = F.coalesce(F.col("_ocnt"), F.lit(0))
+            n = o + F.col("_dcnt")
+            flips = (
+                d_cnt.join(old_cnt, join_col, "left_outer")
+                .select(
+                    join_col,
+                    F.when((o == 0) & (n > 0), F.lit(-1))
+                    .when((o > 0) & (n == 0), F.lit(1))
+                    .alias("_fsign"),
+                )
+                .filter(F.col("_fsign").isNotNull())
+            )
+            other_old = _pruned_join_side(
+                spark, other_path, other_consumed, join_col, flips
+            )
+            return _project(other_old.join(flips, join_col), F.col("_fsign"))
+
         parts = []
-        da = None
         if a_latest > a_consumed:
             da = _span_signed_rows(spark, a_path, a_consumed, a_latest)
             b_new = _pruned_join_side(
                 spark, b_path, max(b_latest, b_consumed), join_col, da
             )
             parts.append(_project(da.join(b_new, join_col), F.col("_sign")))
-            if how == "left":
+            if how in ("left", "full"):
                 # T3: delta-A rows with no match in B_new survive
                 # null-extended, carrying their own sign
                 anti = da.join(
                     b_new.select(join_col), join_col, "left_anti"
                 )
                 parts.append(_project(anti, F.col("_sign")))
+            if how == "full":
+                # T4b: A-side match-count flips re-home B_old's rows
+                parts.append(
+                    _flip_term(da, a_path, a_consumed, b_path, b_consumed)
+                )
         if b_latest > b_consumed:
             db = _span_signed_rows(spark, b_path, b_consumed, b_latest)
             a_old = _pruned_join_side(spark, a_path, a_consumed, join_col, db)
             parts.append(_project(a_old.join(db, join_col), F.col("_sign")))
-            if how == "left":
-                # T4: keys whose B match count flips 0↔positive re-home
-                # A_old's rows between null-extended and matched
-                db_cnt = (
-                    db.filter(F.col(join_col).isNotNull())
-                    .groupBy(join_col)
-                    .agg(F.sum("_sign").alias("_dcnt"))
-                )
-                b_old = _pruned_join_side(
-                    spark, b_path, b_consumed, join_col, db_cnt
-                )
-                old_cnt = b_old.groupBy(join_col).agg(
-                    F.count(F.lit(1)).alias("_ocnt")
-                )
-                o = F.coalesce(F.col("_ocnt"), F.lit(0))
-                n = o + F.col("_dcnt")
-                flips = (
-                    db_cnt.join(old_cnt, join_col, "left_outer")
-                    .select(
-                        join_col,
-                        F.when((o == 0) & (n > 0), F.lit(-1))
-                        .when((o > 0) & (n == 0), F.lit(1))
-                        .alias("_fsign"),
-                    )
-                    .filter(F.col("_fsign").isNotNull())
-                )
-                a_flip = _pruned_join_side(
-                    spark, a_path, a_consumed, join_col, flips
+            if how == "full":
+                # T3b: delta-B rows with no match in A_new survive
+                # null-extended (the FULL join's unmatched-B output)
+                a_new = _pruned_join_side(
+                    spark, a_path, max(a_latest, a_consumed), join_col, db
                 )
                 parts.append(
-                    _project(a_flip.join(flips, join_col), F.col("_fsign"))
+                    _project(
+                        db.join(a_new.select(join_col), join_col, "left_anti"),
+                        F.col("_sign"),
+                    )
+                )
+            if how in ("left", "full"):
+                # T4: B-side match-count flips re-home A_old's rows
+                parts.append(
+                    _flip_term(db, b_path, b_consumed, a_path, a_consumed)
                 )
         deltas = parts[0]
         for p in parts[1:]:

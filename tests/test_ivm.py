@@ -657,3 +657,211 @@ def test_pruned_join_side_reads_only_touched_buckets(spark, tmp_path):
     # not keyed by the join column -> honest full read
     full = ivm._pruned_join_side(spark, b, 1, "g", delta.select(F.lit("s3").alias("g")))
     assert len(full.inputFiles()) == total_files
+
+
+def test_randomized_left_join_view_equals_recompute(spark, tmp_path):
+    """Model-based stress of the LEFT join view algebra: a seeded
+    random op stream drives BOTH sides (fact inserts/updates/moves/
+    deletes; dimension inserts/attr-updates/deletes — every dim
+    insert/delete is a potential 0<->positive match-count flip), with
+    1-2 commits per side between syncs — after every sync the view
+    equals a from-scratch LEFT JOIN recompute."""
+    rng = random.Random(20260816)
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    facts = {i: (i % 8, i * 10) for i in range(30)}   # k -> (j, x)
+    dims = {j: f"g{j}" for j in range(0, 8, 2)}       # only even j matched
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(k, j, x) for k, (j, x) in facts.items()], "k long, j long, x long"
+        ),
+        a, "k", n_buckets=4,
+    )
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(list(dims.items()), "j long, g string"),
+        b, "j", n_buckets=2,
+    )
+    ivm.join_view_create(spark, a, b, view, "j", ["g"], ["x"], how="left")
+
+    def recompute():
+        out = {}
+        for k, (j, x) in facts.items():
+            g = dims.get(j)  # None == null-extended
+            n, s = out.get(g, (0, 0))
+            out[g] = (n + 1, s + x)
+        return {(g, n, s) for g, (n, s) in out.items()}
+
+    def view_rows():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in ivm.agg_view_read(spark, view).collect()
+        }
+
+    next_k = 1000
+    for _ in range(6):
+        for _ in range(rng.randint(1, 2)):  # fact commits
+            batch = {}
+            for _ in range(rng.randint(1, 5)):
+                op = rng.random()
+                if op < 0.35 or not facts:
+                    j = rng.randint(0, 11)  # half the j-space unmatched
+                    batch[next_k] = (j, rng.randint(0, 99), False)
+                    next_k += 1
+                elif op < 0.7:
+                    k = rng.choice(list(facts))
+                    batch[k] = (rng.randint(0, 11), rng.randint(0, 99), False)
+                else:
+                    k = rng.choice(list(facts))
+                    batch[k] = (None, None, True)
+            layout.snapshot_merge(
+                spark, a,
+                spark.createDataFrame(
+                    [(k, j, x, d) for k, (j, x, d) in batch.items()],
+                    "k long, j long, x long, _del boolean",
+                ),
+                "k", delete_col="_del",
+            )
+            for k, (j, x, d) in batch.items():
+                if d:
+                    facts.pop(k, None)
+                else:
+                    facts[k] = (j, x)
+        for _ in range(rng.randint(0, 2)):  # dim commits
+            batch = {}
+            for _ in range(rng.randint(1, 3)):
+                op = rng.random()
+                if op < 0.4:
+                    j = rng.randint(0, 11)
+                    batch[j] = (f"new{j}", False)  # insert OR attr update
+                elif op < 0.7 and dims:
+                    j = rng.choice(list(dims))
+                    batch[j] = (f"mv{rng.randint(0, 9)}", False)
+                elif dims:
+                    j = rng.choice(list(dims))
+                    batch[j] = (None, True)
+            if not batch:
+                continue
+            layout.snapshot_merge(
+                spark, b,
+                spark.createDataFrame(
+                    [(j, g, d) for j, (g, d) in batch.items()],
+                    "j long, g string, _del boolean",
+                ),
+                "j", delete_col="_del",
+            )
+            for j, (g, d) in batch.items():
+                if d:
+                    dims.pop(j, None)
+                else:
+                    dims[j] = g
+        ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"], how="left")
+        assert view_rows() == recompute()
+
+
+def test_randomized_full_join_view_equals_recompute(spark, tmp_path):
+    """Model-based stress of the FULL OUTER join view: unmatched rows
+    on EITHER side are maintained null-extended — fact churn re-homes
+    across the NULL dimension group, dimension churn re-homes facts
+    AND adds/removes its own unmatched output rows.  After every sync
+    the view equals a from-scratch FULL JOIN recompute."""
+    rng = random.Random(426)
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    facts = {i: (i % 8, i * 10) for i in range(24)}  # k -> (j, x)
+    dims = {j: f"g{j}" for j in range(4, 12)}  # j 0-3 fact-only, 8-11 dim-only
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(k, j, x) for k, (j, x) in facts.items()], "k long, j long, x long"
+        ),
+        a, "k", n_buckets=4,
+    )
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(list(dims.items()), "j long, g string"),
+        b, "j", n_buckets=2,
+    )
+    ivm.join_view_create(spark, a, b, view, "j", ["g"], ["x"], how="full")
+
+    def recompute():
+        out = {}
+
+        def add(g, x):
+            n, s = out.get(g, (0, 0))
+            out[g] = (n + 1, s + x)
+
+        fact_js = set()
+        for k, (j, x) in facts.items():
+            if j is not None:
+                fact_js.add(j)
+            add(dims.get(j), x)  # None == unmatched fact
+        for j, g in dims.items():
+            if j not in fact_js:
+                add(g, 0)  # unmatched dim row, A side null-extended
+        return {(g, n, s) for g, (n, s) in out.items()}
+
+    def view_rows():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in ivm.agg_view_read(spark, view).collect()
+        }
+
+    assert view_rows() == recompute()
+    next_k = 1000
+    for _ in range(6):
+        for _ in range(rng.randint(1, 2)):  # fact commits
+            batch = {}
+            for _ in range(rng.randint(1, 5)):
+                op = rng.random()
+                if op < 0.35 or not facts:
+                    batch[next_k] = (rng.randint(0, 13), rng.randint(0, 99), False)
+                    next_k += 1
+                elif op < 0.7:
+                    k = rng.choice(list(facts))
+                    batch[k] = (rng.randint(0, 13), rng.randint(0, 99), False)
+                else:
+                    k = rng.choice(list(facts))
+                    batch[k] = (None, None, True)
+            layout.snapshot_merge(
+                spark, a,
+                spark.createDataFrame(
+                    [(k, j, x, d) for k, (j, x, d) in batch.items()],
+                    "k long, j long, x long, _del boolean",
+                ),
+                "k", delete_col="_del",
+            )
+            for k, (j, x, d) in batch.items():
+                if d:
+                    facts.pop(k, None)
+                else:
+                    facts[k] = (j, x)
+        for _ in range(rng.randint(0, 2)):  # dim commits
+            batch = {}
+            for _ in range(rng.randint(1, 3)):
+                op = rng.random()
+                if op < 0.4:
+                    j = rng.randint(0, 13)
+                    batch[j] = (f"new{j}", False)
+                elif op < 0.7 and dims:
+                    j = rng.choice(list(dims))
+                    batch[j] = (f"mv{rng.randint(0, 9)}", False)
+                elif dims:
+                    j = rng.choice(list(dims))
+                    batch[j] = (None, True)
+            if not batch:
+                continue
+            layout.snapshot_merge(
+                spark, b,
+                spark.createDataFrame(
+                    [(j, g, d) for j, (g, d) in batch.items()],
+                    "j long, g string, _del boolean",
+                ),
+                "j", delete_col="_del",
+            )
+            for j, (g, d) in batch.items():
+                if d:
+                    dims.pop(j, None)
+                else:
+                    dims[j] = g
+        ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"], how="full")
+        assert view_rows() == recompute()
