@@ -8939,11 +8939,13 @@ def maintenance_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="maint_report_")
     path = f"{tmp}/t"
     try:
-        # 7 stripes as separate commits: only the first records stats,
-        # so coverage decays; the chain grows; files stay tiny
+        # 6 stripes as separate commits: only the first records stats,
+        # so coverage decays; the chain grows past max_segments; files
+        # stay tiny (6 commits keeps the bench row ~2 s — the proof is
+        # threshold-crossing, not volume)
         first = True
-        for r in range(7):
-            chunk = slice_.filter(F.col("k") % 7 == r).coalesce(1)
+        for r in range(6):
+            chunk = slice_.filter(F.col("k") % 6 == r).coalesce(1)
             layout.snapshot_commit(
                 spark,
                 chunk,
