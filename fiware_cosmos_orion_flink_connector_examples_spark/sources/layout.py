@@ -2283,7 +2283,17 @@ def snapshot_span_delta_files(
     insert_files: dict[int, list[str]] = {}
     to_doc: dict = {}
     for v in range(from_version + 1, to_version + 1):
-        doc = _load_manifest_doc(spark, base, v)
+        try:
+            doc = _load_manifest_doc(spark, base, v)
+        except Exception as e:  # Py4J wraps java.io.FileNotFoundException
+            if "FileNotFoundException" not in str(e):
+                raise
+            raise FileNotFoundError(
+                f"snapshot_changes_feed: version {v} of {base} is missing — "
+                f"expired by vacuum_snapshots (latest is "
+                f"{snapshot_latest_version(spark, base)}); re-bootstrap the "
+                f"consumer from a retained snapshot_read version"
+            ) from None
         if v == to_version:
             to_doc = doc
         segs = doc.get("segments") or []

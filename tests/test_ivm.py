@@ -865,3 +865,27 @@ def test_randomized_full_join_view_equals_recompute(spark, tmp_path):
                     dims[j] = g
         ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"], how="full")
         assert view_rows() == recompute()
+
+
+def test_feed_names_vacuumed_span_versions(spark, tmp_path):
+    """A consumer tailing a span that vacuum already expired must get
+    the descriptive re-bootstrap error, not a raw JVM read failure."""
+    import pytest
+
+    source = str(tmp_path / "src")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(1, "a", 10)]), source, "k"
+    )
+    for j in range(3):
+        layout.snapshot_merge(
+            spark,
+            source,
+            spark.createDataFrame(
+                [(10 + j, "b", j, False)], "k long, g string, x long, _del boolean"
+            ),
+            "k",
+            delete_col="_del",
+        )
+    layout.vacuum_snapshots(spark, source, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="re-bootstrap"):
+        layout.snapshot_changes_feed(spark, source, 1).collect()
