@@ -69,25 +69,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #   3. Ascending last-green round (least-recently-proved first), ties by
 #      registration order.
 #
-# Window arithmetic this round (r15): emptied at round start (r14's
-# entries are artifact history now — CORRECTNESS_r14.json landed fully
-# green); repopulated below as round-15 rewrites of oracle-bearing
-# queries land, plus the never-checked round-15 registrations + the
-# least-recently-green tail = 50.  Everything outside the window holds
-# a recent proof, so no proof ages past ~3 rounds before rotation
-# re-proves it.
-CHANGED_LAST_ROUND: tuple[str, ...] = (
-    # r15: emptied at round start (round hygiene), then repopulated —
-    # these oracle-bearing capstones were physically rewritten onto the
-    # build-once fixture cache (VERDICT r14 #2) after their r14 proof,
-    # so their hashes must re-prove in the r15 window:
-    "snapshot_upsert_capstone",
-    "search_index_atomic_capstone",
-    "snapshot_zorder_scan",
-    "snapshot_bloom_lookup",
-    "incremental_view_capstone",
-    "distinct_view_capstone",
-)
+# Window arithmetic this round (r16): emptied at round start (r15's
+# entries are artifact history now — CORRECTNESS_r15.json landed fully
+# green: 45 hash-pass + 5 rows-only by design, 0 failures); repopulated
+# below as round-16 rewrites of oracle-bearing queries land, plus the
+# never-checked round-16 registrations + the least-recently-green
+# r11/r12 tail (TPC-H Q8/Q12/Q13/Q15/Q17/Q19/Q21/Q22, the
+# window-function family, the dedup family — expected per VERDICT r15
+# #8).  Everything outside the window holds a recent proof, so no
+# proof ages past ~3 rounds before rotation re-proves it.
+CHANGED_LAST_ROUND: tuple[str, ...] = ()
 # Documentation + rotation-test bookkeeping (class 2 membership comes
 # from artifact history, not from this tuple).  ROUND HYGIENE: at the
 # START of each round, empty both tuples — the new CORRECTNESS_r*.json
@@ -101,15 +92,11 @@ CHANGED_LAST_ROUND: tuple[str, ...] = (
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    # r15 round hygiene: emptied at round start — CORRECTNESS_r14.json
+    # r16 round hygiene: emptied at round start — CORRECTNESS_r15.json
     # landed with every registration green, so prior rounds' entries
-    # are now artifact history.  Repopulated below as round-15 queries
+    # are now artifact history.  Repopulated below as round-16 queries
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
-    "join_view_capstone",  # r15 directive #5: delta-join IVM + avg reader
-    "left_join_view_capstone",  # r15: LEFT join views (null-extension IVM)
-    "pipeline_atomic_capstone",  # r15 directive #4: catalog-level txn
-    "maintenance_report",  # r15 directive #7: advisor driver row, rows-only
 )
 
 

@@ -2278,7 +2278,7 @@ def snapshot_span_delta_files(
     if to_version is None:
         to_version = snapshot_latest_version(spark, base)
     if to_version <= from_version:
-        raise ValueError("snapshot_changes_feed: empty version span")
+        raise ValueError("snapshot_span_delta_files: empty version span")
     log_files: dict[int, list[str]] = {}
     insert_files: dict[int, list[str]] = {}
     to_doc: dict = {}
@@ -2289,7 +2289,7 @@ def snapshot_span_delta_files(
             if "FileNotFoundException" not in str(e):
                 raise
             raise FileNotFoundError(
-                f"snapshot_changes_feed: version {v} of {base} is missing — "
+                f"snapshot_span_delta_files: version {v} of {base} is missing — "
                 f"expired by vacuum_snapshots (latest is "
                 f"{snapshot_latest_version(spark, base)}); re-bootstrap the "
                 f"consumer from a retained snapshot_read version"
@@ -2323,7 +2323,7 @@ def snapshot_span_delta_files(
             )
         elif mode != "none":
             raise ValueError(
-                f"snapshot_changes_feed: version {v} recorded no change "
+                f"snapshot_span_delta_files: version {v} recorded no change "
                 "delta (overwrite or pre-segment history) — use "
                 "snapshot_changes for a diff-based span"
             )
@@ -2336,20 +2336,48 @@ def snapshot_span_delta_files(
     }
 
 
+_FILE_VERSION_MAP_CHUNK = 1000
+
+
 def _file_version_expr(files_by_version: dict[int, list[str]]):
     """``_version`` column for a multi-commit bulk scan: map each
     input file (``input_file_name()``, normalized the same way
     ``_normalize_file_uri`` normalizes — prefix + percent-decoding)
-    back to the commit that wrote it.  One literal map expression, so
-    the whole span stays a single scan node."""
+    back to the commit that wrote it.  Literal maps, so the whole span
+    stays a single scan node.
+
+    '+' is percent-escaped BEFORE ``url_decode``: SQL url_decode is
+    form decoding ('+' → space), but ``_normalize_file_uri``'s
+    ``unquote`` leaves '+' alone — without the escape, any table path
+    containing '+' missed the map and every row came back
+    ``_version=NULL`` (ADVICE r15, medium).  ``input_file_name()``
+    percent-encodes raw '+' as '%2B' itself, so every literal '+' seen
+    here is a real one.
+
+    The map is CHUNKED into ≤1000-entry pieces combined with
+    ``coalesce`` (element_at on a map is NULL on a miss): a span of
+    ~10k delta files would otherwise put ~20k literals into ONE
+    ``create_map`` call — per-expression pressure in analysis and
+    codegen (VERDICT r15 #5).  Spans of ≤1000 files (every normal
+    cadence) build exactly the single-map expression they always did.
+    """
     pairs = []
     for v, files in files_by_version.items():
         for f in files:
             pairs += [F.lit(f), F.lit(int(v))]
     norm = F.url_decode(
-        F.regexp_replace(F.input_file_name(), "^file:///", "file:/")
+        F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:///", "file:/"),
+            r"\+",
+            "%2B",
+        )
     )
-    return F.element_at(F.create_map(*pairs), norm)
+    step = 2 * _FILE_VERSION_MAP_CHUNK
+    lookups = [
+        F.element_at(F.create_map(*pairs[i : i + step]), norm)
+        for i in range(0, len(pairs), step)
+    ]
+    return lookups[0] if len(lookups) == 1 else F.coalesce(*lookups)
 
 
 def snapshot_changes_feed(
