@@ -35,10 +35,10 @@ reader (``avg_view_read`` — sum/count off existing state), exact
 COUNT(DISTINCT) + MIN/MAX via the pair-view reduction
 (``distinct_view_*`` / ``extremes_view_read``), and two-table JOIN
 views via the delta-join rule dA⋈B_new + A_old⋈dB (``join_view_*``,
-round 15) — inner, LEFT and FULL OUTER (null-extension maintenance:
-match-count flips re-home rows between the null-extended and matched
-states, symmetric on both sides under FULL; a RIGHT join is LEFT with
-the tables swapped — see ``join_view_sync``'s docstring).
+round 15) — inner, LEFT, RIGHT and FULL OUTER (null-extension
+maintenance: match-count flips re-home rows between the null-extended
+and matched states, symmetric on both sides under FULL; RIGHT is
+served as LEFT with the tables swapped internally, round 16).
 
 Limits (stated, not hidden): direct min/max aggregates are not
 incrementally maintainable under deletes without per-group recompute
@@ -597,10 +597,19 @@ def join_view_create(
     Non-join column names must be disjoint across the two tables (the
     joined row is A's columns + B's columns).  NULL join keys never
     match (SQL semantics; under "left"/"full" they survive
-    null-extended).  A RIGHT join is ``how="left"`` with the tables
-    swapped.  Read it with ``agg_view_read`` / ``avg_view_read``."""
+    null-extended).  ``how="right"`` is served as LEFT with the tables
+    swapped (round 16 — call ``join_view_sync`` with ``how="right"``
+    and the SAME a/b order; the swap is internal and symmetric).  Read
+    it with ``agg_view_read`` / ``avg_view_read``."""
+    if how == "right":
+        return join_view_create(
+            spark, b_path, a_path, view_path, join_col, group_cols,
+            sum_cols, txn_app, n_buckets, how="left",
+        )
     if how not in ("inner", "left", "full"):
-        raise ValueError(f"join_view_create: how={how!r} (inner|left|full)")
+        raise ValueError(
+            f"join_view_create: how={how!r} (inner|left|right|full)"
+        )
     va = layout.snapshot_latest_version(spark, a_path)
     vb = layout.snapshot_latest_version(spark, b_path)
     if va <= 0 or vb <= 0:
@@ -671,9 +680,21 @@ def join_view_sync(
     (FULL OUTER): nullext-A(dB with no match in A_new) and
     nullext-A(B_old at keys whose A match count flipped, signs
     mirrored) — the same algebra with the roles of A and B swapped,
-    so unmatched rows on EITHER side are maintained exactly."""
+    so unmatched rows on EITHER side are maintained exactly.
+
+    ``how="right"`` (round 16) delegates to LEFT with the tables
+    swapped — pass the SAME a/b order as the ``how="right"`` create;
+    the returned consumed tuple stays in (a, b) order."""
+    if how == "right":
+        v, (cb, ca) = join_view_sync(
+            spark, b_path, a_path, view_path, join_col, group_cols,
+            sum_cols, txn_app, retries, how="left",
+        )
+        return v, (ca, cb)
     if how not in ("inner", "left", "full"):
-        raise ValueError(f"join_view_sync: how={how!r} (inner|left|full)")
+        raise ValueError(
+            f"join_view_sync: how={how!r} (inner|left|right|full)"
+        )
     a_latest = layout.snapshot_latest_version(spark, a_path)
     b_latest = layout.snapshot_latest_version(spark, b_path)
     last_err: Exception | None = None
