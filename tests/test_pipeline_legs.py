@@ -366,3 +366,41 @@ def test_legs_validation_errors(spark, tmp_path):
         pipeline.pipeline_create_legs(
             spark, f"{p}/cat", [pipeline.source_leg("s", f"{p}/s", "k")], {}
         )
+
+
+def test_maintain_pipeline_legs_streaming_sink(spark, tmp_path):
+    """maintain_pipeline_legs: micro-batches route to the named source
+    leg and publish one catalog root each; replays are absorbed
+    whole-pipeline; every member serves the recompute."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    cat, legs = _create(spark, tmp_path)
+    sink = jobs.maintain_pipeline_legs(cat, legs, "docs")
+
+    b0 = spark.createDataFrame(BATCH, BATCH_SCHEMA)
+    b1 = spark.createDataFrame(
+        [(7, "hash join streamed", "new", 18, [0.3, 0.3], False)],
+        BATCH_SCHEMA,
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # immediate replay: absorbed at every leg and the root
+    sink(b1, 1)
+    sink(b0, 0)  # stale replay after a later batch
+    sink(spark.createDataFrame([], b0.schema), 2)  # empty: nothing moves
+    res, by_src, joined, phrase, ann_ids, docs = _state(spark, cat)
+    assert res["version"] == 3  # create + 2 real batches, replays absorbed
+    assert docs == {1, 2, 4, 5, 6, 7}
+    assert ann_ids == docs
+    assert (7, 1) in phrase and 3 not in dict(phrase)
+    expect = {
+        (r["source"], r["n"], r["s"])
+        for r in layout.snapshot_read(
+            spark,
+            res["tables"]["docs"]["path"],
+            res["tables"]["docs"]["version"],
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    assert by_src == expect
