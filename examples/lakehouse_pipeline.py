@@ -206,6 +206,56 @@ def main() -> None:
               f"v{res['tables']['view']['version']} + index root "
               f"v{res['tables']['search']['version']} in ONE rename")
 
+        # 8. DECLARATIVE member sets (round 16): the pipeline is a leg
+        #    list — here facts + dims sources, a join view grouped by
+        #    the dimension attribute, and a view-over-view CASCADE
+        #    (a second join view reading the FIRST view as its fact
+        #    side) — all advanced and published as one root per batch.
+        legs = [
+            pipeline.source_leg("facts", f"{tmp}/l_facts", "doc_id"),
+            pipeline.source_leg("dims", f"{tmp}/l_dims", "g"),
+            pipeline.join_view_leg(
+                "by_label", f"{tmp}/l_by_label", "facts", "dims", "g",
+                ["label"], ["chars"],
+            ),
+            pipeline.agg_view_leg(
+                "per_g", f"{tmp}/l_per_g", "facts", ["g"], ["chars"],
+            ),
+            pipeline.join_view_leg(
+                "cascade", f"{tmp}/l_cascade", "per_g", "dims", "g",
+                ["label"], ["sum_chars"],
+            ),
+        ]
+        dims = spark.createDataFrame(
+            [(0, "even"), (1, "one"), (2, "two")], "g long, label string"
+        )
+        cat2 = f"{tmp}/catalog2"
+        pipeline.pipeline_create_legs(
+            spark, cat2, legs, {"facts": pdocs, "dims": dims}
+        )
+        pipeline.pipeline_apply_legs(
+            spark, cat2, legs,
+            {
+                "facts": batch,
+                "dims": spark.createDataFrame(
+                    [(2, "deux", False)], "g long, label string, _del boolean"
+                ),
+            },
+            batch_id=1,
+        )
+        res2 = layout.catalog_resolve(spark, cat2)
+        labels = {
+            r["label"]: r["sum_chars"]
+            for r in layout.snapshot_read(
+                spark,
+                res2["tables"]["by_label"]["path"],
+                res2["tables"]["by_label"]["version"],
+            ).collect()
+        }
+        print(f"declarative legs: catalog v{res2['version']} pins "
+              f"{len(res2['tables'])} members; join view by label = {labels} "
+              f"(cascade view synced parent-first in the same publish)")
+
     print("lakehouse pipeline OK")
 
 

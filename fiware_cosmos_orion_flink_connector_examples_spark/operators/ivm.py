@@ -46,8 +46,12 @@ incrementally maintainable under deletes without per-group recompute
 integers, the engine's cents convention); NULL values contribute 0 to
 sums (view sums are COALESCE(x, 0) semantics, paired with the
 maintained row count — ``avg_view_read`` inherits this, stated in its
-docstring); join views assume disjoint non-join column names and
-inner-join semantics.  A truncate/overwrite in the span raises
+docstring); join views assume disjoint non-join column names.  A
+maintained view can itself feed another view (view-over-view: the
+view IS a keyed snapshot table with its own CDC — see
+``operators/pipeline.py``'s cascade legs, round 16), including
+3-table joins by pairwise composition when the middle grouping is
+additive.  A truncate/overwrite in the span raises
 ``SnapshotTruncateInFeed`` — re-materialize with ``agg_view_create``
 at a fresh path.
 

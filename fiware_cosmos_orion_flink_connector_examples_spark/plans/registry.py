@@ -97,6 +97,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # are now artifact history.  Repopulated below as round-16 queries
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
+    "pipeline_legs_capstone",  # r16 directive #1: declarative leg sets
 )
 
 

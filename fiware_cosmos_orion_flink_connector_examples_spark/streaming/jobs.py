@@ -1689,12 +1689,22 @@ def maintain_agg_view(
     independently of the source leg; a crash between the two legs just
     re-runs the sync).  PAIRING CONTRACT: ``txn_app`` must be the SAME
     string the view was created with (``ivm.agg_view_create``'s
-    ``txn_app``, default ``"agg-view"`` — the defaults now match;
-    ADVICE r14: the old ``"agg-view-stream"`` default raised 'carries
-    no watermark' on the first micro-batch of a default-created view).
+    ``txn_app``, default ``"agg-view"``).
+
+    BEHAVIOR CHANGE NOTE (round 15→16, ADVICE r15): this sink's
+    default ``txn_app`` changed from ``"agg-view-stream"`` (round 14,
+    itself broken for default-created views) to ``"agg-view"`` so the
+    defaults pair.  A deployment whose view was explicitly created
+    with ``txn_app="agg-view-stream"`` and relies on this sink's
+    default is NOT broken by the change: when the view carries no
+    watermark under ``txn_app`` but DOES carry one under the legacy
+    ``"{txn_app}-stream"`` key, the sink falls back to it (loudly —
+    one warning per sink) instead of raising 'carries no watermark'.
+
     The lakehouse "always-fresh aggregate" twin of
     ``maintain_search_index`` / ``maintain_ann_index``.  Returns the
     function for ``writeStream.foreachBatch``."""
+    state = {"app": txn_app}
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
@@ -1718,9 +1728,32 @@ def maintain_agg_view(
             )
         except _layout.SnapshotTxnAlreadyApplied:
             pass  # replayed batch — the source already has it
-        _ivm.agg_view_sync(
-            spark, source_path, view_path, group_cols, sum_cols, txn_app=txn_app
-        )
+        try:
+            _ivm.agg_view_sync(
+                spark, source_path, view_path, group_cols, sum_cols,
+                txn_app=state["app"],
+            )
+        except ValueError as e:
+            if "carries no" not in str(e) or state["app"] != txn_app:
+                raise
+            legacy = f"{txn_app}-stream"
+            wm = _layout.snapshot_manifest(spark, view_path)["txn"].get(legacy)
+            if wm is None:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"maintain_agg_view: view {view_path} carries its watermark "
+                f"under the legacy key {legacy!r} (pre-round-15 default); "
+                f"falling back to it — recreate the view with "
+                f"txn_app={txn_app!r} to silence this",
+                stacklevel=2,
+            )
+            state["app"] = legacy
+            _ivm.agg_view_sync(
+                spark, source_path, view_path, group_cols, sum_cols,
+                txn_app=legacy,
+            )
 
     return apply_batch
 
