@@ -1899,7 +1899,6 @@ def snapshot_point_lookup(
     disagree with itself.  ``value`` must be non-NULL (equality never
     matches NULL) and in the column's native type.  Returns ``(df,
     n_files_read, n_files_total)``."""
-    import base64
     import json
 
     if value is None:
@@ -1909,42 +1908,7 @@ def snapshot_point_lookup(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    positions = None
-    meta = manifest["bloom_meta"].get(col)
-    if meta is not None:
-        bits, hashes = int(meta["bits"]), int(meta["hashes"])
-        # cast to the COLUMN's type first: the write side hashed the
-        # column's own string rendering (decimal "10.20", not "10.2")
-        # — a raw literal's rendering differing by one character would
-        # mis-prune every file containing the value
-        exprs = _bloom_position_exprs(
-            F.lit(value).cast(schema[col].dataType), bits, hashes
-        )
-        row = spark.range(1).select(
-            *[e.alias(f"_p{i}") for i, e in enumerate(exprs)]
-        ).first()
-        positions = [row[f"_p{i}"] for i in range(hashes)]
-    dtype = manifest["stats_types"].get(col)
-    qv = _coerce_stat_bound(dtype, value)
-    keep = []
-    for f in manifest["files"]:
-        st = manifest["stats"].get(f, {}).get(col)
-        if st is not None and st[0] is not None:
-            try:
-                if (
-                    _coerce_stat_bound(dtype, st[1]) < qv
-                    or _coerce_stat_bound(dtype, st[0]) > qv
-                ):
-                    continue
-            except TypeError:
-                pass  # incomparable bounds → fall through to the bloom
-        if positions is not None:
-            b64 = manifest["bloom"].get(f, {}).get(col)
-            if b64 is not None:
-                bm = base64.b64decode(b64)
-                if not all(bm[p >> 3] & (1 << (p & 7)) for p in positions):
-                    continue  # definitely not in this file
-        keep.append(f)
+    keep = _files_for_values(spark, manifest, schema, col, [value])
     pred = F.col(col) == F.lit(value)
     if not keep:
         return (
@@ -1955,6 +1919,99 @@ def snapshot_point_lookup(
     return (
         spark.read.schema(schema).parquet(*keep).filter(pred),
         len(keep),
+        len(manifest["files"]),
+    )
+
+
+def _files_for_values(spark, manifest, schema, col: str, values: list) -> list:
+    """The manifest files that MIGHT contain ANY of ``values`` in
+    ``col``, decided per file from recorded min/max stats (range test)
+    AND bloom sidecars (membership test) — a file is kept unless every
+    value is excluded; files without stats or bitmaps are
+    conservatively kept.  Bit positions for ALL values come from one
+    N-row Spark job using the SAME expression the write side used.
+    False positives cost an extra file read, never a wrong row."""
+    import base64
+    import bisect
+
+    from pyspark.sql.types import StructType
+
+    positions_by_value: dict = {}
+    meta = manifest["bloom_meta"].get(col)
+    if meta is not None and values:
+        bits, hashes = int(meta["bits"]), int(meta["hashes"])
+        # cast to the COLUMN's type first: the write side hashed the
+        # column's own string rendering (decimal "10.20", not "10.2")
+        probe = spark.createDataFrame(
+            [(v,) for v in values], StructType([schema[col]])
+        )
+        exprs = _bloom_position_exprs(
+            F.col(col).cast(schema[col].dataType), bits, hashes
+        )
+        rows = probe.select(
+            F.col(col).alias("_v"),
+            *[e.alias(f"_p{i}") for i, e in enumerate(exprs)],
+        ).collect()
+        positions_by_value = {
+            r["_v"]: [r[f"_p{i}"] for i in range(hashes)] for r in rows
+        }
+    dtype = manifest["stats_types"].get(col)
+    try:
+        qvs = sorted(_coerce_stat_bound(dtype, v) for v in values)
+    except TypeError:
+        qvs = None  # mixed/incomparable probe values → stats can't prune
+    keep = []
+    for f in manifest["files"]:
+        st = manifest["stats"].get(f, {}).get(col)
+        if st is not None and st[0] is not None and qvs is not None:
+            try:
+                lo = _coerce_stat_bound(dtype, st[0])
+                hi = _coerce_stat_bound(dtype, st[1])
+                i = bisect.bisect_left(qvs, lo)
+                if i >= len(qvs) or qvs[i] > hi:
+                    continue  # every value outside this file's range
+            except TypeError:
+                pass  # incomparable bounds → fall through to the bloom
+        if positions_by_value:
+            b64 = manifest["bloom"].get(f, {}).get(col)
+            if b64 is not None:
+                bm = base64.b64decode(b64)
+                if not any(
+                    all(bm[p >> 3] & (1 << (p & 7)) for p in ps)
+                    for ps in positions_by_value.values()
+                ):
+                    continue  # definitely contains NONE of the values
+        keep.append(f)
+    return keep
+
+
+def snapshot_prune_files_for_values(
+    spark, path: str, col: str, values: list, version: int | None = None
+) -> tuple[list, int]:
+    """File-level SEMI-JOIN pruning (round 16): the subset of a
+    snapshot version's files that might contain ANY of the (bounded,
+    non-NULL) probe ``values`` in ``col``, decided from the manifest's
+    min/max stats and bloom sidecars without opening a single data
+    file.  This is the pruning tier for a join side NOT hash-keyed by
+    the join column — a fact table keyed by its own PK can still skip
+    most files for a dimension-delta's keys when it declares
+    ``stats_cols``/``bloom_cols`` on the FK (``operators/ivm.py``'s
+    ``_pruned_join_side`` uses exactly this).  Returns
+    ``(files_kept, n_files_total)``; read the kept list with
+    ``spark.read.schema(...).parquet(*files)`` and apply the exact
+    join/filter on top (pruning is conservative, never wrong)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    base = path.rstrip("/")
+    manifest = snapshot_manifest(spark, base, version)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return [], len(manifest["files"])
+    return (
+        _files_for_values(spark, manifest, schema, col, vals),
         len(manifest["files"]),
     )
 
