@@ -9359,3 +9359,106 @@ def pipeline_legs_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat")
     )
+
+
+@register(
+    "join_view_fk_pruned_capstone",
+    oracle="""
+    WITH f AS (SELECT o_orderkey AS k, o_custkey AS j,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+               FROM orders WHERE o_orderkey % 4 = 2),
+    d0 AS (SELECT c_custkey AS j, c_mktsegment AS seg FROM customer
+           WHERE c_custkey % 3 = 0),
+    d AS (SELECT j, CASE WHEN j <= 30 AND j % 2 = 1 THEN 'MOVED'
+                         ELSE seg END AS seg
+          FROM d0 WHERE NOT (j <= 30 AND j % 2 = 0))
+    SELECT seg, count(*) AS n_rows, CAST(sum(pc) AS BIGINT) AS sum_pc,
+           TRUE AS fk_pruned
+    FROM f JOIN d USING (j)
+    GROUP BY seg ORDER BY seg
+    """,
+    doc="[ext] FK-PRUNED JOIN VIEW capstone (round 16): the fact side "
+    "of an incremental join view is keyed by its OWN primary key (not "
+    "the join column), so bucket pruning cannot apply — instead the "
+    "fact table is compacted sorted-by-FK with min/max stats + Bloom "
+    "sidecars on the FK, and the dimension-delta sync reads it "
+    "through `_pruned_join_side`'s tier 2 "
+    "(layout.snapshot_prune_files_for_values: zone-map range test AND "
+    "bitmap membership per file, no data file opened to decide).  One "
+    "dimension merge (segment moves + deletes over a contiguous "
+    "custkey band) advances the view; the final per-segment rows are "
+    "recomputed independently by DuckDB from orders+customer, and the "
+    "fk_pruned envelope boolean asserts the band's keys kept strictly "
+    "fewer fact files than the manifest holds (the 100 TB shape: a "
+    "dimension delta of K keys reads O(K) fact files off a clustered "
+    "fact table, never O(table)).  Build-once fixture cache: repeat "
+    "runs measure the view-serve cost.",
+    tags=("ext", "storage", "snapshot", "ivm", "join", "bloom", "envelope"),
+)
+def join_view_fk_pruned_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 2)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("j"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+        )
+    )
+    dims0 = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("j"), F.col("c_mktsegment").alias("seg"))
+    )
+    band = F.col("j") <= 30
+
+    def build(path: str) -> None:
+        a, b, view = f"{path}/facts", f"{path}/dims", f"{path}/view"
+        layout.snapshot_write_keyed(spark, facts, a, "k", n_buckets=2)
+        # cluster on the FK and record the metadata tier 2 prunes by;
+        # chunk each bucket into ~8 FK-contiguous files so zone maps
+        # have something to skip at every SF
+        n = facts.count()
+        layout.compact_files(
+            spark, a, sort_by="j", stats_cols=["j"], bloom_cols=["j"],
+            max_records_per_file=max(32, n // 16),
+        )
+        layout.snapshot_write_keyed(spark, dims0, b, "j", n_buckets=2)
+        ivm.join_view_create(spark, a, b, view, "j", ["seg"], ["pc"], n_buckets=2)
+        upd_b = (
+            dims0.filter(band & (F.col("j") % 2 == 1))
+            .select("j", F.lit("MOVED").alias("seg"), F.lit(False).alias("_del"))
+            .unionByName(
+                dims0.filter(band & (F.col("j") % 2 == 0)).select(
+                    "j", F.lit(None).cast("string").alias("seg"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, b, upd_b, "j", delete_col="_del")
+        ivm.join_view_sync(spark, a, b, view, "j", ["seg"], ["pc"])
+
+    base = _capstone_cache(
+        "join_view_fk_pruned", _sf_print(spark, sf_dir, "orders", "customer"),
+        build,
+    )
+    # the envelope: the band's keys must keep strictly fewer fact files
+    # than the manifest holds (deterministic: sorted compaction + fixed
+    # band; bloom false positives are deterministic xxhash64 positions)
+    probe_keys = [r["j"] for r in dims0.filter(band).select("j").collect()]
+    kept, total = layout.snapshot_prune_files_for_values(
+        spark, f"{base}/facts", "j", probe_keys
+    )
+    return (
+        ivm.agg_view_read(spark, f"{base}/view")
+        .select(
+            "seg",
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col("sum_pc").cast("long").alias("sum_pc"),
+            F.lit(bool(0 < len(kept) < total)).alias("fk_pruned"),
+        )
+        .orderBy("seg")
+    )

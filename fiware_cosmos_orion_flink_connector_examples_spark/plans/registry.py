@@ -98,6 +98,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # register (class-2 membership still comes from artifact history,
     # this tuple is bookkeeping for the rotation test).
     "pipeline_legs_capstone",  # r16 directive #1: declarative leg sets
+    "join_view_fk_pruned_capstone",  # r16: tier-2 FK stats/bloom pruning
 )
 
 

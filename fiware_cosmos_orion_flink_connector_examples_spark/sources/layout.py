@@ -2651,6 +2651,14 @@ def compact_files(
         files, buckets = _list_bucket_files(jvm, fs, data_dir)
         seg["add"] = sorted(files)
         seg["buckets"] = buckets
+        # honor the stats_cols param here too (round 16 — it used to
+        # apply only to plain tables, silently ignored on keyed ones):
+        # a keyed compaction can DECLARE new skipping stats, e.g. on a
+        # join FK it just sort_by-clustered
+        if stats_cols:
+            stats_types = dict(stats_types)
+            for c in stats_cols:
+                stats_types.setdefault(c, schema[c].dataType.simpleString())
         if stats_types:
             cols = sorted(stats_types)
             seg["stats"] = _file_stats(spark, files, cols, schema)

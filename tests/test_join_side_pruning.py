@@ -166,3 +166,28 @@ def test_join_view_sync_correct_over_stats_pruned_fact_side(
         for r in ivm.agg_view_read(spark, view).collect()
     }
     assert served == recompute()
+
+
+def test_compact_files_keyed_table_honors_stats_cols(spark, tmp_path):
+    """Round 16: compact_files(stats_cols=...) used to apply only to
+    plain tables (silently ignored on keyed ones) — a keyed compaction
+    can now DECLARE new skipping stats, and later merges keep them
+    alive on rewritten buckets."""
+    path = str(tmp_path / "t")
+    layout.snapshot_write_keyed(spark, _facts(spark, 200), path, "k", n_buckets=2)
+    assert layout.snapshot_manifest(spark, path)["stats_types"] == {}
+    layout.compact_files(
+        spark, path, sort_by="j", stats_cols=["j"], max_records_per_file=25
+    )
+    m = layout.snapshot_manifest(spark, path)
+    assert "j" in m["stats_types"]
+    assert all(m["stats"].get(f, {}).get("j") for f in m["files"])
+    # a merge rewrites buckets and the new files still carry j stats
+    layout.snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(0, 3, 1, False)], "k long, j long, v long, _del boolean"),
+        "k", delete_col="_del",
+    )
+    m2 = layout.snapshot_manifest(spark, path)
+    assert "j" in m2["stats_types"]
+    assert all(m2["stats"].get(f, {}).get("j") for f in m2["files"])
