@@ -1086,3 +1086,110 @@ def test_maintain_agg_view_legacy_watermark_fallback(spark, tmp_path):
     sink(spark.createDataFrame(
         [(1, "c", 5, False)], "k long, g string, x long, _del boolean"), 1)
     assert _view(spark, view) == _recompute(spark, source)
+
+
+def test_randomized_right_join_view_equals_recompute(spark, tmp_path):
+    """Model-based stress of the RIGHT join wrapper (LEFT with the
+    tables swapped internally): unmatched DIMENSION rows survive
+    null-extended, fact churn flips them, and — round-16 twist — the
+    fact table carries stats+bloom on the join column (compacted
+    sorted-by-j), so every A_old read during sync goes through the
+    tier-2 file-pruned path while the view stays exact."""
+    rng = random.Random(20260817)
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    facts = {i: (i % 6, i * 10) for i in range(24)}   # k -> (j, x)
+    dims = {j: f"g{j}" for j in range(0, 10)}         # j>=6 unmatched
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(k, j, x) for k, (j, x) in facts.items()], "k long, j long, x long"
+        ),
+        a, "k", n_buckets=2,
+    )
+    layout.compact_files(
+        spark, a, sort_by="j", stats_cols=["j"], bloom_cols=["j"],
+        max_records_per_file=6,
+    )
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(list(dims.items()), "j long, g string"),
+        b, "j", n_buckets=2,
+    )
+    ivm.join_view_create(spark, a, b, view, "j", ["g"], ["x"], how="right")
+
+    def recompute():
+        out = {}
+        by_j: dict = {}
+        for k, (j, x) in facts.items():
+            by_j.setdefault(j, []).append(x)
+        for j, g in dims.items():
+            xs = by_j.get(j)
+            n, s = out.get(g, (0, 0))
+            if xs:
+                out[g] = (n + len(xs), s + sum(xs))
+            else:
+                out[g] = (n + 1, s)  # null-extended dim row, x -> 0
+        return {(g, n, s) for g, (n, s) in out.items()}
+
+    def view_rows():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in ivm.agg_view_read(spark, view).collect()
+        }
+
+    assert view_rows() == recompute()
+    next_k = 1000
+    for _ in range(6):
+        for _ in range(rng.randint(1, 2)):  # fact commits
+            batch = {}
+            for _ in range(rng.randint(1, 4)):
+                op = rng.random()
+                if op < 0.35 or not facts:
+                    batch[next_k] = (rng.randint(0, 12), rng.randint(0, 99), False)
+                    next_k += 1
+                elif op < 0.7:
+                    k = rng.choice(list(facts))
+                    batch[k] = (rng.randint(0, 12), rng.randint(0, 99), False)
+                else:
+                    k = rng.choice(list(facts))
+                    batch[k] = (None, None, True)
+            layout.snapshot_merge(
+                spark, a,
+                spark.createDataFrame(
+                    [(k, j, x, d) for k, (j, x, d) in batch.items()],
+                    "k long, j long, x long, _del boolean",
+                ),
+                "k", delete_col="_del",
+            )
+            for k, (j, x, d) in batch.items():
+                if d:
+                    facts.pop(k, None)
+                else:
+                    facts[k] = (j, x)
+        for _ in range(rng.randint(0, 2)):  # dim commits
+            batch = {}
+            for _ in range(rng.randint(1, 3)):
+                op = rng.random()
+                if op < 0.4:
+                    batch[rng.randint(0, 12)] = (f"new{rng.randint(0, 9)}", False)
+                elif op < 0.7 and dims:
+                    batch[rng.choice(list(dims))] = (f"mv{rng.randint(0, 9)}", False)
+                elif dims:
+                    batch[rng.choice(list(dims))] = (None, True)
+            if not batch:
+                continue
+            layout.snapshot_merge(
+                spark, b,
+                spark.createDataFrame(
+                    [(j, g, d) for j, (g, d) in batch.items()],
+                    "j long, g string, _del boolean",
+                ),
+                "j", delete_col="_del",
+            )
+            for j, (g, d) in batch.items():
+                if d:
+                    dims.pop(j, None)
+                else:
+                    dims[j] = g
+        ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"], how="right")
+        assert view_rows() == recompute()
