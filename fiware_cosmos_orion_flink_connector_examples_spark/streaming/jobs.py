@@ -1812,26 +1812,33 @@ def maintain_join_view(
     sum_cols: list[str],
     txn_app: str = "join-view",
     how: str = "inner",
+    side: str = "a",
 ):
     """EXACTLY-ONCE streaming maintenance of an incremental JOIN view
     (round 16, VERDICT r15 #2): each micro-batch of keyed upserts for
-    the A side (optional boolean ``_del`` column) MERGEs into the A
-    snapshot table (source txn watermark = ``{txn_app}-src`` keyed by
-    batch id, so a replayed batch is absorbed before it can
-    double-apply), then ``ivm.join_view_sync`` advances the view over
-    BOTH tables' commit logs — so out-of-band B-side commits (a
-    dimension-maintenance job, another stream's merges) flow into the
-    same view on the next trigger without their own sink.  The sync's
-    own watermarks are the consumed source versions, so the view leg
-    is idempotent independently of the merge leg; a crash between the
-    two just re-runs the sync.  PAIRING CONTRACT: ``txn_app`` and
-    ``how`` must be the SAME values the view was created with
-    (``ivm.join_view_create``).  Two streams feeding the two sides?
-    Run one ``maintain_join_view`` per side (each merging its own
-    table, both calling the same sync — the view's optimistic
-    ``expected_version`` retry serializes them).  The join twin of
+    ``side`` (optional boolean ``_del`` column) MERGEs into that
+    side's snapshot table (source txn watermark =
+    ``{txn_app}-src.{side}`` keyed by batch id, so a replayed batch is
+    absorbed before it can double-apply), then ``ivm.join_view_sync``
+    advances the view over BOTH tables' commit logs — so out-of-band
+    commits to the OTHER side (a dimension-maintenance job, another
+    stream's merges) flow into the same view on the next trigger
+    without their own sink.  The sync's own watermarks are the
+    consumed source versions, so the view leg is idempotent
+    independently of the merge leg; a crash between the two just
+    re-runs the sync.  PAIRING CONTRACT: ``txn_app``, ``how``, and the
+    (a_path, b_path) ORDER must be the SAME values the view was
+    created with (``ivm.join_view_create``).  Two streams feeding the
+    two sides?  Run one ``maintain_join_view`` per side — same
+    (a_path, b_path) order, one with ``side="a"`` and ``key_col`` of
+    A, one with ``side="b"`` and ``key_col`` of B; each merges its own
+    table and both call the same sync, which the view's optimistic
+    ``expected_version`` retry serializes.  The join twin of
     ``maintain_agg_view``.  Returns the function for
     ``writeStream.foreachBatch``."""
+    if side not in ("a", "b"):
+        raise ValueError(f"maintain_join_view: side={side!r} (a|b)")
+    merge_path = a_path if side == "a" else b_path
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
@@ -1847,14 +1854,14 @@ def maintain_join_view(
         try:
             _layout.snapshot_merge(
                 spark,
-                a_path,
+                merge_path,
                 batch,
                 key_col,
                 delete_col="_del" if "_del" in batch.columns else None,
-                _txn_update={f"{txn_app}-src": batch_id},
+                _txn_update={f"{txn_app}-src.{side}": batch_id},
             )
         except _layout.SnapshotTxnAlreadyApplied:
-            pass  # replayed batch — the A side already has it
+            pass  # replayed batch — this side already has it
         _ivm.join_view_sync(
             spark, a_path, b_path, view_path, join_col,
             group_cols, sum_cols, txn_app=txn_app, how=how,

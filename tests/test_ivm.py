@@ -1193,3 +1193,77 @@ def test_randomized_right_join_view_equals_recompute(spark, tmp_path):
                     dims[j] = g
         ivm.join_view_sync(spark, a, b, view, "j", ["g"], ["x"], how="right")
         assert view_rows() == recompute()
+
+
+def test_maintain_join_view_two_sided_streams(spark, tmp_path):
+    """One sink per side (side='a' fact stream, side='b' dimension
+    stream), interleaved micro-batches with replays on both: each
+    merges its own table under its own per-side watermark, both drive
+    the same sync, and the final view equals the full-join recompute."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import jobs
+
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(9)], "k long, j long, x long"
+        ),
+        a, "k",
+    )
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(0, "x"), (1, "y"), (2, "z")], "j long, g string"
+        ),
+        b, "j", n_buckets=2,
+    )
+    ivm.join_view_create(spark, a, b, view, "j", ["g"], ["x"], txn_app="jv2s")
+    sink_a = jobs.maintain_join_view(
+        a, b, view, "k", "j", ["g"], ["x"], txn_app="jv2s", side="a"
+    )
+    sink_b = jobs.maintain_join_view(
+        a, b, view, "j", "j", ["g"], ["x"], txn_app="jv2s", side="b"
+    )
+
+    def recompute():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in layout.snapshot_read(spark, a)
+            .join(layout.snapshot_read(spark, b), "j")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.coalesce(F.col("x"), F.lit(0))).alias("sum_x"),
+            )
+            .collect()
+        }
+
+    def served():
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in ivm.agg_view_read(spark, view).collect()
+        }
+
+    fa0 = spark.createDataFrame(
+        [(0, 2, 77, False), (20, 5, 9, False)],
+        "k long, j long, x long, _del boolean",
+    )
+    db0 = spark.createDataFrame(
+        [(0, "moved", False), (5, "five", False), (1, None, True)],
+        "j long, g string, _del boolean",
+    )
+    sink_a(fa0, 0)
+    assert served() == recompute()
+    sink_b(db0, 0)          # batch id 0 again — DIFFERENT side, own watermark
+    assert served() == recompute()
+    sink_a(fa0, 0)          # replay side a: absorbed
+    sink_b(db0, 0)          # replay side b: absorbed
+    assert layout.snapshot_latest_version(spark, a) == 2
+    assert layout.snapshot_latest_version(spark, b) == 2
+    sink_b(
+        spark.createDataFrame(
+            [(2, None, True)], "j long, g string, _del boolean"
+        ),
+        1,
+    )
+    assert served() == recompute()
