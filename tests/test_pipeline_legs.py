@@ -230,6 +230,9 @@ def test_view_over_view_cascade_equals_recompute(spark, tmp_path):
             "cascade", f"{p}/cascade", "facts", "per_j", "j",
             ["g"], ["sum_x"], n_buckets=2,
         ),
+        pipeline.distinct_view_leg(
+            "uniq_j", f"{p}/uniq_j", "facts", ["g"], "j", n_buckets=2
+        ),
     ]
     cat = f"{p}/cat"
     pipeline.pipeline_create_legs(
@@ -257,7 +260,21 @@ def test_view_over_view_cascade_equals_recompute(spark, tmp_path):
             .collect()
         }
 
+    def distinct_counts(rows):
+        got = {
+            (r["g"], r["n_distinct_j"])
+            for r in ivm.distinct_view_read(
+                spark, f"{p}/uniq_j", ["g"], "j"
+            ).collect()
+        }
+        exp: dict = {}
+        for _, j, g, _x in rows:
+            exp.setdefault(g, set()).add(j)
+        return got, {(g, len(js)) for g, js in exp.items()}
+
     assert served() == recompute(facts)
+    got, exp = distinct_counts(facts)
+    assert got == exp
 
     # batch 1: update (re-keys j and value), delete, insert
     state = {r[0]: r for r in facts}
@@ -273,6 +290,8 @@ def test_view_over_view_cascade_equals_recompute(spark, tmp_path):
         batch_id=1,
     )
     assert served() == recompute(list(state.values()))
+    got, exp = distinct_counts(list(state.values()))
+    assert got == exp
 
     # batch 2: pure group move + a value change on an existing key
     b2 = [(5, 30, "b", 4, False), (1, 10, "a", 50, False)]
