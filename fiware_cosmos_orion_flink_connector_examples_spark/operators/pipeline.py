@@ -530,15 +530,16 @@ def pipeline_apply_legs(
                 path,
                 max(seen) if seen else layout.snapshot_latest_version(spark, path),
             )
-        # view members may also be consumed (view-over-view): the child
-        # consumed the parent's version — it must equal the parent's pin
+        # view members may also be consumed (view-over-view): every
+        # child must have consumed exactly the parent view's pinned
+        # version — a disagreement (between children, or child vs pin)
+        # means the parent moved mid-apply; the resync pass settles it
+        src_names = {leg["name"] for leg in legs if leg["kind"] == "source"}
         for name, seen in consumed_by.items():
-            if name in pins and pins[name][1] not in (None,) and len(seen) == 1:
-                (cv,) = seen
-                if len(pins[name]) == 2 and pins[name][1] != cv:
-                    # parent view advanced past what the child consumed
-                    # (or vice versa) — resync pass settles it
-                    coherent = False
+            if name in src_names:
+                continue  # source pins come FROM `seen` above
+            if len(seen) > 1 or next(iter(seen)) != pins[name][1]:
+                coherent = False
         if coherent:
             break
     else:
