@@ -430,6 +430,7 @@ def pipeline_apply_legs(
     batch_id: int,
     retries: int = 5,
     _crash_before_publish: bool = False,
+    _crash_after_leg: str | None = None,
 ) -> int:
     """Apply one batch set through every member and publish ONE new
     catalog root: each source leg MERGEs its ``batches[name]`` frame
@@ -440,8 +441,11 @@ def pipeline_apply_legs(
     pin, then ``catalog_commit`` renames the new root.  Idempotent
     under replay of the same ``batch_id`` at every leg and at the
     root; a foreign root writer is absorbed by re-resolve-and-retry;
-    ``_crash_before_publish`` is the crash-injection hook the
-    atomicity pytest uses.  Returns the published catalog version."""
+    ``_crash_before_publish`` / ``_crash_after_leg`` are the
+    crash-injection hooks the atomicity pytests use (the latter raises
+    right after the NAMED leg's merge/sync completes — the crash
+    matrix drives it through every leg boundary).  Returns the
+    published catalog version."""
     ordered = _ordered_legs(legs)
     cat = layout.catalog_resolve(spark, catalog_path)
     paths = {}
@@ -472,6 +476,10 @@ def pipeline_apply_legs(
             )
         except layout.SnapshotTxnAlreadyApplied:
             pass  # replayed batch — the source already has it
+        if _crash_after_leg == leg["name"]:
+            raise RuntimeError(
+                f"pipeline_apply_legs: injected crash after leg {leg['name']!r}"
+            )
 
     # 2. views + indexes, with the cross-member coherence check: every
     # consumer reports the source version it consumed; a disagreement
@@ -515,6 +523,10 @@ def pipeline_apply_legs(
                                  layout.index_root_latest(spark, path))
                 pins[name] = (path, root_v, "index_root")
                 consumed_by.setdefault(leg["source"], set()).add(int(cur))
+            if _crash_after_leg == name:
+                raise RuntimeError(
+                    f"pipeline_apply_legs: injected crash after leg {name!r}"
+                )
         # pin every source member at the version its consumers consumed
         # (the coherent cross-member cut); un-consumed members pin at
         # their current latest
@@ -555,21 +567,31 @@ def pipeline_apply_legs(
         )
 
     # 3. one root rename, absorbing replays (txn watermark) and foreign
-    # ROOT writers (re-resolve-and-retry — ADVICE r15)
+    # ROOT writers (re-resolve-and-retry — ADVICE r15).  catalog_commit
+    # REPLACES the member set, so members the catalog holds beyond this
+    # pipeline's legs (another tool's tables, a foreign member added
+    # mid-apply) CARRY FORWARD at their resolved pins — the retry never
+    # silently drops a foreign member (lost-update guard).
     last_err: Exception | None = None
-    expected = cat["version"]
-    for _ in range(retries):
+    for attempt in range(retries):
+        if attempt:
+            cat = layout.catalog_resolve(spark, catalog_path)
+        merged = {
+            name: (t["path"], t["version"], t["kind"])
+            for name, t in cat["tables"].items()
+            if name not in pins
+        }
+        merged.update(pins)
         try:
             return layout.catalog_commit(
-                spark, catalog_path, pins,
+                spark, catalog_path, merged,
                 _txn_update={_CAT_APP: batch_id},
-                expected_version=expected,
+                expected_version=cat["version"],
             )
         except layout.SnapshotTxnAlreadyApplied:
             return layout.index_root_latest(spark, catalog_path)
         except layout.SnapshotVersionConflict as e:
             last_err = e
-            expected = layout.index_root_latest(spark, catalog_path)
     raise IOError(f"pipeline_apply_legs: root kept conflicting: {last_err}")
 
 

@@ -518,3 +518,110 @@ def test_three_table_join_cascade_equals_recompute(spark, tmp_path):
         batch_id=1,
     )
     assert served() == recompute()
+
+
+def test_legs_crash_matrix_every_leg_boundary(spark, tmp_path):
+    """Atomicity at EVERY leg boundary, not just before the publish: a
+    crash injected right after each member's merge/sync leaves the
+    published root — and everything a catalog reader sees — unchanged,
+    and retrying the SAME batch id from scratch completes the whole
+    pipeline with the exact expected state."""
+    leg_names = ["docs", "dims", "by_src", "joined", "search", "ann"]
+    for crash_at in leg_names:
+        sub = tmp_path / f"crash_{crash_at}"
+        sub.mkdir()
+        cat, legs = _create(spark, sub)
+        before = _state(spark, cat)
+        with pytest.raises(RuntimeError, match=f"after leg {crash_at!r}"):
+            pipeline.pipeline_apply_legs(
+                spark, cat, legs,
+                {
+                    "docs": spark.createDataFrame(BATCH, BATCH_SCHEMA),
+                    "dims": spark.createDataFrame(
+                        DIMS_BATCH, DIMS_BATCH_SCHEMA
+                    ),
+                },
+                batch_id=1,
+                _crash_after_leg=crash_at,
+            )
+        assert _state(spark, cat)[1:] == before[1:], crash_at
+        v = _apply(spark, cat, legs, batch_id=1)
+        assert v == 2, crash_at
+        _, by_src, joined, phrase, ann_ids, docs = _state(spark, cat)
+        exp_docs, _, exp_by, exp_joined = _expected_after()
+        assert {(s, n, c) for s, (n, c) in exp_by.items()} == by_src, crash_at
+        assert {(g, n, c) for g, (n, c) in exp_joined.items()} == joined, crash_at
+        assert ann_ids == set(exp_docs), crash_at
+        assert docs == set(exp_docs), crash_at
+
+
+def test_legs_publish_carries_foreign_members_forward(spark, tmp_path):
+    """catalog_commit REPLACES the member set, so the pipeline's
+    publish must CARRY FORWARD members beyond its own legs — both
+    pre-existing foreign members and one added by a foreign root
+    writer racing the publish (the lost-update case the re-resolve
+    retry would otherwise hit)."""
+    cat, legs = _create(spark, tmp_path)
+    # a foreign tool registers its own member table under the catalog
+    foreign = str(tmp_path / "foreign_tbl")
+    layout.snapshot_write_keyed(
+        spark, spark.createDataFrame([(1, "z")], "k long, v string"),
+        foreign, "k",
+    )
+    res = layout.catalog_resolve(spark, cat)
+    members = {
+        name: (t["path"], t["version"], t["kind"])
+        for name, t in res["tables"].items()
+    }
+    members["foreign"] = (foreign, 1)
+    layout.catalog_commit(spark, cat, members, expected_version=res["version"])
+
+    v = _apply(spark, cat, legs, batch_id=1)
+    out = layout.catalog_resolve(spark, cat)
+    assert out["version"] == v
+    assert out["tables"]["foreign"]["path"] == foreign
+    assert out["tables"]["foreign"]["version"] == 1
+    # and the pipeline's own members still advanced coherently
+    _, by_src, joined, *_ = _state(spark, cat)
+    _, _, exp_by, exp_joined = _expected_after()
+    assert {(s, n, c) for s, (n, c) in exp_by.items()} == by_src
+
+    # foreign ROOT writer racing the NEXT publish: monkey-wrap
+    # catalog_commit so the pipeline's first publish attempt loses the
+    # race to a foreign commit that bumps the foreign member
+    layout.snapshot_merge(
+        spark, foreign,
+        spark.createDataFrame([(2, "w")], "k long, v string"), "k",
+    )
+    real_commit = layout.catalog_commit
+    fired = {"n": 0}
+
+    def racing_commit(spark_, path_, tables_, **kw):
+        if fired["n"] == 0 and kw.get("_txn_update", {}).get("pipeline") == 2:
+            fired["n"] = 1
+            cur = layout.catalog_resolve(spark_, path_)
+            carry = {
+                n: (t["path"], t["version"], t["kind"])
+                for n, t in cur["tables"].items()
+            }
+            carry["foreign"] = (foreign, 2)
+            real_commit(spark_, path_, carry, expected_version=cur["version"])
+        return real_commit(spark_, path_, tables_, **kw)
+
+    layout.catalog_commit = racing_commit
+    try:
+        b2 = spark.createDataFrame(
+            [(8, "hash join raced", "new", 15, [0.1, 0.1], False)],
+            BATCH_SCHEMA,
+        )
+        v2 = pipeline.pipeline_apply_legs(
+            spark, cat, legs, {"docs": b2}, batch_id=2
+        )
+    finally:
+        layout.catalog_commit = real_commit
+    out2 = layout.catalog_resolve(spark, cat)
+    assert fired["n"] == 1
+    assert out2["version"] == v2
+    # the foreign member's RACED bump survived our retried publish
+    assert out2["tables"]["foreign"]["version"] == 2
+    assert out2["tables"]["docs"]["version"] > out["tables"]["docs"]["version"]
