@@ -488,6 +488,39 @@ def extremes_view_read(
     )
 
 
+def topk_view_read(
+    spark,
+    view_path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Per-group EXACT TOP-K distinct values (with their live row
+    counts) off a maintained pair view — the same state
+    ``distinct_view_read``/``extremes_view_read`` serve (round 16):
+    the pair view retains every LIVE (group, value) pair, so when a
+    top value's last row is deleted its pair row dies and the next
+    value enters the top-k automatically — exact under deletes and
+    value-moving updates, which no top-k sketch (CMS heap,
+    space-saving) can guarantee.  Build the view with
+    ``distinct_view_create(group_cols, value_col)`` and sync as usual;
+    distinct counts, extremes, and top-k all serve off the SAME state.
+    Returns (group_cols…, value_col, ``_n`` row count, ``rank``),
+    rank 1 = largest.  Cost: one window over O(live pairs) — never
+    the source.  NULL values never rank (SQL ordering semantics)."""
+    from pyspark.sql.window import Window
+
+    v = agg_view_read(spark, view_path, version)
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).desc())
+    return (
+        v.filter(F.col(value_col).isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, value_col, _NROWS, "rank")
+    )
+
+
 def avg_view_read(
     spark,
     view_path: str,

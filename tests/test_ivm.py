@@ -1267,3 +1267,55 @@ def test_maintain_join_view_two_sided_streams(spark, tmp_path):
         1,
     )
     assert served() == recompute()
+
+
+def test_topk_view_read_exact_under_deletes(spark, tmp_path):
+    """topk_view_read serves per-group exact top-k off the maintained
+    pair view: a value-moving update re-ranks, and deleting the
+    current maximum's LAST row promotes the next value — the case
+    top-k sketches cannot undo."""
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    base = [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 30),
+            (5, "b", 7), (6, "b", 9)]
+    layout.snapshot_write_keyed(spark, _src(spark, base), source, "k")
+    ivm.distinct_view_create(spark, source, view, ["g"], "x")
+
+    def topk(k=2):
+        return {
+            (r["g"], r["x"], r["_n"], r["rank"])
+            for r in ivm.topk_view_read(spark, view, ["g"], "x", k).collect()
+        }
+
+    assert topk() == {("a", 30, 2, 1), ("a", 20, 1, 2),
+                      ("b", 9, 1, 1), ("b", 7, 1, 2)}
+
+    # delete ONE of the two rows at a's max: 30 stays rank 1 (count 1)
+    layout.snapshot_merge(
+        spark, source,
+        spark.createDataFrame([(3, None, None, True)],
+                              "k long, g string, x long, _del boolean"),
+        "k", delete_col="_del",
+    )
+    ivm.distinct_view_sync(spark, source, view, ["g"], "x")
+    assert ("a", 30, 1, 1) in topk()
+
+    # delete the LAST row at 30 → 20 promotes to rank 1
+    layout.snapshot_merge(
+        spark, source,
+        spark.createDataFrame([(4, None, None, True)],
+                              "k long, g string, x long, _del boolean"),
+        "k", delete_col="_del",
+    )
+    ivm.distinct_view_sync(spark, source, view, ["g"], "x")
+    assert topk() == {("a", 20, 1, 1), ("a", 10, 1, 2),
+                      ("b", 9, 1, 1), ("b", 7, 1, 2)}
+
+    # value-moving update re-ranks b: 7 -> 99 takes rank 1
+    layout.snapshot_merge(
+        spark, source,
+        spark.createDataFrame([(5, "b", 99, False)],
+                              "k long, g string, x long, _del boolean"),
+        "k", delete_col="_del",
+    )
+    ivm.distinct_view_sync(spark, source, view, ["g"], "x")
+    assert topk(1) == {("a", 20, 1, 1), ("b", 99, 1, 1)}
