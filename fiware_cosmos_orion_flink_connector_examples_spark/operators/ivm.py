@@ -521,6 +521,56 @@ def topk_view_read(
     )
 
 
+def quantile_view_read(
+    spark,
+    view_path: str,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    version: int | None = None,
+) -> DataFrame:
+    """Per-group EXACT row-weighted percentiles (PERCENTILE_DISC
+    semantics: the smallest value whose cumulative row fraction ≥ p)
+    off the SAME maintained pair view (round 16) — the pair view keeps
+    every live (group, value) pair WITH its row count, so the exact
+    discrete percentile is a cumulative sum over O(live pairs), never
+    a source scan, and it stays exact under deletes and value-moving
+    updates (t-digest/KLL sketches cannot subtract).  Build with
+    ``distinct_view_create(group_cols, value_col)``; distinct counts,
+    extremes, top-k, and percentiles all serve off ONE state.  Returns
+    (group_cols…, ``p<percent>_<col>`` per requested prob).  Each
+    ``p`` must be in (0, 1]; NULL values never count."""
+    from pyspark.sql.window import Window
+
+    if not probs or any(not (0 < p <= 1) for p in probs):
+        raise ValueError("quantile_view_read: each prob must be in (0, 1]")
+    v = agg_view_read(spark, view_path, version).filter(
+        F.col(value_col).isNotNull()
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = v.select(
+        *group_cols,
+        value_col,
+        F.sum(_NROWS).over(w_cum).alias("_cum"),
+        F.sum(_NROWS).over(w_all).alias("_tot"),
+    )
+    out = None
+    for p in probs:
+        name = f"p{int(round(p * 100))}_{value_col}"
+        picked = (
+            cum.filter(F.col("_cum") >= F.ceil(F.lit(float(p)) * F.col("_tot")))
+            .groupBy(*group_cols)
+            .agg(F.min(value_col).alias(name))
+        )
+        out = picked if out is None else out.join(picked, group_cols)
+    return out
+
+
 def avg_view_read(
     spark,
     view_path: str,

@@ -9464,43 +9464,12 @@ def join_view_fk_pruned_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "topk_view_capstone",
-    oracle="""
-    WITH f0 AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
-                       CAST(round(o_totalprice * 100) AS BIGINT) AS pc
-                FROM orders WHERE o_orderkey % 4 = 0),
-    f1 AS (SELECT k, prio,
-                  CASE WHEN k % 9 = 4 THEN pc + 1 ELSE pc END AS pc
-           FROM f0 WHERE k % 7 != 5
-           UNION ALL SELECT 9000000002, '1-URGENT', 9999999800),
-    pairs AS (SELECT prio, pc, count(*) AS _n FROM f1 GROUP BY prio, pc)
-    SELECT prio, pc, _n, CAST(rnk AS BIGINT) AS rank FROM (
-      SELECT prio, pc, _n,
-             row_number() OVER (PARTITION BY prio ORDER BY pc DESC) AS rnk
-      FROM pairs) t
-    WHERE rnk <= 3
-    ORDER BY prio, rank
-    """,
-    doc="[ext] MAINTAINED EXACT TOP-K capstone (round 16): per-group "
-    "top-3 order prices served off the SAME maintained pair-view "
-    "state the distinct-count and min/max readers use "
-    "(ivm.topk_view_read) — exact under value-moving updates AND "
-    "deletes, the case no top-k sketch (CMS heap, space-saving) can "
-    "guarantee.  The build drives one churn merge (price bumps, row "
-    "deletes, TWO sentinel inserts above every real price) and then "
-    "DELETES the larger sentinel in a second merge — the final rank-1 "
-    "row of its group must be the SURVIVING sentinel, proving the "
-    "dead extremum's pair row died and the next value took over "
-    "automatically.  Every (group, value, count, rank) row is "
-    "recomputed independently by DuckDB from `orders` alone.  Scale "
-    "shape: maintenance is the standard signed pair-view sync "
-    "(O(changed rows), bucket-pruned); the read is one window over "
-    "O(live pairs), never the source.  Build-once fixture cache: "
-    "repeat runs measure the state-serve cost.",
-    tags=("ext", "storage", "snapshot", "ivm", "topk", "envelope"),
-)
-def topk_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pair_view_state(spark: SparkSession, sf_dir: str) -> str:
+    """The SHARED maintained pair-view fixture the top-k and
+    percentile capstones both read (one state, many readers — the
+    point): orders slice keyed by orderkey, (prio, pc) pair view,
+    one churn merge (price bumps, deletes, two sentinel inserts) and
+    one delete-the-maximum merge, each followed by a sync."""
     from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
     from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
 
@@ -9553,9 +9522,51 @@ def topk_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ivm.distinct_view_sync(spark, src, view, ["prio"], "pc")
 
-    base = _capstone_cache(
+    return _capstone_cache(
         "topk_view", _sf_print(spark, sf_dir, "orders"), build
     )
+
+
+@register(
+    "topk_view_capstone",
+    oracle="""
+    WITH f0 AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                FROM orders WHERE o_orderkey % 4 = 0),
+    f1 AS (SELECT k, prio,
+                  CASE WHEN k % 9 = 4 THEN pc + 1 ELSE pc END AS pc
+           FROM f0 WHERE k % 7 != 5
+           UNION ALL SELECT 9000000002, '1-URGENT', 9999999800),
+    pairs AS (SELECT prio, pc, count(*) AS _n FROM f1 GROUP BY prio, pc)
+    SELECT prio, pc, _n, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT prio, pc, _n,
+             row_number() OVER (PARTITION BY prio ORDER BY pc DESC) AS rnk
+      FROM pairs) t
+    WHERE rnk <= 3
+    ORDER BY prio, rank
+    """,
+    doc="[ext] MAINTAINED EXACT TOP-K capstone (round 16): per-group "
+    "top-3 order prices served off the SAME maintained pair-view "
+    "state the distinct-count and min/max readers use "
+    "(ivm.topk_view_read) — exact under value-moving updates AND "
+    "deletes, the case no top-k sketch (CMS heap, space-saving) can "
+    "guarantee.  The build drives one churn merge (price bumps, row "
+    "deletes, TWO sentinel inserts above every real price) and then "
+    "DELETES the larger sentinel in a second merge — the final rank-1 "
+    "row of its group must be the SURVIVING sentinel, proving the "
+    "dead extremum's pair row died and the next value took over "
+    "automatically.  Every (group, value, count, rank) row is "
+    "recomputed independently by DuckDB from `orders` alone.  Scale "
+    "shape: maintenance is the standard signed pair-view sync "
+    "(O(changed rows), bucket-pruned); the read is one window over "
+    "O(live pairs), never the source.  Build-once fixture cache: "
+    "repeat runs measure the state-serve cost.",
+    tags=("ext", "storage", "snapshot", "ivm", "topk", "envelope"),
+)
+def topk_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+
+    base = _pair_view_state(spark, sf_dir)
     return (
         ivm.topk_view_read(spark, f"{base}/view", ["prio"], "pc", 3)
         .select(
@@ -9565,4 +9576,49 @@ def topk_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
         .orderBy("prio", "rank")
+    )
+
+
+@register(
+    "quantile_view_capstone",
+    oracle="""
+    WITH f0 AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                FROM orders WHERE o_orderkey % 4 = 0),
+    f1 AS (SELECT k, prio,
+                  CASE WHEN k % 9 = 4 THEN pc + 1 ELSE pc END AS pc
+           FROM f0 WHERE k % 7 != 5
+           UNION ALL SELECT 9000000002, '1-URGENT', 9999999800)
+    SELECT prio,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY pc) AS p50_pc,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY pc) AS p90_pc
+    FROM f1 GROUP BY prio ORDER BY prio
+    """,
+    doc="[ext] MAINTAINED EXACT PERCENTILES capstone (round 16): "
+    "per-group exact p50/p90 order prices (PERCENTILE_DISC semantics, "
+    "row-weighted) served off the SAME maintained pair-view state the "
+    "top-k capstone reads — ivm.quantile_view_read is a cumulative "
+    "sum over O(live pairs), exact under the fixture's deletes and "
+    "value-moving updates (a t-digest/KLL sketch cannot subtract a "
+    "deleted observation), recomputed independently by DuckDB's "
+    "percentile_disc over the churned slice of `orders`.  One state, "
+    "four readers: distinct counts, min/max, top-k, percentiles — the "
+    "'build once, read many' economics the pair view exists for (and "
+    "the build here is literally shared with topk_view_capstone via "
+    "the fixture cache: the second capstone costs one window read).  "
+    "Scale shape: maintenance O(changed rows); reads O(live pairs).",
+    tags=("ext", "storage", "snapshot", "ivm", "quantile", "envelope"),
+)
+def quantile_view_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+
+    base = _pair_view_state(spark, sf_dir)
+    return (
+        ivm.quantile_view_read(spark, f"{base}/view", ["prio"], "pc", [0.5, 0.9])
+        .select(
+            "prio",
+            F.col("p50_pc").cast("long").alias("p50_pc"),
+            F.col("p90_pc").cast("long").alias("p90_pc"),
+        )
+        .orderBy("prio")
     )

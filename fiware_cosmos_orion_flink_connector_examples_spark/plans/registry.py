@@ -100,6 +100,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "pipeline_legs_capstone",  # r16 directive #1: declarative leg sets
     "join_view_fk_pruned_capstone",  # r16: tier-2 FK stats/bloom pruning
     "topk_view_capstone",  # r16: exact top-k reader off pair-view state
+    "quantile_view_capstone",  # r16: exact percentiles off the same state
 )
 
 

@@ -1319,3 +1319,50 @@ def test_topk_view_read_exact_under_deletes(spark, tmp_path):
     )
     ivm.distinct_view_sync(spark, source, view, ["g"], "x")
     assert topk(1) == {("a", 20, 1, 1), ("b", 99, 1, 1)}
+
+
+def test_quantile_view_read_exact_under_churn(spark, tmp_path):
+    """quantile_view_read = PERCENTILE_DISC off the pair view: exact
+    against a direct percentile over the live source rows, including
+    after deletes (the case mergeable sketches cannot subtract)."""
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    base = [(i, "ab"[i % 2], (i * 7) % 50) for i in range(40)]
+    layout.snapshot_write_keyed(spark, _src(spark, base), source, "k")
+    ivm.distinct_view_create(spark, source, view, ["g"], "x")
+
+    def recompute():
+        return {
+            (r["g"], r["p50_x"], r["p90_x"])
+            for r in layout.snapshot_read(spark, source)
+            .groupBy("g")
+            .agg(
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").alias("p50_x"),
+                F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY x)").alias("p90_x"),
+            )
+            .collect()
+        }
+
+    def served():
+        return {
+            (r["g"], r["p50_x"], r["p90_x"])
+            for r in ivm.quantile_view_read(
+                spark, view, ["g"], "x", [0.5, 0.9]
+            ).collect()
+        }
+
+    assert served() == recompute()
+    # churn: delete a run of rows (shifting both percentiles), move one
+    # value, insert duplicates of an existing value (row-weighting)
+    upd = spark.createDataFrame(
+        [(i, None, None, True) for i in range(0, 12)]
+        + [(13, "b", 49, False), (100, "a", 14, False), (101, "a", 14, False)],
+        "k long, g string, x long, _del boolean",
+    )
+    layout.snapshot_merge(spark, source, upd, "k", delete_col="_del")
+    ivm.distinct_view_sync(spark, source, view, ["g"], "x")
+    assert served() == recompute()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prob"):
+        ivm.quantile_view_read(spark, view, ["g"], "x", [0.0])
