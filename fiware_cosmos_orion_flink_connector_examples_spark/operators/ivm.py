@@ -32,8 +32,10 @@ initial materialization.
 
 Surface: count/sum group views (``agg_view_*``), the FREE derived avg
 reader (``avg_view_read`` — sum/count off existing state), exact
-COUNT(DISTINCT) + MIN/MAX via the pair-view reduction
-(``distinct_view_*`` / ``extremes_view_read``), and two-table JOIN
+COUNT(DISTINCT) + MIN/MAX + TOP-K + PERCENTILES via the pair-view
+reduction (``distinct_view_*`` / ``extremes_view_read`` /
+``topk_view_read`` / ``quantile_view_read`` — ONE maintained state,
+four readers, all exact under deletes), and two-table JOIN
 views via the delta-join rule dA⋈B_new + A_old⋈dB (``join_view_*``,
 round 15) — inner, LEFT, RIGHT and FULL OUTER (null-extension
 maintenance: match-count flips re-home rows between the null-extended

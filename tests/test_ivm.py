@@ -1366,3 +1366,37 @@ def test_quantile_view_read_exact_under_churn(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="prob"):
         ivm.quantile_view_read(spark, view, ["g"], "x", [0.0])
+
+
+def test_agg_view_sync_across_source_schema_evolution(spark, tmp_path):
+    """A source merge that ADDS an unrelated column mid-span must not
+    disturb the view sync: the span reads through the latest schema
+    (missing columns NULL) and the view stays exact."""
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(i, "ab"[i % 2], i) for i in range(10)]), source, "k"
+    )
+    ivm.agg_view_create(spark, source, view, ["g"], ["x"])
+    # pre-evolution merge (old schema) — first commit of the span
+    layout.snapshot_merge(
+        spark, source,
+        spark.createDataFrame(
+            [(1, None, None, True), (2, "c", 5, False)],
+            "k long, g string, x long, _del boolean",
+        ),
+        "k", delete_col="_del",
+    )
+    # evolution merge ADDS an unrelated column in the SAME span — the
+    # span now mixes changelog files of two schemas and must read
+    # through the latest one (missing columns NULL)
+    layout.snapshot_merge(
+        spark, source,
+        spark.createDataFrame(
+            [(0, "b", 100, "note", False), (50, "c", 7, "new", False)],
+            "k long, g string, x long, extra string, _del boolean",
+        ),
+        "k", delete_col="_del",
+    )
+    v, consumed = ivm.agg_view_sync(spark, source, view, ["g"], ["x"])
+    assert v is not None and consumed == 3
+    assert _view(spark, view) == _recompute(spark, source)
