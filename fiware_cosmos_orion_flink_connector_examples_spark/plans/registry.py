@@ -101,6 +101,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "join_view_fk_pruned_capstone",  # r16: tier-2 FK stats/bloom pruning
     "topk_view_capstone",  # r16: exact top-k reader off pair-view state
     "quantile_view_capstone",  # r16: exact percentiles off the same state
+    "cdc_stream_source_capstone",  # r16: native snapshot_cdc stream source
 )
 
 
