@@ -25,7 +25,10 @@ JVM round-trips): it reads the same ``_manifest_vN.json`` /
 ``segments/seg-vN-*.json`` files ``layout`` writes.
 
 Semantics match ``layout.snapshot_changes_feed``: post-image rows only
-(``update_pre`` pre-images stay internal to the IVM algebra), version
+(``update_pre`` pre-images stay internal to the IVM algebra — pass
+``.option("includePreImages", "true")`` to emit them too, which is
+what an EXTERNAL signed-delta consumer doing its own incremental
+aggregation needs: insert/update +1, delete/update_pre −1), version
 1 (the table's creation) streams as inserts when starting from offset
 0, metadata-only commits contribute nothing, and a truncate/overwrite
 in the span raises (re-bootstrap the consumer).  Vacuumed-away
@@ -148,6 +151,9 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.base = _local(options["path"]).rstrip("/")
         self.start_version = int(options.get("startVersion", 0))
+        self.include_pre = str(
+            options.get("includePreImages", "false")
+        ).lower() in ("true", "1", "yes")
 
     # -- offsets ------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -178,8 +184,9 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
             if mode is None and seg.get("truncate") and v == 1:
                 mode = "bootstrap"  # the creation commit: adds ARE the rows
             if mode == "log":
+                kind = "log_pre" if self.include_pre else "log"
                 for f in seg.get("changelog") or []:
-                    out.append(_CdcPartition(v, "log", _local(f), cols))
+                    out.append(_CdcPartition(v, kind, _local(f), cols))
             elif mode in ("insert", "bootstrap"):
                 for f in seg.get("add") or []:
                     out.append(_CdcPartition(v, "insert", _local(f), cols))
@@ -212,11 +219,12 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
             return [None] * n  # schema-evolution: file predates the column
 
         data = [col(c) for c in partition.cols]
-        if partition.kind == "log":
+        if partition.kind in ("log", "log_pre"):
             changes = col("_change")
+            keep_pre = partition.kind == "log_pre"
             for i in range(n):
                 ch = changes[i]
-                if ch == "update_pre":
+                if ch == "update_pre" and not keep_pre:
                     continue  # pre-images stay internal to the IVM algebra
                 yield (partition.version, ch) + tuple(d[i] for d in data)
         else:

@@ -152,3 +152,43 @@ def test_vacuumed_version_raises_rebootstrap_hint(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception():
             raise q.exception()
+
+
+def test_include_pre_images_enables_external_signed_ivm(spark, tmp_path, table):
+    """includePreImages=true emits update_pre rows — an EXTERNAL
+    consumer can then maintain its own aggregate with the signed
+    algebra (insert/update +1, delete/update_pre -1) and land exactly
+    on the table's current totals."""
+    cdc_stream.register(spark)
+    totals: dict = {}
+
+    def apply_batch(batch, batch_id):
+        for r in batch.collect():
+            sign = 1 if r["_change"] in ("insert", "update") else -1
+            n, s = totals.get(r["g"], (0, 0))
+            n, s = n + sign, s + sign * (r["x"] or 0)
+            if n == 0:
+                totals.pop(r["g"], None)
+            else:
+                totals[r["g"]] = (n, s)
+
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("includePreImages", "true")
+        .load(table)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import pyspark.sql.functions as F
+
+    expect = {
+        r["g"]: (r["n"], r["s"])
+        for r in layout.snapshot_read(spark, table)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    assert totals == expect
