@@ -76,13 +76,12 @@ from pyspark.sql.datasource import (
 
 
 def _local(path: str) -> str:
-    """file:/ URI → plain path (the manifests record file:/ URIs)."""
-    from urllib.parse import unquote
-
+    """file:/ URI → plain path.  The manifests record Hadoop Path
+    renderings — RAW characters, never percent-encoded — so this only
+    strips the scheme; percent-decoding here would corrupt any real
+    path containing '%' (pinned by the hostile-path pytest)."""
     if path.startswith("file:"):
-        path = re.sub("^file:/{2,}", "/", path)
-        path = re.sub("^file:/", "/", path)
-        return unquote(path)
+        return re.sub("^file:/+", "/", path)
     return path
 
 

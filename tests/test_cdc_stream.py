@@ -192,3 +192,23 @@ def test_include_pre_images_enables_external_signed_ivm(spark, tmp_path, table):
         .collect()
     }
     assert totals == expect
+
+
+def test_hostile_table_path_space_plus_percent(spark, tmp_path):
+    """Manifests record RAW Hadoop paths (never percent-encoded): a
+    table under a directory containing a space, '+', AND a literal
+    '%20' must stream correctly — percent-decoding the recorded file
+    paths would resolve the wrong file (round-16 fix)."""
+    import os
+
+    base = str(tmp_path / "dir with+plus%20pct")
+    os.makedirs(base)
+    p = f"{base}/t"
+    layout.snapshot_write_keyed(spark, _kv(spark, [(1, "a", 5)]), p, "k")
+    layout.snapshot_merge(
+        spark, p, _kv(spark, [(1, "a", 9, False), (2, "b", 3, False)], UPD),
+        "k", delete_col="_del",
+    )
+    got = _drain(spark, p, str(tmp_path / "ck"), "cdc_hostile")
+    assert got == {(1, "insert", 1, "a", 5), (2, "update", 1, "a", 9),
+                   (2, "insert", 2, "b", 3)}
