@@ -1556,10 +1556,8 @@ def _ann_search_versioned(spark, path: str, root: dict, queries, k: int, nprobe:
     resolved = layout.snapshot_manifest(spark, f"{path.rstrip('/')}/{name}", ver)
     schema = StructType.fromJson(json.loads(resolved["schema"]))
     if not centroids:
-        stored = (
-            spark.read.schema(schema).parquet(*resolved["files"])
-            if resolved["files"]
-            else spark.createDataFrame([], schema)
+        stored = layout.snapshot_read_files(
+            spark, resolved, resolved["files"], schema
         )
         return topk_cosine_bruteforce(stored, queries, k, id_col, vec_col)
     queries = queries.filter(F.col(vec_col).isNotNull())
@@ -1580,11 +1578,7 @@ def _ann_search_versioned(spark, path: str, root: dict, queries, k: int, nprobe:
     # FILE pruning straight off the manifest's bucket map — the
     # versioned analog of hive partition pruning, no directory listing
     files = [f for f in resolved["files"] if resolved["buckets"].get(f) in probed]
-    stored = (
-        spark.read.schema(schema).parquet(*files)
-        if files
-        else spark.createDataFrame([], schema)
-    )
+    stored = layout.snapshot_read_files(spark, resolved, files, schema)
     base_df = stored.select(
         F.col(id_col).alias("n_id"),
         l2_normalize(F.col(vec_col)).alias("nv"),

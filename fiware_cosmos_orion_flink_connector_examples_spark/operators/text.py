@@ -2272,8 +2272,7 @@ def _pinned_docterms_pairs(spark, path: str, batch_ids, id_col: str, version: in
             F.col(id_col), F.explode("terms").alias("term")
         )
     present = (
-        spark.read.schema(schema)
-        .parquet(*files)
+        layout.snapshot_read_files(spark, resolved, files, schema)
         .select(id_col)
         .join(F.broadcast(batch_ids), id_col, "semi")
         .select(
@@ -2285,11 +2284,7 @@ def _pinned_docterms_pairs(spark, path: str, batch_ids, id_col: str, version: in
     matched_files = [
         f for f in files if resolved["buckets"].get(f) in {r["_b"] for r in present}
     ]
-    old = (
-        spark.read.schema(schema).parquet(*matched_files)
-        if matched_files
-        else spark.createDataFrame([], schema)
-    )
+    old = layout.snapshot_read_files(spark, resolved, matched_files, schema)
     return (
         old.join(F.broadcast(batch_ids), id_col, "semi")
         .select(F.col(id_col), F.explode("terms").alias("term"))

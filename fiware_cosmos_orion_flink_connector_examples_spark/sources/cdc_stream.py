@@ -47,13 +47,30 @@ Usage::
             .load("/data/my_table"))
     q = feed.writeStream.foreachBatch(...).start()
 
-Limits (stated): the table path must be reachable from plain Python
-``open()`` on driver AND executors (local/NFS paths — the engine's
-test and single-box deployment shape; an object-store deployment
-would swap the two ``open()`` call sites for fsspec).  The declared
-schema is the table's schema AT STREAM START; a mid-stream schema
-evolution's new columns are dropped until the stream restarts (Spark
-streams have a fixed schema — same contract as Delta CDF).
+Read path (round 17): ``read()`` yields ``pyarrow.RecordBatch``es —
+the pre-image filter and the _version/_change envelope are built
+arrow-side, so a ``startVersion=0`` BOOTSTRAP of a large table stays
+vectorized end-to-end instead of funneling rows through the Python
+interpreter (~10× on a 1M-row bootstrap; tools/cdc_read_smoke.py).
+That said, for VERY large tables the recommended pattern is still:
+bootstrap via a batch ``layout.snapshot_read`` (full parquet scan
+speed, no streaming machinery), then start the stream with
+``startVersion = <version you read>`` — the stream then carries only
+O(changed rows) per trigger.
+
+Paths: local/NFS paths and ``file:`` URIs use plain ``open()``;
+paths carrying another scheme (``s3://…``, ``gs://…``) route through
+``fsspec`` when it is importable (metadata reads AND the executor-side
+parquet reads), so an object-store deployment needs only the fsspec
+filesystem package installed — no code change.
+
+The declared schema is the table's schema AT STREAM START, and EVERY
+planned partition serves that schema: commits written before a schema
+evolution None-fill the later-added columns (the declared column list
+is resolved once, not per-commit — a backlog drain across an evolution
+stays aligned).  A mid-stream evolution's NEW columns are dropped
+until the stream restarts (Spark streams have a fixed schema — same
+contract as Delta CDF).
 
 Reference scope note: the reference repo's only source is an HTTP
 notification receiver (Example1.scala:17); [ext] engine
@@ -79,10 +96,27 @@ def _local(path: str) -> str:
     """file:/ URI → plain path.  The manifests record Hadoop Path
     renderings — RAW characters, never percent-encoded — so this only
     strips the scheme; percent-decoding here would corrupt any real
-    path containing '%' (pinned by the hostile-path pytest)."""
+    path containing '%' (pinned by the hostile-path pytest).  Other
+    schemes (s3://…) pass through untouched — ``_open_text`` /
+    ``read()`` route those via fsspec."""
     if path.startswith("file:"):
         return re.sub("^file:/+", "/", path)
     return path
+
+
+def _has_remote_scheme(path: str) -> bool:
+    return "://" in path and not path.startswith("file:")
+
+
+def _open_text(path: str):
+    """Open a small JSON metadata file: plain ``open()`` for local/NFS
+    paths, fsspec for object-store schemes (import-gated — stated in
+    the module docstring)."""
+    if _has_remote_scheme(path):
+        import fsspec  # optional dep; only needed for remote tables
+
+        return fsspec.open(path, "r").open()
+    return open(path)
 
 
 def _latest_version(base: str) -> int:
@@ -97,7 +131,7 @@ def _latest_version(base: str) -> int:
 def _manifest_doc(base: str, version: int) -> dict:
     p = os.path.join(base, f"_manifest_v{version}.json")
     try:
-        with open(p) as fh:
+        with _open_text(p) as fh:
             return json.load(fh)
     except FileNotFoundError:
         raise FileNotFoundError(
@@ -108,7 +142,7 @@ def _manifest_doc(base: str, version: int) -> dict:
 
 
 def _segment_doc(base: str, rel: str) -> dict:
-    with open(os.path.join(base, rel)) as fh:
+    with _open_text(os.path.join(base, rel)) as fh:
         return json.load(fh)
 
 
@@ -139,20 +173,35 @@ class _CdcPartition(InputPartition):
     unit.  ``kind`` is "log" (changelog rows carrying ``_change``) or
     "insert" (append/bootstrap data served as inserts)."""
 
-    def __init__(self, version: int, kind: str, file: str, cols: list[str]):
+    def __init__(self, version: int, kind: str, file: str):
         self.version = version
         self.kind = kind
         self.file = file
-        self.cols = cols
 
 
 class SnapshotCdcStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         self.base = _local(options["path"]).rstrip("/")
         self.start_version = int(options.get("startVersion", 0))
         self.include_pre = str(
             options.get("includePreImages", "false")
         ).lower() in ("true", "1", "yes")
+        # The DECLARED stream schema, resolved ONCE at stream start —
+        # every partition of every commit serves exactly these columns
+        # (pre-evolution files None-fill later-added columns inside
+        # read()); per-commit manifests are never consulted for the
+        # column list, so a backlog drain crossing a schema evolution
+        # stays aligned with the declared schema (ADVICE r16 #2).
+        if schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self.arrow_schema = to_arrow_schema(schema)
+            self.cols = [f.name for f in schema.fields][2:]  # drop envelope
+        else:  # pragma: no cover — Spark always passes the schema
+            self.arrow_schema = None
+            self.cols = _table_cols(
+                _manifest_doc(self.base, _latest_version(self.base))
+            )
 
     # -- offsets ------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -170,7 +219,6 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
         out: list[_CdcPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             doc = _manifest_doc(base, v)
-            cols = _table_cols(doc)
             segs = doc.get("segments") or []
             rel = segs[-1] if segs else None
             if rel is None or f"seg-v{v}-" not in rel:
@@ -180,15 +228,22 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
                 )
             seg = _segment_doc(base, rel)
             mode = seg.get("change_mode")
-            if mode is None and seg.get("truncate") and v == 1:
-                mode = "bootstrap"  # the creation commit: adds ARE the rows
+            if v == 1 and (
+                mode == "truncate"
+                or (mode is None and seg.get("truncate"))
+            ):
+                # the creation commit: adds ARE the rows — both the
+                # keyed layout (truncate flag, no change_mode) and a
+                # plain snapshot_commit overwrite (change_mode
+                # "truncate") bootstrap as inserts (ADVICE r16 #3)
+                mode = "bootstrap"
             if mode == "log":
                 kind = "log_pre" if self.include_pre else "log"
                 for f in seg.get("changelog") or []:
-                    out.append(_CdcPartition(v, kind, _local(f), cols))
+                    out.append(_CdcPartition(v, kind, _local(f)))
             elif mode in ("insert", "bootstrap"):
                 for f in seg.get("add") or []:
-                    out.append(_CdcPartition(v, "insert", _local(f), cols))
+                    out.append(_CdcPartition(v, "insert", _local(f)))
             elif mode == "truncate":
                 raise ValueError(
                     f"snapshot_cdc: span crosses a TRUNCATE/overwrite commit "
@@ -204,31 +259,62 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
                 )
         return out
 
-    # -- reading (executors, pure pyarrow) ------------------------------
-    def read(self, partition: _CdcPartition) -> Iterator[tuple]:
+    # -- reading (executors, pure pyarrow, VECTORIZED) -------------------
+    def read(self, partition: _CdcPartition) -> Iterator:
+        """Yield ``pyarrow.RecordBatch``es matching the declared stream
+        schema — the pre-image filter, the _version/_change envelope,
+        schema-evolution None-fill, and type alignment all happen
+        arrow-side (no per-row Python), so a bootstrap-sized partition
+        reads at parquet speed instead of interpreter speed."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.file)
-        names = set(tbl.column_names)
-        n = tbl.num_rows
+        if _has_remote_scheme(partition.file):
+            import fsspec
 
-        def col(name):
-            if name in names:
-                return tbl.column(name).to_pylist()
-            return [None] * n  # schema-evolution: file predates the column
-
-        data = [col(c) for c in partition.cols]
-        if partition.kind in ("log", "log_pre"):
-            changes = col("_change")
-            keep_pre = partition.kind == "log_pre"
-            for i in range(n):
-                ch = changes[i]
-                if ch == "update_pre" and not keep_pre:
-                    continue  # pre-images stay internal to the IVM algebra
-                yield (partition.version, ch) + tuple(d[i] for d in data)
+            with fsspec.open(partition.file, "rb") as fh:
+                tbl = pq.read_table(fh)
         else:
-            for i in range(n):
-                yield (partition.version, "insert") + tuple(d[i] for d in data)
+            tbl = pq.read_table(partition.file)
+
+        if partition.kind in ("log", "log_pre"):
+            change = pc.cast(tbl.column("_change"), pa.string())
+            if partition.kind == "log":
+                # pre-images stay internal to the IVM algebra
+                mask = pc.not_equal(change, "update_pre")
+                tbl = tbl.filter(mask)
+                change = change.filter(mask)
+        else:
+            change = None  # constant "insert", built below
+
+        n = tbl.num_rows
+        names = set(tbl.column_names)
+        arrays = [
+            pa.repeat(pa.scalar(partition.version, pa.int64()), n),
+            change
+            if change is not None
+            else pa.repeat(pa.scalar("insert", pa.string()), n),
+        ]
+        for name in self.cols:
+            at = (
+                self.arrow_schema.field(name).type
+                if self.arrow_schema is not None
+                else None
+            )
+            if name in names:
+                col = tbl.column(name)
+                if at is not None and col.type != at:
+                    col = pc.cast(col, at)
+                arrays.append(col)
+            else:
+                # schema-evolution: file predates the column → nulls of
+                # the DECLARED type
+                arrays.append(pa.nulls(n, at if at is not None else pa.null()))
+        out = pa.table(
+            dict(zip(["_version", "_change"] + list(self.cols), arrays))
+        )
+        yield from out.to_batches()
 
 
 class SnapshotCdcDataSource(DataSource):
@@ -248,7 +334,7 @@ class SnapshotCdcDataSource(DataSource):
         return f"`_version` bigint, `_change` string, {cols}"
 
     def streamReader(self, schema) -> SnapshotCdcStreamReader:
-        return SnapshotCdcStreamReader(self.options)
+        return SnapshotCdcStreamReader(self.options, schema)
 
 
 def register(spark) -> None:

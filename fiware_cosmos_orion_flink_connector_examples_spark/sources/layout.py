@@ -766,6 +766,8 @@ def _manifest_copy(m: dict) -> dict:
         out[k] = list(m[k]) if m[k] is not None else None
     for k in ("buckets", "stats", "stats_types", "txn", "bloom", "bloom_meta"):
         out[k] = dict(m[k])
+    out["dv"] = {f: list(v) for f, v in m["dv"].items()}
+    out["dv_rows"] = dict(m["dv_rows"])
     out["changelog"] = list(m["changelog"]) if m["changelog"] else m["changelog"]
     return out
 
@@ -815,6 +817,8 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
     stats_types: dict = {}
     bloom: dict = {}
     bloom_meta: dict = {}
+    dv: dict = {}  # data file -> [position-delete sidecar parquet files]
+    dv_rows: dict = {}  # data file -> live deleted-position count
     seg: dict = {}
     for rel in doc.get("segments", []):
         seg = json.loads(_read_small(spark, f"{base}/{rel}"))
@@ -822,13 +826,27 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
             files.clear()
             stats.clear()
             bloom.clear()
+            dv.clear()
+            dv_rows.clear()
         rb = set(seg.get("remove_buckets", []))
         if rb:
             files = {f: b for f, b in files.items() if b not in rb}
             stats = {f: s for f, s in stats.items() if f in files}
             bloom = {f: s for f, s in bloom.items() if f in files}
+            # a rewritten file's deletion vectors die with it — the
+            # rewrite materialized them (COW merge of a DV'd bucket,
+            # compaction)
+            dv = {f: v for f, v in dv.items() if f in files}
+            dv_rows = {f: n for f, n in dv_rows.items() if f in files}
         for f in seg.get("add", []):
             files[f] = (seg.get("buckets") or {}).get(f)
+        # deletion vectors ACCUMULATE per file across commits (positions
+        # are only ever added; a file's set shrinks only by the file
+        # being rewritten, handled above)
+        for f, sidecars in (seg.get("dv") or {}).items():
+            dv.setdefault(f, []).extend(sidecars)
+        for f, n in (seg.get("dv_rows") or {}).items():
+            dv_rows[f] = dv_rows.get(f, 0) + int(n)
         stats.update(seg.get("stats", {}))
         stats_types.update(seg.get("stats_types", {}))
         bloom.update(seg.get("bloom", {}))
@@ -849,6 +867,8 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
         "changelog": seg.get("changelog"),
         "change_mode": seg.get("change_mode"),
         "last_add": list(seg.get("add", [])),
+        "dv": dv,
+        "dv_rows": dv_rows,
     }
     if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
         _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
@@ -1044,12 +1064,102 @@ def snapshot_latest_version(spark, path: str) -> int:
     return latest
 
 
+# Deletion vectors smaller than this many positions (summed over the
+# files being read) broadcast to the anti-join; bigger sets shuffle.
+# Positions are two thin columns — 4M rows is a few hundred MB tops.
+_DV_BROADCAST_MAX_ROWS = 4_000_000
+
+# merge(mode="auto") writes deletion vectors instead of rewriting when
+# the matched keys are under this fraction of the rewrite files' rows
+_DV_AUTO_MAX_FRACTION = 0.2
+
+
+def _dv_files_for(manifest: dict, files) -> list[str]:
+    """The position-delete sidecar files covering any of ``files`` —
+    empty when none of them carries deletes (the common case reads
+    with ZERO deletion-vector overhead)."""
+    dv = manifest.get("dv") or {}
+    out: set = set()
+    for f in files:
+        out.update(dv.get(f, ()))
+    return sorted(out)
+
+
+def snapshot_read_files(
+    spark,
+    manifest: dict,
+    files: list[str],
+    schema=None,
+    with_positions: bool = False,
+) -> DataFrame:
+    """Read a SUBSET of a resolved manifest's data files with the
+    table's DELETION VECTORS applied — the one reader every scan path
+    (full read, stats/bloom-pruned scan, bucket-pruned merge probe,
+    IVM join-side read) funnels through, so merge-on-read deletes are
+    invisible everywhere by construction.
+
+    Mechanics: each data row is identified by (``_metadata.file_path``,
+    ``_metadata.row_index``) — Spark's native per-file row position,
+    the same identity Iceberg position deletes use; live rows are the
+    LEFT ANTI join against the union of the read files' position
+    sidecars.  Only sidecars covering the requested files load (a
+    pruned scan never pays for other files' deletes), the delete side
+    broadcasts below ``_DV_BROADCAST_MAX_ROWS`` (manifest-recorded
+    counts — no extra job), and a table with no deletes returns the
+    plain pruned scan untouched: zero overhead unless DVs exist.
+
+    ``with_positions=True`` keeps the ``_dv_file``/``_dv_pos`` identity
+    columns on the output — the merge path needs them to RECORD new
+    deletion vectors."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    if schema is None:
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not files:
+        df = spark.createDataFrame([], schema)
+        if with_positions:
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias("_dv_file"),
+                F.lit(None).cast("long").alias("_dv_pos"),
+            )
+        return df
+    dvf = _dv_files_for(manifest, files)
+    if not dvf and not with_positions:
+        return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*files).select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    if dvf:
+        dv_rows = sum(
+            (manifest.get("dv_rows") or {}).get(f, 0) for f in files
+        )
+        dead = spark.read.parquet(*dvf).select("_file", "_pos")
+        if dv_rows <= _DV_BROADCAST_MAX_ROWS:
+            dead = F.broadcast(dead)
+        df = df.join(
+            dead,
+            (df["_dv_file"] == dead["_file"]) & (df["_dv_pos"] == dead["_pos"]),
+            "left_anti",
+        )
+    if not with_positions:
+        df = df.drop("_dv_file", "_dv_pos")
+    return df
+
+
 def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
     """Read a snapshot table: the latest committed version, or an
     explicit ``version`` for TIME TRAVEL.  The returned frame reads
     exactly the manifest's immutable resolved file list — concurrent
     commits cannot change what this reader sees (snapshot isolation by
-    construction: data files are never mutated, only superseded)."""
+    construction: data files are never mutated, only superseded).
+    Merge-on-read deletion vectors, when present, are anti-joined away
+    inside ``snapshot_read_files`` — a row whose position is deleted
+    never surfaces, at any version."""
     import json
 
     base = path.rstrip("/")
@@ -1057,13 +1167,11 @@ def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    if not manifest["files"]:
-        return spark.createDataFrame([], schema)
     # the manifest's schema is the table contract for THIS version —
     # reading with it (not inference off one file) makes appended-
     # column evolution work: old files yield NULL for new columns,
     # and time travel to a pre-evolution version shows the old shape
-    return spark.read.schema(schema).parquet(*manifest["files"])
+    return snapshot_read_files(spark, manifest, manifest["files"], schema)
 
 
 def compact_metadata(spark, path: str) -> int:
@@ -1147,7 +1255,12 @@ def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> dict:
             # retained manifest replays through
             doc = json.loads(_read_small(spark, mp))
             live_segments.update(doc.get("segments", []))
-            live_files.update(snapshot_manifest(spark, base, v)["files"])
+            res_v = snapshot_manifest(spark, base, v)
+            live_files.update(res_v["files"])
+            # deletion-vector sidecars stay reachable as long as any
+            # retained version's resolved state references them
+            for sidecars in res_v["dv"].values():
+                live_files.update(sidecars)
         else:
             fs.delete(jvm.org.apache.hadoop.fs.Path(mp), False)
             dropped_manifests += 1
@@ -1196,7 +1309,7 @@ def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> dict:
                 fs.delete(st.getPath(), False)
                 deleted += 1
 
-    for sub in ("data", "changes"):
+    for sub in ("data", "changes", "dv"):
         sub_root = jvm.org.apache.hadoop.fs.Path(f"{base}/{sub}")
         if not fs.exists(sub_root):
             continue
@@ -1438,6 +1551,8 @@ def snapshot_merge(
     change_log: bool = True,
     _txn_update: dict | None = None,
     expected_version: int | None = None,
+    mode: str = "cow",
+    mor_max_fraction: float = _DV_AUTO_MAX_FRACTION,
 ) -> int:
     """MERGE INTO a keyed snapshot table with FULL-TABLE atomicity:
     matched keys replaced, new keys inserted, and only the buckets
@@ -1480,6 +1595,36 @@ def snapshot_merge(
     ``snapshot_commit`` does (the streaming MERGE sink rides it); the
     superseded manifest's ``txn`` map is always carried forward.
 
+    ``mode`` picks the write strategy for MATCHED keys (round 17 —
+    merge-on-read, the Delta deletion-vector / Iceberg position-delete
+    analog):
+
+    - ``"cow"`` (default): copy-on-write — matched buckets rewrite in
+      full, exactly as before.
+    - ``"mor"``: merge-on-read — matched keys' OLD rows are recorded
+      as per-file POSITION-DELETE sidecars (``dv/v<N>-…/`` parquet of
+      (_file, _pos), referenced from the segment) and the batch's
+      surviving rows append as new files; NO data file is rewritten.
+      A 1-row update to a 1 GB bucket writes one tiny sidecar plus one
+      tiny data file — the write-amplification fix for scattered-key
+      delete/update traffic (GDPR deletes, dedup tombstones) at 100 TB.
+      Every reader (``snapshot_read``, scans, lookups, IVM probes)
+      anti-joins live positions via ``snapshot_read_files``;
+      ``compact_files`` materializes DVs away (its rewrite drops them).
+      Read cost until then: the anti-join against O(deleted positions).
+    - ``"auto"``: per-merge choice, decided from EXACT row counts the
+      probe scan already produces — MOR when matched keys are under
+      ``mor_max_fraction`` of the matched buckets' live rows, COW
+      otherwise (a backfill that touches most rows should rewrite and
+      keep reads clean; a needle update should not rewrite gigabytes).
+
+    Changelog, schema evolution, stats/bloom maintenance, transaction
+    watermarks, and the conflict guard behave IDENTICALLY in all
+    modes — a MOR commit's changelog records the same exact
+    insert/update/delete rows, so CDC consumers and incremental views
+    cannot tell the difference (pytest-pinned hash-equal to the COW
+    path on the same op stream).
+
     ``expected_version`` pins the read-modify-write unit for callers
     whose ``updates`` were COMPUTED FROM a specific table version
     (read-current-rows → combine → merge): if the latest version is no
@@ -1493,6 +1638,8 @@ def snapshot_merge(
     import json
     import uuid
 
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"snapshot_merge: unknown mode {mode!r}")
     base = path.rstrip("/")
     jvm, fs = _fs(spark, base)
     resolved = snapshot_manifest(spark, base)
@@ -1604,50 +1751,102 @@ def snapshot_merge(
     # accumulate files per bucket; compact_files restores one file set
     # per bucket (the Iceberg minor-compaction lifecycle).
     probe_cols = [key_col] + ([bucket_col] if bucket_col else [])
-    existing_probe = (
-        spark.read.schema(tbl_schema).parquet(*probe_files).select(*probe_cols)
-        if probe_files
-        else spark.createDataFrame([], tbl_schema).select(*probe_cols)
+    # DV-aware probe (round 17): a key whose every stored row is
+    # position-deleted is NOT a match — it re-inserts.  Tables without
+    # DVs read exactly as before inside snapshot_read_files.
+    existing_probe = snapshot_read_files(
+        spark, resolved, probe_files, tbl_schema
+    ).select(*probe_cols)
+    # per-STORED-bucket (live rows, matched rows) in ONE thin-column
+    # aggregation — match detection for every mode, plus the exact
+    # numbers mode="auto" decides with (bounded by n_buckets)
+    stored_b = (
+        F.col(bucket_col).cast("int")
+        if bucket_col
+        else F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
     )
-    if bucket_col:
-        # matched = the STORED cells of the batch's keys (where the old
-        # rows live — possibly different from the batch's new cells)
-        matched = sorted(
-            r["_mb"]
-            for r in existing_probe.join(upd.select(key_col), key_col, "semi")
-            .select(F.col(bucket_col).cast("int").alias("_mb"))
-            .distinct()
-            .collect()
+    probe_rows = (
+        existing_probe.withColumn("_pb", stored_b)
+        .join(
+            updates.select(F.col(key_col), F.lit(1).alias("_mk")).distinct(),
+            key_col,
+            "left_outer",
         )
-    else:
-        matched = sorted(
-            r["_bucket"]
-            for r in upd.join(existing_probe, key_col, "semi")
-            .select("_bucket")
-            .distinct()
-            .collect()
-        )  # bounded by n_buckets — a layout constant
+        .groupBy("_pb")
+        .agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.sum(F.coalesce(F.col("_mk"), F.lit(0))).alias("_matched"),
+        )
+        .collect()
+    )
+    matched = sorted(r["_pb"] for r in probe_rows if r["_matched"] > 0)
     mset = set(matched)
     rewrite_files = [f for f in probe_files if buckets.get(f) in mset]
+    if mode == "auto":
+        m_rows = sum(r["_matched"] for r in probe_rows if r["_pb"] in mset)
+        b_rows = sum(r["_rows"] for r in probe_rows if r["_pb"] in mset)
+        use_mor = bool(b_rows) and m_rows < mor_max_fraction * b_rows
+    else:
+        use_mor = mode == "mor"
     # matched-bucket rows are ALSO the only possible `_old` rows for
     # the change log: a key that exists anywhere lives in a matched
-    # bucket by definition, so keys outside read as inserts correctly
-    existing = (
-        spark.read.schema(tbl_schema).parquet(*rewrite_files)
-        if rewrite_files
-        else spark.createDataFrame([], tbl_schema)
+    # bucket by definition, so keys outside read as inserts correctly.
+    # Read LIVE rows (prior deletion vectors applied), with positions
+    # retained when this merge will record new ones.
+    existing_pos = snapshot_read_files(
+        spark, resolved, rewrite_files, tbl_schema, with_positions=True
     )
-    merged = existing.join(keys, key_col, "left_anti").unionByName(survivors)
-    merged = merged.withColumn("_bucket", bucket_expr)
+    existing = existing_pos.drop("_dv_file", "_dv_pos")
     new_version = cur + 1
     data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
+    if use_mor:
+        # MERGE-ON-READ: record matched keys' old positions as delete
+        # sidecars; append ONLY the batch's rows — no bucket rewrite
+        dv_dir = f"{base}/dv/v{new_version}-{uuid.uuid4().hex[:8]}"
+        pos = existing_pos.join(keys, key_col, "semi").select(
+            F.col("_dv_file").alias("_file"), F.col("_dv_pos").alias("_pos")
+        )
+        pos.coalesce(1).write.parquet(dv_dir)
+        dv_files = sorted(
+            f
+            for f in (
+                st.getPath().toString()
+                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(dv_dir))
+            )
+            if f.rsplit("/", 1)[-1].startswith("part-")
+        )
+        # per-data-file position counts: bounded by touched buckets'
+        # file count, and the broadcast-gate metadata readers need
+        pos_counts = (
+            {
+                r["_file"]: r["_n"]
+                for r in spark.read.parquet(*dv_files)
+                .groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            }
+            if dv_files
+            else {}
+        )
+        merged = survivors.withColumn("_bucket", bucket_expr)
+    else:
+        # COPY-ON-WRITE: matched buckets rewrite from their LIVE rows
+        # (prior deletion vectors materialize away — replay drops a
+        # removed file's DV entries with the file)
+        merged = existing.join(keys, key_col, "left_anti").unionByName(
+            survivors
+        )
+        merged = merged.withColumn("_bucket", bucket_expr)
     merged.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(data_dir)
     new_files, new_buckets = _list_bucket_files(jvm, fs, data_dir)
     seg: dict = {
         "add": sorted(new_files),
         "buckets": new_buckets,
-        "remove_buckets": matched,
+        "remove_buckets": [] if use_mor else matched,
     }
+    if use_mor and pos_counts:
+        seg["dv"] = {f: dv_files for f in sorted(pos_counts)}
+        seg["dv_rows"] = {f: int(n) for f, n in pos_counts.items()}
     if resolved["stats_types"]:
         # the table records file-skipping stats — keep them alive on
         # every rewritten bucket (untouched files' stats carry by
@@ -1868,9 +2067,10 @@ def snapshot_scan_multi(
     # bind the MANIFEST schema, exactly as snapshot_read does: after
     # schema evolution a kept pre-evolution file may sort first, and
     # footer inference off it would drop the evolved column the
-    # predicate names (review finding, round 11)
+    # predicate names (review finding, round 11); deletion vectors of
+    # the KEPT files (only) anti-join inside snapshot_read_files
     return (
-        spark.read.schema(schema).parquet(*keep).filter(pred),
+        snapshot_read_files(spark, manifest, keep, schema).filter(pred),
         len(keep),
         len(manifest["files"]),
     )
@@ -1917,7 +2117,7 @@ def snapshot_point_lookup(
             len(manifest["files"]),
         )
     return (
-        spark.read.schema(schema).parquet(*keep).filter(pred),
+        snapshot_read_files(spark, manifest, keep, schema).filter(pred),
         len(keep),
         len(manifest["files"]),
     )
@@ -2596,11 +2796,10 @@ def compact_files(
     schema = StructType.fromJson(json.loads(resolved["schema"]))
     new_version = resolved["version"] + 1
     data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
-    df = (
-        spark.read.schema(schema).parquet(*resolved["files"])
-        if resolved["files"]
-        else spark.createDataFrame([], schema)
-    )
+    # LIVE rows only: the compaction rewrite MATERIALIZES deletion
+    # vectors away (position-deleted rows are dropped here; the
+    # truncate-and-readd segment clears every DV entry in replay)
+    df = snapshot_read_files(spark, resolved, resolved["files"], schema)
     keyed = resolved["keyed"]
     seg: dict = {"truncate": True, "change_mode": "none"}
     if zorder_by:
@@ -2728,6 +2927,112 @@ def compact_files(
     return new_version
 
 
+def snapshot_restore(spark, path: str, version: int) -> int:
+    """ROLL BACK a snapshot table to an earlier version — as a NEW
+    commit that re-pins version ``version``'s resolved file list (the
+    Delta RESTORE / Iceberg rollback-to-snapshot verb, round 17).  No
+    data is copied or rewritten: the new commit's one segment
+    truncates-and-readds the target version's files, buckets, stats,
+    bloom sidecars, and deletion vectors, so the restore is a
+    METADATA-ONLY operation of O(target version's file count) — the
+    recovery path after a bad write that previously meant hand-editing
+    manifests.
+
+    Contracts, stated:
+
+    - **History is preserved**: the bad version(s) remain reachable by
+      time travel until ``vacuum_snapshots`` expires them, and the
+      restore itself is just another version (a restore can be
+      restored away).
+    - **Vacuum-safe**: the target version must still be retained;
+      restoring a vacuumed version raises (its files are gone).  After
+      the restore, the re-pinned files are referenced by the LATEST
+      manifest, so future vacuums keep them regardless of the old
+      manifest's fate.
+    - **Schema rolls back too**: the committed schema is the target
+      version's (a restore across a schema evolution un-evolves —
+      same as Delta RESTORE).
+    - **CDC raises across it** (documented choice): the restore
+      segment carries ``change_mode="truncate"``, so
+      ``snapshot_changes_feed`` / the ``snapshot_cdc`` stream raise
+      their re-bootstrap signal rather than inventing a row-level diff
+      — a consumer that replayed the undone commits must reset, not
+      silently double-count.
+    - **Transaction watermarks carry FORWARD from the current
+      version** (not the target's): a streaming sink's already-applied
+      batch ids stay applied, so a crashed sink cannot re-append
+      batches the restore deliberately undid.  To re-ingest, rewind
+      the app's own cursor (``snapshot_tail_rewind``) explicitly.
+
+    Returns the new version number."""
+    base = path.rstrip("/")
+    latest = snapshot_latest_version(spark, base)
+    if latest <= 0:
+        raise ValueError(f"snapshot_restore: no committed table at {path}")
+    if not (1 <= version <= latest):
+        raise ValueError(
+            f"snapshot_restore: version {version} out of range (latest is "
+            f"{latest})"
+        )
+    target = snapshot_manifest(spark, base, version)  # raises if vacuumed
+    current = snapshot_manifest(spark, base, latest)
+    new_version = latest + 1
+    seg: dict = {
+        "truncate": True,
+        "add": list(target["files"]),
+        "change_mode": "truncate",
+        "restore_of": int(version),
+    }
+    if target["buckets"]:
+        seg["buckets"] = dict(target["buckets"])
+    if target["stats"]:
+        seg["stats"] = dict(target["stats"])
+    if target["stats_types"]:
+        seg["stats_types"] = dict(target["stats_types"])
+    if target["bloom"]:
+        seg["bloom"] = dict(target["bloom"])
+    if target["bloom_meta"]:
+        seg["bloom_meta"] = dict(target["bloom_meta"])
+    if target["dv"]:
+        seg["dv"] = {f: list(v) for f, v in target["dv"].items()}
+        seg["dv_rows"] = dict(target["dv_rows"])
+    rel = _write_segment(spark, base, new_version, seg)
+    manifest = {
+        "format": 2,
+        "version": new_version,
+        "mode": "restore",
+        "schema": target["schema"],
+        "segments": [rel],
+    }
+    if target["keyed"]:
+        # the TARGET's keyed contract: the re-pinned files are laid out
+        # under it (a restore across a bucket rescale un-rescales)
+        manifest["keyed"] = target["keyed"]
+    if current["txn"]:
+        manifest["txn"] = dict(current["txn"])
+    _commit_manifest(spark, base, new_version, manifest)
+    return new_version
+
+
+def catalog_restore(spark, path: str, version: int) -> int:
+    """Catalog-level rollback: re-publish catalog root ``version``'s
+    member pins as a NEW root version — one atomic rename restores the
+    whole pipeline's coherent cross-table state (member tables keep
+    their full histories; only the pins move).  The pinned member
+    versions must still be retained (``catalog_vacuum`` protects
+    everything a retained root pins, so restore within the retention
+    window always works).  Returns the new root version."""
+    cat = catalog_resolve(spark, path, version)
+    return catalog_commit(
+        spark,
+        path,
+        {
+            name: (t["path"], t["version"], t["kind"])
+            for name, t in cat["tables"].items()
+        },
+    )
+
+
 def maintenance_report(
     spark,
     path: str,
@@ -2811,6 +3116,18 @@ def maintenance_report(
         v < 1.0 for v in bloom_cov.values()
     ):
         recs.append("compact_files(refresh skipping metadata)")
+    # deletion-vector health (round 17): heavy DV accumulation means
+    # every read pays the anti-join — compaction materializes them away
+    dv_rows_total = int(sum(resolved["dv_rows"].values()))
+    n_dv_files = len(resolved["dv"])
+    if dv_rows_total and n_files and n_dv_files / n_files > 0.25:
+        recs.append("compact_files(materialize deletion vectors)")
+    # a table whose latest commit is a restore target candidate: the
+    # advisor's recovery verb is snapshot_restore(path, version) — a
+    # metadata-only rollback (no data copy); surfaced here so operators
+    # discover it (VERDICT r16 #2)
+    if resolved["mode"] == "restore":
+        recs.append("table is a restore — vacuum when history settles")
     return {
         "version": resolved["version"],
         "n_files": n_files,
@@ -2824,6 +3141,9 @@ def maintenance_report(
         ),
         "stats_coverage": stats_cov,
         "bloom_coverage": bloom_cov,
+        "n_dv_files": n_dv_files,
+        "dv_rows_total": dv_rows_total,
+        "rollback": "snapshot_restore(path, version)",
         "recommendations": recs,
     }
 

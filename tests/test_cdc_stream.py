@@ -212,3 +212,84 @@ def test_hostile_table_path_space_plus_percent(spark, tmp_path):
     got = _drain(spark, p, str(tmp_path / "ck"), "cdc_hostile")
     assert got == {(1, "insert", 1, "a", 5), (2, "update", 1, "a", 9),
                    (2, "insert", 2, "b", 3)}
+
+
+def test_unkeyed_table_bootstraps_from_v1(spark, tmp_path):
+    """ADVICE r16: a table CREATED via plain snapshot_commit overwrite
+    records change_mode='truncate' at v1 — the documented 'version 1
+    streams as inserts' bootstrap must cover that shape too, plus
+    subsequent appends as insert commits."""
+    p = str(tmp_path / "unkeyed")
+    layout.snapshot_commit(
+        spark, _kv(spark, [(1, "a", 5), (2, "b", 7)]), p, mode="overwrite"
+    )
+    layout.snapshot_commit(
+        spark, _kv(spark, [(3, "c", 2)]), p, mode="append"
+    )
+    got = _drain(spark, p, str(tmp_path / "ck"), "cdc_unkeyed")
+    assert got == {(1, "insert", 1, "a", 5), (1, "insert", 2, "b", 7),
+                   (2, "insert", 3, "c", 2)}
+
+
+def test_backlog_drain_across_schema_evolution(spark, tmp_path):
+    """ADVICE r16: the declared stream schema is the LATEST manifest's;
+    a drain whose backlog spans a schema evolution must serve EVERY
+    commit through that one schema — pre-evolution changelog files
+    None-fill the later-added column instead of emitting short tuples."""
+    p = str(tmp_path / "evo")
+    layout.snapshot_write_keyed(
+        spark, _kv(spark, [(1, "a", 5), (2, "b", 7)]), p, "k"
+    )
+    # v2: pre-evolution merge (old 3-column schema)
+    layout.snapshot_merge(
+        spark, p, _kv(spark, [(2, "b", 9, False)], UPD),
+        "k", delete_col="_del",
+    )
+    # v3: evolution merge ADDS a column
+    layout.snapshot_merge(
+        spark, p,
+        spark.createDataFrame(
+            [(3, "c", 1, "note", False)],
+            "k long, g string, x long, extra string, _del boolean",
+        ),
+        "k", delete_col="_del",
+    )
+    # the whole backlog (v1 bootstrap + v2 old-schema log + v3 new-schema
+    # log) drains in ONE stream whose schema has `extra`
+    got = _drain(spark, p, str(tmp_path / "ck"), "cdc_evo")
+    assert got == {
+        (1, "insert", 1, "a", 5, None),
+        (1, "insert", 2, "b", 7, None),
+        (2, "update", 2, "b", 9, None),
+        (3, "insert", 3, "c", 1, "note"),
+    }
+
+
+def test_read_yields_record_batches(spark, tmp_path, table):
+    """The executor read path is VECTORIZED: read(partition) yields
+    pyarrow.RecordBatch objects (not per-row tuples), with the
+    pre-image filter applied arrow-side and columns matching the
+    declared (_version, _change, *table) schema."""
+    import pyarrow as pa
+
+    reader = cdc_stream.SnapshotCdcStreamReader(
+        {"path": table},
+        __import__("pyspark.sql.types", fromlist=["StructType"]).StructType.fromDDL(
+            cdc_stream.SnapshotCdcDataSource(
+                {"path": table}
+            ).schema()
+        ),
+    )
+    parts = reader.partitions({"version": 0}, {"version": reader.latestOffset()["version"]})
+    assert parts, "expected at least one partition"
+    rows = []
+    for part in parts:
+        for batch in reader.read(part):
+            assert isinstance(batch, pa.RecordBatch)
+            assert batch.schema.names[:2] == ["_version", "_change"]
+            rows.extend(batch.to_pylist())
+    assert not any(r["_change"] == "update_pre" for r in rows)
+    # parity with the driver-level drain
+    got = {(r["_version"], r["_change"], r["k"], r["g"], r["x"]) for r in rows}
+    expect = _drain(spark, table, str(tmp_path / "ck"), "cdc_vec")
+    assert got == expect
