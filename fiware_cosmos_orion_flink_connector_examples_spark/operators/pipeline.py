@@ -153,7 +153,7 @@ def join_view_leg(
     path: str,
     a: str,
     b: str,
-    join_col: str,
+    join_col: str | list[str],
     group_cols: list[str],
     sum_cols: list[str],
     how: str = "inner",
@@ -162,7 +162,9 @@ def join_view_leg(
 ) -> dict:
     """An incremental JOIN view over members ``a`` and ``b`` (either
     may be a view leg — the cascade case).  ``how`` ∈ {inner, left,
-    right, full}."""
+    right, full}.  ``join_col`` is one column or a list (COMPOSITE
+    equi-join key, round 17) — passed through to ``join_view_create``
+    / ``join_view_sync`` verbatim."""
     return {
         "kind": "join_view",
         "name": name,

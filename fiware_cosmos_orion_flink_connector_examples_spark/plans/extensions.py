@@ -9717,3 +9717,478 @@ def cdc_stream_source_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "_version bigint, _change string, k bigint, pc bigint"
     )
+
+
+@register(
+    "snapshot_mor_capstone",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+               FROM orders WHERE o_orderkey % 4 = 2),
+    final AS (
+      SELECT k,
+             CASE WHEN k % 10 = 4 THEN pc + 222 ELSE pc END AS pc
+      FROM o WHERE k % 10 != 8
+      UNION ALL
+      SELECT k + 1000000000, CAST(555 AS BIGINT) FROM o WHERE k % 200 = 102
+    )
+    SELECT (SELECT count(*) FROM final)            AS n_rows,
+           CAST(coalesce((SELECT sum(pc) FROM final), 0) AS BIGINT) AS sum_price_c,
+           (SELECT count(*) FROM o WHERE k % 10 = 4) * 2
+             + (SELECT count(*) FROM o WHERE k % 10 = 8)
+             + (SELECT count(*) FROM o WHERE k % 200 = 2) AS dv_positions,
+           TRUE AS v1_files_retained,
+           TRUE AS v2_files_retained
+    """,
+    doc="[ext] MERGE-ON-READ capstone (round 17, VERDICT r16 #1): the "
+    "snapshot_upsert op-stream shape (two merge commits of updates + "
+    "deletes + inserts derived arithmetically from o_orderkey) applied "
+    "with mode='mor' — matched keys' old rows become per-file POSITION "
+    "DELETE sidecars (layout.snapshot_merge mor branch), NO bucket is "
+    "ever rewritten, and the final table read back through the "
+    "DV-anti-joining snapshot_read must hash-equal DuckDB's "
+    "reconstruction of the same op stream (the COW-equivalence proof). "
+    "The row also hash-proves the DV accounting (total recorded "
+    "positions = matched rows per commit, recomputed by DuckDB from "
+    "`orders` alone) and the write-amplification envelope as "
+    "oracle-asserted booleans: every v1 AND v2 data file is still live "
+    "in the final manifest — a 1-row update to a 1 GB bucket writes a "
+    "tiny sidecar, not a gigabyte (the binding 100 TB cost for "
+    "scattered-key GDPR-delete / dedup-tombstone traffic).  Scale "
+    "shape: merge cost O(batch + matched-bucket probe read), read "
+    "overhead one anti-join against O(deleted positions) that "
+    "broadcasts below 4M rows and disappears entirely once "
+    "compact_files materializes the DVs.",
+    tags=("ext", "storage", "snapshot", "merge", "mor", "dv", "envelope"),
+)
+def snapshot_mor_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+
+    def build(root: str) -> None:
+        path = f"{root}/t"
+        layout.snapshot_write_keyed(spark, base, path, "k", n_buckets=8)
+        upd2 = (
+            base.filter(F.col("k") % 10 == 4)
+            .select("k", (F.col("pc") + 111).alias("pc"), F.lit(False).alias("_del"))
+            .unionByName(
+                base.filter(F.col("k") % 10 == 8).select(
+                    "k", F.lit(None).cast("long").alias("pc"), F.lit(True).alias("_del")
+                )
+            )
+            .unionByName(
+                base.filter(F.col("k") % 100 == 2).select(
+                    (F.col("k") + F.lit(1_000_000_000)).alias("k"),
+                    F.lit(555).cast("long").alias("pc"),
+                    F.lit(False).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, path, upd2, "k", delete_col="_del", mode="mor")
+        upd3 = (
+            base.filter(F.col("k") % 10 == 4)
+            .select("k", (F.col("pc") + 222).alias("pc"), F.lit(False).alias("_del"))
+            .unionByName(
+                base.filter(F.col("k") % 200 == 2).select(
+                    (F.col("k") + F.lit(1_000_000_000)).alias("k"),
+                    F.lit(None).cast("long").alias("pc"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, path, upd3, "k", delete_col="_del", mode="mor")
+
+    path = _capstone_cache(
+        "snapshot_mor", _sf_print(spark, sf_dir, "orders"), build
+    ) + "/t"
+    fin = layout.snapshot_read(spark, path).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pc").alias("s")
+    ).collect()[0]
+    m = layout.snapshot_manifest(spark, path)
+    final_files = set(m["files"])
+    v1_kept = set(layout.snapshot_manifest(spark, path, 1)["files"]) <= final_files
+    v2_kept = set(layout.snapshot_manifest(spark, path, 2)["files"]) <= final_files
+    dv_positions = int(sum(m["dv_rows"].values()))
+    return spark.createDataFrame(
+        [(
+            int(fin["n"]),
+            int(fin["s"] or 0),
+            dv_positions,
+            bool(v1_kept),
+            bool(v2_kept),
+        )],
+        "n_rows bigint, sum_price_c bigint, dv_positions bigint, "
+        "v1_files_retained boolean, v2_files_retained boolean",
+    )
+
+
+@register(
+    "snapshot_restore_capstone",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+               FROM orders WHERE o_orderkey % 4 = 3)
+    SELECT (SELECT count(*) FROM o) AS n_rows,
+           CAST((SELECT sum(CASE WHEN k % 10 = 5 THEN pc + 77 ELSE pc END)
+                 FROM o) AS BIGINT) AS sum_price_c,
+           TRUE AS bad_version_differs,
+           TRUE AS restore_equals_target,
+           TRUE AS feed_raises_across_restore
+    """,
+    doc="[ext] RESTORE/ROLLBACK capstone (round 17, VERDICT r16 #2): "
+    "write orders as a keyed snapshot table, apply a good merge (v2), "
+    "a BAD merge corrupting every price (v3), then "
+    "layout.snapshot_restore(path, 2) — a METADATA-ONLY new commit "
+    "(v4) re-pinning v2's file list, no data copied.  The final read "
+    "must hash-equal DuckDB's independent reconstruction of the v2 "
+    "state from `orders` alone (restore-then-query ≡ querying v_N — "
+    "the driver row VERDICT r16 asked for), with oracle-asserted "
+    "booleans proving the contracts: the bad version still serves by "
+    "time travel (history preserved until vacuum), the restored head "
+    "row-equals the target version, and the CDC feed RAISES across "
+    "the restore (change_mode='truncate' — consumers re-bootstrap "
+    "rather than silently double-count undone commits).  Scale shape: "
+    "restore cost is O(target version's file count) metadata writes — "
+    "recovering a 100 TB table from a bad write costs the same as "
+    "recovering a 100 MB one.",
+    tags=("ext", "storage", "snapshot", "restore", "envelope"),
+)
+def snapshot_restore_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 == 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+
+    def build(root: str) -> None:
+        path = f"{root}/t"
+        layout.snapshot_write_keyed(spark, base, path, "k", n_buckets=8)
+        upd2 = base.filter(F.col("k") % 10 == 5).select(
+            "k", (F.col("pc") + 77).alias("pc"), F.lit(False).alias("_del")
+        )
+        layout.snapshot_merge(spark, path, upd2, "k", delete_col="_del")
+        bad = base.select("k", F.lit(-1).cast("long").alias("pc"))
+        layout.snapshot_merge(spark, path, bad, "k")
+        layout.snapshot_restore(spark, path, 2)
+
+    path = _capstone_cache(
+        "snapshot_restore", _sf_print(spark, sf_dir, "orders"), build
+    ) + "/t"
+    fin = layout.snapshot_read(spark, path).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pc").alias("s")
+    ).collect()[0]
+    bad_sum = layout.snapshot_read(spark, path, 3).agg(
+        F.sum("pc").alias("s")
+    ).collect()[0]["s"]
+    tgt = layout.snapshot_read(spark, path, 2).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pc").alias("s")
+    ).collect()[0]
+    restore_eq = (int(fin["n"]), int(fin["s"] or 0)) == (
+        int(tgt["n"]), int(tgt["s"] or 0)
+    )
+    try:
+        layout.snapshot_changes_feed(spark, path, 3, 4)
+        feed_raises = False
+    except layout.SnapshotTruncateInFeed:
+        feed_raises = True
+    return spark.createDataFrame(
+        [(
+            int(fin["n"]),
+            int(fin["s"] or 0),
+            bool(int(bad_sum or 0) != int(fin["s"] or 0)),
+            bool(restore_eq),
+            bool(feed_raises),
+        )],
+        "n_rows bigint, sum_price_c bigint, bad_version_differs boolean, "
+        "restore_equals_target boolean, feed_raises_across_restore boolean",
+    )
+
+
+def _composite_join_state(spark: SparkSession, sf_dir: str) -> str:
+    """Shared round-17 fixture: a COMPOSITE-KEY incremental join
+    (orders facts ⋈ customer dims ON (j1, j2), where j1 = custkey//50
+    and j2 = custkey%50 — a genuine two-column equi-join key) with TWO
+    maintained views off the same sources:
+
+    * ``view_agg``  — grouped by [seg], sums [pc] (the composite-key
+      capstone reads this);
+    * ``view_pair`` — grouped by [seg, v] with v = pc % 97: PAIR-VIEW
+      state over the JOINED frame (the pair-readers capstone reads
+      this through distinct/extremes/top-k/quantile readers).
+
+    Facts are keyed by their own PK and compacted sorted-by-j1 with
+    min/max stats on j1 + Bloom sidecars on j2, so the dims-delta sync
+    reads the fact side through ``_pruned_join_side``'s per-component
+    ANDed tier-2 pruning.  Churn: one facts merge (price bumps that
+    MOVE v, deletes) and one dims merge (segment moves + deletes over
+    the contiguous custkey band <= 60 → j1 ∈ {0, 1}), then ONE sync
+    spanning both sides' commits."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.expr("o_custkey div 50").cast("long").alias("j1"),
+            F.pmod(F.col("o_custkey"), F.lit(50)).cast("long").alias("j2"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+        )
+        .withColumn("v", F.pmod(F.col("pc"), F.lit(97)))
+    )
+    dims = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 1)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.expr("c_custkey div 50").cast("long").alias("j1"),
+            F.pmod(F.col("c_custkey"), F.lit(50)).cast("long").alias("j2"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    jc = ["j1", "j2"]
+
+    def build(path: str) -> None:
+        a, b = f"{path}/facts", f"{path}/dims"
+        layout.snapshot_write_keyed(spark, facts, a, "k", n_buckets=2)
+        n = facts.count()
+        layout.compact_files(
+            spark, a, sort_by="j1", stats_cols=["j1"], bloom_cols=["j2"],
+            max_records_per_file=max(32, n // 16),
+        )
+        layout.snapshot_write_keyed(spark, dims, b, "ck", n_buckets=2)
+        ivm.join_view_create(
+            spark, a, b, f"{path}/view_agg", jc, ["seg"], ["pc"], n_buckets=2
+        )
+        ivm.join_view_create(
+            spark, a, b, f"{path}/view_pair", jc, ["seg", "v"], [],
+            txn_app="pair-view", n_buckets=2,
+        )
+        upd_a = (
+            facts.filter((F.col("k") % 9 == 1) & (F.col("k") % 7 != 2))
+            .select(
+                "k", "j1", "j2", (F.col("pc") + 5).alias("pc"),
+                F.pmod(F.col("pc") + 5, F.lit(97)).alias("v"),
+                F.lit(False).alias("_del"),
+            )
+            .unionByName(
+                facts.filter(F.col("k") % 7 == 2).select(
+                    "k",
+                    F.lit(None).cast("long").alias("j1"),
+                    F.lit(None).cast("long").alias("j2"),
+                    F.lit(None).cast("long").alias("pc"),
+                    F.lit(None).cast("long").alias("v"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, a, upd_a, "k", delete_col="_del")
+        # the COW merge rewrote its buckets as one unsorted file each —
+        # re-compact to restore j1 clustering + per-file skipping
+        # metadata (the documented merge-heavy lifecycle; the
+        # change_mode='none' commit is span-transparent to the views)
+        layout.compact_files(
+            spark, a, sort_by="j1", stats_cols=["j1"], bloom_cols=["j2"],
+            max_records_per_file=max(32, n // 16),
+        )
+        band = F.col("ck") <= 60
+        upd_b = (
+            dims.filter(band & (F.col("ck") % 2 == 1))
+            .select(
+                "ck", "j1", "j2", F.lit("MOVED").alias("seg"),
+                F.lit(False).alias("_del"),
+            )
+            .unionByName(
+                dims.filter(band & (F.col("ck") % 2 == 0)).select(
+                    "ck",
+                    F.lit(None).cast("long").alias("j1"),
+                    F.lit(None).cast("long").alias("j2"),
+                    F.lit(None).cast("string").alias("seg"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        )
+        layout.snapshot_merge(spark, b, upd_b, "ck", delete_col="_del")
+        ivm.join_view_sync(spark, a, b, f"{path}/view_agg", jc, ["seg"], ["pc"])
+        ivm.join_view_sync(
+            spark, a, b, f"{path}/view_pair", jc, ["seg", "v"], [],
+            txn_app="pair-view",
+        )
+
+    return _capstone_cache(
+        "composite_join", _sf_print(spark, sf_dir, "orders", "customer"), build
+    )
+
+
+# Final-state CTEs shared by both round-17 join capsule oracles: the
+# churned facts (price bumps move v, k%7==2 deleted) and churned dims
+# (band ck<=60: odd → MOVED, even → deleted), joined on the COMPOSITE
+# key — DuckDB reconstructs everything from orders+customer alone.
+_COMPOSITE_JOIN_CTES = """
+    f0 AS (SELECT o_orderkey AS k, o_custkey // 50 AS j1,
+                  o_custkey % 50 AS j2,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+           FROM orders WHERE o_orderkey % 4 = 1),
+    f1 AS (SELECT k, j1, j2,
+                  CASE WHEN k % 9 = 1 THEN pc + 5 ELSE pc END AS pc
+           FROM f0 WHERE k % 7 != 2),
+    f AS (SELECT k, j1, j2, pc, pc % 97 AS v FROM f1),
+    d0 AS (SELECT c_custkey AS ck, c_custkey // 50 AS j1,
+                  c_custkey % 50 AS j2, c_mktsegment AS seg
+           FROM customer WHERE c_custkey % 3 = 1),
+    d AS (SELECT j1, j2,
+                 CASE WHEN ck <= 60 AND ck % 2 = 1 THEN 'MOVED'
+                      ELSE seg END AS seg
+          FROM d0 WHERE NOT (ck <= 60 AND ck % 2 = 0)),
+    j AS (SELECT seg, pc, v
+          FROM f JOIN d ON f.j1 = d.j1 AND f.j2 = d.j2)
+"""
+
+
+@register(
+    "join_view_composite_key_capstone",
+    oracle=f"""
+    WITH {_COMPOSITE_JOIN_CTES}
+    SELECT seg, count(*) AS n_rows, CAST(sum(pc) AS BIGINT) AS sum_pc,
+           TRUE AS composite_pruned
+    FROM j GROUP BY seg ORDER BY seg
+    """,
+    doc="[ext] COMPOSITE-KEY JOIN VIEW capstone (round 17, VERDICT "
+    "r16 #3): an incremental join view over a genuine TWO-COLUMN "
+    "equi-join key (j1, j2) = (custkey//50, custkey%50) — "
+    "join_view_create/sync take the key as a LIST, the delta algebra "
+    "rides tuples, and NULL in any component never matches.  The "
+    "fact side is keyed by its own PK (bucket pruning on the tuple "
+    "impossible), compacted sorted-by-j1 with min/max stats on j1 + "
+    "Bloom sidecars on j2, so the dims-delta sync file-prunes PER "
+    "COMPONENT and intersects (`_pruned_join_side` tiers now "
+    "compose).  One facts merge + one dims merge (contiguous band "
+    "ck<=60 → j1 ∈ {0,1}) churn both sides before ONE sync spans "
+    "them; final per-segment rows recompute independently in DuckDB "
+    "from orders+customer, and the composite_pruned envelope asserts "
+    "the band's component keys keep strictly fewer fact files than "
+    "the manifest holds (the 100 TB shape: a K-key dimension delta "
+    "reads O(K) fact files off natural columns — no pre-concatenated "
+    "surrogate key, which is exactly what broke pruning before).  "
+    "Build-once fixture cache: repeat runs measure the view-serve "
+    "cost.",
+    tags=("ext", "storage", "snapshot", "ivm", "join", "composite", "envelope"),
+)
+def join_view_composite_key_capstone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources import layout
+
+    base = _composite_join_state(spark, sf_dir)
+    # envelope: the churn band's component keys (j1 ∈ {0,1}; j2 = the
+    # band custkeys mod 50) must keep strictly fewer fact files than
+    # the manifest holds — per-component prune, intersected
+    dims_band = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 3 == 1) & (F.col("c_custkey") <= 60))
+    )
+    j1_keys = sorted(
+        r[0]
+        for r in dims_band.select(
+            F.expr("c_custkey div 50").cast("long")
+        ).distinct().collect()
+    )
+    j2_keys = sorted(
+        r[0]
+        for r in dims_band.select(
+            F.pmod(F.col("c_custkey"), F.lit(50)).cast("long")
+        ).distinct().collect()
+    )
+    kept1, total = layout.snapshot_prune_files_for_values(
+        spark, f"{base}/facts", "j1", j1_keys
+    )
+    kept2, _ = layout.snapshot_prune_files_for_values(
+        spark, f"{base}/facts", "j2", j2_keys
+    )
+    kept = set(kept1) & set(kept2)
+    return (
+        ivm.agg_view_read(spark, f"{base}/view_agg")
+        .select(
+            "seg",
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col("sum_pc").cast("long").alias("sum_pc"),
+            F.lit(bool(0 < len(kept) < total)).alias("composite_pruned"),
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
+    "join_pair_readers_capstone",
+    oracle=f"""
+    WITH {_COMPOSITE_JOIN_CTES},
+    g AS (SELECT seg, count(DISTINCT v) AS n_distinct_v,
+                 min(v) AS min_v, max(v) AS max_v,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50_v
+          FROM j GROUP BY seg),
+    r AS (SELECT seg, v AS top2_v FROM (
+            SELECT seg, v,
+                   row_number() OVER (PARTITION BY seg ORDER BY v DESC)
+                     AS rnk
+            FROM (SELECT DISTINCT seg, v FROM j)) t
+          WHERE rnk = 2)
+    SELECT g.seg AS seg, n_distinct_v, min_v, max_v, p50_v, top2_v
+    FROM g LEFT JOIN r ON g.seg = r.seg
+    ORDER BY seg
+    """,
+    doc="[ext] PAIR-VIEW READERS OVER A JOIN VIEW capstone (round 17, "
+    "VERDICT r16 #6): a join view grouped by (seg, v) IS pair-view "
+    "state over the JOINED frame — no new machinery, the insight is "
+    "the reduction — so all four pair readers serve EXACT answers "
+    "over a maintained two-table join: distinct_view_read (exact "
+    "COUNT(DISTINCT v) per segment), extremes_view_read (min/max "
+    "that survive deletes of the current extremum), topk_view_read "
+    "(the rank-2 distinct value), quantile_view_read (row-weighted "
+    "exact PERCENTILE_DISC median over JOINED rows).  The fixture's "
+    "churn moves values (price bumps change v), deletes fact rows, "
+    "re-segments and deletes dimension rows — every case a sketch "
+    "cannot subtract — and DuckDB recomputes every cell from the "
+    "joined reconstruction of orders+customer.  Scale shape: "
+    "maintenance is the standard signed two-source sync (O(changed "
+    "rows × matched rows), component-pruned sides); each reader is "
+    "one pass over O(live (seg, v) pairs), never the join.  The "
+    "fixture is SHARED with join_view_composite_key_capstone — one "
+    "maintained state, five readers across two driver rows.",
+    tags=("ext", "storage", "snapshot", "ivm", "topk", "quantile", "envelope"),
+)
+def join_pair_readers_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import ivm
+
+    base = _composite_join_state(spark, sf_dir)
+    view = f"{base}/view_pair"
+    dist = ivm.distinct_view_read(spark, view, ["seg"], "v").select(
+        "seg", F.col("n_distinct_v").cast("long").alias("n_distinct_v")
+    )
+    ext = ivm.extremes_view_read(spark, view, ["seg"], "v").select(
+        "seg",
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+    )
+    med = ivm.quantile_view_read(spark, view, ["seg"], "v", [0.5]).select(
+        "seg", F.col("p50_v").cast("long").alias("p50_v")
+    )
+    top2 = (
+        ivm.topk_view_read(spark, view, ["seg"], "v", 2)
+        .filter(F.col("rank") == 2)
+        .select("seg", F.col("v").cast("long").alias("top2_v"))
+    )
+    return (
+        dist.join(ext, "seg")
+        .join(med, "seg")
+        .join(top2, "seg", "left_outer")
+        .orderBy("seg")
+    )

@@ -92,16 +92,14 @@ CHANGED_LAST_ROUND: tuple[str, ...] = ()
 # so a CORRECTNESS artifact landing mid/post-round cannot break the
 # suite (ADVICE r5 medium; the r5 breakage mode).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    # r16 round hygiene: emptied at round start — CORRECTNESS_r15.json
-    # landed with every registration green, so prior rounds' entries
-    # are now artifact history.  Repopulated below as round-16 queries
-    # register (class-2 membership still comes from artifact history,
-    # this tuple is bookkeeping for the rotation test).
-    "pipeline_legs_capstone",  # r16 directive #1: declarative leg sets
-    "join_view_fk_pruned_capstone",  # r16: tier-2 FK stats/bloom pruning
-    "topk_view_capstone",  # r16: exact top-k reader off pair-view state
-    "quantile_view_capstone",  # r16: exact percentiles off the same state
-    "cdc_stream_source_capstone",  # r16: native snapshot_cdc stream source
+    # r17 round hygiene: emptied at round start — CORRECTNESS_r16.json
+    # landed with every registration green (50 checked, 0 fail), so
+    # prior rounds' entries are now artifact history.  Repopulated
+    # below as round-17 queries register.
+    "snapshot_mor_capstone",  # r17 directive #1: merge-on-read DVs
+    "snapshot_restore_capstone",  # r17 directive #2: rollback verb
+    "join_view_composite_key_capstone",  # r17 directive #3
+    "join_pair_readers_capstone",  # r17 directive #6
 )
 
 

@@ -1807,7 +1807,7 @@ def maintain_join_view(
     b_path: str,
     view_path: str,
     key_col: str,
-    join_col: str,
+    join_col: str | list[str],
     group_cols: list[str],
     sum_cols: list[str],
     txn_app: str = "join-view",

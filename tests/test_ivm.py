@@ -1368,6 +1368,61 @@ def test_quantile_view_read_exact_under_churn(spark, tmp_path):
         ivm.quantile_view_read(spark, view, ["g"], "x", [0.0])
 
 
+def test_quantile_view_read_exact_integer_boundaries(spark, tmp_path):
+    """ADVICE r16: p·n thresholds where the double product rounds up
+    past the mathematical integer (p=0.55·100 → 55.000000000000004,
+    p=0.07·100) must still pick the exact PERCENTILE_DISC value — the
+    reader computes ceil in integer arithmetic off p's decimal digits."""
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    # one group, 100 rows with distinct values 1..100 so the p-th
+    # percentile_disc is literally round-up(p*100)
+    base = [(i, "g", i + 1) for i in range(100)]
+    layout.snapshot_write_keyed(spark, _src(spark, base), source, "k")
+    ivm.distinct_view_create(spark, source, view, ["g"], "x")
+
+    row = ivm.quantile_view_read(
+        spark, view, ["g"], "x", [0.55, 0.07, 0.01, 1.0]
+    ).collect()[0]
+    assert row["p55_x"] == 55  # NOT 56 (double ceil overshoot)
+    assert row["p7_x"] == 7
+    assert row["p1_x"] == 1
+    assert row["p100_x"] == 100
+
+
+def test_quantile_view_read_names_and_single_pass(spark, tmp_path):
+    """Fractional-percent probs get collision-free names derived from
+    the full decimal repr; probs that WOULD collide raise; and the plan
+    runs ONE window pass no matter how many probs are requested."""
+    import pytest as _pytest
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(i, "g", i) for i in range(1, 9)]), source, "k"
+    )
+    ivm.distinct_view_create(spark, source, view, ["g"], "x")
+
+    df = ivm.quantile_view_read(spark, view, ["g"], "x", [0.5, 0.504, 0.125])
+    assert set(df.columns) == {"g", "p50_x", "p50_4_x", "p12_5_x"}
+
+    # 0.5 and 0.504 used to both round to "p50_x" — now distinct; a
+    # genuine duplicate still raises instead of an ambiguous self-join
+    with _pytest.raises(ValueError, match="duplicate"):
+        ivm.quantile_view_read(spark, view, ["g"], "x", [0.5, 0.50])
+
+    # constant window passes regardless of len(probs): Catalyst keeps
+    # the two specs (ordered _cum + per-group _tot) as two Window
+    # nodes over ONE sort — the count must not grow with the probs
+    plan1 = ivm.quantile_view_read(
+        spark, view, ["g"], "x", [0.5]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    plan8 = ivm.quantile_view_read(
+        spark, view, ["g"], "x",
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8],
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan1.count("Window") == plan8.count("Window") == 2
+    assert "Join" not in plan8  # no per-prob join chain
+
+
 def test_agg_view_sync_across_source_schema_evolution(spark, tmp_path):
     """A source merge that ADDS an unrelated column mid-span must not
     disturb the view sync: the span reads through the latest schema
@@ -1400,3 +1455,269 @@ def test_agg_view_sync_across_source_schema_evolution(spark, tmp_path):
     v, consumed = ivm.agg_view_sync(spark, source, view, ["g"], ["x"])
     assert v is not None and consumed == 3
     assert _view(spark, view) == _recompute(spark, source)
+
+
+def test_randomized_composite_key_join_view_equals_recompute(spark, tmp_path):
+    """COMPOSITE equi-join keys (round 17, VERDICT r16 #3): a
+    two-column key ["j1", "j2"] through join_view_create/sync, inner
+    AND left maintained side-by-side off the same churn — facts keyed
+    by their own PK (so neither side is co-keyed by the tuple), dims
+    carrying duplicate (j1, j2) tuples (join multiplicity > 1), NULL
+    in either component never matching (and surviving null-extended
+    under LEFT).  After every sync both views equal a from-scratch
+    recompute."""
+    rng = random.Random(20260818)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    vi, vl = str(tmp_path / "vi"), str(tmp_path / "vl")
+    # facts: k -> (j1, j2, x); j1 in 0..3 / None, j2 in 0..2 / None
+    facts = {
+        i: (i % 4, i % 3, i * 10) for i in range(24)
+    }
+    facts[100] = (None, 1, 7)  # NULL component from the start
+    # dims: d -> (j1, j2, g); tuple (0, 0) duplicated on purpose
+    dims = {
+        0: (0, 0, "g0"), 1: (0, 0, "g0dup"), 2: (1, 1, "g1"),
+        3: (2, 2, "g2"), 4: (3, 0, "g3"), 5: (None, 2, "gnull"),
+    }
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(k, *v) for k, v in facts.items()],
+            "k long, j1 long, j2 long, x long",
+        ),
+        a, "k", n_buckets=2,
+    )
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(d, *v) for d, v in dims.items()],
+            "d long, j1 long, j2 long, g string",
+        ),
+        b, "d", n_buckets=2,
+    )
+    jc = ["j1", "j2"]
+    ivm.join_view_create(spark, a, b, vi, jc, ["g"], ["x"], how="inner")
+    ivm.join_view_create(spark, a, b, vl, jc, ["g"], ["x"], how="left")
+
+    def recompute(how):
+        out: dict = {}
+
+        def add(g, x):
+            n, s = out.get(g, (0, 0))
+            out[g] = (n + 1, s + x)
+
+        for _k, (j1, j2, x) in facts.items():
+            matched = False
+            if j1 is not None and j2 is not None:
+                for _d, (dj1, dj2, g) in dims.items():
+                    if dj1 == j1 and dj2 == j2:
+                        add(g, x)
+                        matched = True
+            if not matched and how == "left":
+                add(None, x)
+        return {(g, n, s) for g, (n, s) in out.items()}
+
+    def served(view):
+        return {
+            (r["g"], r["_n"], r["sum_x"])
+            for r in ivm.agg_view_read(spark, view).collect()
+        }
+
+    next_k, next_d = 1000, 100
+    for _ in range(5):
+        # fact commits: insert / move (incl. to-NULL component) / delete
+        batch = {}
+        for _ in range(rng.randint(1, 5)):
+            op = rng.random()
+            if op < 0.35 or not facts:
+                batch[next_k] = (
+                    rng.choice([0, 1, 2, 3, None]),
+                    rng.choice([0, 1, 2, None]),
+                    rng.randint(0, 99), False,
+                )
+                next_k += 1
+            elif op < 0.7:
+                k = rng.choice(list(facts))
+                batch[k] = (
+                    rng.choice([0, 1, 2, 3, None]),
+                    rng.choice([0, 1, 2, None]),
+                    rng.randint(0, 99), False,
+                )
+            else:
+                k = rng.choice(list(facts))
+                batch[k] = (None, None, None, True)
+        layout.snapshot_merge(
+            spark, a,
+            spark.createDataFrame(
+                [(k, *v) for k, v in batch.items()],
+                "k long, j1 long, j2 long, x long, _del boolean",
+            ),
+            "k", delete_col="_del",
+        )
+        for k, (j1, j2, x, d) in batch.items():
+            if d:
+                facts.pop(k, None)
+            else:
+                facts[k] = (j1, j2, x)
+        # dim commits: insert (possibly duplicating a live tuple) /
+        # tuple-move / delete — every one a potential match-count flip
+        if rng.random() < 0.8:
+            batch = {}
+            for _ in range(rng.randint(1, 3)):
+                op = rng.random()
+                if op < 0.4:
+                    batch[next_d] = (
+                        rng.choice([0, 1, 2, 3]),
+                        rng.choice([0, 1, 2]),
+                        f"g{next_d}", False,
+                    )
+                    next_d += 1
+                elif op < 0.7 and dims:
+                    d = rng.choice(list(dims))
+                    batch[d] = (
+                        rng.choice([0, 1, 2, 3, None]),
+                        rng.choice([0, 1, 2]),
+                        f"mv{rng.randint(0, 9)}", False,
+                    )
+                elif dims:
+                    d = rng.choice(list(dims))
+                    batch[d] = (None, None, None, True)
+            layout.snapshot_merge(
+                spark, b,
+                spark.createDataFrame(
+                    [(d, *v) for d, v in batch.items()],
+                    "d long, j1 long, j2 long, g string, _del boolean",
+                ),
+                "d", delete_col="_del",
+            )
+            for d, (j1, j2, g, dl) in batch.items():
+                if dl:
+                    dims.pop(d, None)
+                else:
+                    dims[d] = (j1, j2, g)
+        ivm.join_view_sync(spark, a, b, vi, jc, ["g"], ["x"], how="inner")
+        ivm.join_view_sync(spark, a, b, vl, jc, ["g"], ["x"], how="left")
+        assert served(vi) == recompute("inner")
+        assert served(vl) == recompute("left")
+
+
+def test_join_view_rejects_bad_join_cols(spark, tmp_path):
+    import pytest as _pytest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(1, "a", 1)]), a, "k"
+    )
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(1, "b", 2)]), b, "k"
+    )
+    with _pytest.raises(ValueError, match="distinct column names"):
+        ivm.join_view_create(
+            spark, a, b, str(tmp_path / "v"), ["g", "g"], ["k"], []
+        )
+    with _pytest.raises(ValueError, match="distinct column names"):
+        ivm.join_view_create(spark, a, b, str(tmp_path / "v"), [], ["k"], [])
+
+
+def test_pair_view_readers_over_join_view(spark, tmp_path):
+    """Pair-view readers over a JOIN view (round 17, VERDICT r16 #6):
+    a join view grouped by (g, value) IS pair-view state over the
+    joined frame — distinct/extremes/top-k/percentiles serve exact
+    answers over a MAINTAINED two-table join, staying ≡ recompute
+    under churn on both sides (deletes included — the cases sketches
+    cannot subtract)."""
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    facts = {i: (i % 4, (i * 7) % 10) for i in range(40)}  # k -> (j, x)
+    dims = {j: f"g{j % 2}" for j in range(4)}              # j -> g
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(
+            [(k, j, x) for k, (j, x) in facts.items()],
+            "k long, j long, x long",
+        ),
+        a, "k", n_buckets=2,
+    )
+    layout.snapshot_write_keyed(
+        spark,
+        spark.createDataFrame(list(dims.items()), "j long, g string"),
+        b, "j", n_buckets=2,
+    )
+    # the pair trick: group by (g, x) — x is the VALUE column
+    ivm.join_view_create(spark, a, b, view, "j", ["g", "x"], [])
+
+    def joined_rows():
+        out = []
+        for _k, (j, x) in facts.items():
+            g = dims.get(j)
+            if g is not None:
+                out.append((g, x))
+        return out
+
+    def check():
+        rows = joined_rows()
+        by_g: dict = {}
+        for g, x in rows:
+            by_g.setdefault(g, []).append(x)
+        # distinct
+        got = {
+            (r["g"], r["n_distinct_x"])
+            for r in ivm.distinct_view_read(spark, view, ["g"], "x").collect()
+        }
+        assert got == {(g, len(set(xs))) for g, xs in by_g.items()}
+        # extremes
+        got = {
+            (r["g"], r["min_x"], r["max_x"])
+            for r in ivm.extremes_view_read(spark, view, ["g"], "x").collect()
+        }
+        assert got == {(g, min(xs), max(xs)) for g, xs in by_g.items()}
+        # top-2 distinct values
+        got = {
+            (r["g"], r["x"], r["rank"])
+            for r in ivm.topk_view_read(spark, view, ["g"], "x", 2).collect()
+        }
+        expect = set()
+        for g, xs in by_g.items():
+            for rank, v in enumerate(sorted(set(xs), reverse=True)[:2], 1):
+                expect.add((g, v, rank))
+        assert got == expect
+        # exact median over JOINED ROWS (row-weighted, PERCENTILE_DISC)
+        got = {
+            (r["g"], r["p50_x"])
+            for r in ivm.quantile_view_read(
+                spark, view, ["g"], "x", [0.5]
+            ).collect()
+        }
+        expect = set()
+        for g, xs in by_g.items():
+            s = sorted(xs)
+            expect.add((g, s[(len(s) + 1) // 2 - 1]))
+        assert got == expect
+
+    check()
+    # churn: fact deletes (kill a value entirely), value moves, dim
+    # move (re-homes every matched fact to another group), dim delete
+    layout.snapshot_merge(
+        spark, a,
+        spark.createDataFrame(
+            [(0, None, None, True), (7, 1, 99, False), (41, 2, 3, False)],
+            "k long, j long, x long, _del boolean",
+        ),
+        "k", delete_col="_del",
+    )
+    facts.pop(0)
+    facts[7] = (1, 99)
+    facts[41] = (2, 3)
+    ivm.join_view_sync(spark, a, b, view, "j", ["g", "x"], [])
+    check()
+    layout.snapshot_merge(
+        spark, b,
+        spark.createDataFrame(
+            [(1, "gmoved", False), (3, None, True)],
+            "j long, g string, _del boolean",
+        ),
+        "j", delete_col="_del",
+    )
+    dims[1] = "gmoved"
+    dims.pop(3)
+    ivm.join_view_sync(spark, a, b, view, "j", ["g", "x"], [])
+    check()

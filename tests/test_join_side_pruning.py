@@ -191,3 +191,56 @@ def test_compact_files_keyed_table_honors_stats_cols(spark, tmp_path):
     m2 = layout.snapshot_manifest(spark, path)
     assert "j" in m2["stats_types"]
     assert all(m2["stats"].get(f, {}).get("j") for f in m2["files"])
+
+
+def test_pruned_join_side_composite_key_tiers_compose(spark, tmp_path):
+    """COMPOSITE join keys (round 17): a side keyed by one component
+    bucket-prunes on it AND stats/bloom-prunes on the others — the
+    kept file set is the intersection, strictly smaller than either
+    tier alone here; rows stay exactly correct."""
+    path = str(tmp_path / "t")
+    # keyed by j (a join component), second component m has stats+bloom
+    rows = spark.createDataFrame(
+        [(i, i % 8, i // 50, i) for i in range(400)],
+        "k long, j long, m long, x long",
+    )
+    layout.snapshot_write_keyed(spark, rows, path, "j", n_buckets=8)
+    layout.compact_files(
+        spark, path, sort_by="m", stats_cols=["m"], bloom_cols=["m"],
+        max_records_per_file=25,
+    )
+    manifest = layout.snapshot_manifest(spark, path)
+    n_total = len(manifest["files"])
+    assert n_total >= 8
+
+    delta = spark.createDataFrame([(3, 0), (3, 7)], "j long, m long")
+    v = manifest["version"]
+    both = ivm._pruned_join_side(spark, path, v, ["j", "m"], delta)
+    j_only = ivm._pruned_join_side(spark, path, v, ["j"], delta)
+    m_only = ivm._pruned_join_side(spark, path, v, ["m"], delta)
+    nb, nj, nm = (
+        len(both.inputFiles()), len(j_only.inputFiles()),
+        len(m_only.inputFiles()),
+    )
+    assert 0 < nb <= min(nj, nm) < n_total
+    assert nb < max(nj, nm)  # the intersection genuinely composed
+    got = {
+        r["k"]
+        for r in both.filter(
+            (F.col("j") == 3) & F.col("m").isin(0, 7)
+        ).collect()
+    }
+    expect = {
+        r["k"]
+        for r in layout.snapshot_read(spark, path)
+        .filter((F.col("j") == 3) & F.col("m").isin(0, 7))
+        .collect()
+    }
+    assert got == expect and got
+
+    # a component whose delta keys are ALL NULL joins nothing
+    null_delta = spark.createDataFrame([(3, None)], "j long, m long")
+    assert (
+        ivm._pruned_join_side(spark, path, v, ["j", "m"], null_delta).count()
+        == 0
+    )
