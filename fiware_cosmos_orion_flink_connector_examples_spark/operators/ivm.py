@@ -288,6 +288,7 @@ def _apply_group_deltas(
     group_cols: list[str],
     sum_cols: list[str],
     txn_update: dict,
+    merge_mode: str = "cow",
 ) -> int:
     """Shared view-merge tail of every sync: aggregate signed per-row
     contributions (``_dn`` + per-column signed sums) by group, add them
@@ -328,6 +329,7 @@ def _apply_group_deltas(
         delete_col="_del",
         _txn_update=txn_update,
         expected_version=view_cur,
+        mode=merge_mode,
     )
 
 
@@ -339,6 +341,7 @@ def agg_view_sync(
     sum_cols: list[str],
     txn_app: str = "agg-view",
     retries: int = 5,
+    merge_mode: str = "cow",
 ) -> tuple[int | None, int]:
     """Advance the view over every source commit since its watermark
     in ONE atomic view merge: aggregate the span's signed deltas by
@@ -349,7 +352,16 @@ def agg_view_sync(
     consumed_source_version)`` — None when there was nothing new.
     Safe under concurrent foreign view writers (optimistic
     ``expected_version`` retry) and under replay (the watermark
-    absorbs an already-consumed span)."""
+    absorbs an already-consumed span).
+
+    ``merge_mode`` (round 17) passes through to the view table's
+    ``snapshot_merge``: ``"auto"`` lets a needle sync on a huge view
+    write deletion-vector sidecars instead of rewriting its touched
+    buckets (write cost O(changed groups), not O(touched-bucket
+    rows)) — semantics are identical (MOR is pytest-pinned
+    changelog-equal to COW), reads pay one bounded anti-join until
+    ``layout.compact_dv_buckets`` materializes the debt (the
+    maintenance report recommends it when DV coverage passes 25 %)."""
     src_latest = layout.snapshot_latest_version(spark, source_path)
     last_err: Exception | None = None
     for _ in range(retries):
@@ -376,6 +388,7 @@ def agg_view_sync(
                 group_cols,
                 sum_cols,
                 {txn_app: src_latest},
+                merge_mode=merge_mode,
             )
             return v, src_latest
         except layout.SnapshotTxnAlreadyApplied:
@@ -436,12 +449,14 @@ def distinct_view_sync(
     distinct_col: str,
     txn_app: str = "distinct-view",
     retries: int = 5,
+    merge_mode: str = "cow",
 ) -> tuple[int | None, int]:
     """Advance the pair view over every source commit since its
-    watermark — same exactly-once contract as ``agg_view_sync``."""
+    watermark — same exactly-once contract (and ``merge_mode``
+    passthrough) as ``agg_view_sync``."""
     return agg_view_sync(
         spark, source_path, view_path, group_cols + [distinct_col], [],
-        txn_app, retries,
+        txn_app, retries, merge_mode=merge_mode,
     )
 
 
@@ -855,6 +870,7 @@ def join_view_sync(
     txn_app: str = "join-view",
     retries: int = 5,
     how: str = "inner",
+    merge_mode: str = "cow",
 ) -> tuple[int | None, tuple[int, int]]:
     """Advance the join view over every commit BOTH sources made since
     their watermarks, in ONE atomic view merge: signed delta rows of
@@ -897,7 +913,7 @@ def join_view_sync(
     if how == "right":
         v, (cb, ca) = join_view_sync(
             spark, b_path, a_path, view_path, join_col, group_cols,
-            sum_cols, txn_app, retries, how="left",
+            sum_cols, txn_app, retries, how="left", merge_mode=merge_mode,
         )
         return v, (ca, cb)
     if how not in ("inner", "left", "full"):
@@ -1045,7 +1061,7 @@ def join_view_sync(
         try:
             v = _apply_group_deltas(
                 spark, view_path, view_cur, deltas, group_cols, sum_cols,
-                txn_update,
+                txn_update, merge_mode=merge_mode,
             )
             return v, (max(a_latest, a_consumed), max(b_latest, b_consumed))
         except layout.SnapshotTxnAlreadyApplied:

@@ -2927,6 +2927,96 @@ def compact_files(
     return new_version
 
 
+def compact_dv_buckets(spark, path: str) -> int | None:
+    """TARGETED deletion-vector materialization (round 17): rewrite
+    ONLY the buckets whose files carry position-delete sidecars —
+    their live rows (DVs applied) re-land as fresh per-bucket files,
+    the old files and their sidecar references die in replay
+    (``remove_buckets``), every other bucket's files carry forward
+    untouched.  Cost is O(DV'd buckets), never O(table): on a 100 TB
+    table where scattered GDPR-delete/tombstone traffic has touched
+    0.1 % of buckets, this is the maintenance verb — a full
+    ``compact_files`` rewrite would cost 1000× more for the same DV
+    debt.  The commit is ``change_mode='none'`` (no logical data
+    change): the CDC feed and the ``snapshot_cdc`` stream skip it,
+    incremental views sync across it, transaction watermarks carry
+    forward, and time travel still reaches pre-compaction versions.
+    Declared skipping stats and Bloom sidecars are recomputed for the
+    rewritten files (never silently lost); within-bucket sort/Z
+    clustering of rewritten buckets is NOT preserved (same contract
+    as merge rewrites — re-run ``compact_files(sort_by=…)`` when
+    clustering matters).  Keyed tables only (DVs arise from keyed
+    MOR merges).  Returns the new version, or None when the table
+    carries no deletion vectors (nothing to do, no commit)."""
+    import json
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    base = path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    resolved = snapshot_manifest(spark, base)
+    keyed = resolved["keyed"]
+    if not keyed:
+        raise ValueError(
+            "compact_dv_buckets: keyed snapshot tables only (deletion "
+            "vectors arise from keyed merges; plain tables never carry them)"
+        )
+    if not resolved["dv"]:
+        return None
+    touched = sorted({resolved["buckets"][f] for f in resolved["dv"]})
+    tset = set(touched)
+    files = [f for f in resolved["files"] if resolved["buckets"].get(f) in tset]
+    schema = StructType.fromJson(json.loads(resolved["schema"]))
+    # live rows only — this rewrite IS the materialization
+    df = snapshot_read_files(spark, resolved, files, schema)
+    kc, nb = keyed["key_col"], int(keyed["n_buckets"])
+    bc = keyed.get("bucket_col")
+    bucket_expr = (
+        F.col(bc).cast("int")
+        if bc
+        else F.pmod(F.xxhash64(F.col(kc).cast("string")), F.lit(nb))
+    )
+    new_version = resolved["version"] + 1
+    data_dir = f"{base}/data/v{new_version}-{uuid.uuid4().hex[:8]}"
+    (
+        df.withColumn("_bucket", bucket_expr)
+        .repartition(F.col("_bucket"))
+        .write.partitionBy("_bucket")
+        .parquet(data_dir)
+    )
+    new_files, new_buckets = _list_bucket_files(jvm, fs, data_dir)
+    seg: dict = {
+        "add": sorted(new_files),
+        "buckets": new_buckets,
+        "remove_buckets": touched,
+        "change_mode": "none",
+    }
+    if resolved["stats_types"] and new_files:
+        cols = sorted(resolved["stats_types"])
+        seg["stats"] = _file_stats(spark, sorted(new_files), cols, schema)
+        seg["stats_types"] = resolved["stats_types"]
+    if resolved["bloom_meta"]:
+        if new_files:
+            seg["bloom"] = _file_blooms(
+                spark, sorted(new_files), resolved["bloom_meta"], schema
+            )
+        seg["bloom_meta"] = resolved["bloom_meta"]
+    rel = _write_segment(spark, base, new_version, seg)
+    manifest = {
+        "format": 2,
+        "version": new_version,
+        "mode": "compact-dv",
+        "schema": resolved["schema"],
+        "segments": resolved["segments"] + [rel],
+        "keyed": keyed,
+    }
+    if resolved["txn"]:
+        manifest["txn"] = resolved["txn"]
+    _commit_manifest(spark, base, new_version, manifest)
+    return new_version
+
+
 def snapshot_restore(spark, path: str, version: int) -> int:
     """ROLL BACK a snapshot table to an earlier version — as a NEW
     commit that re-pins version ``version``'s resolved file list (the
@@ -3117,11 +3207,12 @@ def maintenance_report(
     ):
         recs.append("compact_files(refresh skipping metadata)")
     # deletion-vector health (round 17): heavy DV accumulation means
-    # every read pays the anti-join — compaction materializes them away
+    # every read pays the anti-join — the TARGETED verb rewrites only
+    # the DV'd buckets (O(DV'd buckets), never O(table))
     dv_rows_total = int(sum(resolved["dv_rows"].values()))
     n_dv_files = len(resolved["dv"])
     if dv_rows_total and n_files and n_dv_files / n_files > 0.25:
-        recs.append("compact_files(materialize deletion vectors)")
+        recs.append("compact_dv_buckets(materialize deletion vectors)")
     # a table whose latest commit is a restore target candidate: the
     # advisor's recovery verb is snapshot_restore(path, version) — a
     # metadata-only rollback (no data copy); surfaced here so operators

@@ -364,4 +364,97 @@ def test_maintenance_report_surfaces_dv_and_restore(spark, tmp_path):
     rep = layout.maintenance_report(spark, p)
     assert rep["dv_rows_total"] == 2 and rep["n_dv_files"] >= 1
     assert rep["rollback"] == "snapshot_restore(path, version)"
-    assert "compact_files(materialize deletion vectors)" in rep["recommendations"]
+    assert (
+        "compact_dv_buckets(materialize deletion vectors)"
+        in rep["recommendations"]
+    )
+
+
+def test_compact_dv_buckets_rewrites_only_dv_buckets(spark, tmp_path):
+    """Targeted DV materialization: ONLY the buckets carrying deletion
+    vectors rewrite — every other bucket's files carry forward, DVs
+    are gone, rows preserved, and the commit is CDC-transparent (the
+    feed skips it; an incremental view syncs across it)."""
+    src, view = str(tmp_path / "t"), str(tmp_path / "v")
+    # 8 buckets; MOR-touch keys land in a small subset of them
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(i, "ab"[i % 2], i) for i in range(200)]),
+        src, "k", n_buckets=8,
+    )
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators import (
+        ivm,
+    )
+
+    ivm.agg_view_create(spark, src, view, ["g"], ["x"])
+    layout.snapshot_merge(
+        spark, src,
+        _upd(spark, [(17, "a", -17, False), (18, None, None, True)]),
+        "k", delete_col="_del", mode="mor",
+    )
+    before = _rows(spark, src)
+    m2 = layout.snapshot_manifest(spark, src)
+    assert m2["dv"]
+    dv_buckets = {m2["buckets"][f] for f in m2["dv"]}
+    untouched_files = {
+        f for f in m2["files"] if m2["buckets"][f] not in dv_buckets
+    }
+    assert untouched_files, "fixture must leave some buckets DV-free"
+
+    v = layout.compact_dv_buckets(spark, src)
+    assert v == 3
+    m3 = layout.snapshot_manifest(spark, src)
+    assert not m3["dv"] and not m3["dv_rows"]
+    assert untouched_files <= set(m3["files"]), "non-DV buckets untouched"
+    assert _rows(spark, src) == before
+    # CDC-transparent: the feed over the compaction span yields nothing
+    assert layout.snapshot_changes_feed(spark, src, 2, 3).count() == 0
+    # and a view sync across it stays ≡ recompute
+    layout.snapshot_merge(
+        spark, src, _upd(spark, [(300, "a", 300, False)]), "k",
+        delete_col="_del",
+    )
+    ivm.agg_view_sync(spark, src, view, ["g"], ["x"])
+    recompute = {
+        (r["g"], r["s"])
+        for r in layout.snapshot_read(spark, src)
+        .groupBy("g").agg(F.sum("x").alias("s")).collect()
+    }
+    served = {
+        (r["g"], r["sum_x"])
+        for r in ivm.agg_view_read(spark, view).select("g", "sum_x").collect()
+    }
+    assert served == recompute
+    # no-op on a DV-free table: no commit
+    assert layout.compact_dv_buckets(spark, src) is None
+    assert layout.snapshot_latest_version(spark, src) == 4
+
+
+def test_compact_dv_buckets_keeps_stats_and_bloom(spark, tmp_path):
+    """Rewritten buckets' files get fresh skipping stats + Bloom
+    sidecars (declared metadata never silently lost)."""
+    p = str(tmp_path / "t")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(i, "g", i) for i in range(100)]), p, "k",
+        n_buckets=2, stats_cols=["x"],
+    )
+    layout.compact_files(spark, p, bloom_cols=["x"])
+    layout.snapshot_merge(
+        spark, p, _upd(spark, [(5, "g", -5, False)]), "k",
+        delete_col="_del", mode="mor",
+    )
+    layout.compact_dv_buckets(spark, p)
+    m = layout.snapshot_manifest(spark, p)
+    assert not m["dv"]
+    for f in m["files"]:
+        assert f in m["stats"], f
+        assert f in m["bloom"], f
+    # a point lookup through the refreshed metadata still prunes+reads
+    df, kept, total = layout.snapshot_point_lookup(spark, p, "x", -5)
+    assert [r["k"] for r in df.collect()] == [5]
+
+
+def test_compact_dv_buckets_requires_keyed(spark, tmp_path):
+    p = str(tmp_path / "t")
+    layout.snapshot_commit(spark, _src(spark, [(1, "a", 1)]), p)
+    with pytest.raises(ValueError, match="keyed"):
+        layout.compact_dv_buckets(spark, p)
