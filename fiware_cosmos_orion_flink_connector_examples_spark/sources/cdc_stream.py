@@ -47,6 +47,12 @@ Usage::
             .load("/data/my_table"))
     q = feed.writeStream.foreachBatch(...).start()
 
+``startTimestamp`` (round 17, exclusive with ``startVersion``)
+starts instead from the first commit AT-OR-AFTER the given time
+(epoch seconds or ISO string) — resolved off the manifests'
+``committed_at`` stamps (file-mtime fallback for pre-stamp
+manifests), the Delta ``startingTimestamp`` analog.
+
 Read path (round 17): ``read()`` yields ``pyarrow.RecordBatch``es —
 the pre-image filter and the _version/_change envelope are built
 arrow-side, so a ``startVersion=0`` BOOTSTRAP of a large table stays
@@ -119,6 +125,34 @@ def _open_text(path: str):
     return open(path)
 
 
+def _version_before(base: str, ts) -> int:
+    """The newest version committed strictly BEFORE epoch/ISO ``ts``
+    (0 when none) — the startTimestamp cursor: the stream then serves
+    every commit at-or-after the timestamp."""
+    if isinstance(ts, str):
+        try:
+            ts = float(ts)
+        except ValueError:
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(ts).timestamp()
+    best = 0
+    for m in (re.match(r"_manifest_v(\d+)\.json$", f) for f in os.listdir(base)):
+        if not m:
+            continue
+        v = int(m.group(1))
+        p = os.path.join(base, f"_manifest_v{v}.json")
+        try:
+            at = _manifest_doc(base, v).get("committed_at")
+        except FileNotFoundError:
+            continue
+        if at is None:
+            at = os.stat(p).st_mtime  # pre-stamp manifest
+        if at < ts:
+            best = max(best, v)
+    return best
+
+
 def _latest_version(base: str) -> int:
     vs = [
         int(m.group(1))
@@ -182,7 +216,22 @@ class _CdcPartition(InputPartition):
 class SnapshotCdcStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema=None):
         self.base = _local(options["path"]).rstrip("/")
-        self.start_version = int(options.get("startVersion", 0))
+        if "startTimestamp" in options and "startVersion" in options:
+            raise ValueError(
+                "snapshot_cdc: startVersion and startTimestamp are exclusive"
+            )
+        if "startTimestamp" in options:
+            # stream every commit whose commit time is >= the given
+            # timestamp (epoch seconds or ISO string — the Delta
+            # startingTimestamp analog, round 17): the cursor starts at
+            # the newest EARLIER commit.  Commit times come from the
+            # committed_at manifest stamp; pre-stamp manifests fall
+            # back to file mtime.
+            self.start_version = _version_before(
+                self.base, options["startTimestamp"]
+            )
+        else:
+            self.start_version = int(options.get("startVersion", 0))
         self.include_pre = str(
             options.get("includePreImages", "false")
         ).lower() in ("true", "1", "yes")

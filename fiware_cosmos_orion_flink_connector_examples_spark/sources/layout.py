@@ -707,8 +707,14 @@ def _commit_manifest(spark, base: str, version: int, manifest: dict) -> None:
     bytes at a hidden .tmp name, then rename to the final name.  The
     destination must not exist — Hadoop rename returns false then, so
     a concurrent commit of the same version raises instead of
-    clobbering (optimistic concurrency)."""
+    clobbering (optimistic concurrency).  Every commit is stamped
+    with ``committed_at`` (epoch seconds, round 17) — the basis for
+    timestamp time travel (``snapshot_version_at``); pre-round-17
+    manifests without the field fall back to file mtime there."""
     import json
+    import time
+
+    manifest.setdefault("committed_at", time.time())
 
     jvm, fs = _fs(spark, base)
     tmp = f"{base}/._manifest_v{version}.json.tmp"
@@ -869,6 +875,7 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
         "last_add": list(seg.get("add", [])),
         "dv": dv,
         "dv_rows": dv_rows,
+        "committed_at": doc.get("committed_at"),
     }
     if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
         _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
@@ -1151,18 +1158,83 @@ def snapshot_read_files(
     return df
 
 
-def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
-    """Read a snapshot table: the latest committed version, or an
-    explicit ``version`` for TIME TRAVEL.  The returned frame reads
-    exactly the manifest's immutable resolved file list — concurrent
-    commits cannot change what this reader sees (snapshot isolation by
-    construction: data files are never mutated, only superseded).
-    Merge-on-read deletion vectors, when present, are anti-joined away
-    inside ``snapshot_read_files`` — a row whose position is deleted
-    never surfaces, at any version."""
+def _parse_ts(ts) -> float:
+    """A timestamp argument as epoch seconds: accepts a number, a
+    ``datetime`` (naive = local time, the ``datetime.timestamp()``
+    contract), or an ISO-8601 string."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, _dt.datetime):
+        return ts.timestamp()
+    if isinstance(ts, str):
+        return _dt.datetime.fromisoformat(ts).timestamp()
+    raise TypeError(f"timestamp must be epoch seconds, datetime, or ISO str: {ts!r}")
+
+
+def snapshot_version_at(spark, path: str, timestamp) -> int:
+    """TIMESTAMP time travel resolver (round 17 — the Delta
+    ``TIMESTAMP AS OF`` / Iceberg snapshot-at-time verb): the LARGEST
+    committed version whose commit time is ≤ ``timestamp`` (epoch
+    seconds, ``datetime``, or ISO string).  Commit times come from the
+    ``committed_at`` stamp every manifest carries since round 17;
+    manifests predating the stamp fall back to the manifest file's
+    modification time (stated: mtimes survive most copies but not
+    all — re-commit or restore to refresh the stamp where it
+    matters).  Raises if the timestamp predates the first RETAINED
+    commit (vacuumed history is gone, same contract as version-based
+    travel).  Cost: O(retained versions) small metadata reads."""
     import json
 
     base = path.rstrip("/")
+    ts = _parse_ts(timestamp)
+    latest = snapshot_latest_version(spark, base)
+    if latest <= 0:
+        raise ValueError(f"snapshot_version_at: no committed table at {path}")
+    jvm, fs = _fs(spark, base)
+    best = None
+    for v in range(1, latest + 1):
+        mp = f"{base}/_manifest_v{v}.json"
+        p = jvm.org.apache.hadoop.fs.Path(mp)
+        if not fs.exists(p):
+            continue  # vacuumed version — its commit time is gone too
+        try:
+            doc = json.loads(_read_small(spark, mp))
+            at = doc.get("committed_at")
+        except (OSError, ValueError):
+            at = None
+        if at is None:  # legacy manifest: file mtime approximates
+            at = fs.getFileStatus(p).getModificationTime() / 1000.0
+        if at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"snapshot_version_at: timestamp {timestamp!r} predates the "
+            f"first retained commit of {path}"
+        )
+    return best
+
+
+def snapshot_read(
+    spark, path: str, version: int | None = None, timestamp=None
+) -> DataFrame:
+    """Read a snapshot table: the latest committed version, an
+    explicit ``version``, or the version live at ``timestamp``
+    (``snapshot_version_at``, round 17) for TIME TRAVEL.  The
+    returned frame reads exactly the manifest's immutable resolved
+    file list — concurrent commits cannot change what this reader
+    sees (snapshot isolation by construction: data files are never
+    mutated, only superseded).  Merge-on-read deletion vectors, when
+    present, are anti-joined away inside ``snapshot_read_files`` — a
+    row whose position is deleted never surfaces, at any version."""
+    import json
+
+    base = path.rstrip("/")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("snapshot_read: version and timestamp are exclusive")
+        version = snapshot_version_at(spark, base, timestamp)
     manifest = snapshot_manifest(spark, base, version)
     from pyspark.sql.types import StructType
 
@@ -3017,10 +3089,14 @@ def compact_dv_buckets(spark, path: str) -> int | None:
     return new_version
 
 
-def snapshot_restore(spark, path: str, version: int) -> int:
+def snapshot_restore(
+    spark, path: str, version: int | None = None, timestamp=None
+) -> int:
     """ROLL BACK a snapshot table to an earlier version — as a NEW
     commit that re-pins version ``version``'s resolved file list (the
-    Delta RESTORE / Iceberg rollback-to-snapshot verb, round 17).  No
+    Delta RESTORE / Iceberg rollback-to-snapshot verb, round 17).
+    ``timestamp`` restores to the version live at that time instead
+    (``snapshot_version_at`` — 'undo everything since 02:00').  No
     data is copied or rewritten: the new commit's one segment
     truncates-and-readds the target version's files, buckets, stats,
     bloom sidecars, and deletion vectors, so the restore is a
@@ -3056,6 +3132,12 @@ def snapshot_restore(spark, path: str, version: int) -> int:
 
     Returns the new version number."""
     base = path.rstrip("/")
+    if (version is None) == (timestamp is None):
+        raise ValueError(
+            "snapshot_restore: exactly one of version/timestamp required"
+        )
+    if timestamp is not None:
+        version = snapshot_version_at(spark, base, timestamp)
     latest = snapshot_latest_version(spark, base)
     if latest <= 0:
         raise ValueError(f"snapshot_restore: no committed table at {path}")

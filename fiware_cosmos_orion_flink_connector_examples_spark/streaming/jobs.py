@@ -1678,6 +1678,7 @@ def maintain_agg_view(
     group_cols: list[str],
     sum_cols: list[str],
     txn_app: str = "agg-view",
+    merge_mode: str = "cow",
 ):
     """EXACTLY-ONCE streaming pipeline sink: each micro-batch of keyed
     upserts (optional boolean ``_del`` column) MERGEs into the source
@@ -1700,6 +1701,12 @@ def maintain_agg_view(
     watermark under ``txn_app`` but DOES carry one under the legacy
     ``"{txn_app}-stream"`` key, the sink falls back to it (loudly —
     one warning per sink) instead of raising 'carries no watermark'.
+
+    ``merge_mode`` (round 17) applies to BOTH legs: ``"auto"`` lets a
+    needle micro-batch write deletion-vector sidecars instead of
+    rewriting source/view buckets (the steady-state streaming shape —
+    most triggers touch few keys); run ``layout.compact_dv_buckets``
+    on a maintenance cadence to materialize the accumulated debt.
 
     The lakehouse "always-fresh aggregate" twin of
     ``maintain_search_index`` / ``maintain_ann_index``.  Returns the
@@ -1725,13 +1732,14 @@ def maintain_agg_view(
                 key_col,
                 delete_col="_del" if "_del" in batch.columns else None,
                 _txn_update={f"{txn_app}-src": batch_id},
+                mode=merge_mode,
             )
         except _layout.SnapshotTxnAlreadyApplied:
             pass  # replayed batch — the source already has it
         try:
             _ivm.agg_view_sync(
                 spark, source_path, view_path, group_cols, sum_cols,
-                txn_app=state["app"],
+                txn_app=state["app"], merge_mode=merge_mode,
             )
         except ValueError as e:
             if "carries no" not in str(e) or state["app"] != txn_app:
@@ -1752,7 +1760,7 @@ def maintain_agg_view(
             state["app"] = legacy
             _ivm.agg_view_sync(
                 spark, source_path, view_path, group_cols, sum_cols,
-                txn_app=legacy,
+                txn_app=legacy, merge_mode=merge_mode,
             )
 
     return apply_batch
@@ -1813,6 +1821,7 @@ def maintain_join_view(
     txn_app: str = "join-view",
     how: str = "inner",
     side: str = "a",
+    merge_mode: str = "cow",
 ):
     """EXACTLY-ONCE streaming maintenance of an incremental JOIN view
     (round 16, VERDICT r15 #2): each micro-batch of keyed upserts for
@@ -1859,12 +1868,14 @@ def maintain_join_view(
                 key_col,
                 delete_col="_del" if "_del" in batch.columns else None,
                 _txn_update={f"{txn_app}-src.{side}": batch_id},
+                mode=merge_mode,
             )
         except _layout.SnapshotTxnAlreadyApplied:
             pass  # replayed batch — this side already has it
         _ivm.join_view_sync(
             spark, a_path, b_path, view_path, join_col,
             group_cols, sum_cols, txn_app=txn_app, how=how,
+            merge_mode=merge_mode,
         )
 
     return apply_batch

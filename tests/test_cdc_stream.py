@@ -293,3 +293,54 @@ def test_read_yields_record_batches(spark, tmp_path, table):
     got = {(r["_version"], r["_change"], r["k"], r["g"], r["x"]) for r in rows}
     expect = _drain(spark, table, str(tmp_path / "ck"), "cdc_vec")
     assert got == expect
+
+
+def test_start_timestamp_option(spark, tmp_path):
+    """startTimestamp (round 17, the Delta startingTimestamp analog):
+    the stream serves every commit at-or-after the given time — the
+    cursor resolves to the newest earlier commit off the manifests'
+    committed_at stamps.  Exclusive with startVersion."""
+    import time
+
+    p = str(tmp_path / "t")
+    layout.snapshot_write_keyed(
+        spark, _kv(spark, [(1, "a", 5), (2, "b", 7)]), p, "k", n_buckets=2
+    )
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    layout.snapshot_merge(
+        spark, p, _kv(spark, [(1, "a", 50, False)], UPD), "k",
+        delete_col="_del",
+    )
+    cdc_stream.register(spark)
+    got: set = set()
+
+    def sink(batch, batch_id):
+        got.update(tuple(r) for r in batch.collect())
+
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("startTimestamp", str(t_mid))
+        .load(p)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # only v2 (committed after t_mid) arrives — no bootstrap rows
+    assert got == {(2, "update", 1, "a", 50)}
+
+    with pytest.raises(Exception, match="exclusive"):
+        (
+            spark.readStream.format("snapshot_cdc")
+            .option("startTimestamp", str(t_mid))
+            .option("startVersion", 0)
+            .load(p)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )

@@ -1769,3 +1769,36 @@ def test_view_sync_merge_mode_auto_uses_dvs(spark, tmp_path):
         (r["g"], r["_n"], r["sum_x"])
         for r in ivm.agg_view_read(spark, view).collect()
     }
+
+
+def test_maintain_agg_view_merge_mode_auto(spark, tmp_path):
+    """The streaming sink with merge_mode='auto': needle micro-batches
+    write deletion vectors on BOTH legs (source merge and view merge)
+    instead of rewriting buckets, replays stay absorbed, and the view
+    equals a recompute."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.streaming import (
+        jobs,
+    )
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    layout.snapshot_write_keyed(
+        spark, _src(spark, [(i, f"g{i}", i) for i in range(400)]),
+        source, "k",
+    )
+    ivm.agg_view_create(spark, source, view, ["g"], ["x"], txn_app="s")
+    src_v1 = set(layout.snapshot_manifest(spark, source, 1)["files"])
+    sink = jobs.maintain_agg_view(
+        source, view, "k", ["g"], ["x"], txn_app="s", merge_mode="auto"
+    )
+    b0 = spark.createDataFrame(
+        [(7, "g7", 7000, False), (8, None, None, True)],
+        "k long, g string, x long, _del boolean",
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # replay absorbed
+    assert layout.snapshot_manifest(spark, source)["dv"], "source took MOR"
+    assert src_v1 <= set(
+        layout.snapshot_manifest(spark, source)["files"]
+    ), "no source bucket rewritten by the needle batch"
+    assert layout.snapshot_manifest(spark, view)["dv"], "view took MOR"
+    assert _view(spark, view) == _recompute(spark, source)

@@ -458,3 +458,87 @@ def test_compact_dv_buckets_requires_keyed(spark, tmp_path):
     layout.snapshot_commit(spark, _src(spark, [(1, "a", 1)]), p)
     with pytest.raises(ValueError, match="keyed"):
         layout.compact_dv_buckets(spark, p)
+
+
+def test_timestamp_time_travel_and_restore(spark, tmp_path):
+    """TIMESTAMP AS OF (round 17): every commit stamps committed_at;
+    snapshot_version_at resolves the version live at a time,
+    snapshot_read(timestamp=…) serves it, and
+    snapshot_restore(timestamp=…) rolls back to it — 'undo everything
+    since 02:00' without knowing version numbers."""
+    import time
+
+    p = str(tmp_path / "t")
+    layout.snapshot_write_keyed(spark, _src(spark, [(1, "a", 1)]), p, "k")
+    time.sleep(0.05)
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    layout.snapshot_merge(
+        spark, p, _upd(spark, [(2, "b", 2, False)]), "k", delete_col="_del"
+    )
+    time.sleep(0.05)
+    t_after_v2 = time.time()
+    time.sleep(0.05)
+    layout.snapshot_merge(
+        spark, p, _upd(spark, [(1, "a", -99, False)]), "k", delete_col="_del"
+    )
+
+    assert layout.snapshot_version_at(spark, p, t_after_v1) == 1
+    assert layout.snapshot_version_at(spark, p, t_after_v2) == 2
+    assert layout.snapshot_version_at(spark, p, time.time()) == 3
+    # ISO-string form resolves too
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(t_after_v2).isoformat()
+    assert layout.snapshot_version_at(spark, p, iso) == 2
+    # reads
+    assert _rows(spark, p, version=None) == {(1, "a", -99), (2, "b", 2)}
+    got = {
+        (r["k"], r["g"], r["x"])
+        for r in layout.snapshot_read(spark, p, timestamp=t_after_v1).collect()
+    }
+    assert got == {(1, "a", 1)}
+    with pytest.raises(ValueError, match="exclusive"):
+        layout.snapshot_read(spark, p, version=1, timestamp=t_after_v1)
+    with pytest.raises(ValueError, match="predates"):
+        layout.snapshot_version_at(spark, p, t_after_v1 - 1000)
+    # restore by timestamp ≡ restore by version
+    layout.snapshot_restore(spark, p, timestamp=t_after_v2)
+    assert _rows(spark, p) == _rows(spark, p, 2)
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.snapshot_restore(spark, p)
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.snapshot_restore(spark, p, 2, timestamp=t_after_v2)
+
+
+def test_version_at_skips_vacuumed_and_falls_back_to_mtime(spark, tmp_path):
+    """Vacuumed versions don't resolve (their commit time is gone with
+    them); manifests predating the committed_at stamp resolve via
+    file mtime (legacy fallback)."""
+    import json
+    import os
+    import time
+
+    p = str(tmp_path / "t")
+    layout.snapshot_write_keyed(spark, _src(spark, [(1, "a", 1)]), p, "k")
+    for i in range(2, 5):
+        layout.snapshot_merge(
+            spark, p, _upd(spark, [(i, "b", i, False)]), "k",
+            delete_col="_del",
+        )
+    # strip the stamp from v4's manifest (simulate a pre-r17 commit);
+    # mtime fallback must still resolve it
+    mp = os.path.join(p, "_manifest_v4.json")
+    doc = json.loads(open(mp).read())
+    doc.pop("committed_at")
+    open(mp, "w").write(json.dumps(doc))
+    crc = os.path.join(p, "._manifest_v4.json.crc")
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+    layout._MANIFEST_CACHE.clear()
+    assert layout.snapshot_version_at(spark, p, time.time()) == 4
+    layout.vacuum_snapshots(spark, p, keep_last=2)
+    # v1/v2 expired: the earliest timestamp now resolvable is v3's
+    assert layout.snapshot_version_at(spark, p, time.time()) == 4
+    with pytest.raises(ValueError, match="predates"):
+        layout.snapshot_version_at(spark, p, 0)
