@@ -3186,14 +3186,63 @@ def snapshot_restore(
     return new_version
 
 
-def catalog_restore(spark, path: str, version: int) -> int:
+def catalog_version_at(spark, path: str, timestamp) -> int:
+    """TIMESTAMP AS OF for catalog roots (round 17): the largest
+    retained root version committed ≤ ``timestamp`` (epoch seconds,
+    ``datetime``, or ISO string) — ``committed_at`` stamps since
+    round 17, file-mtime fallback before.  Same contract as
+    ``snapshot_version_at``, one level up: resolving a time gives the
+    COHERENT cross-table state the pipeline served then."""
+    import json
+    import re as _re
+
+    base = path.rstrip("/")
+    ts = _parse_ts(timestamp)
+    jvm, fs = _fs(spark, base)
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    best = None
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            m = _re.fullmatch(r"_idxroot_v(\d+)\.json", st.getPath().getName())
+            if not m:
+                continue
+            v = int(m.group(1))
+            try:
+                at = json.loads(
+                    _read_small(spark, f"{base}/_idxroot_v{v}.json")
+                ).get("committed_at")
+            except (OSError, ValueError):
+                at = None
+            if at is None:
+                at = st.getModificationTime() / 1000.0
+            if at <= ts and (best is None or v > best):
+                best = v
+    if best is None:
+        raise ValueError(
+            f"catalog_version_at: timestamp {timestamp!r} predates the "
+            f"first retained root of {path}"
+        )
+    return best
+
+
+def catalog_restore(
+    spark, path: str, version: int | None = None, timestamp=None
+) -> int:
     """Catalog-level rollback: re-publish catalog root ``version``'s
     member pins as a NEW root version — one atomic rename restores the
     whole pipeline's coherent cross-table state (member tables keep
-    their full histories; only the pins move).  The pinned member
-    versions must still be retained (``catalog_vacuum`` protects
-    everything a retained root pins, so restore within the retention
-    window always works).  Returns the new root version."""
+    their full histories; only the pins move).  ``timestamp`` restores
+    to the root live at that time instead (``catalog_version_at``).
+    The pinned member versions must still be retained
+    (``catalog_vacuum`` protects everything a retained root pins, so
+    restore within the retention window always works).  Returns the
+    new root version."""
+    if (version is None) == (timestamp is None):
+        raise ValueError(
+            "catalog_restore: exactly one of version/timestamp required"
+        )
+    if timestamp is not None:
+        version = catalog_version_at(spark, path, timestamp)
     cat = catalog_resolve(spark, path, version)
     return catalog_commit(
         spark,
@@ -3621,6 +3670,9 @@ def index_root_commit(
     final_extra = prev_extra if extra is None else extra
     if final_extra:
         doc["extra"] = final_extra
+    import time as _time
+
+    doc["committed_at"] = _time.time()  # TIMESTAMP AS OF (round 17)
     tmp = f"{base}/._idxroot_v{new_version}.json.tmp"
     _write_small(spark, tmp, json.dumps(doc).encode())
     dst = jvm.org.apache.hadoop.fs.Path(f"{base}/_idxroot_v{new_version}.json")

@@ -542,3 +542,34 @@ def test_version_at_skips_vacuumed_and_falls_back_to_mtime(spark, tmp_path):
     assert layout.snapshot_version_at(spark, p, time.time()) == 4
     with pytest.raises(ValueError, match="predates"):
         layout.snapshot_version_at(spark, p, 0)
+
+
+def test_catalog_restore_by_timestamp(spark, tmp_path):
+    """Catalog roots stamp committed_at too: catalog_version_at
+    resolves the coherent cross-table state live at a time, and
+    catalog_restore(timestamp=…) re-publishes it."""
+    import time
+
+    a, cat = str(tmp_path / "a"), str(tmp_path / "cat")
+    layout.snapshot_write_keyed(spark, _src(spark, [(1, "a", 1)]), a, "k")
+    layout.catalog_commit(spark, cat, {"a": (a, 1)})
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    layout.snapshot_merge(
+        spark, a, _upd(spark, [(1, "a", -1, False)]), "k", delete_col="_del"
+    )
+    layout.catalog_commit(spark, cat, {"a": (a, 2)})
+    assert layout.catalog_version_at(spark, cat, t_mid) == 1
+    assert layout.catalog_version_at(spark, cat, time.time()) == 2
+    v3 = layout.catalog_restore(spark, cat, timestamp=t_mid)
+    assert v3 == 3
+    got = {
+        (r["k"], r["x"])
+        for r in layout.catalog_read(spark, cat, "a").collect()
+    }
+    assert got == {(1, 1)}
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.catalog_restore(spark, cat)
+    with pytest.raises(ValueError, match="predates"):
+        layout.catalog_version_at(spark, cat, 0)
