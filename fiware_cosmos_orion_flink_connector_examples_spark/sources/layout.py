@@ -2712,9 +2712,11 @@ def _file_version_expr(files_by_version: dict[int, list[str]]):
 def snapshot_changes_feed(
     spark,
     path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
     key_col: str | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """INCREMENTAL change feed — the per-commit CDC stream a real
     consumer tails (Delta CDF's ``_commit_version`` shape): one row
@@ -2734,12 +2736,39 @@ def snapshot_changes_feed(
     backlog builds the same plan as tailing one commit (VERDICT r14
     #3).  Schema evolution across the span reads through the LATEST
     schema; columns a commit predates are NULL, exactly as the old
-    per-version ``unionByName(allowMissingColumns=True)`` produced."""
+    per-version ``unionByName(allowMissingColumns=True)`` produced.
+
+    Round 17: ``from_timestamp`` / ``to_timestamp`` (each exclusive
+    with its version twin) bound the span by COMMIT TIME instead —
+    'every change since 02:00' resolves through
+    ``snapshot_version_at`` (from = the version live AT the
+    timestamp, i.e. changes strictly after it; to = the version live
+    at the end time)."""
     import json
 
     from pyspark.sql.types import StringType, StructField, StructType
 
     base = path.rstrip("/")
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "snapshot_changes_feed: from_version and from_timestamp "
+                "are exclusive"
+            )
+        # a timestamp predating retained history raises (same as
+        # version-based travel): bootstrap via snapshot_read, then tail
+        from_version = snapshot_version_at(spark, base, from_timestamp)
+    if from_version is None:
+        raise ValueError(
+            "snapshot_changes_feed: from_version or from_timestamp required"
+        )
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "snapshot_changes_feed: to_version and to_timestamp "
+                "are exclusive"
+            )
+        to_version = snapshot_version_at(spark, base, to_timestamp)
     span = snapshot_span_delta_files(spark, base, from_version, to_version)
     keyed = span["keyed"]
     if key_col is None:

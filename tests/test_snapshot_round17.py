@@ -573,3 +573,44 @@ def test_catalog_restore_by_timestamp(spark, tmp_path):
         layout.catalog_restore(spark, cat)
     with pytest.raises(ValueError, match="predates"):
         layout.catalog_version_at(spark, cat, 0)
+
+
+def test_changes_feed_by_timestamp(spark, tmp_path):
+    """'Every change since 02:00': the feed's span can be bounded by
+    commit time — from_timestamp resolves to the version live at that
+    time (changes strictly after it), to_timestamp to the version
+    live at the end time."""
+    import time
+
+    p = str(tmp_path / "t")
+    layout.snapshot_write_keyed(spark, _src(spark, [(1, "a", 1)]), p, "k")
+    time.sleep(0.05)
+    t1 = time.time()
+    time.sleep(0.05)
+    layout.snapshot_merge(
+        spark, p, _upd(spark, [(2, "b", 2, False)]), "k", delete_col="_del"
+    )
+    time.sleep(0.05)
+    t2 = time.time()
+    time.sleep(0.05)
+    layout.snapshot_merge(
+        spark, p, _upd(spark, [(3, "c", 3, False)]), "k", delete_col="_del"
+    )
+    got = {
+        (r["_version"], r["_change"], r["k"])
+        for r in layout.snapshot_changes_feed(
+            spark, p, from_timestamp=t1
+        ).collect()
+    }
+    assert got == {(2, "insert", 2), (3, "insert", 3)}
+    got = {
+        (r["_version"], r["k"])
+        for r in layout.snapshot_changes_feed(
+            spark, p, from_timestamp=t1, to_timestamp=t2
+        ).collect()
+    }
+    assert got == {(2, 2)}
+    with pytest.raises(ValueError, match="exclusive"):
+        layout.snapshot_changes_feed(spark, p, 1, from_timestamp=t1)
+    with pytest.raises(ValueError, match="required"):
+        layout.snapshot_changes_feed(spark, p)
