@@ -1253,21 +1253,40 @@ def ann_index_recall(
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         logical = spark.read.parquet(path.rstrip("/")).select(id_col, vec_col)
     if queries is None:
-        queries = (
+        # the probe sample is ≤ max_probe rows by contract: collect it
+        # ONCE and replay it as a local relation, instead of re-running
+        # the scan+sort+limit subtree under every downstream action
+        # (search, brute force, and three counts each replanned it —
+        # ~5 jobs per recall call for the same ≤64 rows)
+        sample = (
             logical.orderBy(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)), F.col(id_col)
             )
             .limit(max_probe)
+            .collect()
         )
+        queries = spark.createDataFrame(sample, logical.schema)
+        n_q = len(sample)
+    else:
+        n_q = queries.count()
     served = ann_index_search(spark, path, queries, k=k, nprobe=nprobe).select(
         "q_id", "n_id"
     )
     brute = topk_cosine_bruteforce(logical, queries, k, id_col, vec_col).select(
         "q_id", "n_id"
     )
-    hits = served.join(brute, ["q_id", "n_id"]).count()
-    denom = brute.count()
-    n_q = queries.count()
+    # both sides are ≤ n_q × k pairs by construction: collect each ONCE
+    # and intersect driver-side.  The previous served⋈brute count + two
+    # count() actions executed the corpus-scale brute-force pass TWICE
+    # and the probed search twice; this computes each exactly once.
+    # Σ multiplicity products ≡ the inner-join cardinality it replaces.
+    from collections import Counter
+
+    served_pairs = Counter((r[0], r[1]) for r in served.collect())
+    brute_rows = brute.collect()
+    brute_pairs = Counter((r[0], r[1]) for r in brute_rows)
+    hits = sum(m * brute_pairs.get(p, 0) for p, m in served_pairs.items())
+    denom = len(brute_rows)
     return {
         "recall_at_k": (hits / denom) if denom else 1.0,
         "n_queries": n_q,

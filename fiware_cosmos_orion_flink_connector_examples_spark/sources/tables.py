@@ -10,6 +10,9 @@ difference between reading 2 columns and reading 11.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +33,86 @@ TABLE_NAMES = (
 # region/nation are fixed-cardinality; supplier/part grow slowly).  Used
 # by query plans to force broadcast joins instead of shuffles.
 BROADCAST_DIMS = {"region", "nation"}
+
+# Natural unique keys, used by the scan spread: hash-partitioning on a
+# SYNTHETIC key derived from the unique key (pmod(xxhash64(key), 64·N),
+# the guide §2.5 idiom) spreads rows evenly WITHOUT round-robin's local
+# sort-before-repartition pass (which sorts every column of every row —
+# measured ~4× the exchange cost on wide lineitem rows), is
+# deterministic under task retry by construction (assignment depends
+# only on row content, never input order), and — because the synthetic
+# expression never equals a join/groupBy key — can never be mistaken by
+# the planner for a partitioning that satisfies a downstream join's
+# clustering (hash-partitioning directly on doc_id made AQE zip a
+# SortMergeJoin whose other side had coalesced to a different partition
+# count: "Can't zip RDDs with unequal numbers of partitions").
+SPREAD_KEYS = {
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id",),
+}
+
+# Scan-spread floor: files below this size stay single-task (spreading
+# a 2 KB dimension table costs an exchange and 32 near-empty tasks for
+# nothing).  Env-tunable (read per call so tests can pin plan shapes
+# with the spread off); ≤0 disables spreading entirely.
+def _spread_min_bytes() -> int:
+    try:
+        return int(
+            os.environ.get("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES", str(256 * 1024))
+        )
+    except ValueError:
+        return 256 * 1024
+
+
+def _scan_spread(
+    spark: SparkSession, df: DataFrame, file_path: str, name: str | None = None
+) -> DataFrame:
+    """Scale-adaptive scan parallelism (guide §2.5 input skew).
+
+    The driver's testdata ships each table as ONE parquet file with ONE
+    row group, so every scan plans as a single task and each "row-local,
+    zero-exchange" projection above it serializes onto one core of
+    local[N].  When the file's byte-split count (size /
+    ``spark.sql.files.maxPartitionBytes``) is below the session's
+    default parallelism, spread rows with one explicit round-robin
+    exchange — deterministic under retry (``sortBeforeRepartition`` is
+    on by default) and result-neutral (every registered query is
+    row-order independent; the oracle hashes sorted rows).
+
+    At production scale the condition never fires: a table bigger than
+    maxPartitionBytes × cores already scans wider than the cluster, so
+    no exchange is added — this is an input-derived decision, not a
+    local[32] constant.  Filter/column pushdown still reaches the scan
+    (Catalyst pushes both through Repartition; pinned in
+    tests/test_plan_shapes.py)."""
+    floor = _spread_min_bytes()
+    if floor <= 0:
+        return df
+    try:
+        size = os.path.getsize(file_path)
+    except OSError:
+        return df
+    if size < floor:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    try:
+        mpb = int(str(raw).lower().rstrip("b"))
+    except ValueError:
+        mpb = 128 * 1024 * 1024
+    cores = spark.sparkContext.defaultParallelism
+    if math.ceil(size / max(mpb, 1)) >= cores:
+        return df
+    key = SPREAD_KEYS.get(name or "")
+    if key:
+        synth = F.pmod(F.xxhash64(*[F.col(c) for c in key]), F.lit(cores * 64))
+        return df.repartition(cores, synth)
+    return df.repartition(cores)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,7 +139,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ntz_cols:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
-    return df
+    return _scan_spread(spark, df, f"{sf_dir}/{name}.parquet", name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:

@@ -5,6 +5,8 @@ operators free of Python UDFs."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from fiware_cosmos_orion_flink_connector_examples_spark.plans.registry import QUERIES
@@ -13,7 +15,19 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name].fn(spark, SF)
+    # These pins measure each OPERATOR's own plan shape; the
+    # scale-adaptive scan spread (tables._scan_spread — a deliberate
+    # round-robin exchange for single-split local inputs) is pinned
+    # separately in test_scan_spread.py, so disable it here.
+    old = os.environ.get("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES")
+    os.environ["SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES"] = "0"
+    try:
+        df = QUERIES[name].fn(spark, SF)
+    finally:
+        if old is None:
+            del os.environ["SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES"]
+        else:
+            os.environ["SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES"] = old
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
