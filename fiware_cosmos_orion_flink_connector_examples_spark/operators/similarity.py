@@ -1228,6 +1228,26 @@ def ann_index_recall(
     query).  Returns {"recall_at_k", "n_queries", "k", "nprobe"}; a
     healthy index probed exhaustively measures exactly 1.0 (the
     search is pinned row-identical to brute force at nprobe=all)."""
+    return ann_index_recall_multi(
+        spark, path, queries=queries, k=k, nprobes=(nprobe,), max_probe=max_probe
+    )[nprobe]
+
+
+def ann_index_recall_multi(
+    spark,
+    path: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (2,),
+    max_probe: int = 64,
+) -> dict[int, dict]:
+    """``ann_index_recall`` for SEVERAL nprobe settings in one pass:
+    the index resolution, the bounded probe sample, and the
+    corpus-scale brute-force top-k (which does not depend on nprobe)
+    are computed ONCE and shared; only the nprobe-bounded search runs
+    per setting.  A monitor comparing recall at two probe depths
+    (ann_drift_monitor's healthy-vs-drifted pair) pays the brute pass
+    once instead of once per depth.  Returns {nprobe: recall_dict}."""
     import json
 
     from fiware_cosmos_orion_flink_connector_examples_spark.sources.layout import (
@@ -1269,30 +1289,32 @@ def ann_index_recall(
         n_q = len(sample)
     else:
         n_q = queries.count()
-    served = ann_index_search(spark, path, queries, k=k, nprobe=nprobe).select(
-        "q_id", "n_id"
-    )
-    brute = topk_cosine_bruteforce(logical, queries, k, id_col, vec_col).select(
-        "q_id", "n_id"
-    )
-    # both sides are ≤ n_q × k pairs by construction: collect each ONCE
-    # and intersect driver-side.  The previous served⋈brute count + two
-    # count() actions executed the corpus-scale brute-force pass TWICE
-    # and the probed search twice; this computes each exactly once.
-    # Σ multiplicity products ≡ the inner-join cardinality it replaces.
+    # the brute-force side is nprobe-independent: ONE corpus-scale pass
+    # serves every requested probe depth.  Both frames are ≤ n_q × k
+    # pairs by construction: collect each once and intersect
+    # driver-side (Σ multiplicity products ≡ the inner-join cardinality
+    # it replaces — exact, not approximate).
     from collections import Counter
 
-    served_pairs = Counter((r[0], r[1]) for r in served.collect())
-    brute_rows = brute.collect()
+    brute_rows = topk_cosine_bruteforce(logical, queries, k, id_col, vec_col).select(
+        "q_id", "n_id"
+    ).collect()
     brute_pairs = Counter((r[0], r[1]) for r in brute_rows)
-    hits = sum(m * brute_pairs.get(p, 0) for p, m in served_pairs.items())
     denom = len(brute_rows)
-    return {
-        "recall_at_k": (hits / denom) if denom else 1.0,
-        "n_queries": n_q,
-        "k": k,
-        "nprobe": nprobe,
-    }
+    out: dict[int, dict] = {}
+    for nprobe in nprobes:
+        served = ann_index_search(spark, path, queries, k=k, nprobe=nprobe).select(
+            "q_id", "n_id"
+        )
+        served_pairs = Counter((r[0], r[1]) for r in served.collect())
+        hits = sum(m * brute_pairs.get(p, 0) for p, m in served_pairs.items())
+        out[nprobe] = {
+            "recall_at_k": (hits / denom) if denom else 1.0,
+            "n_queries": n_q,
+            "k": k,
+            "nprobe": nprobe,
+        }
+    return out
 
 
 def ann_index_rebuild(

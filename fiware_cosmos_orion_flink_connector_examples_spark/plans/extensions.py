@@ -1037,7 +1037,7 @@ def _synth_audio_media(docs: DataFrame):
     tags=("ext", "multimodal", "dedup", "X2", "X5", "pandas_udf"),
 )
 def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = _synth_audio_media(docs)
     fps = multimodal.audio_fingerprint(media)
     return dedup.hash_dup_pairs(
@@ -2377,7 +2377,7 @@ def decontaminate_eval_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5int64_seeded,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
     tagged = docs.withColumn("_is_eval", is_eval)
     return dedup.ngram_contamination(
@@ -2441,7 +2441,7 @@ def decontaminate_spans_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5int64_seeded,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
     tagged = docs.withColumn("_is_eval", is_eval)
     out = dedup.remove_contaminated_spans(
@@ -2514,7 +2514,7 @@ def decontaminate_spans_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         BPE_RE,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     is_eval = F.pmod(md5int64_seeded(F.col("doc_id").cast("string"), "split"), F.lit(20)) == 0
     tagged = docs.withColumn("_is_eval", is_eval)
     out = dedup.remove_contaminated_spans(
@@ -2733,7 +2733,7 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality", "gopher"),
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull()
     )
     return text.with_gopher_rules(docs).select(
@@ -2851,7 +2851,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality", "gopher"),
 )
 def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull()
     )
     # Higher-order lambdas never enter whole-stage codegen (the Project
@@ -3432,7 +3432,7 @@ def corpus_curate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality"),
 )
 def text_repetition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     grams = dedup.shingles("text", 3, distinct=False)
     base = docs.select(
         "doc_id",
@@ -3718,7 +3718,7 @@ def span_dedup_repeated_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "X2", "span"),
 )
 def span_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     out = dedup.remove_repeated_spans(docs, "doc_id", "text", n=8)
     return out.select(
         "doc_id",
@@ -3780,7 +3780,7 @@ def span_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "X2", "span"),
 )
 def span_dedup_removed_run50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     out = dedup.remove_repeated_spans(docs, "doc_id", "text", n=8, min_run=50)
     return out.select(
         "doc_id",
@@ -3840,7 +3840,7 @@ def span_dedup_removed_run50(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "X2", "span", "bpe"),
 )
 def span_dedup_removed_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     out = dedup.remove_repeated_spans_bpe(docs, "doc_id", "text", n=8)
     return out.select(
         "doc_id",
@@ -3904,7 +3904,7 @@ def span_dedup_removed_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "X2", "span", "bpe"),
 )
 def span_dedup_removed_bpe_run50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     out = dedup.remove_repeated_spans_bpe(docs, "doc_id", "text", n=8, min_run=50)
     return out.select(
         "doc_id",
@@ -3960,7 +3960,7 @@ def span_dedup_removed_bpe_run50(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "X2", "span", "intra"),
 )
 def span_dedup_intra_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     out = dedup.remove_intra_doc_repeats(docs, "doc_id", "text", n=4)
     return out.filter(F.col("n_removed") > 0).select(
         "doc_id",
@@ -5703,7 +5703,7 @@ def events_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality", "classifier"),
 )
 def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text.nb_quality_scores(docs)
 
 
@@ -5779,7 +5779,7 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality", "classifier"),
 )
 def quality_nb_classifier_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text.nb_quality_scores_hashed_bigrams(docs)
 
 
@@ -5892,7 +5892,7 @@ def _sample_dsir_frames(spark: SparkSession, sf_dir: str):
     test can pin TakeOrderedAndProject / BroadcastHashJoin on the
     PRE-checkpoint plan (eagerly's localCheckpoint collapses the
     returned frame to Scan ExistingRDD, hiding the shape)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pre = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
@@ -6273,7 +6273,7 @@ def corpus_curate_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality", "lm"),
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text.bigram_logprob(docs)
 
 
@@ -6303,7 +6303,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality", "lm"),
 )
 def text_bigram_logprob_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text.kn_bigram_logprob(docs)
 
 
@@ -6390,7 +6390,7 @@ def text_bigram_logprob_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality", "lm"),
 )
 def text_trigram_logprob_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text.kn_trigram_logprob(docs)
 
 
@@ -6511,7 +6511,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "decontamination", "lsh"),
 )
 def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     tr = docs.filter(F.col("doc_id") % 10 != 0)
     # 36 hashes / 18 bands: drives the at-threshold banding miss
@@ -6816,7 +6816,7 @@ def _nb_chain_sql() -> str:
     tags=("ext", "text", "X4", "quality", "classifier", "report"),
 )
 def quality_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sc = text.nb_quality_scores(docs).select("nb_score", "label")
     bnds = sc.agg(
         F.percentile(
@@ -7245,7 +7245,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     depth, width = 4, 1024
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     ex = docs.filter(F.col("text").isNotNull()).select(
         F.explode(text.tokens("text")).alias("term")
     )
@@ -7388,7 +7388,7 @@ def cms_merge_equals_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     depth, width = 4, 1024
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     ex = docs.filter(F.col("text").isNotNull()).select(
         "source", F.explode(text.tokens("text")).alias("term")
     )
@@ -8151,14 +8151,15 @@ def ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the PRE-rebuild observations exist only before the root flip —
         # persist them with the fixture (deterministic: seeded kmeans,
         # fixed probe sample) so cached repeats serve them
+        # one shared sample + ONE brute-force pass for both probe
+        # depths (the brute side is nprobe-independent)
+        pre_pair = similarity.ann_index_recall_multi(
+            spark, idx, k=5, nprobes=(len(cents), 1), max_probe=16
+        )
         pre = {
             "n_before": _n_vectors(idx),
-            "full": similarity.ann_index_recall(
-                spark, idx, k=5, nprobe=len(cents), max_probe=16
-            ),
-            "drifted": similarity.ann_index_recall(
-                spark, idx, k=5, nprobe=1, max_probe=16
-            ),
+            "full": pre_pair[len(cents)],
+            "drifted": pre_pair[1],
         }
         similarity.ann_index_rebuild_versioned(spark, idx, k_centroids=8)
         with open(f"{root_dir}/pre.json", "w") as fh:
@@ -8173,10 +8174,12 @@ def ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = f"{base}/ivf"
     with open(f"{base}/pre.json") as fh:
         pre = json.load(fh)
-    rebuilt = similarity.ann_index_recall(spark, idx, k=5, nprobe=1, max_probe=16)
-    rebuilt_full = similarity.ann_index_recall(
-        spark, idx, k=5, nprobe=8, max_probe=16
+    # the monitor's repeat-run cost: one shared sample + ONE
+    # brute-force pass serves both probe depths (ann_index_recall_multi)
+    post_pair = similarity.ann_index_recall_multi(
+        spark, idx, k=5, nprobes=(1, 8), max_probe=16
     )
+    rebuilt, rebuilt_full = post_pair[1], post_pair[8]
     n_after = _n_vectors(idx)
     full, drifted = pre["full"], pre["drifted"]
     return spark.createDataFrame(

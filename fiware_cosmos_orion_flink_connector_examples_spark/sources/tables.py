@@ -115,7 +115,9 @@ def _scan_spread(
     return df.repartition(cores)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Load one testdata table, normalizing timestamp physical types.
 
     The driver's parquet has shipped with two different timestamp
@@ -139,6 +141,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ntz_cols:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    if not spread:
+        # Opt-in per call site: interleaved A/B at sf0.1 showed the
+        # spread pays ONLY where the consumer does heavy row-local
+        # work before its first shuffle (tokenize/regex/vector math);
+        # queries whose first operation is already an exchange (joins,
+        # groupBy-first pipelines) pay the extra pass for nothing
+        # (+0.3-0.5 s each, 12 queries re-measured off/on interleaved).
+        return df
     return _scan_spread(spark, df, f"{sf_dir}/{name}.parquet", name)
 
 

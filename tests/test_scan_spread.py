@@ -38,7 +38,7 @@ def _plan(df) -> str:
 
 def test_spread_fires_and_pushdown_survives(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES", "1")
-    df = load_table(spark, SF, "lineitem").filter(
+    df = load_table(spark, SF, "lineitem", spread=True).filter(
         F.col("l_returnflag") == "R"
     ).select("l_orderkey", "l_extendedprice")
     plan = _plan(df)
@@ -63,7 +63,7 @@ def test_no_spread_when_scan_already_wide(spark, monkeypatch):
     # condition says the scan is already wide; no exchange added.
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
     try:
-        plan = _plan(load_table(spark, SF, "lineitem"))
+        plan = _plan(load_table(spark, SF, "lineitem", spread=True))
         assert "Exchange" not in plan
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
@@ -72,14 +72,22 @@ def test_no_spread_when_scan_already_wide(spark, monkeypatch):
 @pytest.mark.parametrize("floor", ["0", str(64 * 1024 * 1024)])
 def test_no_spread_below_floor_or_disabled(spark, monkeypatch, floor):
     monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES", floor)
-    plan = _plan(load_table(spark, SF, "lineitem"))
+    plan = _plan(load_table(spark, SF, "lineitem", spread=True))
     assert "Exchange" not in plan
+
+
+def test_spread_is_opt_in_per_call_site(spark, monkeypatch):
+    # Interleaved A/B showed the spread only pays where the consumer
+    # does heavy row-local work before its first shuffle; the default
+    # load is therefore unchanged (no exchange) even above the floor.
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES", "1")
+    assert "Exchange" not in _plan(load_table(spark, SF, "lineitem"))
 
 
 def test_results_identical_with_and_without_spread(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES", "1")
     agg_on = (
-        load_table(spark, SF, "orders")
+        load_table(spark, SF, "orders", spread=True)
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
@@ -92,7 +100,7 @@ def test_results_identical_with_and_without_spread(spark, monkeypatch):
     )
     monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES", "0")
     agg_off = (
-        load_table(spark, SF, "orders")
+        load_table(spark, SF, "orders", spread=True)
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
