@@ -6209,7 +6209,12 @@ def corpus_curate_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = docs.join(keep, "doc_id")
     lm = text.kn_bigram_logprob(kept).select("doc_id", "avg_logprob")
-    sc = kept.select("lang", "doc_id").join(lm, "doc_id")
+    # persist the NARROW per-doc score frame (the persist_base /
+    # _token_budget_two_pass discipline): both the tertile-boundary agg
+    # and the final bucket join consume sc, and its lineage is the
+    # dedup shuffle + the ENTIRE KN scoring DAG — uncached, the whole
+    # LM pipeline runs twice (133-operator duplicated physical plan)
+    sc = kept.select("lang", "doc_id").join(lm, "doc_id").persist()
     bnds = sc.groupBy("lang").agg(
         F.percentile(
             "avg_logprob", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))
@@ -6569,6 +6574,10 @@ def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # persisted: pass 1 (tier counts) and pass 2 (within-tier rank)
+    # both consume base, whose lineage tokenizes + quality-scores the
+    # corpus — uncached, that row-local work runs twice (persist_base
+    # discipline; narrow per-doc frame)
     base = docs.select(
         "doc_id",
         text.token_count("text").cast("long").alias("n_tokens"),
@@ -6576,7 +6585,7 @@ def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(
             md5int64_seeded(F.col("doc_id").cast("string"), "shard"), F.lit(8)
         ).alias("shard_id"),
-    ).withColumn("_tier", F.floor(F.col("quality") * 10).cast("int"))
+    ).withColumn("_tier", F.floor(F.col("quality") * 10).cast("int")).persist()
     # Pass 1: per-(shard, tier) doc counts -> exclusive higher-tier
     # prefix (window over the <= shards x 11-row aggregate only).
     wt = (
@@ -6817,7 +6826,10 @@ def _nb_chain_sql() -> str:
 )
 def quality_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sc = text.nb_quality_scores(docs).select("nb_score", "label")
+    # persist the narrow (nb_score, label) frame: the decile-boundary
+    # agg and the bucketing crossJoin both consume it, and its lineage
+    # is the full NB scoring DAG (persist_base discipline)
+    sc = text.nb_quality_scores(docs).select("nb_score", "label").persist()
     bnds = sc.agg(
         F.percentile(
             "nb_score", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
