@@ -1067,27 +1067,37 @@ def kn_bigram_logprob(
     Every observed pair has c>=1, N1+>=1, so the argument stays
     positive even when c <= D — KN needs no extra floor.
 
-    All four model tables are plain aggs: unigram counts, bigram-type
-    counts, and the two distinct-continuation tables are RE-AGGS of
-    the bigram-type table (vocab-scale, never a second corpus scan);
-    T is a 1-row broadcast scalar.  Scoring is the bigram_logprob
-    join shape plus two vocab-sized broadcast-gated joins; per-term
-    picounit quantization + exact DECIMAL(38,0) sums keep both
-    engines bit-identical.
+    The corpus is tokenized three times (header pass, bigram-type agg,
+    scoring join) instead of four, and only ONE token-scale shuffle
+    agg remains: unigram counts are DERIVED from the bigram-type table
+    via the identity c(w) = Σ_w2 c(w,w2) + #docs-ending-in-w (the doc
+    tails and the first-token scoring frame ride one explode-free
+    header pass), so the unigram explode+agg disappears.  The
+    distinct-continuation tables are re-aggs of the bigram-type table
+    (vocab-scale, never a second corpus scan); T is a 1-row broadcast
+    scalar.  Scoring is the bigram_logprob join shape plus two
+    vocab-sized broadcast-gated joins; per-term picounit quantization
+    + exact DECIMAL(38,0) sums keep both engines bit-identical.
 
     Returns (id, n_tokens BIGINT, avg_logprob DOUBLE)."""
     pre = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
     n_tok = F.size(F.col("_toks"))
 
-    uni_ex = pre.select(F.explode("_toks").alias("tok"))
-    # persisted: the probe and two scoring joins read it (the
-    # bigram_logprob precedent; session-lived, bench clearCache()s).
-    uni = uni_ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
-    totals = uni.agg(
-        F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
-    ).collect()[0]
-    v = int(totals["v"] or 0)
-    n_total = F.lit(float(totals["n"] or 0))
+    # corpus tokenize #1 (no explode, no shuffle): doc-scale header —
+    # token count, first and last token (F.get is OOB-null-safe under
+    # ANSI).  persisted: consumed by the unigram derivation, the
+    # first-token scoring term, and the final n_tokens (session-lived,
+    # bench clearCache()s — the established convention in this module).
+    hdr = (
+        pre.select(
+            F.col(id_col),
+            n_tok.alias("_n"),
+            F.get("_toks", F.lit(0)).alias("_t1"),
+            F.get("_toks", n_tok - 1).alias("_tl"),
+        )
+        .filter(F.col("_n") > 0)
+        .persist()
+    )
 
     pairs_gen = F.zip_with(
         F.slice(F.col("_toks"), 1, F.greatest(n_tok - 1, F.lit(0))),
@@ -1099,14 +1109,33 @@ def kn_bigram_logprob(
         F.col("bg.w1").alias("w1"),
         F.col("bg.w2").alias("w2"),
     )
-    # persisted: three consumers (scoring join + both continuation
-    # re-aggs) — all vocab-scale.
+    # persisted: four consumers (scoring join, both continuation
+    # re-aggs, unigram derivation) — all vocab-scale.
     bcw = (
         big_ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
     )
     fol = bcw.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
     prec = bcw.groupBy("w2").agg(F.count(F.lit(1)).alias("np"))
     tt = bcw.agg(F.count(F.lit(1)).alias("t_types"))
+
+    # unigram counts DERIVED, not re-scanned: every token occurrence
+    # is the w1 of exactly one bigram except each doc's last token.
+    uni = (
+        bcw.select(F.col("w1").alias("tok"), F.col("cb").alias("c"))
+        .unionByName(
+            hdr.groupBy(F.col("_tl").alias("tok")).agg(
+                F.count(F.lit(1)).alias("c")
+            )
+        )
+        .groupBy("tok")
+        .agg(F.sum("c").alias("c"))
+        .persist()
+    )
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
+    ).collect()[0]
+    v = int(totals["v"] or 0)
+    n_total = F.lit(float(totals["n"] or 0))
 
     u = uni
     if v <= 2_000_000:  # the nb_quality_scores zipfian broadcast gate
@@ -1117,12 +1146,13 @@ def kn_bigram_logprob(
     def quant(col):
         return F.round(col * F.lit(1e12), 0).cast("long").cast("decimal(38,0)")
 
-    first = pre.filter(n_tok > 0).select(
-        F.col(id_col), F.element_at("_toks", 1).alias("tok")
-    )
-    f_terms = first.join(u, "tok").select(
-        F.col(id_col),
-        quant(F.log(F.col("c").cast("double") / n_total)).alias("q"),
+    f_terms = (
+        hdr.select(F.col(id_col), F.col("_t1").alias("tok"))
+        .join(u, "tok")
+        .select(
+            F.col(id_col),
+            quant(F.log(F.col("c").cast("double") / n_total)).alias("q"),
+        )
     )
     d = F.lit(discount)
     b_terms = (
@@ -1187,43 +1217,40 @@ def kn_trigram_logprob(
     positive (the interpolation term has N1+ ≥ 1 throughout) — no
     floors needed.
 
-    100 TB shape: ONE extra corpus pass (the trigram explode); every
-    model table above order zero is an agg or RE-AGG of the
-    trigram/bigram TYPE tables (type-scale, never a second corpus
-    scan).  Single-word-keyed tables (fol/prec/mid/lam) broadcast
-    below the 2M-vocab gate; pair/triple-keyed joins stay unhinted so
-    AQE splits the zipfian skew.  Per-term picounit quantization +
-    DECIMAL(38,0) sums keep both engines bit-identical.
+    100 TB shape: the corpus is tokenized three times (explode-free
+    header pass, trigram-type agg, scoring join) instead of six, and
+    only ONE token-scale shuffle agg remains (the trigram explode):
+    the bigram token counts are DERIVED via the identity c(w1,w2) =
+    Σ_w3 c(w1,w2,w3) + #docs-ending-in-(w1,w2), and the unigram
+    counts via c(w) = Σ_w2 c(w,w2) + #docs-ending-in-w — the doc
+    tails, first/second tokens and the last pair all ride the header
+    pass, so the separate unigram AND bigram explodes disappear.
+    Every other model table is a re-agg of the trigram/bigram TYPE
+    tables (type-scale, never a second corpus scan).  Single-word-
+    keyed tables (fol/prec/mid/lam) broadcast below the 2M-vocab
+    gate; pair/triple-keyed joins stay unhinted so AQE splits the
+    zipfian skew.  Per-term picounit quantization + DECIMAL(38,0)
+    sums keep both engines bit-identical.
 
     Returns (id, n_tokens BIGINT, avg_logprob DOUBLE)."""
     pre = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
     n_tok = F.size(F.col("_toks"))
 
-    uni_ex = pre.select(F.explode("_toks").alias("tok"))
-    uni = uni_ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
-    totals = uni.agg(
-        F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
-    ).collect()[0]
-    v = int(totals["v"] or 0)
-    n_total = F.lit(float(totals["n"] or 0))
-
-    m2 = F.greatest(n_tok - 1, F.lit(0))
-    pairs_gen = F.zip_with(
-        F.slice(F.col("_toks"), 1, m2),
-        F.slice(F.col("_toks"), 2, m2),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    # corpus tokenize #1 (no explode): doc-scale header.  persisted:
+    # consumed by the bigram/unigram derivations and three scoring
+    # terms (session-lived, bench clearCache()s).
+    hdr = (
+        pre.select(
+            F.col(id_col),
+            n_tok.alias("_n"),
+            F.get("_toks", F.lit(0)).alias("_t1"),
+            F.get("_toks", F.lit(1)).alias("_t2"),
+            F.get("_toks", n_tok - 2).alias("_tp1"),
+            F.get("_toks", n_tok - 1).alias("_tl"),
+        )
+        .filter(F.col("_n") > 0)
+        .persist()
     )
-    big_ex = pre.select(F.col(id_col), F.explode(pairs_gen).alias("bg")).select(
-        F.col(id_col),
-        F.col("bg.w1").alias("w1"),
-        F.col("bg.w2").alias("w2"),
-    )
-    bcw = (
-        big_ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
-    )
-    fol = bcw.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
-    prec = bcw.groupBy("w2").agg(F.count(F.lit(1)).alias("np"))
-    tt = bcw.agg(F.count(F.lit(1)).alias("t_types"))
 
     m3 = F.greatest(n_tok - 2, F.lit(0))
     tri_gen = F.zip_with(
@@ -1243,13 +1270,49 @@ def kn_trigram_logprob(
         F.col("tg.w2").alias("w2"),
         F.col("tg.w3").alias("w3"),
     )
-    # persisted: four consumers (scoring join + nf3/ctx re-aggs, and
-    # ctx itself re-aggs twice more) — all type-scale.
+    # persisted: five consumers (scoring join + nf3/ctx re-aggs + the
+    # bigram derivation, and ctx itself re-aggs once more) — all
+    # type-scale.
     tcw = (
         tri_ex.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("ct"))
         .persist()
     )
+    # bigram token counts DERIVED: every bigram occurrence is the
+    # (w1,w2) prefix of exactly one trigram except each doc's LAST
+    # pair (docs with exactly 2 tokens contribute only the tail row).
+    bcw = (
+        tcw.select(F.col("w1"), F.col("w2"), F.col("ct").alias("cb"))
+        .unionByName(
+            hdr.filter(F.col("_n") >= 2)
+            .groupBy(F.col("_tp1").alias("w1"), F.col("_tl").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        .groupBy("w1", "w2")
+        .agg(F.sum("cb").alias("cb"))
+        .persist()
+    )
+    fol = bcw.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
+    prec = bcw.groupBy("w2").agg(F.count(F.lit(1)).alias("np"))
+    tt = bcw.agg(F.count(F.lit(1)).alias("t_types"))
+
+    # unigram counts DERIVED from the bigram table + doc tails.
+    uni = (
+        bcw.select(F.col("w1").alias("tok"), F.col("cb").alias("c"))
+        .unionByName(
+            hdr.groupBy(F.col("_tl").alias("tok")).agg(
+                F.count(F.lit(1)).alias("c")
+            )
+        )
+        .groupBy("tok")
+        .agg(F.sum("c").alias("c"))
+        .persist()
+    )
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
+    ).collect()[0]
+    v = int(totals["v"] or 0)
+    n_total = F.lit(float(totals["n"] or 0))
     nf3 = tcw.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nf3"))
     # distinct triples ⇒ per-(w2,w3) row count IS the distinct-w1 count
     ctx = tcw.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cctx")).persist()
@@ -1269,18 +1332,19 @@ def kn_trigram_logprob(
 
     d = F.lit(discount)
 
-    first = pre.filter(n_tok > 0).select(
-        F.col(id_col), F.element_at("_toks", 1).alias("tok")
-    )
-    f_terms = first.join(u, "tok").select(
-        F.col(id_col),
-        quant(F.log(F.col("c").cast("double") / n_total)).alias("q"),
+    f_terms = (
+        hdr.select(F.col(id_col), F.col("_t1").alias("tok"))
+        .join(u, "tok")
+        .select(
+            F.col(id_col),
+            quant(F.log(F.col("c").cast("double") / n_total)).alias("q"),
+        )
     )
     # token 2 only: the order-2 KN formula over the doc's FIRST pair
-    second = pre.filter(n_tok >= 2).select(
+    second = hdr.filter(F.col("_n") >= 2).select(
         F.col(id_col),
-        F.element_at("_toks", 1).alias("w1"),
-        F.element_at("_toks", 2).alias("w2"),
+        F.col("_t1").alias("w1"),
+        F.col("_t2").alias("w2"),
     )
     s_terms = (
         second.join(bcw, ["w1", "w2"])

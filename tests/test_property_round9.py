@@ -499,3 +499,29 @@ def test_incremental_line_dedup_composes_to_full_pass(spark):
     # only in doc 10 (within-batch first)
     assert inc[10][2] == "new gamma\nshared new line"
     assert inc[11][2] == "new delta"
+
+
+def test_kn_derived_model_tables_on_randomized_corpus(spark):
+    """Round-17 optimization pin: the KN model tables are now DERIVED
+    (uni from the bigram table + doc-tail counts, and for the trigram
+    model the bigram table from trigram prefixes + last-pair counts)
+    instead of re-scanned.  A randomized corpus with hostile tail
+    shapes — unique last tokens/pairs, docs of every length 0..5,
+    heavy repetition — must still match the independent pure-python
+    reference exactly."""
+    import random
+
+    rng = random.Random(1709)
+    vocab = ["a", "bb", "ccc", "dd", "e", "tailonly", "pairx", "pairy"]
+    texts = []
+    for _ in range(40):
+        n = rng.randint(0, 5)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    # force the tail edge cases the derivations depend on
+    texts += ["solo2", "pairx pairy", "a bb tailonly", ""]
+    docs = _doc_frame(spark, texts)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in text.kn_trigram_logprob(docs).collect()
+    }
+    assert got == _py_kn_trigram(texts)
