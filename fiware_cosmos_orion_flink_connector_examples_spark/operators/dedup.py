@@ -2001,3 +2001,113 @@ def minhash_contamination(
         .filter(F.col("jaccard") >= threshold)
     )
     return eagerly(out, sig_ev, cands)
+
+
+def minhash_contamination_flagged(
+    docs: DataFrame,
+    eval_flag: Column,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """ONE-PASS ``minhash_contamination`` for the common case where the
+    train and eval sides are row-disjoint SLICES OF ONE FRAME (split by
+    ``eval_flag``): both sides' signatures come out of a single corpus
+    tokenize+shingle+hash+agg pass — the two-frame API scans and
+    shingles the corpus once PER SIDE, which at 100 TB is a full extra
+    corpus pass just to slice off the (tiny) eval set.  Output is
+    row-identical to ``minhash_contamination(docs.filter(~flag),
+    docs.filter(flag), ...)`` — same seeded hash family, same banding,
+    same exact-jaccard verify (pytest-pinned).
+
+    The eval side's verify shingle sets ride the SAME aggregate via
+    ``collect_set(when(flag, s))`` — nulls are skipped, so train rows
+    buffer nothing (preserving the keep_shingles=False memory contract
+    the two-frame path documents).  The signature table (doc-scale,
+    ``num_hashes`` longs per doc) persists once and serves banding for
+    both sides."""
+    import random
+
+    from pyspark import StorageLevel
+
+    from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
+        eagerly,
+    )
+
+    base = docs.select(
+        F.col(id_col), F.col(text_col), eval_flag.alias("_ev")
+    ).filter(F.col(text_col).isNotNull())
+    sh = base.select(
+        F.col(id_col),
+        F.col("_ev"),
+        shingles(text_col, n=n, distinct=True).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    ex = sh.select(F.col(id_col), "_ev", F.explode("sh").alias("s"))
+    rng = random.Random(0)
+    coeffs = [
+        (rng.randrange(1, _P31), rng.randrange(0, _P31))
+        for _ in range(num_hashes)
+    ]
+    hbase = F.pmod(F.xxhash64(F.col("s")), F.lit(_P31))
+    hashed = ex.select(
+        F.col(id_col),
+        F.col("_ev"),
+        F.col("s"),
+        *[
+            F.pmod(F.lit(a) * hbase + F.lit(b), F.lit(_P31)).alias(f"h{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ],
+    )
+    sig = (
+        hashed.groupBy(id_col)
+        .agg(
+            F.max("_ev").alias("_ev"),
+            *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)],
+            F.collect_set(F.when(F.col("_ev"), F.col("s"))).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig_tr = sig.filter(~F.col("_ev"))
+    sig_ev = sig.filter(F.col("_ev"))
+    cands = (
+        _minhash_bands(sig_tr, id_col, num_hashes, rows_per_band)
+        .alias("a")
+        .join(
+            F.broadcast(
+                _minhash_bands(sig_ev, id_col, num_hashes, rows_per_band)
+            ).alias("b"),
+            ["band", "bh"],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("train_id"),
+            F.col(f"b.{id_col}").alias("eval_id"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # verify: re-shingle ONLY candidate train docs (map-only array
+    # build on a broadcast-semi-join-filtered scan), never the corpus
+    cand_ids = cands.select(F.col("train_id").alias(id_col)).distinct()
+    s1 = (
+        docs.filter(~eval_flag)
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("train_id"),
+            shingles(text_col, n=n, distinct=True).alias("sh1"),
+        )
+    )
+    s2 = sig_ev.select(F.col(id_col).alias("eval_id"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    out = (
+        cands.join(s1, "train_id")
+        .join(F.broadcast(s2), "eval_id")
+        .select(
+            "train_id", "eval_id", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return eagerly(out, sig, cands)

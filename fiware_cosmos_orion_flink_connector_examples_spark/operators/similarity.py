@@ -521,6 +521,28 @@ def pq_encode(
     )
 
 
+def pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The normalized-corpus PQ code frame both search paths scan —
+    exposed so a caller running BOTH paths over one corpus (the
+    serving≡batch equality proofs) can encode once, persist, and pass
+    the same frame to each via their ``codes=`` parameter instead of
+    paying the Arrow encode pass twice."""
+    return pq_encode(
+        df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col),
+            l2_normalize(F.col(vec_col).cast("array<double>")).alias("_nv"),
+        ),
+        codebooks,
+        "_nv",
+        id_col,
+    )
+
+
 def topk_cosine_pq(
     df: DataFrame,
     queries: DataFrame,
@@ -529,6 +551,7 @@ def topk_cosine_pq(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     rerank: int = 4,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via asymmetric distance computation (ADC) +
     exact re-rank — the production PQ shape: the corpus is scanned as
@@ -558,7 +581,8 @@ def topk_cosine_pq(
     df = df.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
     m = len(codebooks)
-    codes = pq_encode(df.select(F.col(id_col), l2_normalize(F.col(vec_col).cast("array<double>")).alias("_nv")), codebooks, "_nv", id_col)
+    if codes is None:
+        codes = pq_codes(df, codebooks, vec_col, id_col)
 
     qrows = queries.select(
         F.col(id_col).alias("q_id"),
@@ -643,6 +667,7 @@ def topk_cosine_pq_batch(
     rerank: int = 4,
     q_blocks: int = 4,
     c_blocks: int = 4,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-join PQ top-k: same output contract as ``topk_cosine_pq``
     but nothing query-sized ever touches the driver (VERDICT r4 #5).
@@ -679,14 +704,8 @@ def topk_cosine_pq_batch(
     id_type = df.schema[id_col].dataType.simpleString()
     shortl = (rerank if rerank > 0 else 1) * k
 
-    codes = pq_encode(
-        df.select(
-            F.col(id_col), l2_normalize(F.col(vec_col).cast("array<double>")).alias("_nv")
-        ),
-        codebooks,
-        "_nv",
-        id_col,
-    )
+    if codes is None:
+        codes = pq_codes(df, codebooks, vec_col, id_col)
 
     books = [np.asarray(b, dtype="float64") for b in codebooks]
 

@@ -1139,9 +1139,17 @@ def ann_pq_paths_bit_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=(spark.sparkContext.applicationId, sf_dir, "embeddings"),
     )
     qs = emb.filter(F.col("vec_id") < 64)
-    serving = similarity.topk_cosine_pq(emb, qs, books, k=5, rerank=4).persist()
+    # encode the corpus ONCE and hand the persisted code frame to both
+    # paths (round-17): pq_encode is byte-identical shared code in both
+    # — what this query proves diverge-or-not is the SEARCH strategies
+    # (driver-side vs executor-side ADC tables, block partitioning,
+    # shortlist rounding), which still run independently.
+    codes = similarity.pq_codes(emb, books).persist()
+    serving = similarity.topk_cosine_pq(
+        emb, qs, books, k=5, rerank=4, codes=codes
+    ).persist()
     batch = similarity.topk_cosine_pq_batch(
-        emb, qs, books, k=5, rerank=4
+        emb, qs, books, k=5, rerank=4, codes=codes
     ).persist()
     cols = serving.columns
     n_queries = qs.agg(F.count(F.lit(1)).alias("n_queries"))
@@ -6517,14 +6525,15 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    ev = docs.filter(F.col("doc_id") % 10 == 0)
-    tr = docs.filter(F.col("doc_id") % 10 != 0)
     # 36 hashes / 18 bands: drives the at-threshold banding miss
     # probability to ~1e-8 per true pair (see oracle doc) — the exact
     # brute-force oracle makes recall a correctness property here, not
-    # just a quality knob
-    return dedup.minhash_contamination(
-        tr, ev, "doc_id", threshold=0.8, num_hashes=36
+    # just a quality knob.  Both sides are slices of ONE frame, so the
+    # one-pass flagged variant signatures the corpus once instead of
+    # once per side (round-17 optimization; output pytest-pinned
+    # identical to the two-frame path).
+    return dedup.minhash_contamination_flagged(
+        docs, F.col("doc_id") % 10 == 0, "doc_id", threshold=0.8, num_hashes=36
     )
 
 

@@ -233,3 +233,29 @@ def test_pca_refit_is_deterministic(spark):
     a = similarity.pca_fit(emb, k=4)
     b = similarity.pca_fit(emb, k=4)
     assert a == b
+
+
+def test_minhash_contamination_flagged_equals_two_frame(spark):
+    """Round-17 optimization pin: the one-pass flagged variant must be
+    row-identical to the two-frame path on the same split — same
+    seeded hash family, same banding, same exact-jaccard verify."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    two = {
+        tuple(r)
+        for r in dedup.minhash_contamination(
+            tr, ev, "doc_id", threshold=0.8, num_hashes=36
+        ).collect()
+    }
+    one = {
+        tuple(r)
+        for r in dedup.minhash_contamination_flagged(
+            docs, F.col("doc_id") % 10 == 0, "doc_id",
+            threshold=0.8, num_hashes=36,
+        ).collect()
+    }
+    assert one == two and len(one) > 0
