@@ -141,7 +141,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "X2"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
 
 
@@ -173,7 +173,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "X2", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8)
 
 
@@ -352,7 +352,7 @@ def ivf_dedup_recall_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "X2", "incremental"),
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     new = docs.filter(F.col("doc_id") % 10 == 0)
     return dedup.ngram_jaccard_pairs_incremental(new, docs, "doc_id", threshold=0.8)
 
@@ -380,7 +380,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "cluster", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # uncapped candidate path: measured faster here (no hot shingles in
     # this corpus, so the df-cap's correction joins are pure overhead);
     # pass max_shingle_df on skewed corpora where posting lists blow up
@@ -446,7 +446,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "pipeline", "capstone"),
 )
 def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
     clusters = dedup.connected_components(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -960,7 +960,7 @@ def _synth_image_media(docs: DataFrame, corrupt_mod: int | None = None):
     tags=("ext", "multimodal", "dedup", "X2", "X5", "pandas_udf"),
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = _synth_image_media(docs)
     hashes = multimodal.image_phash(media)
     return dedup.hash_dup_pairs(
@@ -1197,7 +1197,7 @@ def ann_mmr_lambda1_equals_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         eagerly,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     qs = emb.filter(F.col("vec_id") < 8)
     mmr = (
         similarity.topk_mmr(emb, qs, k=5, shortlist=50, lam=1.0)
@@ -1359,7 +1359,7 @@ def ann_ivf_recall_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "multimodal", "similarity", "text", "capstone", "X5"),
 )
 def crossmodal_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     emb = load_table(spark, sf_dir, "embeddings")
     t = docs.select(
         "doc_id",
@@ -1615,7 +1615,7 @@ def sample_mixture_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
     comps = dedup.connected_components(pairs)
     labeled = comps.join(
@@ -1755,7 +1755,7 @@ def split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "profile"),
 )
 def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
     dup_docs = (
         pairs.select(F.col("d1").alias("doc_id"))
@@ -4749,7 +4749,7 @@ def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "profile"),
 )
 def dup_matrix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
     s1 = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
     s2 = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
@@ -6150,7 +6150,7 @@ def _temperature_draw(
     tags=("ext", "dedup", "quality", "sample", "pipeline", "capstone"),
 )
 def corpus_curate_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     keep = dedup.exact_dedup(docs, ["text"], "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )

@@ -264,7 +264,7 @@ def ngsi_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("reference", "ngsi", "O1", "O2", "O3", "P1"),
 )
 def ngsi_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     payload = F.concat(
         F.lit('{"data":[{"id":"'),
         F.col("user_id").cast("string"),
