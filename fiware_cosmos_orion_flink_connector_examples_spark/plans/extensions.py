@@ -8337,13 +8337,14 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
     )
     base = orders.filter(F.col("k") % 4 != 2)
-    agg = base.agg(
-        F.count(F.lit(1)).alias("n"),
+    # ONE probe-discovery scan (round 17): count/present/absent were two
+    # separate collects over the same table — conditional aggs merge them
+    agg = orders.agg(
+        F.count(F.when(F.col("k") % 4 != 2, F.lit(1))).alias("n"),
         F.min(F.when(F.col("k") % 4 == 1, F.col("k"))).alias("present"),
+        F.min(F.when(F.col("k") % 4 == 2, F.col("k"))).alias("m"),
     ).collect()[0]
-    absent = (
-        orders.filter(F.col("k") % 4 == 2).agg(F.min("k").alias("m")).collect()
-    )[0]["m"]
+    absent = agg["m"]
     schema = (
         "found_key bigint, price_c bigint, pruned boolean, absent_zero boolean"
     )
@@ -9019,6 +9020,9 @@ def maintenance_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="maint_report_")
     path = f"{tmp}/t"
+    # persisted: the 6 commit chunks below each filter this slice — un-
+    # cached, every commit re-scans+re-projects the orders parquet
+    slice_ = slice_.persist()
     try:
         # 6 stripes as separate commits: only the first records stats,
         # so coverage decays; the chain grows past max_segments; files
