@@ -7125,8 +7125,12 @@ def _hybrid_served_indexes(spark, sf_dir: str) -> tuple[str, str]:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # fingerprint via parquet-footer digest (_sf_print): zero Spark jobs
+    # per serve (the old two .count() probes were a job each per run)
+    # and content-sensitive, not just row-count-sensitive (r15 #6)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{docs.count()}:{emb.count()}:v1".encode()
+        f"{os.path.abspath(sf_dir)}:"
+        f"{_sf_print(spark, sf_dir, 'documents', 'embeddings')}:v2".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"sg_hybrid_idx_{key}")
     if not os.path.isdir(base):
