@@ -115,6 +115,33 @@ def _scan_spread(
     return df.repartition(cores)
 
 
+# Schema cache (round 17, guide §1/§5 driver fixed cost): every
+# `spark.read.parquet(path)` pays driver-side datasource resolution +
+# footer schema inference (~100-200 ms/call measured on this box —
+# ~15x the cost of a schema-supplied read).  A bench run calls
+# load_table hundreds of times over the SAME immutable files, so the
+# inferred StructType is memoized keyed on file IDENTITY (path + size
+# + mtime_ns; for directory-style parquet, the sorted (name, size,
+# mtime_ns) of every entry).  This caches METADATA only — every
+# invocation still plans and reads all row data from parquet; a
+# rewritten file changes the key and re-infers.  Kill switch:
+# SPARK_GRAFT_SCHEMA_CACHE=0 (read per call).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _file_identity(path: str) -> tuple:
+    st = os.stat(path)
+    if os.path.isdir(path):
+        entries = tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path)
+            )
+        )
+        return (path, "dir", entries)
+    return (path, st.st_size, st.st_mtime_ns)
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -132,12 +159,31 @@ def load_table(
     like DuckDB's epoch() on the same naive parquet values, keeping the
     oracle hash-comparable.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    schema = None
+    if os.environ.get("SPARK_GRAFT_SCHEMA_CACHE", "1") != "0":
+        try:
+            key = _file_identity(path)
+        except OSError:
+            key = None
+        if key is not None:
+            schema = _SCHEMA_CACHE.get(key)
+            if schema is None:
+                schema = spark.read.parquet(path).schema
+                _SCHEMA_CACHE[key] = schema
+    if schema is not None:
+        # Supplying the (previously inferred, identity-keyed) schema
+        # skips per-call footer inference; the scan itself is unchanged.
+        df = spark.read.schema(schema).parquet(path)
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    else:
+        df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    ntz_cols = [c for c, t in dtypes.items() if t == "timestamp_ntz"]
     if ntz_cols:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
@@ -149,7 +195,7 @@ def load_table(
         # groupBy-first pipelines) pay the extra pass for nothing
         # (+0.3-0.5 s each, 12 queries re-measured off/on interleaved).
         return df
-    return _scan_spread(spark, df, f"{sf_dir}/{name}.parquet", name)
+    return _scan_spread(spark, df, path, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
