@@ -201,16 +201,24 @@ def minhash_signatures(
 
     rng = random.Random(0)
     coeffs = [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(num_hashes)]
-    base = F.pmod(F.xxhash64(F.col("s")), F.lit(_P31))
+    # SQL-string expressions (F.expr), not Column chains: the Column
+    # form issued ~6 py4j round trips per hash (measured 0.39 s of
+    # pure plan construction per call at 24 hashes); the string form
+    # parses JVM-side in one call each.  Expression tree identical —
+    # the shared `base` Column was inlined into every h_j anyway, and
+    # whole-stage codegen CSEs the common pmod(xxhash64(s), p) subtree
+    # at runtime (round 17, guide §1.2 step 2).
     hashed = ex.select(
         F.col(id_col),
         *([F.col("s")] if keep_shingles else []),
         *[
-            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P31)).alias(f"h{j}")
+            F.expr(
+                f"pmod({a} * pmod(xxhash64(s), {_P31}) + {b}, {_P31}) AS h{j}"
+            )
             for j, (a, b) in enumerate(coeffs)
         ],
     )
-    aggs = [F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    aggs = [F.expr(f"min(h{j}) AS h{j}") for j in range(num_hashes)]
     if keep_shingles:
         # set semantics — shingles are already distinct per doc, and the
         # verify step only uses size + array_intersect (order-invariant)
@@ -221,29 +229,22 @@ def minhash_signatures(
 def _minhash_bands(
     sig: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
 ) -> DataFrame:
-    """Explode a signature table into (id, band, band-hash) rows."""
+    """Explode a signature table into (id, band, band-hash) rows.
+
+    Built as one SQL-string expression (see minhash_signatures — same
+    py4j round-trip economics, same analyzed plan)."""
     n_bands = num_hashes // rows_per_band
+    structs = ", ".join(
+        "struct({bi} AS band, md5(concat_ws(',', {cols})) AS bh)".format(
+            bi=bi,
+            cols=", ".join(
+                f"h{bi * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for bi in range(n_bands)
+    )
     return sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{bi * rows_per_band + j}")
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("b"),
+        F.col(id_col), F.expr(f"explode(array({structs})) AS b")
     ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 

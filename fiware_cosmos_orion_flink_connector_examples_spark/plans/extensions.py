@@ -2870,147 +2870,118 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes each expensive array exactly once per row —
     # CollapseProject keeps multi-referenced non-cheap aliases
     # un-inlined — measured 109.2 -> 94.0 s at 2M docs vs the naive
-    # inline form.
-    a1 = docs.select(
+    # inline form.  The layers are built as SQL strings (selectExpr):
+    # the Column/lambda form issued hundreds of py4j round trips per
+    # CALL (~0.7 s of pure driver-side plan construction, the whole
+    # fixed cost of this zero-exchange query); the string form parses
+    # JVM-side — metric rows verified identical, and the DuckDB oracle
+    # recomputes every fraction independently (round 17, guide §1.2
+    # step 2).
+    KS = (2, 3, 4, 5, 10)
+    a1 = docs.selectExpr(
         "doc_id",
-        F.greatest(F.length("text"), F.lit(1)).alias("tc"),
-        F.filter(F.split("text", "\n"), lambda l: l != "").alias("lines"),
-        F.filter(F.split("text", "\n\n"), lambda p: p != "").alias("paras"),
-        F.regexp_extract_all(
-            F.lower("text"), F.lit("[a-z0-9]+"), 0
-        ).alias("toks"),
+        "greatest(length(text), 1) AS tc",
+        r"filter(split(text, '\n'), l -> l != '') AS lines",
+        r"filter(split(text, '\n\n'), p -> p != '') AS paras",
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS toks",
     )
 
-    def grams_sorted(k: int):
-        """Sorted string array of the doc's word k-grams.  An int64
-        (xxhash64(slice), len)-struct variant was measured at 189 s vs
-        94 s for this form at 2M docs: in the interpreted HOF regime,
-        per-gram struct allocation + two extra lambda folds cost more
-        than the single array_join build + string sort."""
-        toks = F.col("toks")
-        n = F.size(toks)
-        return F.when(
-            n >= k,
-            F.sort_array(
-                F.transform(
-                    F.sequence(F.lit(1), n - (k - 1)),
-                    lambda i: F.array_join(F.slice(toks, i, k), " "),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def chars_of(arr):
-        return F.coalesce(
-            F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x)),
-            F.lit(0),
+    def grams_sorted(k: int) -> str:
+        # Sorted string array of the doc's word k-grams.  An int64
+        # (xxhash64(slice), len)-struct variant was measured at 189 s
+        # vs 94 s for this form at 2M docs: in the interpreted HOF
+        # regime, per-gram struct allocation + two extra lambda folds
+        # cost more than the single array_join build + string sort.
+        return (
+            f"CASE WHEN size(toks) >= {k} THEN "
+            f"sort_array(transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> array_join(slice(toks, i, {k}), ' '))) "
+            f"ELSE CAST(array() AS array<string>) END AS g{k}"
         )
+
+    _chars = "coalesce(aggregate({a}, 0, (acc, x) -> acc + length(x)), 0)"
 
     # layer 2: sorted gram arrays + the line/para metrics as INTS
     # (lines/paras die here — their O(lines) folds run once)
-    lines, paras = F.col("lines"), F.col("paras")
-    a2 = a1.select(
+    a2 = a1.selectExpr(
         "doc_id",
         "tc",
-        F.size(lines).alias("nl"),
-        F.size(F.array_distinct(lines)).alias("dl"),
-        chars_of(lines).alias("lc"),
-        chars_of(F.array_distinct(lines)).alias("dlc"),
-        F.size(paras).alias("np"),
-        F.size(F.array_distinct(paras)).alias("dp"),
-        chars_of(paras).alias("pc"),
-        chars_of(F.array_distinct(paras)).alias("dpc"),
-        *[grams_sorted(k).alias(f"g{k}") for k in (2, 3, 4, 5, 10)],
+        "size(lines) AS nl",
+        "size(array_distinct(lines)) AS dl",
+        _chars.format(a="lines") + " AS lc",
+        _chars.format(a="array_distinct(lines)") + " AS dlc",
+        "size(paras) AS np",
+        "size(array_distinct(paras)) AS dp",
+        _chars.format(a="paras") + " AS pc",
+        _chars.format(a="array_distinct(paras)") + " AS dpc",
+        *[grams_sorted(k) for k in KS],
     )
 
     # layer 3: run-START positions of each sorted gram array (the
     # O(n)-with-two-gets filter — the priciest interpreted pass, so it
     # must evaluate once, never inline into its three consumers).
-    # F.get is 0-based and NULL on out-of-range, so the i=1 'previous
+    # get() is 0-based and NULL on out-of-range, so the i=1 'previous
     # element' probe is ANSI-safe; the size>0 guard keeps
     # sequence(1, 0)'s DESCENDING surprise out entirely.
-    def starts_of(col_name: str):
-        s = F.col(col_name)
-        return F.when(
-            F.size(s) > 0,
-            F.filter(
-                F.sequence(F.lit(1), F.size(s)),
-                lambda i: F.get(s, i - 2).isNull()
-                | (F.get(s, i - 1) != F.get(s, i - 2)),
-            ),
-        ).otherwise(F.array().cast("array<int>"))
+    def starts_of(k: int) -> str:
+        return (
+            f"CASE WHEN size(g{k}) > 0 THEN "
+            f"filter(sequence(1, size(g{k})), "
+            f"i -> get(g{k}, i - 2) IS NULL"
+            f" OR get(g{k}, i - 1) != get(g{k}, i - 2)) "
+            f"ELSE CAST(array() AS array<int>) END AS st{k}"
+        )
 
     carry = ["doc_id", "tc", "nl", "dl", "lc", "dlc", "np", "dp", "pc", "dpc"]
-    a3 = a2.select(
+    a3 = a2.selectExpr(
         *carry,
-        *[F.col(f"g{k}") for k in (2, 3, 4, 5, 10)],
-        *[starts_of(f"g{k}").alias(f"st{k}") for k in (2, 3, 4, 5, 10)],
+        *[f"g{k}" for k in KS],
+        *[starts_of(k) for k in KS],
     )
 
     # layer 4: per-run (count, gram_chars) structs — st/g consumed once
-    def runs_of(k: int):
-        s, st = F.col(f"g{k}"), F.col(f"st{k}")
-        nxt = F.when(
-            F.size(st) > 0,
-            F.concat(
-                F.slice(st, 2, F.size(st) - 1), F.array(F.size(s) + 1)
-            ),
-        ).otherwise(F.array().cast("array<int>"))
-        return F.zip_with(
-            st,
-            nxt,
-            lambda a, b: F.struct(
-                (b - a).alias("c"), F.length(F.get(s, a - 1)).alias("len")
-            ),
+    def runs_of(k: int) -> str:
+        nxt = (
+            f"CASE WHEN size(st{k}) > 0 THEN "
+            f"concat(slice(st{k}, 2, size(st{k}) - 1), array(size(g{k}) + 1)) "
+            f"ELSE CAST(array() AS array<int>) END"
+        )
+        return (
+            f"zip_with(st{k}, {nxt}, "
+            f"(a, b) -> struct(b - a AS c, length(get(g{k}, a - 1)) AS len))"
+            f" AS r{k}"
         )
 
-    a4 = a3.select(
-        *carry, *[runs_of(k).alias(f"r{k}") for k in (2, 3, 4, 5, 10)]
-    )
+    a4 = a3.selectExpr(*carry, *[runs_of(k) for k in KS])
 
     # layer 5: scalars.  top-coverage = max over runs of c*len (single
     # reference each — collapsing into this Project duplicates nothing)
-    def top_of(k: int):
-        r = F.col(f"r{k}")
-        return F.coalesce(
-            F.array_max(
-                F.transform(r, lambda x: x["c"] * x["len"])
-            ),
-            F.lit(0),
+    def top_of(k: int) -> str:
+        return f"coalesce(array_max(transform(r{k}, x -> x.c * x.len)), 0)"
+
+    def dup_of(k: int) -> str:
+        return (
+            f"aggregate(r{k}, 0, (acc, x) -> acc + "
+            f"CASE WHEN x.c >= 2 THEN x.c * x.len ELSE 0 END)"
         )
 
-    def dup_of(k: int):
-        r = F.col(f"r{k}")
-        return F.aggregate(
-            r,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(x["c"] >= 2, x["c"] * x["len"]).otherwise(F.lit(0)),
+    def frac(num: str, den: str) -> str:
+        return (
+            f"round(CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / "
+            f"CAST({den} AS DOUBLE) ELSE 0.0D END, 6)"
         )
 
-    def frac(num, den):
-        return F.round(
-            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
-                F.lit(0.0)
-            ),
-            6,
-        )
-
-    nl, dl = F.col("nl"), F.col("dl")
-    lc, dlc = F.col("lc"), F.col("dlc")
-    np_, dp = F.col("np"), F.col("dp")
-    pc, dpc = F.col("pc"), F.col("dpc")
-    tcd = F.col("tc").cast("double")
-    a5 = a4.select(
+    a5 = a4.selectExpr(
         "doc_id",
-        frac(nl - dl, nl).alias("dup_line_frac"),
-        frac(np_ - dp, np_).alias("dup_para_frac"),
-        frac(lc - dlc, lc).alias("dup_line_char_frac"),
-        frac(pc - dpc, pc).alias("dup_para_char_frac"),
-        F.round(top_of(2) / tcd, 6).alias("top2gram_char_frac"),
-        F.round(top_of(3) / tcd, 6).alias("top3gram_char_frac"),
-        F.round(top_of(4) / tcd, 6).alias("top4gram_char_frac"),
-        F.round(dup_of(5) / tcd, 6).alias("dup5gram_char_frac"),
-        F.round(dup_of(10) / tcd, 6).alias("dup10gram_char_frac"),
+        frac("nl - dl", "nl") + " AS dup_line_frac",
+        frac("np - dp", "np") + " AS dup_para_frac",
+        frac("lc - dlc", "lc") + " AS dup_line_char_frac",
+        frac("pc - dpc", "pc") + " AS dup_para_char_frac",
+        f"round({top_of(2)} / CAST(tc AS DOUBLE), 6) AS top2gram_char_frac",
+        f"round({top_of(3)} / CAST(tc AS DOUBLE), 6) AS top3gram_char_frac",
+        f"round({top_of(4)} / CAST(tc AS DOUBLE), 6) AS top4gram_char_frac",
+        f"round({dup_of(5)} / CAST(tc AS DOUBLE), 6) AS dup5gram_char_frac",
+        f"round({dup_of(10)} / CAST(tc AS DOUBLE), 6) AS dup10gram_char_frac",
     )
     passes = {
         "pass_dup_lines": F.col("dup_line_frac") <= 0.30,
