@@ -312,9 +312,20 @@ def ivf_dedup_recall_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .persist()
     )
-    hit = ivf.join(brute, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("_hit"))
-    tot = brute.agg(F.count(F.lit(1)).alias("n_brute"))
-    res = tot.crossJoin(F.broadcast(hit)).select(
+    # ONE-job scalar assembly (round 17, the _envelope_equal shape):
+    # (d1,d2) is unique per side, so the semi-join count equals the
+    # inner-join count it replaces; coalesce keeps the empty-corpus
+    # (0, true) contract of the count() form.
+    u = brute.select(F.lit(0).alias("k")).unionAll(
+        ivf.join(brute, ["d1", "d2"], "left_semi").select(F.lit(1).alias("k"))
+    )
+    res = u.agg(
+        F.coalesce(F.sum(F.when(F.col("k") == 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_brute"),
+        F.coalesce(F.sum(F.when(F.col("k") == 1, 1).otherwise(0)), F.lit(0))
+        .alias("_hit"),
+    ).select(
         "n_brute",
         (
             F.col("_hit").cast("double")
@@ -1045,6 +1056,51 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _envelope_equal(
+    n_src: DataFrame,
+    a: DataFrame,
+    b: DataFrame,
+    cols,
+    n_alias: str,
+    flag_alias: str,
+) -> DataFrame:
+    """One-JOB assembly of the pair-set-equality envelope scalars
+    (round 17, guide §5): row count of ``n_src`` plus "anti-joins empty
+    in both directions" between the two strategy arms, via a single
+    union aggregate.  Replaces the two broadcast-joined 1-row aggs
+    (n ⨯ broadcast(miss) ⨯ broadcast(extra)) that cost 4-5 extra Spark
+    jobs per run for the same three scalars — the ARMS stay fully
+    independent (each still computed by its own pipeline; both sides
+    persisted by the caller), only the final scalar assembly fuses.
+    coalesce keeps the empty-corpus contract: zero input rows must
+    yield (0, true) exactly like the count()-based form did."""
+    u = (
+        n_src.select(F.lit(0).alias("k"))
+        .unionAll(a.join(b, cols, "left_anti").select(F.lit(1).alias("k")))
+        .unionAll(b.join(a, cols, "left_anti").select(F.lit(2).alias("k")))
+    )
+    agg = u.agg(
+        F.coalesce(F.sum(F.when(F.col("k") == 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(n_alias),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("k") == 1, 1).otherwise(0)), F.lit(0)
+            )
+            == 0
+        ).alias("_m"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("k") == 2, 1).otherwise(0)), F.lit(0)
+            )
+            == 0
+        ).alias("_e"),
+    )
+    return agg.select(
+        n_alias, (F.col("_m") & F.col("_e")).alias(flag_alias)
+    )
+
+
 @register(
     "audio_banding_exact_bounded",
     oracle="""
@@ -1086,22 +1142,8 @@ def audio_banding_exact_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .persist()
     )
-    n_clips = fps.agg(F.count(F.lit(1)).alias("n_clips"))
-    miss = brute.join(banded, ["d1", "d2"], "left_anti").agg(
-        F.count(F.lit(1)).alias("_miss")
-    )
-    extra = banded.join(brute, ["d1", "d2"], "left_anti").agg(
-        F.count(F.lit(1)).alias("_extra")
-    )
-    res = (
-        n_clips.crossJoin(F.broadcast(miss))
-        .crossJoin(F.broadcast(extra))
-        .select(
-            "n_clips",
-            ((F.col("_miss") == 0) & (F.col("_extra") == 0)).alias(
-                "banded_equals_brute"
-            ),
-        )
+    res = _envelope_equal(
+        fps, brute, banded, ["d1", "d2"], "n_clips", "banded_equals_brute"
     )
     return eagerly(res, fps, brute)
 
@@ -1151,23 +1193,8 @@ def ann_pq_paths_bit_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = similarity.topk_cosine_pq_batch(
         emb, qs, books, k=5, rerank=4, codes=codes
     ).persist()
-    cols = serving.columns
-    n_queries = qs.agg(F.count(F.lit(1)).alias("n_queries"))
-    miss = serving.join(batch, cols, "left_anti").agg(
-        F.count(F.lit(1)).alias("_miss")
-    )
-    extra = batch.join(serving, cols, "left_anti").agg(
-        F.count(F.lit(1)).alias("_extra")
-    )
-    res = (
-        n_queries.crossJoin(F.broadcast(miss))
-        .crossJoin(F.broadcast(extra))
-        .select(
-            "n_queries",
-            ((F.col("_miss") == 0) & (F.col("_extra") == 0)).alias(
-                "paths_bit_equal"
-            ),
-        )
+    res = _envelope_equal(
+        qs, serving, batch, serving.columns, "n_queries", "paths_bit_equal"
     )
     return eagerly(res, serving, batch)
 
@@ -1209,23 +1236,13 @@ def ann_mmr_lambda1_equals_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "rank", F.col("cos").alias("s"))
         .persist()
     )
-    cols = ["q_id", "n_id", "rank", "s"]
-    n_queries = qs.agg(F.count(F.lit(1)).alias("n_queries"))
-    miss = mmr.join(brute, cols, "left_anti").agg(
-        F.count(F.lit(1)).alias("_miss")
-    )
-    extra = brute.join(mmr, cols, "left_anti").agg(
-        F.count(F.lit(1)).alias("_extra")
-    )
-    res = (
-        n_queries.crossJoin(F.broadcast(miss))
-        .crossJoin(F.broadcast(extra))
-        .select(
-            "n_queries",
-            ((F.col("_miss") == 0) & (F.col("_extra") == 0)).alias(
-                "mmr_equals_brute"
-            ),
-        )
+    res = _envelope_equal(
+        qs,
+        mmr,
+        brute,
+        ["q_id", "n_id", "rank", "s"],
+        "n_queries",
+        "mmr_equals_brute",
     )
     return eagerly(res, mmr, brute)
 
@@ -1270,21 +1287,33 @@ def ann_ivf_recall_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id")
         .persist()
     )
-    n_queries = qs.agg(F.count(F.lit(1)).alias("n_queries"))
-    hit = ivf.join(brute, ["q_id", "n_id"]).agg(
-        F.count(F.lit(1)).alias("_hit")
-    )
-    tot = brute.agg(F.count(F.lit(1)).alias("_tot"))
-    res = (
-        n_queries.crossJoin(F.broadcast(hit))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n_queries",
-            (
-                F.col("_hit").cast("double")
-                >= F.lit(0.5) * F.col("_tot").cast("double")
-            ).alias("recall_ge_bound"),
+    # ONE-job scalar assembly (round 17, the _envelope_equal shape):
+    # (q_id,n_id) is unique per side (top-k sets), so the semi-join
+    # count equals the inner-join count it replaces; coalesce keeps
+    # the empty-corpus (0, true) contract of the count() form.
+    u = (
+        qs.select(F.lit(0).alias("k"))
+        .unionAll(brute.select(F.lit(1).alias("k")))
+        .unionAll(
+            ivf.join(brute, ["q_id", "n_id"], "left_semi").select(
+                F.lit(2).alias("k")
+            )
         )
+    )
+    res = u.agg(
+        F.coalesce(F.sum(F.when(F.col("k") == 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_queries"),
+        F.coalesce(F.sum(F.when(F.col("k") == 1, 1).otherwise(0)), F.lit(0))
+        .alias("_tot"),
+        F.coalesce(F.sum(F.when(F.col("k") == 2, 1).otherwise(0)), F.lit(0))
+        .alias("_hit"),
+    ).select(
+        "n_queries",
+        (
+            F.col("_hit").cast("double")
+            >= F.lit(0.5) * F.col("_tot").cast("double")
+        ).alias("recall_ge_bound"),
     )
     return eagerly(res, ivf, brute)
 
