@@ -323,6 +323,30 @@ def _probe_udf(centroids: list[list[float]], nprobe: int):
     return probe
 
 
+def _probe_cells(
+    centroids: list[list[float]], nprobe: int, vectors: list
+) -> set:
+    """DRIVER-side union of the nprobe-nearest cells over a bounded
+    query-vector list — the EXACT ``_probe_udf`` math (same float64
+    cast, same ``-2·M·Cᵀ + ‖c‖²`` distances, same stable argsort), so
+    the returned set equals what the executor UDF would emit.  Used by
+    ``ann_index_recall_multi``, whose ≤max_probe sample is already on
+    the driver: passing the set into the search skips the probes
+    persist + distinct + collect job chain (round 18, guide §5).  The
+    input is bounded by the recall contract (≤ max_probe vectors);
+    never call this with data-scale query sets."""
+    import numpy as np
+
+    if not vectors:
+        return set()
+    C = np.asarray(centroids)
+    c_norms = (C * C).sum(axis=1)
+    M = np.asarray([list(v) for v in vectors], dtype="float64")
+    d = -2.0 * (M @ C.T) + c_norms
+    idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+    return {int(x) for row in idx for x in row}
+
+
 def _topn_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """Array of the n nearest centroid indices (by squared L2),
     computed as sort of a literal (dist, idx) struct array."""
@@ -1118,6 +1142,7 @@ def ann_index_search(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    _probed: set | None = None,
 ) -> DataFrame:
     """Search a stored ``ann_index_write`` index: probe each query's
     ``nprobe`` nearest centroids (from the sidecar — no retraining),
@@ -1139,7 +1164,9 @@ def ann_index_search(
     if root is not None:
         # versioned index (ann_index_write_versioned): pinned lists +
         # root-carried centroids, file-pruned by probed cell
-        return _ann_search_versioned(spark, path, root, queries, k, nprobe)
+        return _ann_search_versioned(
+            spark, path, root, queries, k, nprobe, _probed=_probed
+        )
     jvm, fs = _fs(spark, path)
     meta_path = f"{path.rstrip('/')}/_ivf_index.json"
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(meta_path)):
@@ -1170,12 +1197,32 @@ def ann_index_search(
         "q_id",
         "qv",
         F.explode(_probe_udf(centroids, nprobe)(F.col("qv_raw"))).alias("bkt"),
-    ).persist()
-    probed_lists = sorted(
-        r["bkt"] for r in probes.select("bkt").distinct().collect()
-    )  # bounded by k_centroids — a layout constant, never data-scale
+    )
+    # EXHAUSTIVE shortcut (round 18, guide §5): at nprobe >= k_centroids
+    # every query probes every cell by construction (argsort top-nprobe
+    # is the full index set), so the probed-cell set is known WITHOUT
+    # running the probe collect — no persist, no distinct+collect jobs,
+    # no eager checkpoint; the search plan stays lazy under the
+    # caller's one action.  Exhaustive is the serving default
+    # (hybrid_rrf_served_topk) and half of every recall pair.
+    lazy = nprobe >= len(centroids) or _probed is not None
+    if nprobe >= len(centroids):
+        probed_lists = list(range(len(centroids)))
+    elif _probed is not None:
+        # caller-supplied probed-cell set (_probe_cells — the recall
+        # path's driver-side computation): no collect, stay lazy
+        probed_lists = sorted(_probed)
+    else:
+        probes = probes.persist()
+        probed_lists = sorted(
+            r["bkt"] for r in probes.select("bkt").distinct().collect()
+        )  # bounded by k_centroids — a layout constant, never data-scale
+    from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+        read_parquet_cached,
+    )
+
     base = (
-        spark.read.parquet(path)
+        read_parquet_cached(spark, path)
         .filter(F.col("_list").isin(probed_lists))  # partition-pruned scan
         .select(
             F.col(id_col).alias("n_id"),
@@ -1189,6 +1236,8 @@ def ann_index_search(
         .select("q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos"))
     )
     out = _rank_topk(scored, k).select("q_id", "n_id", "cos", "rank")
+    if lazy:
+        return out
     from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
         eagerly,
     )
@@ -1290,7 +1339,14 @@ def ann_index_recall_multi(
             _read_small(spark, f"{path.rstrip('/')}/_ivf_index.json").decode()
         )
         id_col, vec_col = meta["id_col"], meta["vec_col"]
-        logical = spark.read.parquet(path.rstrip("/")).select(id_col, vec_col)
+        from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+            read_parquet_cached,
+        )
+
+        logical = read_parquet_cached(spark, path.rstrip("/")).select(
+            id_col, vec_col
+        )
+    probed_by_nprobe: dict[int, set] = {}
     if queries is None:
         # the probe sample is ≤ max_probe rows by contract: collect it
         # ONCE and replay it as a local relation, instead of re-running
@@ -1306,6 +1362,16 @@ def ann_index_recall_multi(
         )
         queries = spark.createDataFrame(sample, logical.schema)
         n_q = len(sample)
+        # the probed-cell sets are a pure function of (sample vectors,
+        # centroids, nprobe) — compute them DRIVER-side with the exact
+        # _probe_udf math (round 18, guide §5) so each bounded-probe
+        # search skips its probes persist + distinct + collect job
+        # chain (~3 jobs per depth per monitor run)
+        cents = meta.get("centroids") or []
+        if cents:
+            vecs = [r[vec_col] for r in sample if r[vec_col] is not None]
+            for np_ in nprobes:
+                probed_by_nprobe[np_] = _probe_cells(cents, np_, vecs)
     else:
         n_q = queries.count()
     # the brute-force side is nprobe-independent: ONE corpus-scale pass
@@ -1322,9 +1388,14 @@ def ann_index_recall_multi(
     denom = len(brute_rows)
     out: dict[int, dict] = {}
     for nprobe in nprobes:
-        served = ann_index_search(spark, path, queries, k=k, nprobe=nprobe).select(
-            "q_id", "n_id"
-        )
+        served = ann_index_search(
+            spark,
+            path,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            _probed=probed_by_nprobe.get(nprobe),
+        ).select("q_id", "n_id")
         served_pairs = Counter((r[0], r[1]) for r in served.collect())
         hits = sum(m * brute_pairs.get(p, 0) for p, m in served_pairs.items())
         out[nprobe] = {
@@ -1603,7 +1674,10 @@ def ann_index_rebuild_versioned(
     )
 
 
-def _ann_search_versioned(spark, path: str, root: dict, queries, k: int, nprobe: int):
+def _ann_search_versioned(
+    spark, path: str, root: dict, queries, k: int, nprobe: int,
+    _probed: set | None = None,
+):
     import json
 
     from pyspark.sql.types import StructType
@@ -1631,10 +1705,23 @@ def _ann_search_versioned(spark, path: str, root: dict, queries, k: int, nprobe:
         "q_id",
         "qv",
         F.explode(_probe_udf(centroids, nprobe)(F.col("qv_raw"))).alias("bkt"),
-    ).persist()
-    probed = {
-        r["bkt"] for r in probes.select("bkt").distinct().collect()
-    }  # bounded by k_centroids — a layout constant
+    )
+    # EXHAUSTIVE shortcut (round 18): see ann_index_search — at
+    # nprobe >= k_centroids the probed set is every cell by
+    # construction, so the probe collect, its persist and the eager
+    # checkpoint all drop; the plan stays lazy under the caller's
+    # single action.  A caller-supplied probed set (_probe_cells)
+    # does the same for bounded-probe recall calls.
+    lazy = nprobe >= len(centroids) or _probed is not None
+    if nprobe >= len(centroids):
+        probed = set(range(len(centroids)))
+    elif _probed is not None:
+        probed = set(_probed)
+    else:
+        probes = probes.persist()
+        probed = {
+            r["bkt"] for r in probes.select("bkt").distinct().collect()
+        }  # bounded by k_centroids — a layout constant
     # FILE pruning straight off the manifest's bucket map — the
     # versioned analog of hive partition pruning, no directory listing
     files = [f for f in resolved["files"] if resolved["buckets"].get(f) in probed]
@@ -1650,6 +1737,8 @@ def _ann_search_versioned(spark, path: str, root: dict, queries, k: int, nprobe:
         .select("q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos"))
     )
     out = _rank_topk(scored, k).select("q_id", "n_id", "cos", "rank")
+    if lazy:
+        return out
     from fiware_cosmos_orion_flink_connector_examples_spark.operators.caching import (
         eagerly,
     )

@@ -1235,11 +1235,16 @@ def kn_trigram_logprob(
     tails, first/second tokens and the last pair all ride the header
     pass, so the separate unigram AND bigram explodes disappear.
     Every other model table is a re-agg of the trigram/bigram TYPE
-    tables (type-scale, never a second corpus scan).  Single-word-
-    keyed tables (fol/prec/mid/lam) broadcast below the 2M-vocab
-    gate; pair/triple-keyed joins stay unhinted so AQE splits the
-    zipfian skew.  Per-term picounit quantization + DECIMAL(38,0)
-    sums keep both engines bit-identical.
+    tables (type-scale, never a second corpus scan), and the model
+    joins themselves run at TYPE scale — one quantized score per
+    observed trigram type, attached to the token stream by a SINGLE
+    occurrence-scale join (round 18; previously the occurrence frame
+    flowed through three shuffled joins).  Single-word-keyed tables
+    (fol/prec/mid/lam) broadcast below the 2M-vocab gate; the
+    remaining pair/triple-keyed joins are type-scale and stay
+    unhinted so AQE splits the zipfian skew.  Per-term picounit
+    quantization + DECIMAL(38,0) sums keep both engines
+    bit-identical.
 
     Returns (id, n_tokens BIGINT, avg_logprob DOUBLE)."""
     pre = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
@@ -1374,9 +1379,18 @@ def kn_trigram_logprob(
             ).alias("q"),
         )
     )
-    t_terms = (
-        tri_ex.join(tcw, ["w1", "w2", "w3"])
-        .join(
+    # TYPE-scale score pre-join (round 18, guide §2.4): the occurrence-
+    # scale token stream previously flowed through THREE shuffled joins
+    # (keys (w1,w2,w3) → tcw, (w1,w2) → bcw+nf3, (w2,w3) → ctx) — three
+    # full-corpus exchanges of (id, w1, w2, w3).  Every model table is
+    # a pure function of the trigram TYPE, so the joins move to TYPE
+    # scale: one quantized score per observed trigram type, then ONE
+    # occurrence-scale join attaches it.  The float expression tree is
+    # unchanged, evaluated on the same double inputs in the same order
+    # — per-type q is bit-identical to the per-occurrence computation
+    # it replaces.
+    type_q = (
+        tcw.join(
             bcw.select(
                 F.col("w1"), F.col("w2"), F.col("cb").alias("c12")
             ),
@@ -1389,7 +1403,9 @@ def kn_trigram_logprob(
         .join(prec.select(F.col("w2").alias("w3"), "np"), "w3")
         .crossJoin(F.broadcast(tt))
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
+            "w3",
             quant(
                 F.log(
                     F.greatest(F.col("ct").cast("double") - d, F.lit(0.0))
@@ -1406,6 +1422,9 @@ def kn_trigram_logprob(
                 )
             ).alias("q"),
         )
+    )
+    t_terms = tri_ex.join(type_q, ["w1", "w2", "w3"]).select(
+        F.col(id_col), F.col("q")
     )
     per_doc = (
         f_terms.unionByName(s_terms)

@@ -5891,15 +5891,17 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "sample", "quality", "dsir"),
 )
 def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res, freq = _sample_dsir_frames(spark, sf_dir)
-    return eagerly(res, freq)
+    res, caches = _sample_dsir_frames(spark, sf_dir)
+    return eagerly(res, *caches)
 
 
 def _sample_dsir_frames(spark: SparkSession, sf_dir: str):
-    """(result frame, persisted freq table) — split out so the plan
+    """(result frame, persisted caches) — split out so the plan
     test can pin TakeOrderedAndProject / BroadcastHashJoin on the
     PRE-checkpoint plan (eagerly's localCheckpoint collapses the
     returned frame to Scan ExistingRDD, hiding the shape)."""
+    import os
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
     pre = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
@@ -5908,6 +5910,19 @@ def _sample_dsir_frames(spark: SparkSession, sf_dir: str):
         (F.col("lang") == "en").alias("is_t"),
         text.nb_feature_array("text", 1 << 20).alias("f"),
     )
+    caches = []
+    # persist the DOC-scale feature-array frame (round 18, guide §5.4):
+    # pre is consumed three times (the freq agg's explode, the scoring
+    # join's explode, and the final metadata join), so the tokenize +
+    # bigram-hash feature build ran three times per invocation.  Unlike
+    # the rejected token-scale explode persist (r14) and per-doc
+    # count-frame (r17 F5 attempt), this caches PACKED arrays at doc
+    # scale — no shuffle, no row explosion.  Toggle read per call so
+    # the interleaved A/B (tools/ab_conf-style env arms) is a faithful
+    # runtime comparison.
+    if os.environ.get("SPARK_GRAFT_DSIR_PERSIST_PRE", "1") != "0":
+        pre = pre.persist()
+        caches.append(pre)
     ex = pre.select("doc_id", "is_t", F.explode("f").alias("tok"))
     # persist the VOCAB-BOUNDED frequency table (<= 2^20 buckets +
     # unigram vocab rows): it is consumed three times (scalar totals,
@@ -5957,7 +5972,8 @@ def _sample_dsir_frames(spark: SparkSession, sf_dir: str):
             ),
         )
     )
-    return res, freq
+    caches.append(freq)
+    return res, caches
 
 
 def _temperature_draw(
@@ -7278,15 +7294,30 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(md5int64_seeded(F.col("term"), f"cms{d}"), F.lit(width))
         for d in range(depth)
     ]
-    sketch = (
-        ex.select(F.posexplode(F.array(*bucket_cols)).alias("d", "bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # ONE tokenize pass (round 18, the F5 derivation discipline, guide
+    # §2.3/§2.4): the exact per-term counts are the sufficient
+    # statistic for every other frame — previously sketch, exact and
+    # tot EACH re-scanned + re-tokenized the corpus (3 passes).  The
+    # sketch is derived at VOCAB scale via the exact integer identity
+    # Σ_occurrences 1[bucket] == Σ_terms exact_cnt·1[bucket], and
+    # n_tokens == Σ exact_cnt.  persisted: three consumers, all
+    # vocab-bounded (session-lived; bench clearCache()s per query).
+    exact = (
+        ex.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt")).persist()
     )
-    exact = ex.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = (
+        exact.select(
+            "exact_cnt", F.posexplode(F.array(*bucket_cols)).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
     # distributed top-k (TakeOrderedAndProject), then rank the 20-row frame
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20)
-    tot = ex.agg(F.count(F.lit(1)).alias("n_tokens"))
+    # coalesce: sum over an empty vocab is NULL where count(*) was 0
+    tot = exact.agg(
+        F.coalesce(F.sum("exact_cnt"), F.lit(0).cast("long")).alias("n_tokens")
+    )
     probes = top.select(
         "term",
         "exact_cnt",
@@ -7424,8 +7455,18 @@ def cms_merge_equals_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ex.select(
         "source", F.posexplode(F.array(*bucket_cols)).alias("d", "bucket")
     )
-    per_source = cells.groupBy("source", "d", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+    # persisted (round 18, guide §5.4): per_source is bounded
+    # (|sources| × depth × width rows) and consumed twice (the merge
+    # sum + the n_sources derivation).  oneshot deliberately stays an
+    # INDEPENDENT corpus pass — merged == oneshot is the mergeability
+    # proof, so deriving one side from the other would hollow it out
+    # (the F13 arms-stay-independent line).  Corpus tokenizations
+    # 3 → 2: n_sources no longer re-scans the corpus (a source appears
+    # in per_source iff it contributed ≥1 token — same set ex yields).
+    per_source = (
+        cells.groupBy("source", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     merged = per_source.groupBy("d", "bucket").agg(F.sum("c").alias("mc"))
     oneshot = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("oc"))
@@ -7439,7 +7480,7 @@ def cms_merge_equals_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("oc").alias("total_count"),
         )
     )
-    nsrc = ex.agg(F.countDistinct("source").alias("n_sources"))
+    nsrc = per_source.agg(F.countDistinct("source").alias("n_sources"))
     return cmp.crossJoin(F.broadcast(nsrc)).select(
         F.col("n_sources").cast("long").alias("n_sources"),
         F.col("n_cells").cast("long").alias("n_cells"),

@@ -304,6 +304,18 @@ def read_keyed(spark, path: str, fmt: str = "parquet") -> DataFrame:
     if not fs.exists(meta_p):
         raise ValueError(f"read_keyed: {path} is not a write_keyed table")
     if _keyed_has_part_files(jvm, fs, path.rstrip("/")):
+        if fmt == "parquet":
+            # identity-keyed schema cache (round 18): a keyed table is
+            # a multi-file partitioned dir, so every uncached read pays
+            # footer inference as a whole Spark JOB; serving paths
+            # (bm25/phrase/search indexes) re-read the same published
+            # tables every run.  Recursive identity re-infers on any
+            # bucket rewrite; scan itself unchanged.
+            from fiware_cosmos_orion_flink_connector_examples_spark.sources.tables import (
+                read_parquet_cached,
+            )
+
+            return read_parquet_cached(spark, path)
         return spark.read.format(fmt).load(path)
     meta = json.loads(_read_small(spark, f"{path.rstrip('/')}/_keyed_layout.json"))
     schema = StructType.fromJson(json.loads(meta["schema"]))
@@ -818,6 +830,7 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
         _MANIFEST_CACHE[cache_key] = _MANIFEST_CACHE.pop(cache_key)
         return _manifest_copy(hit)
     doc = _load_manifest_doc(spark, base, version)
+    seg_list = list(doc.get("segments", []))
     files: dict[str, int | None] = {}
     stats: dict = {}
     stats_types: dict = {}
@@ -826,7 +839,38 @@ def snapshot_manifest(spark, path: str, version: int | None = None) -> dict:
     dv: dict = {}  # data file -> [position-delete sidecar parquet files]
     dv_rows: dict = {}  # data file -> live deleted-position count
     seg: dict = {}
-    for rel in doc.get("segments", []):
+    # INCREMENTAL resolution (round 18, guide §5 driver fixed cost):
+    # segments are immutable and write-once, so the resolved state is a
+    # pure left fold over the ordered segment list — a cached
+    # resolution of any PRIOR version whose segment list is a strict
+    # prefix of this one supplies the fold state, and only the new
+    # segments replay (each commit previously re-read the ENTIRE chain:
+    # O(n²) small-file reads across an n-commit burst).  Segment names
+    # carry a uuid, so prefix equality also guards the
+    # deleted-and-recreated-table alias: a recreated chain names
+    # different segment files and falls back to the full replay.
+    start = 0
+    best = None
+    for ck, cv in _MANIFEST_CACHE.items():
+        if ck[0] != base:
+            continue
+        cs = cv["segments"]
+        if (
+            0 < len(cs) < len(seg_list)
+            and seg_list[: len(cs)] == cs
+            and (best is None or len(cs) > len(best["segments"]))
+        ):
+            best = cv
+    if best is not None:
+        files = {f: best["buckets"].get(f) for f in best["files"]}
+        stats = dict(best["stats"])
+        stats_types = dict(best["stats_types"])
+        bloom = dict(best["bloom"])
+        bloom_meta = dict(best["bloom_meta"])
+        dv = {f: list(x) for f, x in best["dv"].items()}
+        dv_rows = dict(best["dv_rows"])
+        start = len(best["segments"])
+    for rel in seg_list[start:]:
         seg = json.loads(_read_small(spark, f"{base}/{rel}"))
         if seg.get("truncate"):
             files.clear()

@@ -80,10 +80,13 @@ def _scan_spread(
     zero-exchange" projection above it serializes onto one core of
     local[N].  When the file's byte-split count (size /
     ``spark.sql.files.maxPartitionBytes``) is below the session's
-    default parallelism, spread rows with one explicit round-robin
-    exchange — deterministic under retry (``sortBeforeRepartition`` is
-    on by default) and result-neutral (every registered query is
-    row-order independent; the oracle hashes sorted rows).
+    default parallelism, spread rows with one explicit exchange —
+    hash-partitioned on a SYNTHETIC key derived from the table's unique
+    key where one is declared (``pmod(xxhash64(key), 64·cores)``, see
+    SPREAD_KEYS: retry-deterministic by content, no round-robin
+    sort-before-repartition pass), plain round-robin otherwise — and
+    result-neutral (every registered query is row-order independent;
+    the oracle hashes sorted rows).
 
     At production scale the condition never fires: a table bigger than
     maxPartitionBytes × cores already scans wider than the cluster, so
@@ -130,16 +133,60 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _file_identity(path: str) -> tuple:
+    """Identity tuple of a parquet file or directory tree.  Directory
+    identity is RECURSIVE (ADVICE r17: a non-recursive scandir missed
+    in-place changes inside nested/partitioned layouts, which could
+    serve a stale schema — and a supplied stale schema reads missing
+    columns as NULL instead of failing): every file AND subdirectory
+    contributes its relative path, size and mtime_ns.
+
+    Conf invariant (ADVICE r17): the cache key deliberately omits
+    inference-affecting session confs.  Sound here because (a)
+    ``load_table`` unconditionally sets ``nanosAsLong`` before reading
+    the one table (events) it matters for, so that table is only ever
+    inferred under one conf value, and (b) ``read_parquet_cached``
+    serves engine-WRITTEN parquet (indexes, keyed/snapshot tables),
+    which this engine never writes with nanosecond timestamps.  A new
+    caller inferring under a different inference-affecting conf must
+    bypass or key the cache itself."""
     st = os.stat(path)
     if os.path.isdir(path):
-        entries = tuple(
-            sorted(
-                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                for e in os.scandir(path)
-            )
-        )
-        return (path, "dir", entries)
+        entries = []
+        for root, dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for name in sorted(dirs) + sorted(files):
+                s = os.stat(os.path.join(root, name))
+                entries.append(
+                    (os.path.join(rel, name), s.st_size, s.st_mtime_ns)
+                )
+        return (path, "dir", tuple(sorted(entries)))
     return (path, st.st_size, st.st_mtime_ns)
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` with the identity-keyed schema
+    cache (round 18, extending the round-17 ``load_table`` cache to the
+    engine's OWN parquet artifacts — keyed tables, serving indexes):
+    every uncached read pays driver-side datasource resolution + footer
+    schema inference (and, for multi-file directories, a whole Spark
+    JOB to merge footers), ~15× a schema-supplied read.  Metadata-only:
+    the scan itself is unchanged, every invocation reads all row data;
+    any file/dir change re-infers (recursive identity).  Kill switch:
+    SPARK_GRAFT_SCHEMA_CACHE=0 (read per call).  At 100 TB the same
+    fix is "store schemas in the catalog" — inference cost scales with
+    file COUNT, not data size."""
+    if os.environ.get("SPARK_GRAFT_SCHEMA_CACHE", "1") != "0":
+        try:
+            key = _file_identity(path)
+        except OSError:
+            key = None
+        if key is not None:
+            schema = _SCHEMA_CACHE.get(key)
+            if schema is None:
+                schema = spark.read.parquet(path).schema
+                _SCHEMA_CACHE[key] = schema
+            return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def load_table(

@@ -697,3 +697,26 @@ def test_unigram_logprob_open_vocab_100k_terms(spark):
     expect = round(math.log(1.0 / (n_docs * toks_per_doc)), 6)
     assert all(r["n_tokens"] == toks_per_doc for r in rows)
     assert all(abs(r["avg_logprob"] - expect) < 1e-6 for r in rows)
+
+
+def test_dup_pair_producers_emit_unique_pairs(spark):
+    """ADVICE r17: the recall-envelope queries replaced inner-join
+    counts with left_semi counts, which is exact ONLY while both pair
+    sets are duplicate-free.  Pin that contract at the producers so a
+    future upstream change (e.g. dropping a .distinct()) fails here
+    instead of silently skewing the envelope booleans."""
+    from fiware_cosmos_orion_flink_connector_examples_spark.plans.extensions import (
+        _shared_ivf_quantizer,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sl = emb.filter(F.col("vec_id") < 200)
+    cents = _shared_ivf_quantizer(spark, "/root/testdata/sf0.001", emb)
+    ivf = dedup.embedding_dup_pairs_ivf(
+        sl, cents, threshold=0.4, nprobe=3
+    ).select("d1", "d2")
+    assert ivf.count() == ivf.distinct().count()
+    brute = dedup.embedding_dup_pairs(
+        sl.withColumn("_all", F.lit(0)), block_col="_all", threshold=0.4
+    ).select("d1", "d2")
+    assert brute.count() == brute.distinct().count()

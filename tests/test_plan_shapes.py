@@ -542,11 +542,12 @@ def test_dsir_topk_avoids_global_sort(spark):
         _sample_dsir_frames,
     )
 
-    res, freq = _sample_dsir_frames(spark, "/root/testdata/sf0.001")
+    res, caches = _sample_dsir_frames(spark, "/root/testdata/sf0.001")
     try:
         plan = res._jdf.queryExecution().executedPlan().toString()
     finally:
-        freq.unpersist()
+        for c in caches:
+            c.unpersist()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
 

@@ -44,19 +44,23 @@ def main() -> None:
     runs: dict[str, dict[str, list[float]]] = {
         n: {"off": [], "on": []} for n in names
     }
-    for _ in range(repeats):
-        for arm in ("off", "on"):
-            os.environ["SPARK_GRAFT_SCHEMA_CACHE"] = (
-                "0" if arm == "off" else "1"
-            )
-            for name in names:
-                t0 = time.perf_counter()
-                QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs[name][arm].append(round(time.perf_counter() - t0, 3))
-                spark.catalog.clearCache()
-    os.environ.pop("SPARK_GRAFT_SCHEMA_CACHE", None)
+    # try/finally: an exception mid-arm must not leave the process-global
+    # env flag set for a reusing importer (ADVICE r17)
+    try:
+        for _ in range(repeats):
+            for arm in ("off", "on"):
+                os.environ["SPARK_GRAFT_SCHEMA_CACHE"] = (
+                    "0" if arm == "off" else "1"
+                )
+                for name in names:
+                    t0 = time.perf_counter()
+                    QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs[name][arm].append(round(time.perf_counter() - t0, 3))
+                    spark.catalog.clearCache()
+    finally:
+        os.environ.pop("SPARK_GRAFT_SCHEMA_CACHE", None)
     mins = {
         n: {"off": min(v["off"]), "on": min(v["on"])} for n, v in runs.items()
     }
