@@ -1388,12 +1388,28 @@ def kn_trigram_logprob(
     # occurrence-scale join attaches it.  The float expression tree is
     # unchanged, evaluated on the same double inputs in the same order
     # — per-type q is bit-identical to the per-occurrence computation
-    # it replaces.
+    # it replaces.  At sf0.1 the model tables auto-broadcast so the
+    # local plan is shape-equivalent (interleaved A/B flat, pairwise
+    # mean 0.99); ABOVE the broadcast threshold the committed
+    # no-auto-broadcast plan pair shows the occurrence-stream
+    # exchanges in the scoring chain drop 3 → 1
+    # (plans/r18/text_trigram_logprob_kn_f7_noautobc_{before,after}.txt).
+    _score_expr = quant(
+        F.log(
+            F.greatest(F.col("ct").cast("double") - d, F.lit(0.0))
+            / F.col("c12")
+            + (d * F.col("nf3") / F.col("c12"))
+            * (
+                F.greatest(F.col("cctx").cast("double") - d, F.lit(0.0))
+                / F.col("cmid")
+                + (d * F.col("clam") / F.col("cmid"))
+                * (F.col("np").cast("double") / F.col("t_types"))
+            )
+        )
+    ).alias("q")
     type_q = (
         tcw.join(
-            bcw.select(
-                F.col("w1"), F.col("w2"), F.col("cb").alias("c12")
-            ),
+            bcw.select(F.col("w1"), F.col("w2"), F.col("cb").alias("c12")),
             ["w1", "w2"],
         )
         .join(nf3, ["w1", "w2"])
@@ -1402,26 +1418,7 @@ def kn_trigram_logprob(
         .join(lam, "w2")
         .join(prec.select(F.col("w2").alias("w3"), "np"), "w3")
         .crossJoin(F.broadcast(tt))
-        .select(
-            "w1",
-            "w2",
-            "w3",
-            quant(
-                F.log(
-                    F.greatest(F.col("ct").cast("double") - d, F.lit(0.0))
-                    / F.col("c12")
-                    + (d * F.col("nf3") / F.col("c12"))
-                    * (
-                        F.greatest(
-                            F.col("cctx").cast("double") - d, F.lit(0.0)
-                        )
-                        / F.col("cmid")
-                        + (d * F.col("clam") / F.col("cmid"))
-                        * (F.col("np").cast("double") / F.col("t_types"))
-                    )
-                )
-            ).alias("q"),
-        )
+        .select("w1", "w2", "w3", _score_expr)
     )
     t_terms = tri_ex.join(type_q, ["w1", "w2", "w3"]).select(
         F.col(id_col), F.col("q")

@@ -5711,7 +5711,13 @@ def events_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "text", "X4", "quality", "classifier"),
 )
 def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # spread removed (round 18 adjudication of the r17 driver
+    # regression): interleaved on/off min-of-6 read 1.05–1.14 AGAINST
+    # the spread here — the first operation after the tokenize explode
+    # is the vocab agg (an exchange), the F8 "pipeline immediately
+    # re-keys" losing pattern.  The bigram variant keeps it (heavier
+    # row-local feature build, −49% in the r17 interleaved A/B).
+    docs = load_table(spark, sf_dir, "documents")
     return text.nb_quality_scores(docs)
 
 
@@ -7302,22 +7308,25 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σ_occurrences 1[bucket] == Σ_terms exact_cnt·1[bucket], and
     # n_tokens == Σ exact_cnt.  persisted: three consumers, all
     # vocab-bounded (session-lived; bench clearCache()s per query).
+    # Interleaved on/off A/B (min-of-5, one session): 0.79 vs 0.97 s,
+    # every on-arm under its adjacent off-arm.
     exact = (
         ex.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt")).persist()
     )
     sketch = (
         exact.select(
-            "exact_cnt", F.posexplode(F.array(*bucket_cols)).alias("d", "bucket")
+            "exact_cnt",
+            F.posexplode(F.array(*bucket_cols)).alias("d", "bucket"),
         )
         .groupBy("d", "bucket")
         .agg(F.sum("exact_cnt").alias("c"))
     )
-    # distributed top-k (TakeOrderedAndProject), then rank the 20-row frame
-    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20)
     # coalesce: sum over an empty vocab is NULL where count(*) was 0
     tot = exact.agg(
         F.coalesce(F.sum("exact_cnt"), F.lit(0).cast("long")).alias("n_tokens")
     )
+    # distributed top-k (TakeOrderedAndProject), then rank the 20-row frame
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20)
     probes = top.select(
         "term",
         "exact_cnt",
@@ -7455,18 +7464,16 @@ def cms_merge_equals_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ex.select(
         "source", F.posexplode(F.array(*bucket_cols)).alias("d", "bucket")
     )
-    # persisted (round 18, guide §5.4): per_source is bounded
-    # (|sources| × depth × width rows) and consumed twice (the merge
-    # sum + the n_sources derivation).  oneshot deliberately stays an
-    # INDEPENDENT corpus pass — merged == oneshot is the mergeability
-    # proof, so deriving one side from the other would hollow it out
-    # (the F13 arms-stay-independent line).  Corpus tokenizations
-    # 3 → 2: n_sources no longer re-scans the corpus (a source appears
-    # in per_source iff it contributed ≥1 token — same set ex yields).
-    per_source = (
-        cells.groupBy("source", "d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+    # Round-18 measured-and-REJECTED: persisting per_source (bounded,
+    # |sources|×depth×width rows) to derive n_sources from it — saving
+    # the third corpus tokenize — read consistently ~1.4× SLOWER
+    # interleaved on/off in one session (mins 1.74 vs 1.39; the persist
+    # breaks the fused tokenize→posexplode→agg pipeline for a tokenize
+    # that is cheap).  oneshot stays an INDEPENDENT corpus pass in any
+    # variant — merged == oneshot is the mergeability proof (the F13
+    # arms-stay-independent line).
+    per_source = cells.groupBy("source", "d", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
     )
     merged = per_source.groupBy("d", "bucket").agg(F.sum("c").alias("mc"))
     oneshot = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("oc"))
@@ -7480,7 +7487,7 @@ def cms_merge_equals_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("oc").alias("total_count"),
         )
     )
-    nsrc = per_source.agg(F.countDistinct("source").alias("n_sources"))
+    nsrc = ex.agg(F.countDistinct("source").alias("n_sources"))
     return cmp.crossJoin(F.broadcast(nsrc)).select(
         F.col("n_sources").cast("long").alias("n_sources"),
         F.col("n_cells").cast("long").alias("n_cells"),
